@@ -1,0 +1,255 @@
+"""Staging graph executor: one graph -> one jitted XLA program.
+
+The reference executed graphs eagerly, one torch submodule at a time
+(``/root/reference/main/context.py:143-147``) and returned *every* node's
+every output to the client (``main/message.py:80-83``). On TPU that design
+wastes the compiler: intermediates bounce through host memory and nothing
+fuses. This executor instead:
+
+* topo-sorts the graph and **traces all node functions into a single Python
+  closure**, which is jitted once per (topology, params, input-shapes,
+  tap-set) signature and cached;
+* exposes the *tapped* edges as explicit jit outputs — XLA dead-code
+  eliminates everything not tapped, so "view one attention map" compiles to a
+  program that computes only what feeds that map;
+* attributes failures to a specific node (the client-side ``TargettedError``
+  contract, ``main/static/main/nodes/net_node.js:8-21``) by validating IO
+  before staging and wrapping each node's trace in a ``NodeError``;
+* keeps an eager per-node debug path (``run_eager``) with the reference
+  client's fault-isolation semantics (``graph.js:644-651``): a failing node
+  doesn't kill the rest of the graph, downstream nodes report the upstream
+  error.
+
+Tap sets
+--------
+``taps="all"``    every output channel of every node (wire-protocol parity).
+``taps="sinks"``  only output channels with no consumer inside the graph.
+``taps={(i,ch)}`` an explicit set — the interactive fast path.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Iterable, List, Optional, Set, Tuple, Union
+
+import jax
+import numpy as np
+
+from interactive_vit_tpu.graph.ir import Graph, GraphError, Node, Pinout
+from interactive_vit_tpu.graph.registry import Registry, registry
+
+logger = logging.getLogger(__name__)
+
+TapSpec = Union[str, Iterable[Tuple[int, str]]]
+
+
+class NodeError(Exception):
+    """An error attributed to one graph node (TargettedError contract)."""
+
+    def __init__(self, node_index: int, node_name: str, message: str):
+        super().__init__(f"node {node_index} ({node_name}): {message}")
+        self.node_index = node_index
+        self.node_name = node_name
+        self.message = message
+
+
+def _tap_key(taps: TapSpec) -> str:
+    if isinstance(taps, str):
+        return taps
+    return "|".join(f"{i}:{ch}" for i, ch in sorted(taps))
+
+
+def resolve_taps(
+    graph: Graph, taps: TapSpec, reg: Optional[Registry] = None
+) -> Set[Tuple[int, str]]:
+    """Expand a tap spec into a concrete set of (node_index, channel)."""
+    if taps == "all":
+        out: Set[Tuple[int, str]] = set()
+        reg = reg or registry()
+        for n in graph.nodes:
+            kind = reg.get_node(n.name)
+            for ch in kind.io(n.params)["outs"]:
+                out.add((n.index, ch))
+        return out
+    if taps == "sinks":
+        consumed: Set[Tuple[int, str]] = set()
+        for n in graph.nodes:
+            for e in n.inputs.values():
+                if e.src is not None:
+                    consumed.add((e.src.node.index, e.src.channel))
+        return resolve_taps(graph, "all", reg) - consumed
+    return set(taps)  # type: ignore[arg-type]
+
+
+class ExecStats:
+    """Per-run timing (decode/compile/execute split is a BASELINE metric)."""
+
+    def __init__(self) -> None:
+        self.stage_s: float = 0.0
+        self.compile_s: float = 0.0
+        self.execute_s: float = 0.0
+        self.cache_hit: bool = False
+
+    def as_dict(self) -> Dict[str, float]:
+        return {
+            "stage_s": self.stage_s,
+            "compile_s": self.compile_s,
+            "execute_s": self.execute_s,
+            "cache_hit": self.cache_hit,
+        }
+
+
+class Executor:
+    """Stages, compiles (with caching), and runs graphs."""
+
+    def __init__(self, reg: Optional[Registry] = None, use_jit: bool = True):
+        self.reg = reg or registry()
+        self.use_jit = use_jit
+        # signature -> (jitted fn, output keys)
+        self._cache: Dict[str, Tuple[Any, List[Tuple[int, str]]]] = {}
+        self.last_stats = ExecStats()
+
+    # -- validation -----------------------------------------------------------
+    def validate(self, graph: Graph) -> None:
+        """Pre-stage structural validation with per-node error attribution."""
+        graph.order()  # raises GraphError on cycles
+        for n in graph.nodes:
+            try:
+                kind = self.reg.get_node(n.name)
+            except KeyError as e:
+                raise NodeError(n.index, n.name, str(e)) from e
+            io = kind.io(n.params)
+            for ch in n.inputs:
+                if ch not in io["ins"]:
+                    raise NodeError(
+                        n.index, n.name, f"unknown input channel {ch!r}"
+                    )
+            for ch, edges in n.outputs.items():
+                if any(e.dst is not None for e in edges) and ch not in io["outs"]:
+                    raise NodeError(
+                        n.index, n.name, f"unknown output channel {ch!r}"
+                    )
+            if not getattr(kind, "optional_inputs", False):
+                for ch in io["ins"]:
+                    if ch not in n.inputs:
+                        raise NodeError(n.index, n.name, f"missing input {ch!r}")
+
+    # -- staging ----------------------------------------------------------------
+    def _stage(
+        self, graph: Graph, tap_set: Set[Tuple[int, str]]
+    ) -> Tuple[Any, List[Tuple[int, str]]]:
+        """Build the traceable closure over the whole graph."""
+        order = graph.order()
+        input_edges = graph.input_edges()
+        out_keys = sorted(tap_set)
+        reg = self.reg
+
+        # Freeze per-node metadata outside the closure (trace-time safety).
+        node_kinds = {n.index: reg.get_node(n.name) for n in graph.nodes}
+
+        def staged(*inputs: Any) -> Dict[str, Any]:
+            # env: (node_index, channel) -> traced array
+            env: Dict[Tuple[int, str], Any] = {}
+            for (node, ch, _e), arr in zip(input_edges, inputs):
+                env[("in", node.index, ch)] = arr  # type: ignore[index]
+
+            for n in order:
+                kind = node_kinds[n.index]
+                ins: Dict[str, Any] = {}
+                for ch, e in n.inputs.items():
+                    if e.src is None:
+                        ins[ch] = env[("in", n.index, ch)]  # type: ignore[index]
+                    else:
+                        ins[ch] = env[(e.src.node.index, e.src.channel)]
+                try:
+                    with jax.named_scope(f"n{n.index}_{n.name.replace(':', '.')}"):
+                        outs = kind.fn(n.params)(ins)
+                except NodeError:
+                    raise
+                except Exception as err:  # noqa: BLE001 — re-attribute to node
+                    raise NodeError(n.index, n.name, str(err)) from err
+                for ch, v in outs.items():
+                    env[(n.index, ch)] = v
+
+            return {f"{i}/{ch}": env[(i, ch)] for i, ch in out_keys if (i, ch) in env}
+
+        return staged, out_keys
+
+    # -- the production path ------------------------------------------------------
+    def run(
+        self, graph: Graph, taps: TapSpec = "all"
+    ) -> Dict[int, Dict[str, np.ndarray]]:
+        """Stage+compile+execute; returns {node_index: {channel: array}}.
+
+        Results stay as jax Arrays (device-resident); the wire layer pulls
+        them to host only when encoding the response.
+        """
+        stats = ExecStats()
+        self.validate(graph)
+        tap_set = resolve_taps(graph, taps, self.reg)
+        sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit])
+
+        inputs = [e.tensor for _, _, e in graph.input_edges()]
+
+        t0 = time.perf_counter()
+        if sig in self._cache:
+            fn, out_keys = self._cache[sig]
+            stats.cache_hit = True
+        else:
+            staged, out_keys = self._stage(graph, tap_set)
+            fn = jax.jit(staged) if self.use_jit else staged
+            self._cache[sig] = (fn, out_keys)
+        stats.stage_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        flat = fn(*inputs)
+        if hasattr(jax, "block_until_ready"):
+            jax.block_until_ready(flat)
+        stats.execute_s = time.perf_counter() - t0
+
+        self.last_stats = stats
+        result: Dict[int, Dict[str, np.ndarray]] = {}
+        for key, val in flat.items():
+            idx_s, ch = key.split("/", 1)
+            result.setdefault(int(idx_s), {})[ch] = val
+        return result
+
+    # -- the debug path -----------------------------------------------------------
+    def run_eager(
+        self, graph: Graph
+    ) -> Tuple[Dict[int, Dict[str, np.ndarray]], Dict[int, str]]:
+        """Eager per-node evaluation with fault isolation.
+
+        Returns (outputs, errors). A failing node's descendants are skipped
+        with an "eval error upstream" marker — the client graph engine's
+        semantics (``graph.js:498-514,644-651``).
+        """
+        outputs: Dict[int, Dict[str, np.ndarray]] = {}
+        errors: Dict[int, str] = {}
+        failed: Set[int] = set()
+
+        for n in graph.order():
+            upstream_failed = any(
+                e.src is not None and e.src.node.index in failed
+                for e in n.inputs.values()
+            )
+            if upstream_failed:
+                failed.add(n.index)
+                errors[n.index] = "eval error upstream"
+                continue
+            try:
+                kind = self.reg.get_node(n.name)
+                pinout = kind.compute(n.params, n.get_pinin())
+                n.set_pinout(pinout)
+                outputs[n.index] = pinout.as_dict()
+            except Exception as err:  # noqa: BLE001 — per-node isolation
+                failed.add(n.index)
+                errors[n.index] = str(err)
+        return outputs, errors
+
+    def cache_info(self) -> Dict[str, int]:
+        return {"entries": len(self._cache)}
+
+    def clear_cache(self) -> None:
+        self._cache.clear()

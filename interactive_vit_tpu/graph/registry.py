@@ -1,0 +1,137 @@
+"""Node-kind registry and plugin loader.
+
+Preserves the plugin contract of the reference
+(``/root/reference/main/context.py:16-36,132-176``): a process-global registry
+of named ``NodeKind``s, each answering ``io(params)`` / ``contents(params)`` /
+``compute(params, pinin)``, discovered by importing every ``.py`` file in the
+plugin dirs and calling its module-level ``instances()``.
+
+TPU-first change: a node kind's compute is primarily exposed as a **pure,
+traceable function** (``NodeKind.fn``) from a dict of input arrays to a dict
+of output arrays. The staging executor composes those functions into one
+jitted XLA program; the eager ``compute`` path (used for per-node debugging
+and error attribution) is derived from the same function, so the two paths
+cannot drift.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import logging
+import os
+import sys
+from typing import Any, Callable, Dict, List, Optional
+from urllib.parse import urlencode
+
+from interactive_vit_tpu.graph.ir import Graph, Pinout
+
+logger = logging.getLogger(__name__)
+
+# A staged node computation: dict[channel -> array] -> dict[channel -> array].
+NodeFn = Callable[[Dict[str, Any]], Dict[str, Any]]
+
+
+class NodeKind:
+    """Base class for a registered node kind.
+
+    Contract parity with ``main/context.py:16-36``. Subclasses implement
+    ``fn(params)`` (preferred, traceable) or override ``compute`` directly
+    for host-side nodes that cannot be traced.
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def get_name(self) -> str:
+        return self.name
+
+    def contents(self, params: Dict[str, str]) -> str:
+        """HTML body shown inside the node's box in the UI."""
+        return self.name + "?" + urlencode(params)
+
+    def io(self, params: Dict[str, str]) -> Dict[str, List[str]]:
+        """Declare input/output channel names: ``{"ins": [...], "outs": [...]}``."""
+        raise NotImplementedError(f"io() not implemented for {self.name}")
+
+    def fn(self, params: Dict[str, str]) -> NodeFn:
+        """Return a pure function computing this node (jax-traceable)."""
+        raise NotImplementedError(f"fn() not implemented for {self.name}")
+
+    def compute(self, params: Dict[str, str], inputs: Pinout) -> Pinout:
+        """Eager evaluation — default implementation calls ``fn``."""
+        out = self.fn(params)(inputs.as_dict())
+        return Pinout(out)
+
+    def register(self, reg: "Registry") -> None:
+        reg.register(self)
+
+
+class Registry:
+    """Process-global registry of node kinds (``main/context.py:132-152``)."""
+
+    def __init__(self) -> None:
+        self.nodes: Dict[str, NodeKind] = {}
+
+    def register(self, node: NodeKind) -> None:
+        logger.info("registered node kind: %s", node.get_name())
+        self.nodes[node.get_name()] = node
+
+    def get_node(self, name: str) -> NodeKind:
+        if name not in self.nodes:
+            raise KeyError(f"unknown node kind: {name!r}")
+        return self.nodes[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.nodes
+
+    def names(self) -> List[str]:
+        return sorted(self.nodes)
+
+    def compute(self, graph: Graph) -> None:
+        """Eager per-node evaluation (debug path).
+
+        Matches the reference hot loop (``context.py:143-147``). Production
+        evaluation goes through ``executor.Executor`` which stages the whole
+        graph into one XLA program instead.
+        """
+        for n in graph.order():
+            kind = self.get_node(n.name)
+            pinout = kind.compute(n.params, n.get_pinin())
+            n.set_pinout(pinout)
+
+
+_instance = Registry()
+
+
+def registry() -> Registry:
+    """The process-global registry (``context.py:149-152``)."""
+    return _instance
+
+
+def scan_plugins(dirs: List[str], reg: Optional[Registry] = None) -> None:
+    """Import every ``.py`` in ``dirs``; call its ``instances()``; register.
+
+    Failures are logged and skipped, never fatal — parity with
+    ``context.py:154-176`` (which deliberately survives the broken
+    ``main/nodes/conv.py`` plugin).
+    """
+    reg = reg or registry()
+    for full_dir in dirs:
+        if not os.path.isdir(full_dir):
+            logger.warning("plugin dir missing: %s", full_dir)
+            continue
+        for file in sorted(os.listdir(full_dir)):
+            path = os.path.join(full_dir, file)
+            if not os.path.isfile(path) or not path.endswith(".py"):
+                continue
+            name = os.path.splitext(file)[0]
+            try:
+                spec = importlib.util.spec_from_file_location(name, path)
+                assert spec is not None and spec.loader is not None
+                module = importlib.util.module_from_spec(spec)
+                sys.modules[name] = module
+                spec.loader.exec_module(module)
+                for inst in module.instances():
+                    inst.register(reg)
+            except Exception as err:  # noqa: BLE001 — plugin isolation by design
+                logger.info("could not register plugin %s: %s", path, err)

@@ -1,0 +1,328 @@
+"""Built-in graph node kinds (server-evaluable, jnp-traceable).
+
+The reference ran these ops *client-side* in WebGPU WGSL shaders
+(``/root/reference/main/static/main/nodes/*.js``) and only model layers on
+the server. Here every op is a jnp function, so a whole saved graph — image
+source through viewers — stages into one fused XLA program on TPU. That
+realizes the reference's own roadmap item "server-side graph"
+(``/root/reference/todo.md:13``) and removes the client<->server tensor
+round-trips from the hot path.
+
+Node kinds and their (de)serialized instance contracts:
+
+  cos       params A, b           -> cos(A*x + b)         (main/nodes/cos.py)
+  binop     op in {+,-,*,/}       elementwise              (nodes/binop.js:20-81)
+  slice     fixed=[{dim,val}], free=[{in_dim,out_dim}]     (nodes/index.js:25-194)
+  shuffle   free=[{in_dim,out_dim}] dimension permutation  (nodes/index.js:196-283)
+  const     value, dims           filled tensor            (nodes/const.js:82-90)
+  noise     dims, seed            uniform [0,1) tensor     (nodes/noise.js:21-28)
+  conv2d    matrix (base64 f32), w, h   valid-pad 2-D conv (nodes/conv2d_node.js)
+  resize    dims=[H,W]            bilinear CHW resize      (nodes/resize.js:129-130)
+  img_src   identity (client binds the decoded image as input "o")
+  img_view / multi_view / category   sinks: identity pass-through so taps can
+            read what the client-side viewer would render
+            (nodes/img_view_node.js, multi_view.js, category.js)
+
+Params arrive stringly-typed (wire contract); JSON-valued params are JSON
+strings (see ``wire/schema.graph_from_json``).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from interactive_vit_tpu.graph.registry import NodeKind, Registry
+
+
+def _jparam(params: Dict[str, str], key: str, default):
+    if key not in params:
+        return default
+    v = params[key]
+    return json.loads(v) if isinstance(v, str) else v
+
+
+class CosNode(NodeKind):
+    """Elementwise cos(A*x + b) — the reference's demo server node."""
+
+    def __init__(self) -> None:
+        super().__init__("cos")
+
+    def decode_params(self, params):
+        return float(params.get("A", 1.0)), float(params.get("b", 0.0))
+
+    def contents(self, params):
+        a, b = self.decode_params(params)
+        return f"cos({a}x+{b})"
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o"]}
+
+    def fn(self, params):
+        a, b = self.decode_params(params)
+        return lambda ins: {"o": jnp.cos(a * ins["o"] + b)}
+
+
+class BinOpNode(NodeKind):
+    """Elementwise a OP b; channels a,b -> c (``binop.js:78-81``)."""
+
+    OPS = {
+        "+": jnp.add,
+        "-": jnp.subtract,
+        "*": jnp.multiply,
+        "/": jnp.divide,
+    }
+
+    def __init__(self) -> None:
+        super().__init__("binop")
+
+    def io(self, params):
+        return {"ins": ["a", "b"], "outs": ["c"]}
+
+    def fn(self, params):
+        op = self.OPS[params.get("op", "+")]
+        return lambda ins: {"c": op(ins["a"], ins["b"])}
+
+
+class _IndexNode(NodeKind):
+    """Shared slice/shuffle logic (``nodes/index.js:25-62``).
+
+    fixed: list of {dim, val} — input dims pinned to an index.
+    free:  list of {in_dim, out_dim} — surviving dims, re-ordered so output
+           dim ``out_dim`` reads input dim ``in_dim``.
+    """
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o"]}
+
+    def fn(self, params):
+        fixed = _jparam(params, "fixed", [])
+        free = _jparam(params, "free", [])
+
+        def run(ins):
+            x = ins["o"]
+            idx = [slice(None)] * x.ndim
+            for f in fixed:
+                idx[int(f["dim"])] = int(f["val"])
+            y = x[tuple(idx)]
+            # surviving input dims, ascending, map to positions 0..k-1
+            kept = sorted(int(f["in_dim"]) for f in free)
+            pos = {d: i for i, d in enumerate(kept)}
+            perm = [0] * len(free)
+            for f in free:
+                perm[int(f["out_dim"])] = pos[int(f["in_dim"])]
+            return {"o": jnp.transpose(y, perm) if perm else y}
+
+        return run
+
+
+class SliceNode(_IndexNode):
+    def __init__(self) -> None:
+        super().__init__("slice")
+
+
+class ShuffleNode(_IndexNode):
+    def __init__(self) -> None:
+        super().__init__("shuffle")
+
+
+class ConstNode(NodeKind):
+    """Fill-value tensor of given dims (``const.js:82-90``)."""
+
+    def __init__(self) -> None:
+        super().__init__("const")
+
+    def io(self, params):
+        return {"ins": [], "outs": ["o"]}
+
+    def fn(self, params):
+        value = float(_jparam(params, "value", 0.0))
+        dims = [int(d) for d in _jparam(params, "dims", [1])]
+        return lambda ins: {"o": jnp.full(dims, value, dtype=jnp.float32)}
+
+
+class NoiseNode(NodeKind):
+    """Uniform [0,1) tensor (``noise.js:21-28``).
+
+    The reference used ``Math.random()`` host-side; here it is a pure
+    ``jax.random`` op keyed by a ``seed`` param, so the node stays traceable
+    and deterministic per compile. Re-randomizing = bumping the seed param
+    (which re-keys, not recompiles: seed folds in as a constant).
+    """
+
+    def __init__(self) -> None:
+        super().__init__("noise")
+
+    def io(self, params):
+        return {"ins": [], "outs": ["o"]}
+
+    def fn(self, params):
+        dims = [int(d) for d in _jparam(params, "dims", [1])]
+        seed = int(float(params.get("seed", 0)))
+        return lambda ins: {
+            "o": jax.random.uniform(jax.random.key(seed), dims, dtype=jnp.float32)
+        }
+
+
+class Conv2dNode(NodeKind):
+    """Single-channel 2-D convolution, valid padding.
+
+    Matches the WGSL kernel semantics (``conv2d_node.js:5-31,175-178``):
+    input [C,H,W] or [H,W]; each channel convolved with the same k x k
+    matrix; output spatial dims shrink by 2*(k//2). The matrix travels
+    base64-encoded f32 (``conv2d_node.js:214-227``). On TPU this lowers to
+    an XLA conv that tiles onto the MXU.
+    """
+
+    def __init__(self) -> None:
+        super().__init__("conv2d")
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o"]}
+
+    def _matrix(self, params) -> np.ndarray:
+        h = int(float(params.get("h", 3)))
+        w = int(float(params.get("w", 3)))
+        if "matrix" in params:
+            raw = base64.b64decode(params["matrix"])
+            m = np.frombuffer(raw, dtype="<f4").reshape(h, w).copy()
+        else:
+            m = np.zeros((h, w), dtype=np.float32)
+            m[h // 2, w // 2] = 1.0
+        return m
+
+    def fn(self, params):
+        m = jnp.asarray(self._matrix(params))
+
+        def run(ins):
+            x = ins["o"]
+            squeeze = x.ndim == 2
+            if squeeze:
+                x = x[None]
+            # [C,H,W] -> depthwise-style conv with one shared kernel:
+            # treat channels as batch, single in/out feature.
+            lhs = x[:, None, :, :]  # [C,1,H,W]
+            rhs = m[None, None, :, :]  # [1,1,kh,kw]
+            y = jax.lax.conv_general_dilated(
+                lhs,
+                rhs,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+            return {"o": y[0] if squeeze else y}
+
+        return run
+
+
+class ResizeNode(NodeKind):
+    """Bilinear CHW resize to dims=[H,W] (``resize.js:129-130``)."""
+
+    def __init__(self) -> None:
+        super().__init__("resize")
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o"]}
+
+    def fn(self, params):
+        dims = [int(d) for d in _jparam(params, "dims", [224, 224])]
+
+        def run(ins):
+            x = ins["o"]
+            c = x.shape[0]
+            return {
+                "o": jax.image.resize(x, (c, dims[0], dims[1]), method="bilinear")
+            }
+
+        return run
+
+
+class IdentityNode(NodeKind):
+    """Pass-through; used for sources/sinks whose rendering is client-side."""
+
+    def __init__(self, name: str, ins: List[str], outs: List[str]):
+        super().__init__(name)
+        self._ins = ins
+        self._outs = outs
+
+    def io(self, params):
+        return {"ins": self._ins, "outs": self._outs}
+
+    def fn(self, params):
+        ins_names, outs_names = self._ins, self._outs
+
+        def run(ins):
+            if not outs_names:
+                return {}
+            if len(ins_names) == 1 and len(outs_names) == 1:
+                return {outs_names[0]: ins[ins_names[0]]}
+            return {ch: ins[ch] for ch in outs_names if ch in ins}
+
+        return run
+
+
+class ImgViewNode(NodeKind):
+    """Viewer sink: echoes whatever channels are wired (R,G,B 2-D or o CHW).
+
+    Client contract: ``img_view_node.js:76-80`` (R/G/B each 2-D, or 'o' with
+    C==3). Server-side we tap-through so the frontend can read the composed
+    inputs from the response.
+    """
+
+    def __init__(self) -> None:
+        super().__init__("img_view")
+
+    def io(self, params):
+        return {"ins": ["R", "G", "B", "o"], "outs": []}
+
+    def fn(self, params):
+        return lambda ins: {}
+
+    # viewers accept any subset of inputs; skip the missing-input check by
+    # declaring only the wired channels at validation time via io() — the
+    # executor treats viewers specially (optional inputs).
+    optional_inputs = True
+
+
+def register_builtin(reg: Registry) -> None:
+    """Register all built-in node kinds."""
+    for kind in [
+        CosNode(),
+        BinOpNode(),
+        SliceNode(),
+        ShuffleNode(),
+        ConstNode(),
+        NoiseNode(),
+        Conv2dNode(),
+        ResizeNode(),
+        IdentityNode("img_src", ["o"], ["o"]),
+        ImgViewNode(),
+        IdentityNode("multi_view", ["o"], []),
+        IdentityNode("category", ["o"], []),
+    ]:
+        kind.register(reg)
+
+
+def instances():
+    """Plugin-contract entry point (``context.py:170-171``)."""
+    return [
+        CosNode(),
+        BinOpNode(),
+        SliceNode(),
+        ShuffleNode(),
+        ConstNode(),
+        NoiseNode(),
+        Conv2dNode(),
+        ResizeNode(),
+        IdentityNode("img_src", ["o"], ["o"]),
+        ImgViewNode(),
+        IdentityNode("multi_view", ["o"], []),
+        IdentityNode("category", ["o"], []),
+    ]

@@ -1,0 +1,201 @@
+"""Binary tensor wire protocol — byte-compatible with the reference.
+
+Format (reference spec: ``/root/reference/main/message.py:22-127`` and the
+client-side comments ``main/static/main/nodes/net_node.js:60-80,236-248``):
+
+    header  : u32 byte_size | u32 magic | u32 block_cnt | u32 json_size
+    json    : utf-8 bytes, padded with zero bytes to the next 4-byte boundary
+    blocks  : per tensor: u32 block_size | u32 dim_cnt | u32 dims[dim_cnt]
+              | f32 data[prod(dims)]
+
+All integers and floats little-endian. Request magic ``0x69babe69``; response
+magic ``0xdeadbeef``. All tensors are float32 and contiguous on the wire.
+
+Request JSON: ``{"nodes": [{"endpoint", "params"}...],
+"edges": [{"out_port": {node, channel}, "in_port"|"tensor": ...}...]}`` —
+an edge with a ``"tensor"`` index is a graph-level input bound to block i
+(``message.py:61-73``).
+
+Response JSON: ``[{"node": i, "channel": ch}, ...]`` aligned with blocks
+(``message.py:92-105``).
+
+This implementation is numpy-only (the reference decoded into torch tensors)
+and vectorized — header parsing via ``np.frombuffer`` views instead of the
+reference's per-element ``array`` module loops. A C++ fast path for the block
+scan lives in ``interactive_vit_tpu/runtime`` (used when built; this module
+is the always-available fallback and the behavioural spec).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from interactive_vit_tpu.graph.ir import Graph
+
+REQUEST_MAGIC = 0x69BABE69
+RESPONSE_MAGIC = 0xDEADBEEF
+_HEADER = struct.Struct("<IIII")
+
+
+class WireError(Exception):
+    """Malformed wire message."""
+
+
+def _align4(n: int) -> int:
+    """Next multiple of 4 (``message.py:13-16``)."""
+    return (n + 3) & ~3
+
+
+def encode_message(magic: int, json_obj, tensors: List[np.ndarray]) -> bytes:
+    """Encode a JSON header + list of f32 tensors into one wire message."""
+    json_utf8 = json.dumps(json_obj).encode("utf-8")
+    parts: List[bytes] = []
+    offset = _HEADER.size + len(json_utf8)
+    pad = _align4(offset) - offset
+    parts.append(json_utf8)
+    parts.append(b"\x00" * pad)
+
+    block_bytes = 0
+    for t in tensors:
+        arr = np.asarray(t, dtype=np.float32)
+        if arr.ndim > 0 and not arr.flags.c_contiguous:
+            arr = np.ascontiguousarray(arr)
+        dims = np.asarray(arr.shape, dtype=np.uint32)
+        block_size = 8 + dims.nbytes + arr.nbytes
+        parts.append(struct.pack("<II", block_size, dims.size))
+        parts.append(dims.tobytes())
+        parts.append(arr.tobytes())
+        block_bytes += block_size
+
+    byte_size = _HEADER.size + len(json_utf8) + pad + block_bytes
+    header = _HEADER.pack(byte_size, magic, len(tensors), len(json_utf8))
+    return header + b"".join(parts)
+
+
+def decode_message(b: bytes, expect_magic: Optional[int] = None):
+    """Decode a wire message into (json_obj, [np.ndarray])."""
+    if len(b) < _HEADER.size:
+        raise WireError(f"message too short: {len(b)} bytes")
+    byte_size, magic, block_cnt, json_size = _HEADER.unpack_from(b, 0)
+    if expect_magic is not None and magic != expect_magic:
+        raise WireError(f"bad magic: 0x{magic:08x} (expected 0x{expect_magic:08x})")
+    if byte_size > len(b):
+        raise WireError(f"truncated message: header says {byte_size}, got {len(b)}")
+
+    off = _HEADER.size
+    json_obj = json.loads(b[off : off + json_size].decode("utf-8"))
+    off = _align4(off + json_size)
+
+    tensors: List[np.ndarray] = []
+    for i in range(block_cnt):
+        start = off
+        block_size, dim_cnt = struct.unpack_from("<II", b, off)
+        off += 8
+        dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=off)
+        off += 4 * dim_cnt
+        elem_cnt = int(np.prod(dims)) if dim_cnt > 0 else 1
+        data = np.frombuffer(b, dtype="<f4", count=elem_cnt, offset=off)
+        off += 4 * elem_cnt
+        if start + block_size != off:
+            raise WireError(
+                f"tensor block {i}: size mismatch "
+                f"(declared {block_size}, consumed {off - start})"
+            )
+        tensors.append(data.reshape(tuple(int(d) for d in dims)))
+    return json_obj, tensors
+
+
+# -- request / response objects (server side) ------------------------------------
+
+
+class Request:
+    """A decoded ``/compute`` request: a Graph with input tensors attached.
+
+    Parity with ``message.py:18-73``.
+    """
+
+    def __init__(self) -> None:
+        self.graph = Graph()
+
+    def decode(self, b: bytes) -> None:
+        json_obj, tensors = decode_message(b, expect_magic=REQUEST_MAGIC)
+
+        for node_json in json_obj["nodes"]:
+            self.graph.add_node(node_json["endpoint"], node_json.get("params", {}))
+
+        for edge_json in json_obj["edges"]:
+            tgt = self.graph.nodes[edge_json["out_port"]["node"]]
+            tgt_ch = edge_json["out_port"]["channel"]
+            if "tensor" in edge_json:
+                self.graph.add_input(tensors[edge_json["tensor"]], tgt, tgt_ch)
+            else:
+                src = self.graph.nodes[edge_json["in_port"]["node"]]
+                src_ch = edge_json["in_port"]["channel"]
+                self.graph.connect(src, src_ch, tgt, tgt_ch)
+
+    @staticmethod
+    def encode(graph: Graph) -> bytes:
+        """Encode a graph (with input tensors) into request bytes.
+
+        The reference only had the *client* encode requests
+        (``net_node.js:81-197``); having it server-side too gives us
+        round-trip tests and a synthetic-client load generator.
+        """
+        nodes_json = [{"endpoint": n.name, "params": n.params} for n in graph.nodes]
+        edges_json: List[Dict] = []
+        tensors: List[np.ndarray] = []
+        for n in graph.nodes:
+            for ch, e in n.inputs.items():
+                if e.src is None:
+                    edges_json.append(
+                        {
+                            "out_port": {"node": n.index, "channel": ch},
+                            "tensor": len(tensors),
+                        }
+                    )
+                    tensors.append(np.asarray(e.tensor))
+                else:
+                    edges_json.append(
+                        {
+                            "out_port": {"node": n.index, "channel": ch},
+                            "in_port": {
+                                "node": e.src.node.index,
+                                "channel": e.src.channel,
+                            },
+                        }
+                    )
+        obj = {"nodes": nodes_json, "edges": edges_json}
+        return encode_message(REQUEST_MAGIC, obj, tensors)
+
+
+class Response:
+    """Node outputs -> response bytes. Parity with ``message.py:76-127``.
+
+    Unlike the reference (which harvested every node's pinout eagerly,
+    ``message.py:80-83``), this is constructed from the executor's tap
+    results directly — the executor decides what was computed.
+    """
+
+    def __init__(self, outputs: Dict[int, Dict[str, np.ndarray]]):
+        self.outputs = outputs
+
+    def encode(self) -> bytes:
+        json_obj = []
+        tensors: List[np.ndarray] = []
+        for node in self.outputs:
+            for channel, t in self.outputs[node].items():
+                json_obj.append({"node": node, "channel": channel})
+                tensors.append(np.asarray(t))
+        return encode_message(RESPONSE_MAGIC, json_obj, tensors)
+
+    @staticmethod
+    def decode(b: bytes) -> Dict[int, Dict[str, np.ndarray]]:
+        json_obj, tensors = decode_message(b, expect_magic=RESPONSE_MAGIC)
+        out: Dict[int, Dict[str, np.ndarray]] = {}
+        for meta, t in zip(json_obj, tensors):
+            out.setdefault(meta["node"], {})[meta["channel"]] = t
+        return out

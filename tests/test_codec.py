@@ -1,0 +1,121 @@
+"""Wire protocol tests: byte-exact fixtures of the reference format.
+
+The fixture bytes are constructed by hand from the format spec
+(``/root/reference/main/message.py:22-127``) — they are the contract.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.wire.codec import (
+    REQUEST_MAGIC,
+    RESPONSE_MAGIC,
+    Request,
+    Response,
+    WireError,
+    decode_message,
+    encode_message,
+)
+
+
+def hand_encode(magic, json_obj, arrays):
+    """Independent encoder written straight from the format spec."""
+    json_utf8 = json.dumps(json_obj).encode()
+    body = json_utf8
+    pad = (-(16 + len(json_utf8))) % 4
+    body += b"\x00" * pad
+    for a in arrays:
+        a = np.asarray(a, dtype="<f4")
+        dims = np.asarray(a.shape, dtype="<u4")
+        block_size = 8 + dims.nbytes + a.nbytes
+        body += struct.pack("<II", block_size, len(a.shape))
+        body += dims.tobytes() + a.tobytes()
+    header = struct.pack("<IIII", 16 + len(body), magic, len(arrays), len(json_utf8))
+    return header + body
+
+
+def test_decode_hand_encoded_request():
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    obj = {
+        "nodes": [{"endpoint": "cos", "params": {"A": "2.0"}}],
+        "edges": [{"out_port": {"node": 0, "channel": "o"}, "tensor": 0}],
+    }
+    raw = hand_encode(REQUEST_MAGIC, obj, [x])
+
+    req = Request()
+    req.decode(raw)
+    assert len(req.graph.nodes) == 1
+    assert req.graph.nodes[0].name == "cos"
+    assert req.graph.nodes[0].params == {"A": "2.0"}
+    got = req.graph.nodes[0].inputs["o"].tensor
+    np.testing.assert_array_equal(got, x)
+
+
+def test_encode_matches_hand_encoding():
+    x = np.ones((2, 2), dtype=np.float32)
+    obj = [{"node": 0, "channel": "o"}]
+    ours = encode_message(RESPONSE_MAGIC, obj, [x])
+    theirs = hand_encode(RESPONSE_MAGIC, obj, [x])
+    assert ours == theirs
+
+
+def test_request_roundtrip_with_internal_edges():
+    g = Graph()
+    a = g.add_node("cos", {"A": "1.5"})
+    b = g.add_node("cos", {"b": "0.5"})
+    g.connect(a, "o", b, "o")
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    g.add_input(x, a, "o")
+
+    raw = Request.encode(g)
+    req = Request()
+    req.decode(raw)
+    g2 = req.graph
+    assert [n.name for n in g2.nodes] == ["cos", "cos"]
+    assert g2.nodes[1].inputs["o"].src.node.index == 0
+    np.testing.assert_array_equal(g2.nodes[0].inputs["o"].tensor, x)
+
+
+def test_response_roundtrip():
+    outs = {
+        0: {"o": np.random.default_rng(0).random((2, 3)).astype(np.float32)},
+        3: {"o": np.zeros((4,), np.float32), "attn": np.ones((2, 2), np.float32)},
+    }
+    raw = Response(outs).encode()
+    back = Response.decode(raw)
+    assert set(back) == {0, 3}
+    np.testing.assert_array_equal(back[3]["attn"], outs[3]["attn"])
+    np.testing.assert_array_equal(back[0]["o"], outs[0]["o"])
+
+
+def test_bad_magic_rejected():
+    raw = hand_encode(0x12345678, [], [])
+    with pytest.raises(WireError):
+        decode_message(raw, expect_magic=REQUEST_MAGIC)
+
+
+def test_truncated_rejected():
+    raw = hand_encode(REQUEST_MAGIC, {"nodes": [], "edges": []}, [np.ones(4, np.float32)])
+    with pytest.raises(WireError):
+        decode_message(raw[:-8], expect_magic=REQUEST_MAGIC)
+
+
+def test_padding_alignment():
+    # json sizes 0..7 exercise every padding case (message.py:13-16)
+    for pad_len in range(8):
+        obj = {"k": "x" * pad_len}
+        raw = encode_message(REQUEST_MAGIC, obj, [np.ones((2,), np.float32)])
+        back_obj, tensors = decode_message(raw, expect_magic=REQUEST_MAGIC)
+        assert back_obj == obj
+        np.testing.assert_array_equal(tensors[0], np.ones((2,), np.float32))
+
+
+def test_scalar_tensor():
+    raw = encode_message(RESPONSE_MAGIC, [], [np.float32(3.5).reshape(())])
+    _, tensors = decode_message(raw, expect_magic=RESPONSE_MAGIC)
+    assert tensors[0].shape == ()
+    assert tensors[0] == np.float32(3.5)

@@ -1,0 +1,157 @@
+"""Staged executor tests: staging, caching, taps, error attribution."""
+
+import numpy as np
+import pytest
+
+from interactive_vit_tpu.graph.executor import Executor, NodeError, resolve_taps
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.ops.node_ops import register_builtin
+
+
+@pytest.fixture
+def reg():
+    r = Registry()
+    register_builtin(r)
+    return r
+
+
+@pytest.fixture
+def ex(reg):
+    return Executor(reg)
+
+
+def test_single_cos_node(ex):
+    g = Graph()
+    n = g.add_node("cos", {"A": "2.0", "b": "1.0"})
+    x = np.linspace(0, 3, 16, dtype=np.float32)
+    g.add_input(x, n, "o")
+
+    out = ex.run(g)
+    np.testing.assert_allclose(out[0]["o"], np.cos(2.0 * x + 1.0), rtol=1e-6)
+
+
+def test_chain_fuses_and_matches_eager(ex, reg):
+    g = Graph()
+    a = g.add_node("cos", {"A": "1.0"})
+    b = g.add_node("cos", {"A": "3.0", "b": "0.25"})
+    g.connect(a, "o", b, "o")
+    x = np.linspace(-1, 1, 8, dtype=np.float32)
+    g.add_input(x, a, "o")
+
+    staged = ex.run(g)
+    expected = np.cos(3.0 * np.cos(x) + 0.25)
+    np.testing.assert_allclose(staged[1]["o"], expected, rtol=1e-6)
+
+    # eager debug path agrees
+    eager, errors = ex.run_eager(g)
+    assert not errors
+    np.testing.assert_allclose(
+        np.asarray(eager[1]["o"]), np.asarray(staged[1]["o"]), rtol=1e-6
+    )
+
+
+def test_compile_cache_hit(ex):
+    def make(x):
+        g = Graph()
+        n = g.add_node("cos")
+        g.add_input(x, n, "o")
+        return g
+
+    x = np.zeros((4,), np.float32)
+    ex.run(make(x))
+    assert not ex.last_stats.cache_hit
+    ex.run(make(x + 1))  # same shapes/topology -> cache hit
+    assert ex.last_stats.cache_hit
+    ex.run(make(np.zeros((8,), np.float32)))  # new shape -> miss
+    assert not ex.last_stats.cache_hit
+
+
+def test_taps_subset(ex):
+    g = Graph()
+    a = g.add_node("cos")
+    b = g.add_node("cos")
+    g.connect(a, "o", b, "o")
+    g.add_input(np.ones((4,), np.float32), a, "o")
+
+    out = ex.run(g, taps={(1, "o")})
+    assert set(out) == {1}
+
+    sinks = resolve_taps(g, "sinks", ex.reg)
+    assert sinks == {(1, "o")}
+
+
+def test_all_taps_returns_every_node(ex):
+    g = Graph()
+    a = g.add_node("cos")
+    b = g.add_node("cos")
+    g.connect(a, "o", b, "o")
+    g.add_input(np.ones((4,), np.float32), a, "o")
+    out = ex.run(g, taps="all")
+    assert set(out) == {0, 1}
+
+
+def test_error_attribution_unknown_kind(ex):
+    g = Graph()
+    g.add_node("nonexistent_kind")
+    with pytest.raises(NodeError) as ei:
+        ex.run(g)
+    assert ei.value.node_index == 0
+
+
+def test_error_attribution_missing_input(ex):
+    g = Graph()
+    a = g.add_node("cos")
+    b = g.add_node("binop", {"op": "+"})
+    g.connect(a, "o", b, "a")
+    g.add_input(np.ones((4,), np.float32), a, "o")
+    # binop's "b" channel unwired
+    with pytest.raises(NodeError) as ei:
+        ex.run(g)
+    assert ei.value.node_index == 1
+
+
+def test_error_attribution_shape_mismatch_at_trace(ex):
+    g = Graph()
+    n = g.add_node("binop", {"op": "+"})
+    g.add_input(np.ones((4,), np.float32), n, "a")
+    g.add_input(np.ones((5,), np.float32), n, "b")
+    with pytest.raises(NodeError) as ei:
+        ex.run(g)
+    assert ei.value.node_index == 0
+
+
+def test_eager_fault_isolation(ex):
+    g = Graph()
+    bad = g.add_node("binop", {"op": "+"})  # shape mismatch -> fails
+    down = g.add_node("cos")
+    ok = g.add_node("cos")
+    g.connect(bad, "c", down, "o")
+    g.add_input(np.ones((4,), np.float32), bad, "a")
+    g.add_input(np.ones((5,), np.float32), bad, "b")
+    g.add_input(np.ones((2,), np.float32), ok, "o")
+
+    outputs, errors = ex.run_eager(g)
+    assert 0 in errors
+    assert errors[1] == "eval error upstream"
+    assert 2 in outputs  # independent node still evaluated
+
+
+def test_diamond_multi_consumer(ex):
+    g = Graph()
+    src = g.add_node("cos")
+    l = g.add_node("cos", {"A": "2.0"})
+    r = g.add_node("cos", {"A": "0.5"})
+    join = g.add_node("binop", {"op": "*"})
+    g.connect(src, "o", l, "o")
+    g.connect(src, "o", r, "o")
+    g.connect(l, "o", join, "a")
+    g.connect(r, "o", join, "b")
+    x = np.full((4,), 0.3, np.float32)
+    g.add_input(x, src, "o")
+
+    out = ex.run(g, taps="sinks")
+    c = np.cos(x)
+    np.testing.assert_allclose(
+        out[3]["c"], np.cos(2 * c) * np.cos(0.5 * c), rtol=1e-6
+    )

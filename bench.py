@@ -1,0 +1,98 @@
+"""Headline benchmark: ViT-B/16 @224 inference with attention-map extraction.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured throughput / 2000 (the BASELINE.json north-star
+target for TPU v5e; the reference app itself publishes no numbers —
+BASELINE.md). Runs on whatever jax backend the environment provides (the
+driver runs it on the real chip).
+
+Protocol: bf16 weights+activations (native MXU path, f32 accumulation —
+see ops/layers.mm_precision), want_attn=True so every layer's post-softmax
+attention maps AND the attention rollout are extracted (the north star's
+"full attention-map extraction"), steady-state timing over --iters batches
+after a warmup/compile batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", default="vit_b16")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="0 = sweep {32,64,128} and report the best")
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--attn", default="auto",
+                        choices=["auto", "flash", "reference"])
+    parser.add_argument("--no-attn-maps", action="store_true",
+                        help="pure classification (not the headline config)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.ops.dispatch import default_attn_impl
+
+    cfg = vit.VARIANTS[args.variant]
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
+    attn_impl = default_attn_impl(args.attn)
+    want_attn = not args.no_attn_maps
+
+    def fn(params, images):
+        out = vit.forward(params, images, cfg, want_attn=want_attn,
+                          attn_impl=attn_impl)
+        if want_attn:
+            # extraction contract: logits + per-layer maps + rollout all leave
+            # the program (nothing DCE'd away)
+            return out["logits"], out["attn"], out["rollout"]
+        return out["logits"]
+
+    jitted = jax.jit(fn)
+
+    def run_one(batch: int) -> float:
+        images = jnp.asarray(
+            np.random.default_rng(0).random(
+                (batch, 3, cfg.img_size, cfg.img_size), dtype=np.float32
+            ),
+            dtype=dtype,
+        )
+        out = jitted(params, images)  # compile + warmup
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = jitted(params, images)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        ips = batch * args.iters / dt
+        print(f"  batch={batch}: {ips:.1f} imgs/s "
+              f"({dt / args.iters * 1e3:.2f} ms/batch)", file=sys.stderr)
+        return ips
+
+    batches = [args.batch] if args.batch else [32, 64, 128]
+    best = max(run_one(b) for b in batches)
+
+    target = 2000.0
+    print(json.dumps({
+        "metric": f"{args.variant} @{cfg.img_size} inference w/ "
+                  f"{'full attention-map extraction' if want_attn else 'no taps'}"
+                  f" ({args.dtype}, attn={args.attn})",
+        "value": round(best, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(best / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

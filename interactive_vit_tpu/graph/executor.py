@@ -34,6 +34,7 @@ import time
 from typing import Any, Dict, Iterable, List, Optional, Set, Tuple, Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from interactive_vit_tpu.graph.ir import Graph, GraphError, Node, Pinout
@@ -147,8 +148,29 @@ class Executor:
 
         # Freeze per-node metadata outside the closure (trace-time safety).
         node_kinds = {n.index: reg.get_node(n.name) for n in graph.nodes}
+        # Captured pytrees (model weights) become jit ARGUMENTS, so they stay
+        # device-resident buffers instead of being baked into the HLO.
+        captures = {
+            n.index: node_kinds[n.index].captures(n.params) for n in graph.nodes
+        }
+        caps_arg = {
+            str(i): c for i, c in captures.items() if c is not None
+        }
+        # Per-node effective params: inject "__taps__", the sorted channels of
+        # this node that are either tapped or consumed downstream. Node kinds
+        # with *expensive optional outputs* (e.g. flash attention, where
+        # emitting the N x N maps is a materially different kernel) read it to
+        # skip work; ordinary kinds ignore it. It participates in the cache
+        # signature via the tap-set key.
+        eff_params: Dict[int, Dict[str, str]] = {}
+        for n in graph.nodes:
+            live = {ch for (i, ch) in tap_set if i == n.index}
+            for ch, edges in n.outputs.items():
+                if any(e.dst is not None for e in edges):
+                    live.add(ch)
+            eff_params[n.index] = dict(n.params, __taps__=",".join(sorted(live)))
 
-        def staged(*inputs: Any) -> Dict[str, Any]:
+        def staged(inputs: Tuple[Any, ...], caps: Dict[str, Any]) -> Dict[str, Any]:
             # env: (node_index, channel) -> traced array
             env: Dict[Tuple[int, str], Any] = {}
             for (node, ch, _e), arr in zip(input_edges, inputs):
@@ -164,7 +186,10 @@ class Executor:
                         ins[ch] = env[(e.src.node.index, e.src.channel)]
                 try:
                     with jax.named_scope(f"n{n.index}_{n.name.replace(':', '.')}"):
-                        outs = kind.fn(n.params)(ins)
+                        if str(n.index) in caps:
+                            outs = kind.fn(eff_params[n.index])(ins, caps[str(n.index)])
+                        else:
+                            outs = kind.fn(eff_params[n.index])(ins)
                 except NodeError:
                     raise
                 except Exception as err:  # noqa: BLE001 — re-attribute to node
@@ -174,38 +199,41 @@ class Executor:
 
             return {f"{i}/{ch}": env[(i, ch)] for i, ch in out_keys if (i, ch) in env}
 
-        return staged, out_keys
+        return staged, out_keys, caps_arg
 
     # -- the production path ------------------------------------------------------
     def run(
-        self, graph: Graph, taps: TapSpec = "all"
+        self, graph: Graph, taps: TapSpec = "all", to_host: bool = True
     ) -> Dict[int, Dict[str, np.ndarray]]:
         """Stage+compile+execute; returns {node_index: {channel: array}}.
 
-        Results stay as jax Arrays (device-resident); the wire layer pulls
-        them to host only when encoding the response.
+        ``to_host=True`` (default) materializes outputs to numpy IN THE
+        CALLING THREAD via one batched ``jax.device_get``. This matters: on
+        the axon TPU backend, transferring an array from a thread other than
+        the one that produced it deadlocks (observed on jax 0.9), so the
+        serving worker must own the transfer. Pass ``to_host=False`` for
+        device-resident results in single-threaded pipelines (bench loops).
         """
         stats = ExecStats()
         self.validate(graph)
         tap_set = resolve_taps(graph, taps, self.reg)
         sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit])
 
-        inputs = [e.tensor for _, _, e in graph.input_edges()]
+        inputs = tuple(e.tensor for _, _, e in graph.input_edges())
 
         t0 = time.perf_counter()
         if sig in self._cache:
-            fn, out_keys = self._cache[sig]
+            fn, out_keys, caps_arg = self._cache[sig]
             stats.cache_hit = True
         else:
-            staged, out_keys = self._stage(graph, tap_set)
+            staged, out_keys, caps_arg = self._stage(graph, tap_set)
             fn = jax.jit(staged) if self.use_jit else staged
-            self._cache[sig] = (fn, out_keys)
+            self._cache[sig] = (fn, out_keys, caps_arg)
         stats.stage_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        flat = fn(*inputs)
-        if hasattr(jax, "block_until_ready"):
-            jax.block_until_ready(flat)
+        flat = fn(inputs, caps_arg)
+        flat = jax.device_get(flat) if to_host else jax.block_until_ready(flat)
         stats.execute_s = time.perf_counter() - t0
 
         self.last_stats = stats
@@ -214,6 +242,70 @@ class Executor:
             idx_s, ch = key.split("/", 1)
             result.setdefault(int(idx_s), {})[ch] = val
         return result
+
+    # -- micro-batched path ---------------------------------------------------
+    def run_stacked(
+        self, graphs: List[Graph], taps: TapSpec = "all", to_host: bool = True
+    ) -> List[Dict[int, Dict[str, np.ndarray]]]:
+        """Run K structurally-identical graphs as ONE vmapped TPU program.
+
+        The serving micro-batcher's engine (BASELINE config 5): concurrent
+        interactive requests that share a graph signature differ only in
+        input *values*, so ``jax.vmap`` over the staged program is sound for
+        any pure graph — including nodes that ignore the batch (const/noise
+        broadcast via out_axes=0). Batch size is bucketed to powers of two
+        (padding by repeating the first request) to bound compile count.
+        """
+        assert graphs, "empty batch"
+        g0 = graphs[0]
+        self.validate(g0)
+        sig0 = g0.signature()
+        for g in graphs[1:]:
+            if g.signature() != sig0:
+                raise ValueError("run_stacked: mixed graph signatures")
+
+        tap_set = resolve_taps(g0, taps, self.reg)
+        k = len(graphs)
+        bucket = 1 << (k - 1).bit_length()  # next power of two
+        sig = g0.signature(extra=[_tap_key(tap_set), self.use_jit,
+                                  "stacked", bucket])
+
+        stats = ExecStats()
+        t0 = time.perf_counter()
+        if sig in self._cache:
+            fn, out_keys, caps_arg = self._cache[sig]
+            stats.cache_hit = True
+        else:
+            staged, out_keys, caps_arg = self._stage(g0, tap_set)
+            vmapped = jax.vmap(staged, in_axes=(0, None), out_axes=0)
+            fn = jax.jit(vmapped) if self.use_jit else vmapped
+            self._cache[sig] = (fn, out_keys, caps_arg)
+        stats.stage_s = time.perf_counter() - t0
+
+        per_graph = [
+            tuple(e.tensor for _, _, e in g.input_edges()) for g in graphs
+        ]
+        # pad to bucket with copies of request 0
+        per_graph = per_graph + [per_graph[0]] * (bucket - k)
+        stacked = tuple(
+            jnp.stack([pg[i] for pg in per_graph])
+            for i in range(len(per_graph[0]))
+        )
+
+        t0 = time.perf_counter()
+        flat = fn(stacked, caps_arg)
+        flat = jax.device_get(flat) if to_host else jax.block_until_ready(flat)
+        stats.execute_s = time.perf_counter() - t0
+        self.last_stats = stats
+
+        results: List[Dict[int, Dict[str, np.ndarray]]] = []
+        for j in range(k):
+            res: Dict[int, Dict[str, np.ndarray]] = {}
+            for key, val in flat.items():
+                idx_s, ch = key.split("/", 1)
+                res.setdefault(int(idx_s), {})[ch] = val[j]
+            results.append(res)
+        return results
 
     # -- the debug path -----------------------------------------------------------
     def run_eager(

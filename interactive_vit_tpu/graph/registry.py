@@ -54,12 +54,27 @@ class NodeKind:
         raise NotImplementedError(f"io() not implemented for {self.name}")
 
     def fn(self, params: Dict[str, str]) -> NodeFn:
-        """Return a pure function computing this node (jax-traceable)."""
+        """Return a pure function computing this node (jax-traceable).
+
+        If ``captures(params)`` returns non-None, the function signature is
+        ``fn(ins, caps)`` instead of ``fn(ins)`` — the executor hoists the
+        captured pytree (typically model weights) into a jit *argument* so
+        multi-hundred-MB weights are device-resident buffers, not HLO
+        constants.
+        """
         raise NotImplementedError(f"fn() not implemented for {self.name}")
+
+    def captures(self, params: Dict[str, str]):
+        """Large arrays (weights) to pass as jit args; None for stateless ops."""
+        return None
 
     def compute(self, params: Dict[str, str], inputs: Pinout) -> Pinout:
         """Eager evaluation — default implementation calls ``fn``."""
-        out = self.fn(params)(inputs.as_dict())
+        caps = self.captures(params)
+        if caps is None:
+            out = self.fn(params)(inputs.as_dict())
+        else:
+            out = self.fn(params)(inputs.as_dict(), caps)
         return Pinout(out)
 
     def register(self, reg: "Registry") -> None:

@@ -1,0 +1,152 @@
+"""Model plugin tier: expose a functional jax model as tappable graph nodes.
+
+Analog of the reference's ``Model`` / ``ModelNode`` pair
+(``/root/reference/main/context.py:38-129``), which enumerated a torch
+module's leaf submodules and registered each as a node kind named
+``"<model>:<submodule.path>"``. Here a model is an ordered list of named pure
+functions over param subtrees (see ``models/vit.py:layer_fns``); each becomes
+a ``LayerNodeKind`` whose weights travel as executor *captures* (jit
+arguments), so a whole chain of layer nodes stages into one fused XLA program
+with weights resident in HBM.
+
+Extra tap channels: a layer may declare outputs beyond the flowing "o"
+(attention blocks add "attn"). The reference's IO contract was always
+``{ins:["o"], outs:["o"]}`` (``context.py:94-96``); this is a compatible
+superset — clients that only wire "o" see exactly the old behavior.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from interactive_vit_tpu.graph.registry import NodeKind, Registry
+from interactive_vit_tpu.wire.schema import GraphLibrary, generate_model_graph_json
+
+logger = logging.getLogger(__name__)
+
+# (layer_name, extra_out_channels, fn(params_subtree, ins_dict) -> outs_dict)
+LayerSpec = Tuple[str, List[str], Callable]
+
+
+class LayerNodeKind(NodeKind):
+    """One model layer as a graph node kind (analog of ``ModelNode``)."""
+
+    def __init__(self, model: "JaxModel", layer_name: str,
+                 extra_outs: List[str], fn: Callable):
+        super().__init__(model.prefix() + layer_name)
+        self.model = model
+        self.layer_name = layer_name
+        self.extra_outs = extra_outs
+        self._fn = fn
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o"] + list(self.extra_outs)}
+
+    def contents(self, params):
+        return f"<p>{self.get_name()}</p> <p>{self.model.describe(self.layer_name)}</p>"
+
+    def captures(self, params):
+        caps = self.model.layer_params(self.layer_name)
+        # Executor convention: None means "stateless"; use an empty dict
+        # sentinel only when there really are no params.
+        return caps if caps else None
+
+    def fn(self, params):
+        taps = set((params.get("__taps__") or "").split(","))
+        want_extra = bool(taps & set(self.extra_outs))
+        f = self._fn
+
+        if self.captures(params) is None:
+            def run_stateless(ins):
+                outs = f({}, ins, **self._kw(want_extra))
+                return self._filter(outs, want_extra)
+            return run_stateless
+
+        def run(ins, caps):
+            outs = f(caps, ins, **self._kw(want_extra))
+            return self._filter(outs, want_extra)
+
+        return run
+
+    def _kw(self, want_extra: bool) -> Dict[str, Any]:
+        # layers with extra taps accept want_attn; plain layers don't
+        return {"want_attn": want_extra} if self.extra_outs else {}
+
+    def _filter(self, outs: Dict[str, Any], want_extra: bool) -> Dict[str, Any]:
+        if want_extra:
+            return outs
+        return {ch: v for ch, v in outs.items() if ch == "o"}
+
+
+class JaxModel:
+    """A named model: ordered layers + params, registerable as node kinds.
+
+    Parity with the reference ``Model`` (``context.py:38-112``):
+    ``list_node_names``, per-layer ``contents``/``io``/compute, and
+    auto-generation of the chained graph JSON into the graph library on
+    first registration (``context.py:98-108``).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        layers: Sequence[LayerSpec],
+        params: Any,
+        layer_params_fn: Callable[[Any, str], Any],
+        descriptions: Optional[Dict[str, str]] = None,
+        category_names: Optional[List[str]] = None,
+    ):
+        self.name = name
+        self.layers = list(layers)
+        self.params = params
+        self._layer_params_fn = layer_params_fn
+        self.descriptions = descriptions or {}
+        self.category_names = category_names
+
+    def prefix(self) -> str:
+        return self.name + ":"
+
+    def get_name(self) -> str:
+        return self.name
+
+    def list_node_names(self) -> List[str]:
+        return [self.prefix() + lname for lname, _, _ in self.layers]
+
+    def layer_params(self, layer_name: str) -> Any:
+        return self._layer_params_fn(self.params, layer_name)
+
+    def describe(self, layer_name: str) -> str:
+        return self.descriptions.get(layer_name, layer_name)
+
+    def generate_graph_json(self) -> Dict:
+        """Chained layer nodes in a sqrt-grid; appends a category sink when
+        the model has class names (parity with ``vgg16.py:16-29``)."""
+        obj = generate_model_graph_json(self.list_node_names())
+        if self.category_names is not None:
+            i = len(obj["nodes"])
+            w = max(1, int(i ** 0.5))
+            obj["nodes"].append(
+                {
+                    "instance": {"kind": "category", "cats": self.category_names},
+                    "pos": {"x": (i % w) * 200, "y": (i // w) * 200},
+                }
+            )
+            obj["edges"].append(
+                {
+                    "in_port": {"node": i - 1, "channel": "o"},
+                    "out_port": {"node": i, "channel": "o"},
+                }
+            )
+        return obj
+
+    def register(self, reg: Registry,
+                 graph_lib: Optional[GraphLibrary] = None) -> None:
+        if graph_lib is not None and not graph_lib.exists(self.name + ".json"):
+            try:
+                graph_lib.save(self.name + ".json", self.generate_graph_json())
+                logger.info("generated graph %s.json", self.name)
+            except Exception as e:  # noqa: BLE001 — parity: log and continue
+                logger.error("could not generate graph %s: %s", self.name, e)
+        for lname, extra, fn in self.layers:
+            LayerNodeKind(self, lname, extra, fn).register(reg)

@@ -1,0 +1,262 @@
+"""Vision Transformer — functional pytree implementation, every edge tappable.
+
+The reference exposed any torch submodule as a graph node by name
+(``/root/reference/main/context.py:79-88``); here the model IS a list of
+named pure functions over pytree param subtrees, which the model-plugin tier
+(``models/model_plugin.py``) registers as graph node kinds
+(``vit_b16:blocks.3`` etc.). BASELINE.json's configs drive the variants:
+
+    vit_t16  ViT-Tiny/16  @224  (config 1: CPU single-image + attn dump)
+    vit_s16  ViT-Small/16 @224
+    vit_b16  ViT-Base/16  @224  (config 2: the headline throughput model)
+    vit_l16  ViT-Large/16 @384  (config 3: 577-token flash-attn tiling)
+
+Architecture: standard pre-LN ViT (Dosovitskiy et al. 2021), CLS token,
+learned position embeddings, exact GELU — layer-for-layer compatible with
+torchvision's ``vit_b_16`` so its checkpoints convert directly
+(``models/weights.py``).
+
+Monolithic forward (``forward``) is used for benchmarking and training; the
+per-layer functions (``layer_fns``) are what the graph executor stages —
+both paths share the same primitives so they cannot drift.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from interactive_vit_tpu.ops import attention as attn_ops
+from interactive_vit_tpu.ops import layers as L
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    name: str
+    img_size: int = 224
+    patch: int = 16
+    width: int = 192
+    depth: int = 12
+    heads: int = 3
+    mlp_ratio: int = 4
+    num_classes: int = 1000
+    in_chans: int = 3
+    ln_eps: float = 1e-6
+
+    @property
+    def tokens(self) -> int:
+        return (self.img_size // self.patch) ** 2 + 1
+
+    @property
+    def mlp_dim(self) -> int:
+        return self.width * self.mlp_ratio
+
+
+VARIANTS: Dict[str, ViTConfig] = {
+    "vit_t16": ViTConfig("vit_t16", 224, 16, 192, 12, 3),
+    "vit_s16": ViTConfig("vit_s16", 224, 16, 384, 12, 6),
+    "vit_b16": ViTConfig("vit_b16", 224, 16, 768, 12, 12),
+    "vit_l16": ViTConfig("vit_l16", 384, 16, 1024, 24, 16),
+}
+
+
+# -- init ----------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: ViTConfig,
+                dtype=jnp.float32) -> Params:
+    """Random init (trunc-normal-ish); layout mirrors the forward fns."""
+    keys = iter(jax.random.split(key, 8 + 10 * cfg.depth))
+    d, dh, md = cfg.width, cfg.width // cfg.heads, cfg.mlp_dim
+    pdim = cfg.in_chans * cfg.patch * cfg.patch
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(dtype)
+
+    params: Params = {
+        "patch_embed": {
+            "w": dense(next(keys), pdim, (pdim, d)),
+            "b": jnp.zeros((d,), dtype),
+        },
+        "cls_token": jnp.zeros((1, 1, d), dtype),
+        "pos_emb": (jax.random.normal(next(keys), (1, cfg.tokens, d),
+                                      jnp.float32) * 0.02).astype(dtype),
+        "blocks": [],
+        "norm": {"s": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        "head": {
+            "w": dense(next(keys), d, (d, cfg.num_classes)),
+            "b": jnp.zeros((cfg.num_classes,), dtype),
+        },
+    }
+    for _ in range(cfg.depth):
+        params["blocks"].append(
+            {
+                "ln1_s": jnp.ones((d,), dtype),
+                "ln1_b": jnp.zeros((d,), dtype),
+                "qkv_w": dense(next(keys), d, (d, 3 * d)),
+                "qkv_b": jnp.zeros((3 * d,), dtype),
+                "proj_w": dense(next(keys), d, (d, d)),
+                "proj_b": jnp.zeros((d,), dtype),
+                "ln2_s": jnp.ones((d,), dtype),
+                "ln2_b": jnp.zeros((d,), dtype),
+                "fc1_w": dense(next(keys), d, (d, md)),
+                "fc1_b": jnp.zeros((md,), dtype),
+                "fc2_w": dense(next(keys), md, (md, d)),
+                "fc2_b": jnp.zeros((d,), dtype),
+            }
+        )
+    return params
+
+
+# -- per-layer functions -------------------------------------------------------
+
+
+def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    """Patch-embed + CLS + position embeddings: [B,C,H,W] -> [B,N,D]."""
+    x = L.patch_embed(images, params["patch_embed"], cfg.patch)
+    return L.add_cls_and_pos(x, params["cls_token"], params["pos_emb"])
+
+
+def block(
+    p: Params,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    want_attn: bool = False,
+    attn_impl=None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Pre-LN transformer block; optionally taps the attention maps."""
+    h, probs = attn_ops.mhsa(
+        L.layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.ln_eps),
+        p, cfg.heads, want_attn=want_attn, attn_impl=attn_impl,
+    )
+    x = x + h
+    x = x + L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
+    return x, probs
+
+
+def final_norm(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    return L.layer_norm(x, params["norm"]["s"], params["norm"]["b"], cfg.ln_eps)
+
+
+def head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Classification head on the CLS token: [B,N,D] -> [B,num_classes]."""
+    return L.linear(x[:, 0], params["head"]["w"], params["head"]["b"])
+
+
+# -- monolithic forward (bench/training path) -----------------------------------
+
+
+def forward(
+    params: Params,
+    images: jnp.ndarray,
+    cfg: ViTConfig,
+    want_attn: bool = False,
+    want_cls_trajectory: bool = False,
+    attn_impl=None,
+) -> Dict[str, jnp.ndarray]:
+    """Full forward with optional taps.
+
+    Returns {"logits": [B,K]} plus, when requested:
+      "attn":     [L,B,H,N,N] per-layer attention maps
+      "rollout":  [B,N,N] attention rollout (config 2 visualization)
+      "cls":      [L+1,B,D] CLS-token trajectory through the blocks
+    """
+    x = embed(params, images, cfg)
+    attns: List[jnp.ndarray] = []
+    cls_traj: List[jnp.ndarray] = [x[:, 0]]
+    for p in params["blocks"]:
+        x, probs = block(p, x, cfg, want_attn=want_attn, attn_impl=attn_impl)
+        if want_attn:
+            # tap in activation dtype: the softmax ran f32, but emitting
+            # f32 maps doubles the dominant HBM write traffic (L*B*H*N^2)
+            attns.append(probs.astype(x.dtype))
+        if want_cls_trajectory:
+            cls_traj.append(x[:, 0])
+    x = final_norm(params, x, cfg)
+    out: Dict[str, jnp.ndarray] = {"logits": head(params, x)}
+    if want_attn:
+        stack = jnp.stack(attns)
+        out["attn"] = stack
+        out["rollout"] = attn_ops.attention_rollout(stack)
+    if want_cls_trajectory:
+        out["cls"] = jnp.stack(cls_traj)
+    return out
+
+
+# -- graph-node decomposition ---------------------------------------------------
+
+
+def layer_fns(cfg: ViTConfig, attn_impl=None):
+    """The model as an ordered list of named tappable layers.
+
+    Each entry is ``(layer_name, extra_out_channels, fn)`` with
+    ``fn(params_subtree, ins) -> outs``; channel "o" carries the flowing
+    activation (the reference's single-channel contract,
+    ``context.py:94-96``), extra channels carry taps (attention maps).
+
+    The plugin tier turns each entry into a registered NodeKind named
+    ``f"{cfg.name}:{layer_name}"`` and chains them in the generated graph
+    JSON, exactly as the reference did for VGG16's 42 nodes
+    (``context.py:55-73``).
+    """
+    layers: List[Tuple[str, List[str], Callable]] = []
+
+    def transform_fn(p, ins):
+        return {"o": L.preprocess(ins["o"], cfg.img_size)}
+
+    def embed_fn(p, ins):
+        x = ins["o"]
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        return {"o": embed(p, x, cfg)}
+
+    layers.append(("transform", [], transform_fn))
+    layers.append(("embed", [], embed_fn))
+
+    def make_block_fn(i):
+        def block_fn(p, ins, want_attn=True):
+            y, probs = block(p, ins["o"], cfg, want_attn=want_attn,
+                             attn_impl=attn_impl)
+            outs = {"o": y}
+            if probs is not None:
+                outs["attn"] = probs
+            return outs
+
+        return block_fn
+
+    for i in range(cfg.depth):
+        layers.append((f"blocks.{i}", ["attn"], make_block_fn(i)))
+
+    def norm_fn(p, ins):
+        return {"o": final_norm({"norm": p}, ins["o"], cfg)}
+
+    def head_fn(p, ins):
+        return {"o": head({"head": p}, ins["o"])}
+
+    layers.append(("norm", [], norm_fn))
+    layers.append(("head", [], head_fn))
+    return layers
+
+
+def layer_params(params: Params, layer_name: str) -> Any:
+    """Select the param subtree a named layer closes over."""
+    if layer_name.startswith("blocks."):
+        return params["blocks"][int(layer_name.split(".", 1)[1])]
+    if layer_name == "embed":
+        return {
+            "patch_embed": params["patch_embed"],
+            "cls_token": params["cls_token"],
+            "pos_emb": params["pos_emb"],
+        }
+    if layer_name == "norm":
+        return params["norm"]
+    if layer_name == "head":
+        return params["head"]
+    return {}  # transform has no params

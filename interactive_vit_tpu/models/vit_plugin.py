@@ -1,0 +1,80 @@
+"""ViT model plugins: factory wiring ViT variants into the graph registry.
+
+Analog of the reference's VGG16 plugin (``/root/reference/static/models/
+vgg16.py``), which exploded the model into 42 tappable nodes and appended a
+category sink. Here each ViT variant becomes ``depth + 4`` nodes:
+
+    <name>:transform   eval preprocessing (resize/crop/normalize)
+    <name>:embed       patchify + patch-embed matmul + CLS + pos
+    <name>:blocks.i    transformer block, extra tap channel "attn"
+    <name>:norm        final LayerNorm
+    <name>:head        classifier on the CLS token
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+
+from interactive_vit_tpu.models import vit
+from interactive_vit_tpu.models.model_plugin import JaxModel
+
+
+def make_vit_model(
+    variant: str = "vit_t16",
+    params: Optional[Any] = None,
+    seed: int = 0,
+    dtype=None,
+    attn_impl=None,
+    with_categories: bool = True,
+) -> JaxModel:
+    """Build a registerable ``JaxModel`` for a ViT variant.
+
+    ``params=None`` -> deterministic random init (no pretrained download in
+    this environment; use ``models/weights.py`` converters to load real
+    checkpoints). ``attn_impl`` swaps the attention kernel (Pallas flash on
+    TPU; jnp reference on CPU).
+    """
+    cfg = vit.VARIANTS[variant]
+    if params is None:
+        import jax.numpy as jnp
+
+        params = vit.init_params(
+            jax.random.key(seed), cfg, dtype=dtype or jnp.float32
+        )
+
+    layers = vit.layer_fns(cfg, attn_impl=attn_impl)
+    descriptions = {
+        "transform": f"Resize+CenterCrop({cfg.img_size})+Normalize",
+        "embed": f"PatchEmbed p={cfg.patch} d={cfg.width} + CLS + pos",
+        "norm": "LayerNorm",
+        "head": f"Linear({cfg.width} -> {cfg.num_classes})",
+        **{
+            f"blocks.{i}": f"TransformerBlock d={cfg.width} h={cfg.heads}"
+            for i in range(cfg.depth)
+        },
+    }
+    cats = (
+        [f"class_{i:03d}" for i in range(cfg.num_classes)]
+        if with_categories
+        else None
+    )
+    return JaxModel(
+        name=variant,
+        layers=layers,
+        params=params,
+        layer_params_fn=vit.layer_params,
+        descriptions=descriptions,
+        category_names=cats,
+    )
+
+
+def instances():
+    """Plugin-contract entry point: the default served models.
+
+    ViT-Tiny only here (cheap to init at import, parity with the reference
+    registering one model at import time); the serving app registers bigger
+    variants explicitly from its config.
+    """
+    return [make_vit_model("vit_t16")]

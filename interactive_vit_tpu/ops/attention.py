@@ -1,0 +1,107 @@
+"""Multi-head self-attention with attention-map taps — jnp reference path.
+
+Ground truth for the Pallas flash kernel (``ops/flash_attention.py``). The
+tap contract (BASELINE.json north star: "any node — per-head attention maps,
+CLS-token trajectories, intermediate activations — remains tappable") is:
+
+* ``want_attn=False`` — fast path, returns only the block output; a flash
+  kernel never materializes the N x N matrix;
+* ``want_attn=True``  — also returns the post-softmax attention
+  probabilities ``[B, H, N, N]`` (what the UI renders as attention maps).
+
+Fused QKV: one [D, 3D] matmul instead of three [D, D] ones — bigger MXU
+tiles, fewer HBM round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from interactive_vit_tpu.ops.layers import mm_precision
+
+Params = Dict[str, jnp.ndarray]
+
+
+def qkv_proj(x: jnp.ndarray, p: Params, heads: int
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused QKV projection -> per-head tensors [B, H, N, Dh]."""
+    b, n, d = x.shape
+    dh = d // heads
+    qkv = jnp.dot(x, p["qkv_w"], preferred_element_type=jnp.float32,
+                  precision=mm_precision(x, p["qkv_w"]))
+    qkv = (qkv + p["qkv_b"]).astype(x.dtype)
+    qkv = qkv.reshape(b, n, 3, heads, dh)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    return q, k, v
+
+
+def attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    want_attn: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """softmax(q k^T / sqrt(dh)) v with f32 softmax, inputs [B, H, N, Dh]."""
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    logits = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32,
+        precision=mm_precision(q, k),
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=mm_precision(v),
+    ).astype(v.dtype)
+    return out, (probs if want_attn else None)
+
+
+def mhsa(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    want_attn: bool = False,
+    attn_impl=None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full MHSA: fused QKV -> attention -> output projection.
+
+    ``attn_impl`` lets callers swap in the Pallas flash kernel; it must
+    accept (q, k, v, want_attn) and honor the same contract.
+    """
+    b, n, d = x.shape
+    q, k, v = qkv_proj(x, p, heads)
+    impl = attn_impl or attention_reference
+    out, probs = impl(q, k, v, want_attn)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+    out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32,
+                  precision=mm_precision(out, p["proj_w"]))
+    out = (out + p["proj_b"]).astype(x.dtype)
+    return out, probs
+
+
+def attention_rollout(attn_stack: jnp.ndarray) -> jnp.ndarray:
+    """Attention rollout (Abnar & Zuidema 2020) over a stack of maps.
+
+    attn_stack: [L, B, H, N, N] per-layer post-softmax maps. Returns
+    [B, N, N]: cumulative token-to-token attribution with residual
+    connections folded in as 0.5*I + 0.5*mean-over-heads, renormalized,
+    matrix-chained across layers. Drives the BASELINE config 2
+    "CLS + attention-rollout visualization".
+    """
+    l, b, h, n, _ = attn_stack.shape
+    eye = jnp.eye(n, dtype=jnp.float32)
+    mean_heads = attn_stack.astype(jnp.float32).mean(axis=2)  # [L, B, N, N]
+    aug = 0.5 * mean_heads + 0.5 * eye
+    aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
+
+    def step(carry, a):
+        return jnp.einsum("bij,bjk->bik", a, carry,
+                          precision=mm_precision(a, carry)), None
+
+    init = jnp.broadcast_to(eye, (b, n, n))
+    rollout, _ = jax.lax.scan(step, init, aug)
+    return rollout

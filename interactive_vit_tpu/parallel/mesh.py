@@ -1,0 +1,93 @@
+"""Device mesh construction and ViT sharding rules.
+
+The reference had NO distribution at all (SURVEY.md §2.3 — single Django
+process, CPU torch); its only "transport" was the client<->server HTTP hop.
+Scaling here is pure ``jax.sharding``: we declare a mesh and per-tensor
+``NamedSharding``s, and XLA GSPMD inserts the collectives over ICI.
+
+Mesh axes:
+    data   — batch dimension (DP); gradients reduce over this axis
+    model  — tensor parallelism (TP): attention heads / MLP hidden dim
+
+ViT TP layout (the standard Megatron split, expressed declaratively):
+    qkv_w  [D, 3D]    shard OUT dim  -> each chip holds H/model heads
+    proj_w [D, D]     shard IN dim   -> psum after (GSPMD inserts it)
+    fc1_w  [D, 4D]    shard OUT dim
+    fc2_w  [4D, D]    shard IN dim
+    everything else   replicated
+Activations [B, N, D] are sharded on batch over "data"; within a block the
+per-head tensors [B, H, N, Dh] become head-sharded over "model"
+automatically because the weights force it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from interactive_vit_tpu.models.vit import Params
+
+
+def make_mesh(
+    axis_sizes: Optional[Dict[str, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.
+
+    Default: all devices on the data axis (pure DP) — the right default for
+    ViT-B-scale models that fit on one chip. Pass e.g. ``{"data": 4,
+    "model": 2}`` for DP x TP.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = {"data": len(devices), "model": 1}
+    shape = (axis_sizes.get("data", 1), axis_sizes.get("model", 1))
+    if shape[0] * shape[1] != len(devices):
+        raise ValueError(
+            f"mesh {shape} needs {shape[0] * shape[1]} devices, "
+            f"got {len(devices)}"
+        )
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, ("data", "model"))
+
+
+def param_spec(path: str) -> P:
+    """PartitionSpec for a ViT param, keyed by its pytree path leaf name."""
+    if path.endswith("qkv_w") or path.endswith("fc1_w"):
+        return P(None, "model")          # shard output features
+    if path.endswith("qkv_b") or path.endswith("fc1_b"):
+        return P("model")
+    if path.endswith("proj_w") or path.endswith("fc2_w"):
+        return P("model", None)          # shard input features
+    return P()                            # replicate
+
+
+def param_shardings(params: Params, mesh: Mesh):
+    """NamedSharding pytree matching ``params``' structure."""
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, prefix + "/" + k) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            t = [walk(v, prefix + f"/{i}") for i, v in enumerate(tree)]
+            return type(tree)(t)
+        return NamedSharding(mesh, param_spec(prefix))
+
+    return walk(params)
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place params onto the mesh per the TP layout."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs [B, ...]: batch over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,222 @@
+"""HTTP application: the six reference endpoints + metrics, stdlib-only.
+
+Endpoint surface preserved from ``/root/reference/main/urls.py:7-14`` /
+``main/views.py``:
+
+    GET  /                      index page (frontend)
+    GET  /list_graphs           JSON list of saved graph names
+    GET  /load_graph/<name>     saved graph JSON
+    POST /compute               binary wire protocol eval
+    GET  /description/<name>    node IO declaration JSON (params via query)
+    GET  /contents/<name>       node HTML body (params via query)
+
+Additions (superset, reference-compatible):
+
+    GET  /metrics               serving metrics JSON
+    GET  /descriptions?names=a,b,c   batched IO decl fetch — removes the
+         N+1 GET storm the reference frontend suffered when loading a
+         42-node graph (SURVEY.md §3.4: ~84 sequential HTTP GETs)
+    POST /save_graph/<name>     persist a graph JSON to the library
+    GET  /static/<path>         frontend assets
+
+Error contract: failures return HTTP 400 with the error text as the body
+(``views.py:21-22,40-42``); compute errors attributed to a node are prefixed
+with ``node <i> (<name>):`` (the TargettedError contract).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, unquote, urlparse
+
+from interactive_vit_tpu.graph.executor import Executor
+from interactive_vit_tpu.graph.registry import Registry, registry
+from interactive_vit_tpu.serving.batcher import MicroBatcher
+from interactive_vit_tpu.serving.metrics import Metrics
+from interactive_vit_tpu.wire.codec import Request as WireRequest
+from interactive_vit_tpu.wire.codec import Response as WireResponse
+from interactive_vit_tpu.wire.schema import GraphLibrary
+
+logger = logging.getLogger(__name__)
+
+_MIME = {
+    ".html": "text/html",
+    ".js": "text/javascript",
+    ".css": "text/css",
+    ".json": "application/json",
+    ".svg": "image/svg+xml",
+    ".png": "image/png",
+}
+
+
+class App:
+    """Server state: registry, executor, batcher, graph library, metrics."""
+
+    def __init__(
+        self,
+        reg: Optional[Registry] = None,
+        graphs_dir: str = "static/graphs",
+        frontend_dir: Optional[str] = None,
+        max_batch: int = 8,
+        max_wait_ms: float = 3.0,
+        use_jit: bool = True,
+    ):
+        self.reg = reg or registry()
+        self.executor = Executor(self.reg, use_jit=use_jit)
+        self.metrics = Metrics()
+        self.batcher = MicroBatcher(
+            self.executor, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            metrics=self.metrics,
+        )
+        self.graphs = GraphLibrary(graphs_dir)
+        self.frontend_dir = frontend_dir and os.path.abspath(frontend_dir)
+
+    # -- endpoint implementations (transport-independent) ---------------------
+    def compute(self, body: bytes) -> bytes:
+        t0 = time.perf_counter()
+        self.metrics.inc("compute_requests")
+        req = WireRequest()
+        req.decode(body)
+        outputs = self.batcher.submit(req.graph, taps="all").result()
+        raw = WireResponse(outputs).encode()
+        self.metrics.request_latency.observe(time.perf_counter() - t0)
+        return raw
+
+    def description(self, name: str, params: Dict[str, str]) -> Dict:
+        return self.reg.get_node(name).io(params)
+
+    def contents(self, name: str, params: Dict[str, str]) -> str:
+        return self.reg.get_node(name).contents(params)
+
+    def descriptions(self, names) -> Dict[str, Dict]:
+        out = {}
+        for name in names:
+            try:
+                kind = self.reg.get_node(name)
+                out[name] = {
+                    "io": kind.io({}),
+                    "contents": kind.contents({}),
+                }
+            except KeyError as e:
+                out[name] = {"error": str(e)}
+        return out
+
+    def list_graphs(self):
+        return self.graphs.list()
+
+    # -- HTTP plumbing ----------------------------------------------------------
+    def make_handler(self):
+        app = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route through logging
+                logger.debug("%s " + fmt, self.client_address[0], *args)
+
+            # helpers
+            def _send(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code: int = 200) -> None:
+                self._send(code, json.dumps(obj).encode(), "application/json")
+
+            def _bad(self, message: str) -> None:
+                app.metrics.inc("errors")
+                self._send(400, message.encode(), "text/plain")
+
+            def do_GET(self):  # noqa: N802 — http.server API
+                try:
+                    url = urlparse(self.path)
+                    path = unquote(url.path)
+                    qs = {
+                        k: v[0] for k, v in parse_qs(url.query).items()
+                    }
+                    if path == "/" or path == "/index.html":
+                        self._serve_frontend("index.html")
+                    elif path == "/list_graphs":
+                        self._json(app.list_graphs())
+                    elif path.startswith("/load_graph/"):
+                        name = path[len("/load_graph/"):]
+                        self._send(200, app.graphs.load_bytes(name),
+                                   "application/json")
+                    elif path.startswith("/description/"):
+                        name = path[len("/description/"):]
+                        self._json(app.description(name, qs))
+                    elif path.startswith("/contents/"):
+                        name = path[len("/contents/"):]
+                        self._send(200, app.contents(name, qs).encode(),
+                                   "text/html")
+                    elif path == "/descriptions":
+                        names = [n for n in qs.get("names", "").split(",") if n]
+                        self._json(app.descriptions(names))
+                    elif path == "/metrics":
+                        self._json(app.metrics.snapshot())
+                    elif path.startswith("/static/"):
+                        self._serve_frontend(path[len("/static/"):])
+                    else:
+                        self._send(404, b"not found", "text/plain")
+                except FileNotFoundError as e:
+                    self._bad(str(e))
+                except Exception as e:  # noqa: BLE001 — 400 contract
+                    logger.exception("GET %s failed", self.path)
+                    self._bad(str(e))
+
+            def do_POST(self):  # noqa: N802
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    path = unquote(urlparse(self.path).path)
+                    if path == "/compute":
+                        raw = app.compute(body)
+                        self._send(200, raw, "application/octet-stream")
+                    elif path.startswith("/save_graph/"):
+                        name = path[len("/save_graph/"):]
+                        if not name.endswith(".json"):
+                            name += ".json"
+                        app.graphs.save(name, json.loads(body.decode()))
+                        self._json({"saved": name})
+                    else:
+                        self._send(404, b"not found", "text/plain")
+                except Exception as e:  # noqa: BLE001 — 400 contract
+                    logger.exception("POST %s failed", self.path)
+                    self._bad(str(e))
+
+            def _serve_frontend(self, rel: str) -> None:
+                if app.frontend_dir is None:
+                    self._send(200, b"<html><body>interactive_vit_tpu server"
+                               b" (no frontend bundled)</body></html>",
+                               "text/html")
+                    return
+                full = os.path.abspath(os.path.join(app.frontend_dir, rel))
+                if not full.startswith(app.frontend_dir + os.sep) and \
+                        full != os.path.join(app.frontend_dir, rel):
+                    raise FileNotFoundError(rel)
+                with open(full, "rb") as f:
+                    data = f.read()
+                ext = os.path.splitext(full)[1]
+                self._send(200, data, _MIME.get(ext, "application/octet-stream"))
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000,
+              background: bool = False) -> ThreadingHTTPServer:
+        self.batcher.start()
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        if background:
+            t = threading.Thread(target=httpd.serve_forever, daemon=True)
+            t.start()
+        else:
+            logger.info("serving on %s:%d", host, port)
+            httpd.serve_forever()
+        return httpd

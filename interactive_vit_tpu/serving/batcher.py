@@ -1,0 +1,144 @@
+"""Continuous micro-batcher: aggregate concurrent graph evals into TPU batches.
+
+The reference served one request per eval, strictly sequentially
+(``/root/reference/main/views.py:30-42`` -> eager per-node torch loop). Under
+concurrent interactive sessions that serializes everything. This batcher
+(BASELINE config 5) instead:
+
+* queues incoming (graph, taps) requests;
+* groups consecutive requests by graph *signature* (topology + params +
+  input shapes + tap set — only same-signature graphs can share a program);
+* executes a group as ONE vmapped XLA program (``Executor.run_stacked``);
+* resolves per-request futures with their slice of the results.
+
+Single-request groups take the unbatched fast path (no vmap compile).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
+
+from interactive_vit_tpu.graph.executor import Executor, TapSpec
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.serving.metrics import Metrics
+
+logger = logging.getLogger(__name__)
+
+
+class _Item:
+    __slots__ = ("graph", "taps", "future", "enqueued", "sig")
+
+    def __init__(self, graph: Graph, taps: TapSpec, sig: str):
+        self.graph = graph
+        self.taps = taps
+        self.sig = sig
+        self.future: Future = Future()
+        self.enqueued = time.perf_counter()
+
+
+class MicroBatcher:
+    """Background worker turning a request stream into TPU micro-batches."""
+
+    def __init__(
+        self,
+        executor: Executor,
+        max_batch: int = 8,
+        max_wait_ms: float = 3.0,
+        metrics: Optional[Metrics] = None,
+    ):
+        self.executor = executor
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.metrics = metrics or Metrics()
+        self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._started = False
+        self._lock = threading.Lock()
+
+    def start(self) -> None:
+        with self._lock:
+            if not self._started:
+                self._thread.start()
+                self._started = True
+
+    def stop(self) -> None:
+        if self._started:
+            self._q.put(None)
+            self._thread.join(timeout=5)
+            self._started = False
+
+    def submit(self, graph: Graph, taps: TapSpec = "all") -> Future:
+        """Enqueue one eval; returns a Future of {node: {ch: array}}."""
+        self.start()
+        tap_key = taps if isinstance(taps, str) else str(sorted(taps))
+        item = _Item(graph, taps, graph.signature(extra=[tap_key]))
+        self._q.put(item)
+        return item.future
+
+    # -- worker ----------------------------------------------------------------
+    def _collect_group(self, first: _Item) -> Tuple[List[_Item], List[_Item]]:
+        """Gather same-signature items up to max_batch within the window.
+
+        Returns (group, requeue) — items of other signatures seen while
+        collecting are requeued in arrival order.
+        """
+        group = [first]
+        others: List[_Item] = []
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(group) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:  # shutdown marker: push back and bail
+                self._q.put(None)
+                break
+            if item.sig == first.sig:
+                group.append(item)
+            else:
+                others.append(item)
+        return group, others
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            group, requeue = self._collect_group(item)
+            for other in requeue:
+                self._q.put(other)
+            self._run_group(group)
+
+    def _run_group(self, group: List[_Item]) -> None:
+        t0 = time.perf_counter()
+        try:
+            if len(group) == 1:
+                results = [self.executor.run(group[0].graph, group[0].taps)]
+            else:
+                results = self.executor.run_stacked(
+                    [it.graph for it in group], group[0].taps
+                )
+            dt = time.perf_counter() - t0
+            self.metrics.compute_latency.observe(dt)
+            self.metrics.batch_sizes.observe(len(group))
+            self.metrics.inc("batches")
+            self.metrics.inc("batched_requests", len(group))
+            for it, res in zip(group, results):
+                it.future.set_result(res)
+                self.metrics.request_latency.observe(
+                    time.perf_counter() - it.enqueued
+                )
+        except Exception as err:  # noqa: BLE001 — fail the whole group
+            logger.exception("batch failed")
+            self.metrics.inc("batch_errors")
+            for it in group:
+                if not it.future.done():
+                    it.future.set_exception(err)

@@ -1,0 +1,69 @@
+"""Serving metrics: counters + latency quantiles.
+
+The reference had no metrics at all (SURVEY.md §5 "Metrics: ABSENT") — only
+DEBUG logs per request. These gauges are the BASELINE deliverables:
+imgs/sec throughput and p50 per-request latency under concurrent load.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List
+
+
+class LatencyHistogram:
+    """Reservoir of recent latencies; cheap quantile queries."""
+
+    def __init__(self, cap: int = 4096):
+        self.cap = cap
+        self._vals: List[float] = []
+        self._lock = threading.Lock()
+
+    def observe(self, seconds: float) -> None:
+        with self._lock:
+            self._vals.append(seconds)
+            if len(self._vals) > self.cap:
+                self._vals = self._vals[-self.cap :]
+
+    def quantile(self, q: float) -> float:
+        with self._lock:
+            if not self._vals:
+                return 0.0
+            vals = sorted(self._vals)
+        idx = min(len(vals) - 1, int(q * len(vals)))
+        return vals[idx]
+
+    def count(self) -> int:
+        with self._lock:
+            return len(self._vals)
+
+
+class Metrics:
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.counters: Dict[str, int] = {}
+        self.request_latency = LatencyHistogram()
+        self.compute_latency = LatencyHistogram()
+        self.batch_sizes = LatencyHistogram()
+        self.started = time.time()
+
+    def inc(self, name: str, by: int = 1) -> None:
+        with self._lock:
+            self.counters[name] = self.counters.get(name, 0) + by
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            counters = dict(self.counters)
+        up = time.time() - self.started
+        return {
+            "uptime_s": up,
+            "counters": counters,
+            "request_p50_ms": self.request_latency.quantile(0.5) * 1e3,
+            "request_p95_ms": self.request_latency.quantile(0.95) * 1e3,
+            "compute_p50_ms": self.compute_latency.quantile(0.5) * 1e3,
+            "mean_batch_size": (
+                sum(self.batch_sizes._vals) / max(1, self.batch_sizes.count())
+            ),
+            "requests_per_s": counters.get("compute_requests", 0) / max(up, 1e-9),
+        }

@@ -1,0 +1,98 @@
+"""Server entry point: ``python -m interactive_vit_tpu.serving.server``.
+
+Boot sequence parity with the reference (``manage.py runserver`` importing
+``main.context`` which scanned plugins and loaded model weights at import,
+SURVEY.md §3.1): register builtin ops, scan plugin dirs, register the
+configured model variants (generating their graph JSONs into the library),
+then serve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from interactive_vit_tpu.graph.registry import registry, scan_plugins
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.serving.app import App
+
+logger = logging.getLogger(__name__)
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def build_app(
+    models=("vit_t16",),
+    graphs_dir: str = None,
+    frontend_dir: str = None,
+    plugin_dirs=(),
+    max_batch: int = 8,
+    max_wait_ms: float = 3.0,
+    seed: int = 0,
+    attn_impl_name: str = "auto",
+) -> App:
+    reg = registry()
+    register_builtin(reg)
+    for d in plugin_dirs:
+        scan_plugins([d], reg)
+
+    graphs_dir = graphs_dir or os.path.join(_REPO_ROOT, "static/graphs")
+    frontend_dir = frontend_dir or os.path.join(_REPO_ROOT, "frontend")
+    app = App(
+        reg=reg,
+        graphs_dir=graphs_dir,
+        frontend_dir=frontend_dir if os.path.isdir(frontend_dir) else None,
+        max_batch=max_batch,
+        max_wait_ms=max_wait_ms,
+    )
+
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.ops.dispatch import default_attn_impl
+
+    attn_impl = default_attn_impl(attn_impl_name)
+    for variant in models:
+        model = make_vit_model(variant, seed=seed, attn_impl=attn_impl)
+        model.register(reg, app.graphs)
+        logger.info("registered model %s (%d nodes)", variant,
+                    len(model.layers))
+    return app
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="interactive_vit_tpu server")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--models", default="vit_t16",
+                        help="comma-separated ViT variants to register")
+    parser.add_argument("--graphs-dir", default=None)
+    parser.add_argument("--frontend-dir", default=None)
+    parser.add_argument("--plugin-dirs", default="",
+                        help="comma-separated extra plugin dirs to scan")
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--max-wait-ms", type=float, default=3.0)
+    parser.add_argument("--attn", default="auto",
+                        choices=["auto", "flash", "reference"])
+    parser.add_argument("-v", "--verbose", action="store_true")
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    app = build_app(
+        models=[m for m in args.models.split(",") if m],
+        graphs_dir=args.graphs_dir,
+        frontend_dir=args.frontend_dir,
+        plugin_dirs=[d for d in args.plugin_dirs.split(",") if d],
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        attn_impl_name=args.attn,
+    )
+    app.serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Serving tier tests: endpoints, wire contract over HTTP, micro-batching."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from interactive_vit_tpu.graph.executor import Executor
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.serving.app import App
+from interactive_vit_tpu.serving.batcher import MicroBatcher
+from interactive_vit_tpu.wire.codec import Request, Response
+
+
+@pytest.fixture(scope="module")
+def served():
+    reg = Registry()
+    register_builtin(reg)
+    app = App(reg=reg, graphs_dir="/root/reference/static/graphs",
+              max_wait_ms=5.0)
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    port = httpd.server_address[1]
+    yield app, f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+    app.batcher.stop()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.read()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.read()
+
+
+def make_cos_graph(x, a="2.0"):
+    g = Graph()
+    n = g.add_node("cos", {"A": a})
+    g.add_input(x, n, "o")
+    return g
+
+
+def test_compute_endpoint_roundtrip(served):
+    _, base = served
+    x = np.linspace(0, 1, 16, dtype=np.float32)
+    raw = _post(base + "/compute", Request.encode(make_cos_graph(x)))
+    out = Response.decode(raw)
+    np.testing.assert_allclose(out[0]["o"], np.cos(2.0 * x), rtol=1e-6)
+
+
+def test_compute_error_is_400_with_node_attribution(served):
+    _, base = served
+    g = Graph()
+    n = g.add_node("no_such_kind")
+    g.add_input(np.ones(4, np.float32), n, "o")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/compute", Request.encode(g))
+    assert ei.value.code == 400
+    body = ei.value.read().decode()
+    assert "node 0" in body and "no_such_kind" in body
+
+
+def test_description_and_contents(served):
+    _, base = served
+    io = json.loads(_get(base + "/description/binop"))
+    assert io == {"ins": ["a", "b"], "outs": ["c"]}
+    html = _get(base + "/contents/cos?A=3.0").decode()
+    assert "cos" in html
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/description/nope")
+    assert ei.value.code == 400
+
+
+def test_batched_descriptions(served):
+    _, base = served
+    out = json.loads(_get(base + "/descriptions?names=cos,binop,nope"))
+    assert out["cos"]["io"] == {"ins": ["o"], "outs": ["o"]}
+    assert "error" in out["nope"]
+
+
+def test_list_and_load_graphs(served):
+    _, base = served
+    names = json.loads(_get(base + "/list_graphs"))
+    assert "noise.json" in names
+    obj = json.loads(_get(base + "/load_graph/noise.json"))
+    assert "nodes" in obj and "edges" in obj
+
+
+def test_path_traversal_blocked(served):
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/load_graph/..%2F..%2Fmanage.py")
+    assert ei.value.code == 400
+
+
+def test_metrics_endpoint(served):
+    _, base = served
+    m = json.loads(_get(base + "/metrics"))
+    assert "request_p50_ms" in m
+    assert m["counters"].get("compute_requests", 0) >= 1
+
+
+def test_concurrent_identical_requests_get_batched(served):
+    app, base = served
+    before = app.metrics.snapshot()["counters"].get("batches", 0)
+    xs = [np.full((32,), i, np.float32) for i in range(6)]
+    results = [None] * 6
+
+    def worker(i):
+        raw = _post(base + "/compute", Request.encode(make_cos_graph(xs[i])))
+        results[i] = Response.decode(raw)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for i in range(6):
+        np.testing.assert_allclose(
+            results[i][0]["o"], np.cos(2.0 * xs[i]), rtol=1e-6
+        )
+    snap = app.metrics.snapshot()
+    batches = snap["counters"]["batches"] - before
+    # 6 concurrent same-signature requests must share programs: fewer
+    # batches than requests proves stacking happened
+    assert batches < 6, f"no batching observed: {snap}"
+
+
+def test_mixed_signature_requests_still_correct(served):
+    app, base = served
+    x = np.ones((8,), np.float32)
+    y = np.ones((16,), np.float32)  # different shape -> different signature
+    r1, r2 = [None], [None]
+
+    def w1():
+        r1[0] = Response.decode(_post(base + "/compute",
+                                      Request.encode(make_cos_graph(x))))
+
+    def w2():
+        r2[0] = Response.decode(_post(base + "/compute",
+                                      Request.encode(make_cos_graph(y, a="1.0"))))
+
+    t1, t2 = threading.Thread(target=w1), threading.Thread(target=w2)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    np.testing.assert_allclose(r1[0][0]["o"], np.cos(2.0 * x), rtol=1e-6)
+    np.testing.assert_allclose(r2[0][0]["o"], np.cos(1.0 * y), rtol=1e-6)
+
+
+def test_run_stacked_direct():
+    """Executor.run_stacked: correctness + padding to power-of-two bucket."""
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+    graphs = []
+    xs = []
+    for i in range(3):  # 3 -> bucket 4, one padded row dropped
+        x = np.full((8,), float(i), np.float32)
+        xs.append(x)
+        graphs.append(make_cos_graph(x))
+    results = ex.run_stacked(graphs, taps="all")
+    assert len(results) == 3
+    for i, res in enumerate(results):
+        np.testing.assert_allclose(res[0]["o"], np.cos(2.0 * xs[i]), rtol=1e-6)

@@ -129,11 +129,16 @@ def block(
     cfg: ViTConfig,
     want_attn: bool = False,
     attn_impl=None,
+    n_real: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Pre-LN transformer block; optionally taps the attention maps."""
+    """Pre-LN transformer block; optionally taps the attention maps.
+
+    ``n_real``: set when x's token dim is padded (padded-domain execution);
+    attention masks keys beyond it, everything else is row-local.
+    """
     h, probs = attn_ops.mhsa(
         L.layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.ln_eps),
-        p, cfg.heads, want_attn=want_attn, attn_impl=attn_impl,
+        p, cfg.heads, want_attn=want_attn, attn_impl=attn_impl, n_real=n_real,
     )
     x = x + h
     x = x + L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
@@ -159,6 +164,7 @@ def forward(
     want_attn: bool = False,
     want_cls_trajectory: bool = False,
     attn_impl=None,
+    pad_tokens: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward with optional taps.
 
@@ -166,16 +172,34 @@ def forward(
       "attn":     [L,B,H,N,N] per-layer attention maps
       "rollout":  [B,N,N] attention rollout (config 2 visualization)
       "cls":      [L+1,B,D] CLS-token trajectory through the blocks
+
+    ``pad_tokens``: run the trunk in a PADDED TOKEN DOMAIN — pad the
+    sequence once after embedding to a multiple of 128 and keep it padded
+    through every block (attention masks keys >= n_real; padded rows carry
+    garbage sliced away at tap extraction; numerically identical for real
+    rows since masked keys underflow to exactly 0 in the softmax).
+    Measured OFF as default on v5e: the MLP dominates FLOPs and eats the
+    +30% padding (197->256) while XLA handles lane-hostile token counts
+    fine, and the Pallas kernels take exact shapes (Mosaic masks edge
+    blocks). Kept as an option for kernels/hardware where alignment wins.
     """
     x = embed(params, images, cfg)
+    n_real = x.shape[1]
+    n_pad = (n_real + 127) // 128 * 128 if pad_tokens else n_real
+    if n_pad != n_real:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
+    nr = n_real if n_pad != n_real else None
+
     attns: List[jnp.ndarray] = []
     cls_traj: List[jnp.ndarray] = [x[:, 0]]
     for p in params["blocks"]:
-        x, probs = block(p, x, cfg, want_attn=want_attn, attn_impl=attn_impl)
+        x, probs = block(p, x, cfg, want_attn=want_attn, attn_impl=attn_impl,
+                         n_real=nr)
         if want_attn:
             # tap in activation dtype: the softmax ran f32, but emitting
-            # f32 maps doubles the dominant HBM write traffic (L*B*H*N^2)
-            attns.append(probs.astype(x.dtype))
+            # f32 maps doubles the dominant HBM write traffic (L*B*H*N^2);
+            # slice real rows/cols here (padded rows are garbage)
+            attns.append(probs[..., :n_real, :n_real].astype(x.dtype))
         if want_cls_trajectory:
             cls_traj.append(x[:, 0])
     x = final_norm(params, x, cfg)

@@ -43,14 +43,24 @@ def attention_reference(
     k: jnp.ndarray,
     v: jnp.ndarray,
     want_attn: bool = False,
+    n_real: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """softmax(q k^T / sqrt(dh)) v with f32 softmax, inputs [B, H, N, Dh]."""
+    """softmax(q k^T / sqrt(dh)) v with f32 softmax, inputs [B, H, N, Dh].
+
+    ``n_real``: when the token dim is padded (the model keeps sequences
+    padded to a lane multiple end-to-end — see ``vit.forward``), keys beyond
+    ``n_real`` are masked out; padded query rows produce uniform garbage the
+    caller never reads.
+    """
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     logits = jnp.einsum(
         "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32,
         precision=mm_precision(q, k),
     ) * scale
+    if n_real is not None and n_real < q.shape[2]:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
+        logits = jnp.where(col < n_real, logits, -0.7 * jnp.finfo(jnp.float32).max)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
@@ -66,16 +76,17 @@ def mhsa(
     heads: int,
     want_attn: bool = False,
     attn_impl=None,
+    n_real: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full MHSA: fused QKV -> attention -> output projection.
 
     ``attn_impl`` lets callers swap in the Pallas flash kernel; it must
-    accept (q, k, v, want_attn) and honor the same contract.
+    accept (q, k, v, want_attn, n_real=None) and honor the same contract.
     """
     b, n, d = x.shape
     q, k, v = qkv_proj(x, p, heads)
     impl = attn_impl or attention_reference
-    out, probs = impl(q, k, v, want_attn)
+    out, probs = impl(q, k, v, want_attn, n_real=n_real)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32,
                   precision=mm_precision(out, p["proj_w"]))

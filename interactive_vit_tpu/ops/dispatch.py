@@ -25,23 +25,38 @@ def on_tpu() -> bool:
         return False
 
 
+# Below this sequence length XLA's fused attention chain beats the Pallas
+# kernel on v5e (measured: ViT-B N=197 ref 15.6ms vs kernel 18.3ms per
+# batch-32; ViT-L N=577 kernel 39.7ms vs ref 60.4ms per batch-8). The
+# crossover sits where the N x N f32 intermediates stop fitting XLA's
+# fusion budget.
+FLASH_MIN_SEQ = 256
+
+
+def auto_attention(q, k, v, want_attn=False, n_real=None):
+    """Sequence-length-aware dispatch (decided at trace time: shapes are
+    static under jit)."""
+    from interactive_vit_tpu.ops.attention import attention_reference
+    from interactive_vit_tpu.ops.flash_attention import flash_mhsa
+
+    if on_tpu() and q.shape[2] >= FLASH_MIN_SEQ:
+        return flash_mhsa(q, k, v, want_attn=want_attn, n_real=n_real)
+    return attention_reference(q, k, v, want_attn=want_attn, n_real=n_real)
+
+
 def default_attn_impl(name: str = "auto"):
     """Resolve an attention implementation by policy name.
 
     Returns None for the jnp reference path (``attention.mhsa`` treats None
-    as "use attention_reference"), or a callable (q, k, v, want_attn) ->
-    (out, probs|None).
+    as "use attention_reference"), or a callable
+    (q, k, v, want_attn, n_real=None) -> (out, probs|None).
     """
     if name == "reference":
         return None
-    if name in ("auto", "flash"):
-        if name == "flash" or on_tpu():
-            try:
-                from interactive_vit_tpu.ops.flash_attention import flash_mhsa
+    if name == "flash":
+        from interactive_vit_tpu.ops.flash_attention import flash_mhsa
 
-                return flash_mhsa
-            except ImportError:
-                logger.warning("flash attention unavailable; using reference")
-                return None
-        return None
+        return flash_mhsa
+    if name == "auto":
+        return auto_attention
     raise ValueError(f"unknown attention impl {name!r}")

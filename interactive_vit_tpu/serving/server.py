@@ -49,12 +49,19 @@ def build_app(
         max_wait_ms=max_wait_ms,
     )
 
+    from interactive_vit_tpu.models.clip_plugin import make_clip_model
+    from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
     from interactive_vit_tpu.models.vit_plugin import make_vit_model
     from interactive_vit_tpu.ops.dispatch import default_attn_impl
 
     attn_impl = default_attn_impl(attn_impl_name)
     for variant in models:
-        model = make_vit_model(variant, seed=seed, attn_impl=attn_impl)
+        if variant == "clip_b32":
+            model = make_clip_model(seed=seed, attn_impl=attn_impl)
+        elif variant == "vgg16":
+            model = make_vgg16_model(seed=seed)
+        else:
+            model = make_vit_model(variant, seed=seed, attn_impl=attn_impl)
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))

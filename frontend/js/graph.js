@@ -1,0 +1,457 @@
+// Client graph engine: nodes, ports, edges, serialization, server eval.
+//
+// Same public contract as the reference client engine
+// (/root/reference/main/static/main/graph.js): draggable node boxes with
+// click-to-wire ports, cycle-checked edges, dirty-set scheduled evaluation,
+// JSON (de)serialization in the reference schema. One deliberate
+// architecture change (the reference's own roadmap, todo.md:13): there is
+// NO client compute runtime — the whole graph ships to the TPU server as
+// one /compute request and every viewer reads its tensor from the response.
+
+import { compute } from "./wire.js";
+
+let nextId = 1;
+
+export class Port {
+	constructor(node, channel, direction) {
+		this.node = node;
+		this.channel = channel;
+		this.direction = direction; // "in" | "out"
+		this.el = null;
+	}
+}
+
+export class Edge {
+	constructor(src, dst) {
+		this.src = src; // out-port
+		this.dst = dst; // in-port
+		this.path = null;
+	}
+}
+
+export class Node {
+	/** @param {string} kind */
+	constructor(kind, title = null) {
+		this.kind = kind;
+		this.id = nextId++;
+		this.title = title || kind;
+		this.x = 0;
+		this.y = 0;
+		this.el = null;
+		this.contentEl = null;
+		this.statusEl = null;
+		this.ins = [];
+		this.outs = [];
+	}
+
+	addInput(ch) {
+		this.ins.push(new Port(this, ch, "in"));
+	}
+
+	addOutput(ch) {
+		this.outs.push(new Port(this, ch, "out"));
+	}
+
+	inPort(ch) {
+		return this.ins.find((p) => p.channel === ch);
+	}
+
+	outPort(ch) {
+		return this.outs.find((p) => p.channel === ch);
+	}
+
+	// ---- overridables -------------------------------------------------------
+	/** Build the node body DOM into el. */
+	buildContent(el) {}
+
+	/** Kind-specific serialized instance (merged with {kind}). */
+	serializeExtra() {
+		return {};
+	}
+
+	/** True if this node provides a client-side tensor (image source). */
+	isSource() {
+		return false;
+	}
+
+	/** For sources: {dims, data} f32 tensor, or null if not ready. */
+	sourceTensor() {
+		return null;
+	}
+
+	/** True if excluded from the server request (pure viewer sink). */
+	isViewer() {
+		return false;
+	}
+
+	/** Server endpoint + params for the request ("net node" contract). */
+	wireSpec() {
+		return { endpoint: this.kind, params: {} };
+	}
+
+	/** Called after eval with (channel) => tensor for this node's inputs. */
+	onInputs(read) {}
+
+	/** Called after eval with (channel) => tensor for this node's outputs. */
+	onOutputs(read) {}
+
+	setStatus(text, isError = false) {
+		if (this.statusEl) {
+			this.statusEl.textContent = text;
+			this.statusEl.classList.toggle("error", isError);
+		}
+	}
+}
+
+export class Context {
+	static nodes = [];
+	static edges = [];
+	static kinds = new Map(); // kind -> {make: async (instance|null) => Node}
+	static onChange = null; // set by app.js -> schedules eval
+	static container = null;
+	static svg = null;
+
+	static registerKind(kind, factory) {
+		Context.kinds.set(kind, factory);
+	}
+
+	static async createNode(kind, instance = null) {
+		const factory = Context.kinds.get(kind);
+		if (!factory) {
+			console.warn("unknown node kind", kind);
+			return null;
+		}
+		return Context.addNodeInstance(await factory.make(instance));
+	}
+
+	/** Adopt an already-constructed Node into the graph + DOM. */
+	static addNodeInstance(node) {
+		Context.nodes.push(node);
+		renderNode(node);
+		Context.changed();
+		return node;
+	}
+
+	static removeNode(node) {
+		Context.edges
+			.filter((e) => e.src.node === node || e.dst.node === node)
+			.forEach((e) => Context.disconnect(e));
+		Context.nodes = Context.nodes.filter((n) => n !== node);
+		node.el?.remove();
+		Context.changed();
+	}
+
+	static wouldCycle(srcNode, dstNode) {
+		// DFS from dstNode along out-edges; reaching srcNode => cycle
+		const seen = new Set();
+		const stack = [dstNode];
+		while (stack.length) {
+			const n = stack.pop();
+			if (n === srcNode) return true;
+			if (seen.has(n)) continue;
+			seen.add(n);
+			for (const e of Context.edges) {
+				if (e.src.node === n) stack.push(e.dst.node);
+			}
+		}
+		return false;
+	}
+
+	static connect(srcPort, dstPort) {
+		if (srcPort.direction !== "out" || dstPort.direction !== "in") return null;
+		if (Context.wouldCycle(srcPort.node, dstPort.node)) {
+			console.warn("edge would create a cycle");
+			return null;
+		}
+		// one edge per input channel: replace existing
+		const existing = Context.edges.find((e) => e.dst === dstPort);
+		if (existing) Context.disconnect(existing);
+		const edge = new Edge(srcPort, dstPort);
+		Context.edges.push(edge);
+		renderEdge(edge);
+		Context.changed();
+		return edge;
+	}
+
+	static disconnect(edge) {
+		Context.edges = Context.edges.filter((e) => e !== edge);
+		edge.path?.remove();
+		Context.changed();
+	}
+
+	static changed() {
+		Context.onChange?.();
+	}
+
+	// ---- evaluation -----------------------------------------------------------
+	static evalEpoch = 0;
+
+	static async evaluate() {
+		const epoch = ++Context.evalEpoch;
+		// server request: every non-source non-viewer node
+		const reqNodes = Context.nodes.filter((n) => !n.isSource() && !n.isViewer());
+		const index = new Map(reqNodes.map((n, i) => [n, i]));
+		const nodesJson = reqNodes.map((n) => n.wireSpec());
+		const edgesJson = [];
+		const tensors = [];
+
+		for (const e of Context.edges) {
+			const dst = e.dst.node;
+			if (!index.has(dst)) continue; // viewer inputs come from taps
+			const src = e.src.node;
+			if (index.has(src)) {
+				edgesJson.push({
+					out_port: { node: index.get(dst), channel: e.dst.channel },
+					in_port: { node: index.get(src), channel: e.src.channel },
+				});
+			} else if (src.isSource()) {
+				const t = src.sourceTensor();
+				if (t === null) continue; // source not ready: omit, server errors per-node
+				edgesJson.push({
+					out_port: { node: index.get(dst), channel: e.dst.channel },
+					tensor: tensors.length,
+				});
+				tensors.push(t);
+			}
+		}
+
+		for (const n of Context.nodes) n.setStatus(reqNodes.length ? "…" : "");
+		if (!reqNodes.length) {
+			Context.routeResults(new Map(), index, epoch);
+			return;
+		}
+
+		try {
+			const outputs = await compute({ nodes: nodesJson, edges: edgesJson }, tensors);
+			if (epoch !== Context.evalEpoch) return; // stale
+			Context.routeResults(outputs, index, epoch);
+			for (const n of reqNodes) n.setStatus("ok");
+		} catch (err) {
+			if (epoch !== Context.evalEpoch) return;
+			const msg = String(err.message || err);
+			// per-node error attribution: "node <i> (<name>): ..."
+			const m = msg.match(/node (\d+)/);
+			for (const n of Context.nodes) n.setStatus("");
+			if (m) {
+				const bad = reqNodes[Number(m[1])];
+				bad?.setStatus(msg, true);
+				for (const n of reqNodes) if (n !== bad) n.setStatus("upstream?", false);
+			} else {
+				for (const n of reqNodes) n.setStatus("error", true);
+			}
+			console.error("eval failed:", msg);
+		}
+	}
+
+	static routeResults(outputs, index, epoch) {
+		const read = (node, ch) => {
+			if (node.isSource()) return node.sourceTensor();
+			const i = index.get(node);
+			return i === undefined ? null : (outputs.get(`${i}/${ch}`) ?? null);
+		};
+		for (const n of Context.nodes) {
+			// inputs: follow the wired edge to its producer's tensor
+			n.onInputs((ch) => {
+				const e = Context.edges.find(
+					(x) => x.dst.node === n && x.dst.channel === ch,
+				);
+				return e ? read(e.src.node, e.src.channel) : null;
+			});
+			n.onOutputs((ch) => read(n, ch));
+			// port tooltips: shapes after eval (reference graph.js:502-507)
+			for (const p of [...n.ins, ...n.outs]) {
+				const t =
+					p.direction === "out"
+						? read(n, p.channel)
+						: (() => {
+								const e = Context.edges.find(
+									(x) => x.dst === p,
+								);
+								return e ? read(e.src.node, e.src.channel) : null;
+							})();
+				if (p.el) p.el.title = t ? `[${t.dims.join(", ")}]` : p.channel;
+			}
+		}
+	}
+
+	// ---- (de)serialization (reference schema) ---------------------------------
+	static serialize() {
+		const index = new Map(Context.nodes.map((n, i) => [n, i]));
+		return {
+			nodes: Context.nodes.map((n) => ({
+				instance: { kind: n.kind, ...n.serializeExtra() },
+				pos: { x: n.x, y: n.y },
+			})),
+			edges: Context.edges.map((e) => ({
+				in_port: { node: index.get(e.src.node), channel: e.src.channel },
+				out_port: { node: index.get(e.dst.node), channel: e.dst.channel },
+			})),
+		};
+	}
+
+	static async deserialize(obj) {
+		Context.clear();
+		const nodes = [];
+		for (const data of obj.nodes) {
+			const node = await Context.createNode(
+				data.instance.kind,
+				data.instance,
+			);
+			if (node) node_move(node, data.pos.x, data.pos.y);
+			nodes.push(node);
+		}
+		for (const e of obj.edges) {
+			const src = nodes[e.in_port.node];
+			const dst = nodes[e.out_port.node];
+			if (!src || !dst) continue;
+			const sp = src.outPort(e.in_port.channel);
+			const dp = dst.inPort(e.out_port.channel);
+			if (sp && dp) Context.connect(sp, dp);
+		}
+		Context.changed();
+	}
+
+	static clear() {
+		for (const n of [...Context.nodes]) Context.removeNode(n);
+		nextId = 1;
+	}
+}
+
+// ---- DOM rendering ---------------------------------------------------------------
+
+let pendingWire = null; // out-port awaiting an in-port click
+
+function portDot(port) {
+	const dot = document.createElement("div");
+	dot.className = `port ${port.direction}`;
+	dot.title = port.channel;
+	const label = document.createElement("span");
+	label.textContent = port.channel;
+	const wrap = document.createElement("div");
+	wrap.className = `port-wrap ${port.direction}`;
+	if (port.direction === "in") wrap.append(dot, label);
+	else wrap.append(label, dot);
+	port.el = dot;
+	dot.addEventListener("click", (ev) => {
+		ev.stopPropagation();
+		if (port.direction === "out") {
+			pendingWire = pendingWire === port ? null : port;
+			document
+				.querySelectorAll(".port.pending")
+				.forEach((d) => d.classList.remove("pending"));
+			if (pendingWire) dot.classList.add("pending");
+		} else if (pendingWire) {
+			Context.connect(pendingWire, port);
+			document
+				.querySelectorAll(".port.pending")
+				.forEach((d) => d.classList.remove("pending"));
+			pendingWire = null;
+		}
+	});
+	return wrap;
+}
+
+export function node_move(node, x, y) {
+	node.x = x;
+	node.y = y;
+	node.el.style.left = `${x}px`;
+	node.el.style.top = `${y}px`;
+	redrawEdges(node);
+}
+
+function renderNode(node) {
+	const el = document.createElement("div");
+	el.className = "node";
+	node.el = el;
+
+	const header = document.createElement("div");
+	header.className = "node-header";
+	const title = document.createElement("span");
+	title.textContent = node.title;
+	const close = document.createElement("button");
+	close.textContent = "×";
+	close.className = "node-close";
+	close.addEventListener("click", () => Context.removeNode(node));
+	header.append(title, close);
+
+	const insCol = document.createElement("div");
+	insCol.className = "ports ins";
+	for (const p of node.ins) insCol.append(portDot(p));
+	const outsCol = document.createElement("div");
+	outsCol.className = "ports outs";
+	for (const p of node.outs) outsCol.append(portDot(p));
+
+	const content = document.createElement("div");
+	content.className = "node-content";
+	node.contentEl = content;
+
+	const status = document.createElement("div");
+	status.className = "node-status";
+	node.statusEl = status;
+
+	const body = document.createElement("div");
+	body.className = "node-body";
+	body.append(insCol, content, outsCol);
+	el.append(header, body, status);
+	Context.container.append(el);
+	node.buildContent(content);
+
+	// dragging by the header
+	header.addEventListener("pointerdown", (ev) => {
+		if (ev.target === close) return;
+		ev.preventDefault();
+		const startX = ev.clientX;
+		const startY = ev.clientY;
+		const origX = node.x;
+		const origY = node.y;
+		const move = (mv) => {
+			const scale = window.workspaceScale || 1;
+			node_move(
+				node,
+				origX + (mv.clientX - startX) / scale,
+				origY + (mv.clientY - startY) / scale,
+			);
+		};
+		const up = () => {
+			window.removeEventListener("pointermove", move);
+			window.removeEventListener("pointerup", up);
+		};
+		window.addEventListener("pointermove", move);
+		window.addEventListener("pointerup", up);
+	});
+}
+
+function portCenter(port) {
+	const rect = port.el.getBoundingClientRect();
+	const cRect = Context.container.getBoundingClientRect();
+	const scale = window.workspaceScale || 1;
+	return {
+		x: (rect.x + rect.width / 2 - cRect.x) / scale,
+		y: (rect.y + rect.height / 2 - cRect.y) / scale,
+	};
+}
+
+function renderEdge(edge) {
+	const path = document.createElementNS("http://www.w3.org/2000/svg", "path");
+	path.classList.add("edge");
+	path.addEventListener("click", () => Context.disconnect(edge));
+	edge.path = path;
+	Context.svg.append(path);
+	drawEdge(edge);
+}
+
+function drawEdge(edge) {
+	const a = portCenter(edge.src);
+	const b = portCenter(edge.dst);
+	const dx = Math.max(40, Math.abs(b.x - a.x) / 2);
+	edge.path.setAttribute(
+		"d",
+		`M ${a.x} ${a.y} C ${a.x + dx} ${a.y}, ${b.x - dx} ${b.y}, ${b.x} ${b.y}`,
+	);
+}
+
+export function redrawEdges(node = null) {
+	for (const e of Context.edges) {
+		if (!node || e.src.node === node || e.dst.node === node) drawEdge(e);
+	}
+}

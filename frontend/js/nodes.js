@@ -1,0 +1,710 @@
+// Node kind implementations: sources, viewers, op nodes, server-layer nodes.
+//
+// Functional parity with the reference node set
+// (/root/reference/main/static/main/nodes/*.js) minus the WGSL compute —
+// ops evaluate server-side on the TPU; this file is param UIs + rendering.
+// New beyond the reference: attn_view (per-head attention-map heatmaps, the
+// ViT tap visualizer).
+
+import { Context, Node } from "./graph.js";
+
+// ---- rendering helpers ---------------------------------------------------------
+
+function normToU8(data, lo = null, hi = null) {
+	let mn = lo;
+	let mx = hi;
+	if (mn === null || mx === null) {
+		mn = Infinity;
+		mx = -Infinity;
+		for (const v of data) {
+			if (v < mn) mn = v;
+			if (v > mx) mx = v;
+		}
+	}
+	const span = mx - mn || 1;
+	const out = new Uint8ClampedArray(data.length);
+	for (let i = 0; i < data.length; i++) out[i] = ((data[i] - mn) / span) * 255;
+	return out;
+}
+
+/** Render CHW [3,H,W] / [1,H,W] / [H,W] tensor into a canvas. */
+function drawTensor(canvas, t, maxSize = 224) {
+	let c = 1;
+	let h;
+	let w;
+	if (t.dims.length === 3) [c, h, w] = t.dims;
+	else if (t.dims.length === 2) [h, w] = t.dims;
+	else return false;
+	canvas.width = w;
+	canvas.height = h;
+	const scale = Math.min(1, maxSize / Math.max(h, w));
+	canvas.style.width = `${Math.round(w * scale)}px`;
+	canvas.style.height = `${Math.round(h * scale)}px`;
+	const img = new ImageData(w, h);
+	const plane = h * w;
+	const norm = normToU8(t.data);
+	for (let i = 0; i < plane; i++) {
+		img.data[4 * i] = norm[i];
+		img.data[4 * i + 1] = norm[c >= 3 ? plane + i : i];
+		img.data[4 * i + 2] = norm[c >= 3 ? 2 * plane + i : i];
+		img.data[4 * i + 3] = 255;
+	}
+	canvas.getContext("2d").putImageData(img, 0, 0);
+	return true;
+}
+
+function labeledInput(label, value, onChange, size = 8) {
+	const wrap = document.createElement("label");
+	wrap.className = "inline-input";
+	wrap.textContent = label;
+	const input = document.createElement("input");
+	input.value = value;
+	input.size = size;
+	input.addEventListener("change", () => onChange(input.value));
+	wrap.append(input);
+	return { wrap, input };
+}
+
+// ---- sources ----------------------------------------------------------------------
+
+export class ImgSourceNode extends Node {
+	constructor() {
+		super("img_src", "image");
+		this.addOutput("o");
+		this.tensor = null;
+	}
+
+	buildContent(el) {
+		const input = document.createElement("input");
+		input.type = "file";
+		input.accept = "image/*";
+		const canvas = document.createElement("canvas");
+		canvas.className = "preview";
+		input.addEventListener("change", async () => {
+			const file = input.files[0];
+			if (!file) return;
+			const bmp = await createImageBitmap(file);
+			canvas.width = bmp.width;
+			canvas.height = bmp.height;
+			canvas.style.maxWidth = "160px";
+			const ctx = canvas.getContext("2d");
+			ctx.drawImage(bmp, 0, 0);
+			const { data, width, height } = ctx.getImageData(0, 0, bmp.width, bmp.height);
+			// RGBA u8 -> CHW f32 / 255 (reference img_source_node.js:6-26)
+			const plane = width * height;
+			const out = new Float32Array(3 * plane);
+			for (let i = 0; i < plane; i++) {
+				out[i] = data[4 * i] / 255;
+				out[plane + i] = data[4 * i + 1] / 255;
+				out[2 * plane + i] = data[4 * i + 2] / 255;
+			}
+			this.tensor = { dims: [3, height, width], data: out };
+			Context.changed();
+		});
+		el.append(input, canvas);
+	}
+
+	isSource() {
+		return true;
+	}
+
+	sourceTensor() {
+		return this.tensor;
+	}
+
+	serializeExtra() {
+		return {}; // image pixels are not saved (reference contract)
+	}
+}
+
+// ---- viewers ----------------------------------------------------------------------
+
+export class ImgViewNode extends Node {
+	constructor() {
+		super("img_view", "view");
+		for (const ch of ["R", "G", "B", "o"]) this.addInput(ch);
+		this.canvas = null;
+	}
+
+	buildContent(el) {
+		this.canvas = document.createElement("canvas");
+		el.append(this.canvas);
+	}
+
+	isViewer() {
+		return true;
+	}
+
+	onInputs(read) {
+		const o = read("o");
+		if (o && (o.dims.length === 3 || o.dims.length === 2)) {
+			drawTensor(this.canvas, o);
+			return;
+		}
+		// channel compositing path (img_view_node.js:76-133)
+		const chans = ["R", "G", "B"].map((c) => read(c));
+		const present = chans.filter(Boolean);
+		if (!present.length) return;
+		const [h, w] = present[0].dims;
+		const img = new ImageData(w, h);
+		chans.forEach((t, ci) => {
+			if (!t) return;
+			const norm = normToU8(t.data);
+			for (let i = 0; i < h * w; i++) img.data[4 * i + ci] = norm[i];
+		});
+		for (let i = 0; i < h * w; i++) img.data[4 * i + 3] = 255;
+		this.canvas.width = w;
+		this.canvas.height = h;
+		this.canvas.style.maxWidth = "224px";
+		this.canvas.getContext("2d").putImageData(img, 0, 0);
+	}
+}
+
+export class MultiViewNode extends Node {
+	constructor() {
+		super("multi_view", "channels");
+		this.addInput("o");
+	}
+
+	buildContent(el) {
+		this.grid = document.createElement("div");
+		this.grid.className = "multiview-grid";
+		el.append(this.grid);
+	}
+
+	isViewer() {
+		return true;
+	}
+
+	onInputs(read) {
+		const t = read("o");
+		this.grid.textContent = "";
+		if (!t) return;
+		let c;
+		let h;
+		let w;
+		if (t.dims.length === 3) [c, h, w] = t.dims;
+		else if (t.dims.length === 4 && t.dims[0] === 1) [, c, h, w] = t.dims;
+		else return;
+		const cols = Math.ceil(Math.sqrt(c));
+		this.grid.style.gridTemplateColumns = `repeat(${cols}, 1fr)`;
+		const show = Math.min(c, 64);
+		for (let ci = 0; ci < show; ci++) {
+			const canvas = document.createElement("canvas");
+			canvas.title = `channel ${ci}`;
+			drawTensor(
+				canvas,
+				{
+					dims: [h, w],
+					data: t.data.subarray(ci * h * w, (ci + 1) * h * w),
+				},
+				Math.max(28, 224 / cols),
+			);
+			this.grid.append(canvas);
+		}
+	}
+}
+
+export class CategoryNode extends Node {
+	constructor(cats) {
+		super("category", "categories");
+		this.addInput("o");
+		this.cats = cats || [];
+	}
+
+	buildContent(el) {
+		this.list = document.createElement("div");
+		this.list.className = "category-list";
+		el.append(this.list);
+	}
+
+	isViewer() {
+		return true;
+	}
+
+	serializeExtra() {
+		return { cats: this.cats };
+	}
+
+	onInputs(read) {
+		const t = read("o");
+		this.list.textContent = "";
+		if (!t) return;
+		let logits = t.data;
+		if (t.dims.length === 2 && t.dims[0] === 1) logits = t.data;
+		const idx = [...logits.keys()].sort((a, b) => logits[b] - logits[a]);
+		const mx = logits[idx[0]];
+		const mn = logits[idx[idx.length - 1]];
+		for (const i of idx.slice(0, 8)) {
+			const row = document.createElement("div");
+			row.className = "category-row";
+			const frac = (logits[i] - mn) / (mx - mn || 1);
+			row.style.background = `linear-gradient(90deg, #2a6 ${frac * 100}%, transparent ${frac * 100}%)`;
+			row.textContent = `${this.cats[i] ?? `#${i}`}: ${logits[i].toFixed(3)}`;
+			this.list.append(row);
+		}
+	}
+}
+
+export class AttnViewNode extends Node {
+	constructor() {
+		super("attn_view", "attention");
+		this.addInput("attn");
+		this.head = 0;
+		this.query = 0; // 0 = CLS
+	}
+
+	buildContent(el) {
+		const h = labeledInput("head", "0", (v) => {
+			this.head = Number(v) | 0;
+			this.redraw();
+		}, 3);
+		const q = labeledInput("query tok", "0", (v) => {
+			this.query = Number(v) | 0;
+			this.redraw();
+		}, 4);
+		this.canvas = document.createElement("canvas");
+		this.full = document.createElement("canvas");
+		this.full.title = "full N x N map";
+		el.append(h.wrap, q.wrap, this.canvas, this.full);
+	}
+
+	isViewer() {
+		return true;
+	}
+
+	onInputs(read) {
+		this.t = read("attn");
+		this.redraw();
+	}
+
+	redraw() {
+		const t = this.t;
+		if (!t) return;
+		// accept [H,N,N] or [B,H,N,N] (first sample)
+		let dims = t.dims;
+		let data = t.data;
+		if (dims.length === 4) {
+			const [, H, N] = [dims[0], dims[1], dims[2]];
+			data = data.subarray(0, dims[1] * dims[2] * dims[3]);
+			dims = [dims[1], dims[2], dims[3]];
+		}
+		if (dims.length !== 3) return;
+		const [H, N] = [dims[0], dims[1]];
+		const head = Math.min(this.head, H - 1);
+		const q = Math.min(this.query, N - 1);
+		const map = data.subarray(head * N * N, (head + 1) * N * N);
+		// full map heatmap
+		drawTensor(this.full, { dims: [N, N], data: map }, 128);
+		// one query row as a spatial grid (skip CLS col), e.g. 196 -> 14x14
+		const row = map.subarray(q * N + 1, (q + 1) * N);
+		const side = Math.floor(Math.sqrt(row.length));
+		if (side > 1) {
+			drawTensor(
+				this.canvas,
+				{ dims: [side, side], data: row.subarray(0, side * side) },
+				112,
+			);
+		}
+	}
+}
+
+// ---- op nodes (server-evaluated) -----------------------------------------------------
+
+export class CosNode extends Node {
+	constructor(inst) {
+		super("cos");
+		this.addInput("o");
+		this.addOutput("o");
+		this.A = inst?.A ?? "1.0";
+		this.b = inst?.b ?? "0.0";
+	}
+
+	buildContent(el) {
+		const a = labeledInput("A", this.A, (v) => {
+			this.A = v;
+			Context.changed();
+		}, 4);
+		const b = labeledInput("b", this.b, (v) => {
+			this.b = v;
+			Context.changed();
+		}, 4);
+		el.append(a.wrap, b.wrap);
+	}
+
+	serializeExtra() {
+		return { A: this.A, b: this.b };
+	}
+
+	wireSpec() {
+		return { endpoint: "cos", params: { A: String(this.A), b: String(this.b) } };
+	}
+}
+
+export class BinOpNode extends Node {
+	constructor(inst) {
+		super("binop");
+		this.addInput("a");
+		this.addInput("b");
+		this.addOutput("c");
+		this.op = inst?.op ?? "+";
+	}
+
+	buildContent(el) {
+		const sel = document.createElement("select");
+		for (const op of ["+", "-", "*", "/"]) {
+			const o = document.createElement("option");
+			o.value = op;
+			o.textContent = op;
+			sel.append(o);
+		}
+		sel.value = this.op;
+		sel.addEventListener("change", () => {
+			this.op = sel.value;
+			Context.changed();
+		});
+		el.append(sel);
+	}
+
+	serializeExtra() {
+		return { op: this.op };
+	}
+
+	wireSpec() {
+		return { endpoint: "binop", params: { op: this.op } };
+	}
+}
+
+function parseSliceSpec(text) {
+	// "1, :, :" -> fixed/free in the reference schema (nodes/index.js:90-194)
+	const parts = text.split(",").map((s) => s.trim());
+	const fixed = [];
+	const free = [];
+	let outDim = 0;
+	parts.forEach((p, dim) => {
+		if (p === ":" || p === "") {
+			free.push({ in_dim: dim, out_dim: outDim++ });
+		} else {
+			fixed.push({ dim, val: Number(p) | 0 });
+		}
+	});
+	return { fixed, free };
+}
+
+function sliceSpecText(fixed, free) {
+	const n = fixed.length + free.length;
+	const parts = new Array(n).fill(":");
+	for (const f of fixed) parts[f.dim] = String(f.val);
+	return parts.join(", ");
+}
+
+export class SliceNode extends Node {
+	constructor(inst) {
+		super("slice");
+		this.addInput("o");
+		this.addOutput("o");
+		this.fixed = inst?.fixed ?? [{ dim: 0, val: 0 }];
+		this.free = inst?.free ?? [
+			{ in_dim: 1, out_dim: 0 },
+			{ in_dim: 2, out_dim: 1 },
+		];
+	}
+
+	buildContent(el) {
+		const f = labeledInput(
+			"y = x[",
+			sliceSpecText(this.fixed, this.free),
+			(v) => {
+				const spec = parseSliceSpec(v);
+				this.fixed = spec.fixed;
+				this.free = spec.free;
+				Context.changed();
+			},
+			10,
+		);
+		el.append(f.wrap, document.createTextNode("]"));
+	}
+
+	serializeExtra() {
+		return { fixed: this.fixed, free: this.free };
+	}
+
+	wireSpec() {
+		return {
+			endpoint: "slice",
+			params: {
+				fixed: JSON.stringify(this.fixed),
+				free: JSON.stringify(this.free),
+			},
+		};
+	}
+}
+
+export class ShuffleNode extends Node {
+	constructor(inst) {
+		super("shuffle");
+		this.addInput("o");
+		this.addOutput("o");
+		this.free = inst?.free ?? [
+			{ in_dim: 1, out_dim: 0 },
+			{ in_dim: 0, out_dim: 1 },
+		];
+	}
+
+	buildContent(el) {
+		const order = [...this.free]
+			.sort((a, b) => a.out_dim - b.out_dim)
+			.map((f) => f.in_dim)
+			.join(", ");
+		const f = labeledInput("dim order", order, (v) => {
+			const dims = v.split(",").map((s) => Number(s.trim()) | 0);
+			this.free = dims.map((inDim, outDim) => ({
+				in_dim: inDim,
+				out_dim: outDim,
+			}));
+			Context.changed();
+		});
+		el.append(f.wrap);
+	}
+
+	serializeExtra() {
+		return { fixed: [], free: this.free };
+	}
+
+	wireSpec() {
+		return {
+			endpoint: "shuffle",
+			params: { fixed: "[]", free: JSON.stringify(this.free) },
+		};
+	}
+}
+
+export class ConstNode extends Node {
+	constructor(inst) {
+		super("const");
+		this.addOutput("o");
+		this.value = inst?.value ?? 1;
+		this.dims = inst?.dims ?? [100, 100];
+	}
+
+	buildContent(el) {
+		const v = labeledInput("value", String(this.value), (x) => {
+			this.value = Number(x);
+			Context.changed();
+		}, 5);
+		const d = labeledInput("dims", this.dims.join(","), (x) => {
+			this.dims = x.split(",").map((s) => Number(s.trim()) | 0);
+			Context.changed();
+		});
+		el.append(v.wrap, d.wrap);
+	}
+
+	serializeExtra() {
+		return { value: this.value, dims: this.dims };
+	}
+
+	wireSpec() {
+		return {
+			endpoint: "const",
+			params: {
+				value: String(this.value),
+				dims: JSON.stringify(this.dims),
+			},
+		};
+	}
+}
+
+export class NoiseNode extends Node {
+	constructor(inst) {
+		super("noise");
+		this.addOutput("o");
+		this.dims = inst?.dims ?? [100, 100];
+		this.seed = inst?.seed ?? 0;
+	}
+
+	buildContent(el) {
+		const d = labeledInput("dims", this.dims.join(","), (x) => {
+			this.dims = x.split(",").map((s) => Number(s.trim()) | 0);
+			Context.changed();
+		});
+		const btn = document.createElement("button");
+		btn.textContent = "reroll";
+		btn.addEventListener("click", () => {
+			this.seed = (this.seed + 1) | 0;
+			Context.changed();
+		});
+		el.append(d.wrap, btn);
+	}
+
+	serializeExtra() {
+		return { dims: this.dims, seed: this.seed };
+	}
+
+	wireSpec() {
+		return {
+			endpoint: "noise",
+			params: { dims: JSON.stringify(this.dims), seed: String(this.seed) },
+		};
+	}
+}
+
+export class Conv2dNode extends Node {
+	constructor(inst) {
+		super("conv2d", "conv 2d");
+		this.addInput("o");
+		this.addOutput("o");
+		this.h = Number(inst?.h ?? 3);
+		this.w = Number(inst?.w ?? 3);
+		if (inst?.matrix) {
+			const raw = atob(inst.matrix);
+			const bytes = new Uint8Array(raw.length);
+			for (let i = 0; i < raw.length; i++) bytes[i] = raw.charCodeAt(i);
+			this.matrix = Array.from(new Float32Array(bytes.buffer));
+		} else {
+			this.matrix = new Array(this.h * this.w).fill(0);
+			this.matrix[Math.floor((this.h * this.w) / 2)] = 1;
+		}
+	}
+
+	buildContent(el) {
+		this.tableWrap = document.createElement("div");
+		el.append(this.tableWrap);
+		this.renderTable();
+	}
+
+	renderTable() {
+		this.tableWrap.textContent = "";
+		const table = document.createElement("table");
+		table.className = "conv-matrix";
+		for (let i = 0; i < this.h; i++) {
+			const tr = document.createElement("tr");
+			for (let j = 0; j < this.w; j++) {
+				const td = document.createElement("td");
+				const input = document.createElement("input");
+				input.size = 3;
+				input.value = String(this.matrix[i * this.w + j]);
+				input.addEventListener("change", () => {
+					this.matrix[i * this.w + j] = Number(input.value) || 0;
+					Context.changed();
+				});
+				td.append(input);
+				tr.append(td);
+			}
+			table.append(tr);
+		}
+		this.tableWrap.append(table);
+	}
+
+	matrixB64() {
+		const f32 = new Float32Array(this.matrix);
+		return btoa(String.fromCharCode(...new Uint8Array(f32.buffer)));
+	}
+
+	serializeExtra() {
+		return { matrix: this.matrixB64(), w: this.w, h: this.h };
+	}
+
+	wireSpec() {
+		return {
+			endpoint: "conv2d",
+			params: {
+				matrix: this.matrixB64(),
+				w: String(this.w),
+				h: String(this.h),
+			},
+		};
+	}
+}
+
+export class ResizeNode extends Node {
+	constructor(inst) {
+		super("resize");
+		this.addInput("o");
+		this.addOutput("o");
+		this.dims = inst?.dims ?? [224, 224];
+	}
+
+	buildContent(el) {
+		const d = labeledInput("H,W", this.dims.join(","), (x) => {
+			this.dims = x.split(",").map((s) => Number(s.trim()) | 0);
+			Context.changed();
+		});
+		el.append(d.wrap);
+	}
+
+	serializeExtra() {
+		return { dims: this.dims };
+	}
+
+	wireSpec() {
+		return {
+			endpoint: "resize",
+			params: { dims: JSON.stringify(this.dims) },
+		};
+	}
+}
+
+// ---- server layer node (net_node contract) -------------------------------------------
+
+export class NetNode extends Node {
+	constructor(endpoint, params, io, contentsHtml) {
+		super("net_node", endpoint);
+		this.endpoint = endpoint;
+		this.params = params || {};
+		for (const ch of io.ins) this.addInput(ch);
+		for (const ch of io.outs) this.addOutput(ch);
+		this.contentsHtml = contentsHtml;
+	}
+
+	static async create(endpoint, params = {}) {
+		const qs = new URLSearchParams(params).toString();
+		const io = await (
+			await fetch(`description/${endpoint}${qs ? `?${qs}` : ""}`)
+		).json();
+		let html = "";
+		try {
+			html = await (
+				await fetch(`contents/${endpoint}${qs ? `?${qs}` : ""}`)
+			).text();
+		} catch {
+			html = endpoint;
+		}
+		return new NetNode(endpoint, params, io, html);
+	}
+
+	buildContent(el) {
+		el.innerHTML = this.contentsHtml;
+	}
+
+	serializeExtra() {
+		return { endpoint: this.endpoint, params: this.params };
+	}
+
+	wireSpec() {
+		return { endpoint: this.endpoint, params: this.params };
+	}
+}
+
+// ---- registration --------------------------------------------------------------------
+
+export function registerAll() {
+	const simple = (Cls) => ({ make: async (inst) => new Cls(inst) });
+	Context.registerKind("img_src", simple(ImgSourceNode));
+	Context.registerKind("img_view", simple(ImgViewNode));
+	Context.registerKind("multi_view", simple(MultiViewNode));
+	Context.registerKind("attn_view", simple(AttnViewNode));
+	Context.registerKind("category", {
+		make: async (inst) => new CategoryNode(inst?.cats),
+	});
+	Context.registerKind("cos", simple(CosNode));
+	Context.registerKind("binop", simple(BinOpNode));
+	Context.registerKind("slice", simple(SliceNode));
+	Context.registerKind("shuffle", simple(ShuffleNode));
+	Context.registerKind("const", simple(ConstNode));
+	Context.registerKind("noise", simple(NoiseNode));
+	Context.registerKind("conv2d", simple(Conv2dNode));
+	Context.registerKind("resize", simple(ResizeNode));
+	Context.registerKind("net_node", {
+		make: async (inst) => NetNode.create(inst.endpoint, inst.params),
+	});
+}

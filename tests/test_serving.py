@@ -171,3 +171,31 @@ def test_run_stacked_direct():
     assert len(results) == 3
     for i, res in enumerate(results):
         np.testing.assert_allclose(res[0]["o"], np.cos(2.0 * xs[i]), rtol=1e-6)
+
+
+def test_frontend_assets_served():
+    reg = Registry()
+    register_builtin(reg)
+    app = App(reg=reg, graphs_dir="/root/reference/static/graphs",
+              frontend_dir="/root/repo/frontend")
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        html = _get(base + "/").decode()
+        assert "app.js" in html
+        for path, frag in [
+            ("/static/styles.css", "--bg"),
+            ("/static/js/app.js", "initToolbar"),
+            ("/static/js/wire.js", "0x69babe69"),
+            ("/static/js/graph.js", "class Context"),
+            ("/static/js/nodes.js", "registerAll"),
+            ("/static/js/workspace.js", "registerTool"),
+        ]:
+            body = _get(base + path).decode()
+            assert frag in body, f"{path} missing {frag!r}"
+        # traversal blocked
+        with pytest.raises(urllib.error.HTTPError):
+            _get(base + "/static/..%2F..%2Fpyproject.toml")
+    finally:
+        httpd.shutdown()
+        app.batcher.stop()

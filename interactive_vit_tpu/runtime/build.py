@@ -1,0 +1,43 @@
+"""Build the native runtime: ``python -m interactive_vit_tpu.runtime.build``.
+
+Compiles the C++ sources into ``_ivt_native.so`` next to this module with
+g++ (no cmake ceremony for a two-file library; the flags matter more than
+the build system). Also invoked lazily by ``runtime.native`` on first import
+when the .so is missing or stale.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SOURCES = ["wirecodec.cpp"]
+SO_PATH = os.path.join(HERE, "_ivt_native.so")
+
+
+def is_stale() -> bool:
+    if not os.path.exists(SO_PATH):
+        return True
+    so_mtime = os.path.getmtime(SO_PATH)
+    return any(
+        os.path.getmtime(os.path.join(HERE, s)) > so_mtime for s in SOURCES
+    )
+
+
+def build(verbose: bool = False) -> str:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-march=native", "-o", SO_PATH,
+    ] + [os.path.join(HERE, s) for s in SOURCES]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(f"native build failed:\n{res.stderr}")
+    if verbose:
+        print(f"built {SO_PATH}")
+    return SO_PATH
+
+
+if __name__ == "__main__":
+    build(verbose=True)

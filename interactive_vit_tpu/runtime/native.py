@@ -1,0 +1,128 @@
+"""ctypes bindings for the native runtime (graceful pure-Python fallback).
+
+``get_lib()`` returns the loaded library or None; the wire codec checks it
+once at import. Set ``IVT_NATIVE=0`` to force the Python paths (tests
+exercise both).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+MAX_BLOCKS = 65536
+
+_ERRORS = {
+    -1: "message too short",
+    -2: "bad magic",
+    -3: "truncated message",
+    -4: "tensor block size mismatch",
+    -5: "too many tensor blocks",
+}
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("IVT_NATIVE", "1") == "0":
+        return None
+    try:
+        from interactive_vit_tpu.runtime import build
+
+        if build.is_stale():
+            build.build()
+        lib = ctypes.CDLL(build.SO_PATH)
+        lib.ivt_scan.restype = ctypes.c_int
+        lib.ivt_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ]
+        lib.ivt_encoded_size.restype = ctypes.c_uint64
+        lib.ivt_encoded_size.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ]
+        lib.ivt_pack.restype = ctypes.c_uint64
+        lib.ivt_pack.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_char_p,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ]
+        _lib = lib
+        logger.info("native runtime loaded: %s", build.SO_PATH)
+    except Exception as err:  # noqa: BLE001 — fallback by design
+        logger.warning("native runtime unavailable (%s); using Python paths",
+                       err)
+        _lib = None
+    return _lib
+
+
+def scan(buf: bytes, expect_magic: int
+         ) -> Tuple[Tuple[int, int], List[Tuple[int, int, int, int]]]:
+    """Native block scan: returns ((json_off, json_size),
+    [(dims_off, dim_cnt, data_off, elem_cnt)...]). Raises ValueError."""
+    lib = get_lib()
+    assert lib is not None
+    if not isinstance(buf, bytes):  # bytearray/memoryview: zero-copy wrap
+        buf = (ctypes.c_char * len(buf)).from_buffer(
+            buf if isinstance(buf, bytearray) else bytearray(buf)
+        )
+    n = MAX_BLOCKS
+    json_out = (ctypes.c_uint64 * 2)()
+    dims_off = (ctypes.c_uint64 * n)()
+    dim_cnt = (ctypes.c_uint32 * n)()
+    data_off = (ctypes.c_uint64 * n)()
+    elem_cnt = (ctypes.c_uint64 * n)()
+    rc = lib.ivt_scan(buf, len(buf), expect_magic, json_out, dims_off,
+                      dim_cnt, data_off, elem_cnt, n)
+    if rc < 0:
+        raise ValueError(_ERRORS.get(rc, f"scan error {rc}"))
+    blocks = [
+        (dims_off[i], dim_cnt[i], data_off[i], elem_cnt[i]) for i in range(rc)
+    ]
+    return (json_out[0], json_out[1]), blocks
+
+
+def pack(magic: int, json_utf8: bytes, tensors: List[np.ndarray]) -> bytes:
+    """Native single-alloc message pack."""
+    lib = get_lib()
+    assert lib is not None
+    tensors = [np.asarray(t, dtype=np.float32) for t in tensors]
+    n = len(tensors)
+    dims_arrs = [np.asarray(t.shape, dtype=np.uint32) for t in tensors]
+    dim_cnt = (ctypes.c_uint32 * n)(*(d.size for d in dims_arrs))
+    elem_cnt = (ctypes.c_uint64 * n)(*(t.size for t in tensors))
+    dims_bytes = [d.tobytes() for d in dims_arrs]  # keep-alive
+    dims_ptrs = (ctypes.c_char_p * n)(*dims_bytes)
+    data_bufs = [
+        t if (t.flags.c_contiguous or t.ndim == 0) else np.ascontiguousarray(t)
+        for t in tensors
+    ]
+    data_ptrs = (ctypes.c_char_p * n)()
+    for i, t in enumerate(data_bufs):
+        ctypes.cast(
+            ctypes.byref(data_ptrs, i * ctypes.sizeof(ctypes.c_char_p)),
+            ctypes.POINTER(ctypes.c_void_p),
+        ).contents.value = t.ctypes.data
+    size = lib.ivt_encoded_size(len(json_utf8), dim_cnt, elem_cnt, n)
+    out = bytearray(size)
+    out_ref = (ctypes.c_char * size).from_buffer(out)
+    written = lib.ivt_pack(out_ref, magic, json_utf8, len(json_utf8),
+                           dims_ptrs, dim_cnt, data_ptrs, elem_cnt, n)
+    assert written == size, (written, size)
+    del out_ref  # release the buffer export so the bytearray is usable
+    return out  # bytes-like; avoids a 2nd copy of multi-MB messages

@@ -1,0 +1,51 @@
+"""Parameter checkpointing (orbax) + the graph-JSON checkpoint contract.
+
+The reference's only checkpoint story was graph-topology JSON download /
+upload plus torchvision's pretrained download (SURVEY.md §5). Here:
+
+* graph topology: the JSON schema in ``wire/schema.py`` (unchanged public
+  contract, served by the graph library);
+* model weights: orbax checkpoints of the functional pytrees, working for
+  any model in ``models/`` (they are all plain pytrees), sharding-aware on
+  restore (pass a target pytree laid out on a mesh and orbax places shards
+  directly).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def save_params(path: str, params: Any) -> None:
+    """Save a param pytree to ``path`` (an orbax checkpoint directory)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(path, params, force=True)
+
+
+def load_params(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a param pytree.
+
+    ``like``: an abstract/concrete pytree giving dtypes, shapes, and —
+    crucially for multi-chip — shardings; restored arrays land directly on
+    the right devices. Without it the checkpoint's stored structure is used.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckpt:
+        if like is None:
+            return ckpt.restore(path)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=getattr(x, "sharding", None),
+            ),
+            like,
+        )
+        return ckpt.restore(path, abstract)

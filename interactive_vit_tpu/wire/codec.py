@@ -50,9 +50,24 @@ def _align4(n: int) -> int:
     return (n + 3) & ~3
 
 
+def _native_lib():
+    try:
+        from interactive_vit_tpu.runtime import native
+
+        return native.get_lib() and native
+    except Exception:  # noqa: BLE001 — native tier is optional
+        return None
+
+
+_native = _native_lib()
+
+
 def encode_message(magic: int, json_obj, tensors: List[np.ndarray]) -> bytes:
     """Encode a JSON header + list of f32 tensors into one wire message."""
     json_utf8 = json.dumps(json_obj).encode("utf-8")
+    if _native is not None:
+        arrs = [np.asarray(t, dtype=np.float32) for t in tensors]
+        return _native.pack(magic, json_utf8, arrs)
     parts: List[bytes] = []
     offset = _HEADER.size + len(json_utf8)
     pad = _align4(offset) - offset
@@ -78,6 +93,18 @@ def encode_message(magic: int, json_obj, tensors: List[np.ndarray]) -> bytes:
 
 def decode_message(b: bytes, expect_magic: Optional[int] = None):
     """Decode a wire message into (json_obj, [np.ndarray])."""
+    if _native is not None and expect_magic is not None:
+        try:
+            (json_off, json_size), blocks = _native.scan(b, expect_magic)
+        except ValueError as err:
+            raise WireError(str(err)) from err
+        json_obj = json.loads(b[json_off : json_off + json_size].decode("utf-8"))
+        tensors = []
+        for dims_off, dim_cnt, data_off, elem_cnt in blocks:
+            dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=dims_off)
+            data = np.frombuffer(b, dtype="<f4", count=elem_cnt, offset=data_off)
+            tensors.append(data.reshape(tuple(int(d) for d in dims)))
+        return json_obj, tensors
     if len(b) < _HEADER.size:
         raise WireError(f"message too short: {len(b)} bytes")
     byte_size, magic, block_cnt, json_size = _HEADER.unpack_from(b, 0)

@@ -1,0 +1,70 @@
+"""Ring attention + Ulysses vs the single-device reference, on the 8-device
+fake CPU mesh (the standard multi-chip validation pattern, SURVEY.md §4d)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from interactive_vit_tpu.ops.attention import attention_reference
+from interactive_vit_tpu.parallel.sequence import ring_attention, ulysses_attention
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.asarray(jax.devices()[:8]).reshape(8)
+    return Mesh(devs, ("seq",))
+
+
+def make_qkv(b, h, n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+def test_ring_matches_reference(mesh):
+    q, k, v = make_qkv(2, 4, 64, 16)
+    out = ring_attention(q, k, v, mesh, axis="seq")
+    ref, _ = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_with_padded_tail(mesh):
+    # n_real=57, padded to 64 (8 shards of 8): padded keys carry no weight
+    q, k, v = make_qkv(1, 2, 64, 16, seed=1)
+    out = ring_attention(q, k, v, mesh, axis="seq", n_real=57)
+    ref, _ = attention_reference(q, k, v, n_real=57)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, :57], np.asarray(ref)[:, :, :57], atol=1e-5
+    )
+
+
+def test_ulysses_matches_reference(mesh):
+    q, k, v = make_qkv(2, 8, 64, 16, seed=2)  # heads divisible by 8
+    out, _ = ulysses_attention(q, k, v, mesh, axis="seq")
+    ref, _ = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ulysses_attention_maps_whole_per_head(mesh):
+    q, k, v = make_qkv(1, 8, 64, 16, seed=3)
+    out, probs = ulysses_attention(q, k, v, mesh, axis="seq", want_attn=True)
+    ref, ref_probs = attention_reference(q, k, v, want_attn=True)
+    assert probs.shape == (1, 8, 64, 64)  # full N x N per head
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_output_sharding(mesh):
+    """Output stays sequence-sharded — no silent gather."""
+    q, k, v = make_qkv(1, 2, 64, 16, seed=4)
+    out = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh, axis="seq"))(
+        q, k, v
+    )
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(1, 2, 8, 16)}

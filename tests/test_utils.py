@@ -1,0 +1,65 @@
+"""Checkpoint round-trips (incl. sharded restore) + tracing utilities."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from interactive_vit_tpu.models import vit
+from interactive_vit_tpu.parallel import mesh as mesh_lib
+from interactive_vit_tpu.utils import checkpoint, tracing
+
+CFG = vit.ViTConfig("vit_ckpt", img_size=32, patch=16, width=64,
+                    depth=2, heads=4, num_classes=10)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = vit.init_params(jax.random.key(0), CFG)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_params(path, params)
+    back = checkpoint.load_params(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_sharded_restore(tmp_path):
+    params = vit.init_params(jax.random.key(1), CFG)
+    path = str(tmp_path / "ckpt_sharded")
+    checkpoint.save_params(path, params)
+
+    mesh = mesh_lib.make_mesh({"data": 4, "model": 2}, jax.devices()[:8])
+    target = mesh_lib.shard_params(params, mesh)
+    back = checkpoint.load_params(path, like=target)
+    qkv = back["blocks"][0]["qkv_w"]
+    assert qkv.sharding.spec == mesh_lib.param_spec("qkv_w")
+    np.testing.assert_allclose(
+        np.asarray(qkv), np.asarray(params["blocks"][0]["qkv_w"])
+    )
+
+
+def test_node_timings():
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+    g = Graph()
+    a = g.add_node("cos")
+    b = g.add_node("cos")
+    g.connect(a, "o", b, "o")
+    g.add_input(np.ones((64,), np.float32), a, "o")
+    t = tracing.node_timings(ex, g)
+    assert set(t) == {0, 1}
+    assert all(v >= 0 for v in t.values())
+
+
+def test_debug_nans_toggles():
+    tracing.debug_nans(True)
+    with pytest.raises((FloatingPointError, Exception)):
+        jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()
+    tracing.debug_nans(False)
+    jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()

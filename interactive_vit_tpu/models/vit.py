@@ -130,17 +130,25 @@ def block(
     want_attn: bool = False,
     attn_impl=None,
     n_real: Optional[int] = None,
+    block_impl=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Pre-LN transformer block; optionally taps the attention maps.
 
     ``n_real``: set when x's token dim is padded (padded-domain execution);
     attention masks keys beyond it, everything else is row-local.
+    ``block_impl``: a fused whole-attention-branch kernel
+    (``ops/fused_block.fused_attn_block`` signature); when set it replaces
+    LN1+QKV+attention+proj+residual in one pallas call.
     """
-    h, probs = attn_ops.mhsa(
-        L.layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.ln_eps),
-        p, cfg.heads, want_attn=want_attn, attn_impl=attn_impl, n_real=n_real,
-    )
-    x = x + h
+    if block_impl is not None:
+        x, probs = block_impl(x, p, cfg.heads, cfg.ln_eps, want_attn)
+    else:
+        h, probs = attn_ops.mhsa(
+            L.layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.ln_eps),
+            p, cfg.heads, want_attn=want_attn, attn_impl=attn_impl,
+            n_real=n_real,
+        )
+        x = x + h
     x = x + L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
     return x, probs
 
@@ -165,6 +173,7 @@ def forward(
     want_cls_trajectory: bool = False,
     attn_impl=None,
     pad_tokens: bool = False,
+    block_impl=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward with optional taps.
 
@@ -194,7 +203,7 @@ def forward(
     cls_traj: List[jnp.ndarray] = [x[:, 0]]
     for p in params["blocks"]:
         x, probs = block(p, x, cfg, want_attn=want_attn, attn_impl=attn_impl,
-                         n_real=nr)
+                         n_real=nr, block_impl=block_impl)
         if want_attn:
             # tap in activation dtype: the softmax ran f32, but emitting
             # f32 maps doubles the dominant HBM write traffic (L*B*H*N^2);
@@ -205,9 +214,10 @@ def forward(
     x = final_norm(params, x, cfg)
     out: Dict[str, jnp.ndarray] = {"logits": head(params, x)}
     if want_attn:
-        stack = jnp.stack(attns)
-        out["attn"] = stack
-        out["rollout"] = attn_ops.attention_rollout(stack)
+        # tuple, NOT stacked: stacking copies L*B*H*N^2 bytes for nothing
+        # (callers wanting one array can jnp.stack; taps ship per-layer)
+        out["attn"] = tuple(attns)
+        out["rollout"] = attn_ops.attention_rollout(attns)
     if want_cls_trajectory:
         out["cls"] = jnp.stack(cls_traj)
     return out

@@ -1,0 +1,157 @@
+"""Fused attention-block Pallas kernel: LN1 + QKV + MHSA + proj + residual.
+
+Profiling the XLA path on v5e (ViT-B/16, batch 32, maps on) showed the
+attention softmax dominating: ~7.4 ms/batch of ``convert_reduce_fusion`` —
+XLA materializes the [B, H, N, N] f32 logits in HBM and makes ~3 passes over
+them — plus ~2.7 ms of layout copies around the per-head transposes. This
+kernel keeps the ENTIRE attention block for one image resident in VMEM:
+
+    grid = (B,); per program:
+      x[N, D] -> f32 LayerNorm -> one [N, D] @ [D, 3D] QKV matmul (MXU)
+      -> per-head (static unroll): s = q k^T, exact softmax (all f32, all
+         VMEM), optional probs emission straight to the [H, N, N] tap output
+      -> concat heads -> [N, D] @ [D, D] proj -> + residual -> y
+
+The N x N scores NEVER touch HBM; the only N^2 HBM traffic is the bf16
+probs tap itself when the UI asks for maps. Weights are full-block inputs
+whose index map is constant, so Mosaic keeps them VMEM-resident across the
+batch grid. VMEM budget (ViT-B, N=197): ~9 MB < 16 MB/core.
+
+Fits models with D*3D weights under ~8 MB (ViT-B: 3.4 MB bf16; ViT-L: 6 MB)
+and N up to ~600 (ViT-L/16@384). Dispatch falls back to the unfused path
+otherwise (``ops/dispatch.default_block_impl``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _precision(dtype):
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
+            projb_ref, y_ref, *probs_out, heads: int, eps: float,
+            prec, emit: bool):
+    x = x_ref[0]  # [N, D]
+    n, d = x.shape
+    dh = d // heads
+    scale = dh ** -0.5
+
+    # LayerNorm in f32
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    ln = (ln * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+
+    # fused QKV projection: one big MXU matmul
+    qkv = jax.lax.dot(
+        ln, qkvw_ref[...], preferred_element_type=jnp.float32, precision=prec
+    )
+    qkv = (qkv + qkvb_ref[0]).astype(x.dtype)  # [N, 3D]
+
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh: d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh: 2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale  # [N, N] f32, VMEM-resident
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        probs = p / l
+        if emit:
+            probs_out[0][0, h] = probs.astype(probs_out[0].dtype)
+        outs.append(
+            jax.lax.dot(probs.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32, precision=prec)
+        )
+
+    o = jnp.concatenate(outs, axis=-1).astype(x.dtype)  # [N, D]
+    y = xf + jax.lax.dot(
+        o, projw_ref[...], preferred_element_type=jnp.float32, precision=prec
+    ) + projb_ref[0]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def fused_attn_block(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    eps: float = 1e-6,
+    want_attn: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None)."""
+    b, n, d = x.shape
+    kernel = functools.partial(
+        _kernel, heads=heads, eps=eps, prec=_precision(x.dtype),
+        emit=want_attn,
+    )
+
+    def row(v):  # 1-D params as (1, K) VMEM blocks
+        return v.reshape(1, -1)
+
+    in_specs = [
+        pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    if want_attn:
+        out_shape.append(jax.ShapeDtypeStruct((b, heads, n, n), x.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, heads, n, n), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    results = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(x, p["ln1_s"].reshape(1, d), p["ln1_b"].reshape(1, d),
+      p["qkv_w"], p["qkv_b"].reshape(1, 3 * d),
+      p["proj_w"], p["proj_b"].reshape(1, d))
+
+    if want_attn:
+        return results[0], results[1]
+    return results[0], None
+
+
+def fits(n: int, d: int, heads: int, dtype) -> bool:
+    """VMEM feasibility estimate for one grid program."""
+    esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
+    weights = d * 3 * d * esize + d * d * esize
+    acts = n * d * esize * 3 + n * 3 * d * esize  # x, ln, y, qkv
+    scores = n * n * 4 * 2                         # s + probs f32
+    probs_tap = heads * n * n * esize
+    total = weights + acts + scores + probs_tap
+    return total < 12 * 1024 * 1024

@@ -1,0 +1,140 @@
+"""Pipeline parallelism: GPipe-style microbatched stages over a mesh axis.
+
+SURVEY.md §2.3 maps the reference's topo-stages (its graph order was a
+natural stage decomposition, ``main/graph.py:79-99``) onto TPU pipeline
+parallelism. Design: SPMD ``shard_map`` over a "stage" axis — every device
+runs the same schedule; stage s holds blocks [s*L/S, (s+1)*L/S); activations
+hop stages via ``ppermute`` (ICI neighbors); microbatches fill the pipe with
+the classic (M + S - 1)-tick schedule.
+
+This is the scale-out path for models whose *weights* don't fit one chip
+(ViT-scale models don't need it — the survey marks PP low priority — but
+the framework supports it as a first-class axis, composable with DP/TP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from interactive_vit_tpu.models import vit
+
+
+def _stack_blocks(blocks: List[Any]):
+    """List of per-layer param dicts -> stacked pytree (leading layer dim)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def _pp_local(stacked_params, x_micro, *, axis: str, n_stages: int,
+              n_micro: int, layer_fn):
+    """Per-device pipeline schedule.
+
+    stacked_params: this stage's [layers_per_stage, ...] block params.
+    x_micro: [M, mb, N, D] microbatched activations (replicated input).
+    Returns [M, mb, N, D], valid on every device after the final psum.
+    """
+    stage = jax.lax.axis_index(axis)
+    state = jnp.zeros_like(x_micro[0])
+    outputs = jnp.zeros_like(x_micro)
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def apply_stage(params, x):
+        def body(x, layer_params):
+            return layer_fn(layer_params, x), None
+
+        y, _ = jax.lax.scan(body, x, params)
+        return y
+
+    for t in range(n_micro + n_stages - 1):
+        # stage 0 injects microbatch t while the pipe is filling
+        inject = x_micro[min(t, n_micro - 1)]
+        take = jnp.logical_and(stage == 0, t < n_micro)
+        state = jnp.where(take, inject, state)
+
+        state = apply_stage(stacked_params, state)
+
+        out_idx = t - (n_stages - 1)
+        if out_idx >= 0:
+            is_last = stage == n_stages - 1
+            updated = jax.lax.dynamic_update_index_in_dim(
+                outputs, state, out_idx, 0
+            )
+            outputs = jnp.where(is_last, updated, outputs)
+
+        if t + 1 < n_micro + n_stages - 1:
+            state = jax.lax.ppermute(state, axis, perm)
+
+    # broadcast the last stage's collected outputs to every device
+    outputs = jax.lax.psum(
+        jnp.where(stage == n_stages - 1, outputs, jnp.zeros_like(outputs)),
+        axis,
+    )
+    return outputs
+
+
+def pipeline_apply(
+    blocks: List[Any],
+    x: jnp.ndarray,
+    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    mesh: Mesh,
+    axis: str = "stage",
+    n_micro: Optional[int] = None,
+) -> jnp.ndarray:
+    """Run ``x`` through ``blocks`` pipelined over ``mesh[axis]``.
+
+    x: [B, ...]; B must divide by n_micro (default: the stage count).
+    ``layer_fn(params, x) -> y`` applies ONE block.
+    """
+    n_stages = mesh.shape[axis]
+    if len(blocks) % n_stages:
+        raise ValueError(
+            f"{len(blocks)} layers not divisible by {n_stages} stages"
+        )
+    n_micro = n_micro or n_stages
+    b = x.shape[0]
+    if b % n_micro:
+        raise ValueError(f"batch {b} not divisible by {n_micro} microbatches")
+
+    stacked = _stack_blocks(blocks)
+    x_micro = x.reshape(n_micro, b // n_micro, *x.shape[1:])
+
+    fn = jax.shard_map(
+        functools.partial(
+            _pp_local, axis=axis, n_stages=n_stages, n_micro=n_micro,
+            layer_fn=layer_fn,
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P()),   # blocks sharded by stage; input replicated
+        out_specs=P(),
+    )
+    y = fn(stacked, x_micro)
+    return y.reshape(b, *x.shape[1:])
+
+
+def pipelined_vit_forward(
+    params,
+    images: jnp.ndarray,
+    cfg: vit.ViTConfig,
+    mesh: Mesh,
+    axis: str = "stage",
+    n_micro: Optional[int] = None,
+) -> jnp.ndarray:
+    """ViT forward with the transformer trunk pipelined; returns logits.
+
+    Embed/norm/head run replicated (cheap); the L blocks run as mesh[axis]
+    pipeline stages.
+    """
+    x = vit.embed(params, images, cfg)
+
+    def layer_fn(p, x):
+        y, _ = vit.block(p, x, cfg, want_attn=False)
+        return y
+
+    x = pipeline_apply(params["blocks"], x, layer_fn, mesh, axis=axis,
+                       n_micro=n_micro)
+    x = vit.final_norm(params, x, cfg)
+    return vit.head(params, x)

@@ -1,0 +1,165 @@
+"""Serving benchmark (BASELINE config 5): concurrent interactive sessions.
+
+Boots the full serving stack in-process (HTTP server + micro-batcher +
+staged executor on the real chip), then drives it with N synthetic clients,
+each repeatedly evaluating the auto-generated ViT graph with a fresh random
+image over the binary wire protocol — the reference's interactive loop
+(SURVEY.md §3.3) under load.
+
+Prints ONE JSON line: p50 per-request latency (the "interactive under load"
+metric; BASELINE.md row 4) plus throughput/percentiles on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="vit_t16")
+    parser.add_argument("--clients", type=int, default=8)
+    parser.add_argument("--duration", type=float, default=30.0)
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument(
+        "--taps", default="viewer", choices=["viewer", "primary"],
+        help="viewer = tap only the classifier output (what an interactive "
+             "session renders); primary = reference-style all intermediates",
+    )
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from interactive_vit_tpu.serving.server import build_app
+    from interactive_vit_tpu.wire.codec import (
+        REQUEST_MAGIC, Response, encode_message,
+    )
+
+    app = build_app(models=(args.model,), graphs_dir="/tmp/bench_graphs",
+                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    # the generated model chain as a wire request (what the frontend sends)
+    obj = app.graphs.load(args.model + ".json")
+    insts = [n["instance"] for n in obj["nodes"]
+             if n["instance"]["kind"] == "net_node"]
+    nodes_json = [{"endpoint": i["endpoint"], "params": i.get("params", {})}
+                  for i in insts]
+    edges_json = [{"out_port": {"node": 0, "channel": "o"}, "tensor": 0}]
+    for i in range(1, len(nodes_json)):
+        edges_json.append({"out_port": {"node": i, "channel": "o"},
+                           "in_port": {"node": i - 1, "channel": "o"}})
+    graph_json = {"nodes": nodes_json, "edges": edges_json}
+    if args.taps == "viewer":
+        # what the frontend sends: only the edge feeding the category viewer
+        graph_json["taps"] = [
+            {"node": len(nodes_json) - 1, "channel": "o"}
+        ]
+
+    def make_request(seed: int) -> bytes:
+        img = np.random.default_rng(seed).random((3, 224, 224),
+                                                 dtype=np.float32)
+        return encode_message(REQUEST_MAGIC, graph_json, [img])
+
+    # Warm every compile-cache entry the run will hit: the single-request
+    # program plus one vmapped program per power-of-two batch bucket.
+    def one_request(body):
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/compute", data=body,
+                                   method="POST"), timeout=600).read()
+
+    # Deterministic warmup: compile the single-request program and every
+    # power-of-two vmapped bucket by calling the executor directly (thread
+    # races in the batcher can skip a bucket and leave a multi-second
+    # compile inside the timed window).
+    from interactive_vit_tpu.wire.codec import Request as WireRequest
+
+    def decoded_graph(seed):
+        r = WireRequest()
+        r.decode(bytes(make_request(seed)))
+        return r
+
+    taps = decoded_graph(0).taps or "primary"
+    t0 = time.perf_counter()
+    app.executor.run(decoded_graph(0).graph, taps=taps)
+    print(f"warmed single in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    bucket = 2
+    while bucket <= args.max_batch:
+        t0 = time.perf_counter()
+        graphs = [decoded_graph(i).graph for i in range(bucket)]
+        app.executor.run_stacked(graphs, taps=taps)
+        print(f"warmed bucket {bucket} in {time.perf_counter() - t0:.1f}s "
+              f"(exec cache: {app.executor.cache_info()})", file=sys.stderr)
+        bucket *= 2
+
+    latencies: list = []
+    errors = [0]
+    lock = threading.Lock()
+    stop_at = time.perf_counter() + args.duration
+
+    def client(cid: int) -> None:
+        i = 0
+        while time.perf_counter() < stop_at:
+            body = make_request(cid * 100003 + i)
+            t0 = time.perf_counter()
+            try:
+                raw = urllib.request.urlopen(
+                    urllib.request.Request(base + "/compute", data=body,
+                                           method="POST"), timeout=120).read()
+                Response.decode(bytes(raw))
+                with lock:
+                    latencies.append(time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001
+                with lock:
+                    errors[0] += 1
+            i += 1
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(args.clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    httpd.shutdown()
+    app.batcher.stop()
+
+    lat = sorted(latencies)
+    if not lat:
+        print(json.dumps({"metric": "serving p50", "value": -1,
+                          "unit": "ms", "vs_baseline": 0}))
+        return
+    p50 = lat[len(lat) // 2] * 1e3
+    p95 = lat[int(len(lat) * 0.95)] * 1e3
+    rps = len(lat) / wall
+    snap = app.metrics.snapshot()
+    print(
+        f"clients={args.clients} requests={len(lat)} errors={errors[0]} "
+        f"p50={p50:.1f}ms p95={p95:.1f}ms rate={rps:.1f} req/s "
+        f"mean_batch={snap['mean_batch_size']:.2f} "
+        f"server_compute_p50={snap['compute_p50_ms']:.1f}ms",
+        file=sys.stderr,
+    )
+    # "interactive under load": BASELINE fixes no number; report p50 with
+    # vs_baseline = fraction of a 200ms interactive budget used (lower=better)
+    print(json.dumps({
+        "metric": f"p50 per-request latency, {args.clients} concurrent "
+                  f"interactive sessions ({args.model} full-chain eval, "
+                  f"taps={args.taps})",
+        "value": round(p50, 1),
+        "unit": "ms",
+        "vs_baseline": round(p50 / 200.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

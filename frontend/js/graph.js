@@ -194,6 +194,16 @@ export class Context {
 		const nodesJson = reqNodes.map((n) => n.wireSpec());
 		const edgesJson = [];
 		const tensors = [];
+		// explicit taps: only what viewers render leaves the TPU
+		const taps = [];
+		for (const e of Context.edges) {
+			if (e.dst.node.isViewer() && index.has(e.src.node)) {
+				taps.push({
+					node: index.get(e.src.node),
+					channel: e.src.channel,
+				});
+			}
+		}
 
 		for (const e of Context.edges) {
 			const dst = e.dst.node;
@@ -222,7 +232,9 @@ export class Context {
 		}
 
 		try {
-			const outputs = await compute({ nodes: nodesJson, edges: edgesJson }, tensors);
+			const reqJson = { nodes: nodesJson, edges: edgesJson };
+			if (taps.length) reqJson.taps = taps;
+			const outputs = await compute(reqJson, tensors);
 			if (epoch !== Context.evalEpoch) return; // stale
 			Context.routeResults(outputs, index, epoch);
 			for (const n of reqNodes) n.setStatus("ok");

@@ -73,8 +73,27 @@ def resolve_taps(
             for ch in kind.io(n.params)["outs"]:
                 out.add((n.index, ch))
         return out
-    if taps == "sinks":
+    if taps == "primary":
+        # all outputs minus UNCONSUMED extras: reference's return-everything
+        # contract at reference cost (its nodes only had primary channels);
+        # expensive optional taps (attention maps) ship only when wired or
+        # explicitly requested
+        reg = reg or registry()
+        out = set()
         consumed: Set[Tuple[int, str]] = set()
+        for n in graph.nodes:
+            for e in n.inputs.values():
+                if e.src is not None:
+                    consumed.add((e.src.node.index, e.src.channel))
+        for n in graph.nodes:
+            kind = reg.get_node(n.name)
+            extras = set(kind.extra_outs(n.params))
+            for ch in kind.io(n.params)["outs"]:
+                if ch not in extras or (n.index, ch) in consumed:
+                    out.add((n.index, ch))
+        return out
+    if taps == "sinks":
+        consumed = set()
         for n in graph.nodes:
             for e in n.inputs.values():
                 if e.src is not None:

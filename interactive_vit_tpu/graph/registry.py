@@ -53,6 +53,17 @@ class NodeKind:
         """Declare input/output channel names: ``{"ins": [...], "outs": [...]}``."""
         raise NotImplementedError(f"io() not implemented for {self.name}")
 
+    def extra_outs(self, params: Dict[str, str]) -> List[str]:
+        """Expensive OPTIONAL output channels (e.g. attention maps).
+
+        The "primary" tap policy (the serving default) returns every output
+        EXCEPT unconsumed extras — the reference's return-everything contract
+        covered only primary channels (its nodes had a single "o",
+        ``context.py:94-96``); extras are this framework's extension and are
+        computed only when wired or explicitly tapped.
+        """
+        return []
+
     def fn(self, params: Dict[str, str]) -> NodeFn:
         """Return a pure function computing this node (jax-traceable).
 

@@ -37,11 +37,14 @@ class LayerNodeKind(NodeKind):
         super().__init__(model.prefix() + layer_name)
         self.model = model
         self.layer_name = layer_name
-        self.extra_outs = extra_outs
+        self._extra = list(extra_outs)
         self._fn = fn
 
     def io(self, params):
-        return {"ins": ["o"], "outs": ["o"] + list(self.extra_outs)}
+        return {"ins": ["o"], "outs": ["o"] + self._extra}
+
+    def extra_outs(self, params):
+        return list(self._extra)
 
     def contents(self, params):
         return f"<p>{self.get_name()}</p> <p>{self.model.describe(self.layer_name)}</p>"
@@ -54,7 +57,7 @@ class LayerNodeKind(NodeKind):
 
     def fn(self, params):
         taps = set((params.get("__taps__") or "").split(","))
-        want_extra = bool(taps & set(self.extra_outs))
+        want_extra = bool(taps & set(self._extra))
         f = self._fn
 
         if self.captures(params) is None:
@@ -71,7 +74,7 @@ class LayerNodeKind(NodeKind):
 
     def _kw(self, want_extra: bool) -> Dict[str, Any]:
         # layers with extra taps accept want_attn; plain layers don't
-        return {"want_attn": want_extra} if self.extra_outs else {}
+        return {"want_attn": want_extra} if self._extra else {}
 
     def _filter(self, outs: Dict[str, Any], want_extra: bool) -> Dict[str, Any]:
         if want_extra:

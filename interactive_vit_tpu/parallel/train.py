@@ -51,7 +51,9 @@ def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
     optimizer = optimizer or make_optimizer()
 
     def step(params, opt_state, images, labels):
-        lf = loss_fn
+        def lf(p, im, lb):
+            return loss_fn(p, im, lb, cfg, attn_impl=attn_impl)
+
         if remat:
             # checkpoint at block granularity via a rematted forward
             def lf(p, im, lb, cfg=cfg, attn_impl=attn_impl):  # noqa: ANN001

@@ -83,7 +83,11 @@ class App:
         self.metrics.inc("compute_requests")
         req = WireRequest()
         req.decode(body)
-        outputs = self.batcher.submit(req.graph, taps="all").result()
+        # explicit client taps when given; else the primary policy — every
+        # node's primary outputs (reference contract) but expensive optional
+        # channels (attention maps) only when wired/tapped
+        taps = req.taps if req.taps is not None else "primary"
+        outputs = self.batcher.submit(req.graph, taps=taps).result()
         raw = WireResponse(outputs).encode()
         self.metrics.request_latency.observe(time.perf_counter() - t0)
         return raw

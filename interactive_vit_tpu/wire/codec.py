@@ -142,14 +142,22 @@ def decode_message(b: bytes, expect_magic: Optional[int] = None):
 class Request:
     """A decoded ``/compute`` request: a Graph with input tensors attached.
 
-    Parity with ``message.py:18-73``.
+    Parity with ``message.py:18-73``, plus a compatible extension: the
+    request JSON may carry ``"taps": [{"node": i, "channel": ch}, ...]`` —
+    an explicit tap set (the interactive fast path: only what the UI renders
+    is computed and shipped). Absent -> the server's default policy.
     """
 
     def __init__(self) -> None:
         self.graph = Graph()
+        self.taps = None  # None | list[(node_index, channel)]
 
     def decode(self, b: bytes) -> None:
         json_obj, tensors = decode_message(b, expect_magic=REQUEST_MAGIC)
+        if "taps" in json_obj:
+            self.taps = [
+                (int(t["node"]), str(t["channel"])) for t in json_obj["taps"]
+            ]
 
         for node_json in json_obj["nodes"]:
             self.graph.add_node(node_json["endpoint"], node_json.get("params", {}))

@@ -199,3 +199,54 @@ def test_frontend_assets_served():
     finally:
         httpd.shutdown()
         app.batcher.stop()
+
+
+def test_primary_policy_and_explicit_taps():
+    """Wire tap extension: default excludes unconsumed extras (attention
+    maps); explicit taps ship exactly what's asked."""
+    import jax
+    from interactive_vit_tpu.models import vit as vit_mod
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit_mod.ViTConfig("vit_srv", img_size=32, patch=16, width=64,
+                            depth=2, heads=4, num_classes=10)
+    vit_mod.VARIANTS["vit_srv"] = cfg
+    reg = Registry()
+    register_builtin(reg)
+    model = make_vit_model("vit_srv",
+                           params=vit_mod.init_params(jax.random.key(0), cfg))
+    model.register(reg)
+
+    app = App(reg=reg, graphs_dir="/root/reference/static/graphs")
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        g = Graph()
+        emb = g.add_node("vit_srv:embed")
+        b0 = g.add_node("vit_srv:blocks.0")
+        g.connect(emb, "o", b0, "o")
+        x = np.random.default_rng(0).random((1, 3, 32, 32)).astype(np.float32)
+        g.add_input(x, emb, "o")
+
+        # default (primary): o channels only, no attn
+        out = Response.decode(_post(base + "/compute", Request.encode(g)))
+        assert "o" in out[1] and "attn" not in out[1]
+        assert set(out) == {0, 1}
+
+        # explicit taps: exactly the attention map
+        import json as _json
+        from interactive_vit_tpu.wire.codec import (
+            REQUEST_MAGIC, decode_message, encode_message,
+        )
+
+        raw = Request.encode(g)
+        obj, tensors = decode_message(bytes(raw), expect_magic=REQUEST_MAGIC)
+        obj["taps"] = [{"node": 1, "channel": "attn"}]
+        raw2 = encode_message(REQUEST_MAGIC, obj, tensors)
+        out2 = Response.decode(_post(base + "/compute", bytes(raw2)))
+        assert set(out2) == {1}
+        assert set(out2[1]) == {"attn"}
+        assert out2[1]["attn"].shape == (1, 4, cfg.tokens, cfg.tokens)
+    finally:
+        httpd.shutdown()
+        app.batcher.stop()

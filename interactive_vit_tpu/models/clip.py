@@ -158,8 +158,10 @@ def forward(params: Params, images: jnp.ndarray, cfg: CLIPVisionConfig,
 def layer_fns(cfg: CLIPVisionConfig, attn_impl=None):
     layers: List[Tuple[str, List[str], Callable]] = []
 
+    from interactive_vit_tpu.ops.preprocess_mm import preprocess_mm
+
     layers.append(("transform", [], lambda p, ins: {
-        "o": L.preprocess(ins["o"], cfg.img_size, CLIP_MEAN, CLIP_STD)
+        "o": preprocess_mm(ins["o"], cfg.img_size, CLIP_MEAN, CLIP_STD)
     }))
 
     def embed_fn(p, ins):

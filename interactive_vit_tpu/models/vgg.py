@@ -156,8 +156,10 @@ def layer_fns():
     classifier.0-6."""
     layers = []
 
+    from interactive_vit_tpu.ops.preprocess_mm import preprocess_mm
+
     layers.append(("transform", [],
-                   lambda p, ins: {"o": L.preprocess(ins["o"], 224)}))
+                   lambda p, ins: {"o": preprocess_mm(ins["o"], 224)}))
 
     def conv_fn(p, ins):
         return {"o": conv2d(ins["o"], p["w"], p["b"])}

@@ -242,7 +242,9 @@ def layer_fns(cfg: ViTConfig, attn_impl=None):
     layers: List[Tuple[str, List[str], Callable]] = []
 
     def transform_fn(p, ins):
-        return {"o": L.preprocess(ins["o"], cfg.img_size)}
+        from interactive_vit_tpu.ops.preprocess_mm import preprocess_mm
+
+        return {"o": preprocess_mm(ins["o"], cfg.img_size)}
 
     def embed_fn(p, ins):
         x = ins["o"]

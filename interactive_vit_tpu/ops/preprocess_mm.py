@@ -1,0 +1,98 @@
+"""Fused preprocessing as MXU matmuls: resize + crop + normalize + patchify.
+
+The BASELINE north star calls for preprocessing fused into the TPU program.
+The TPU-native trick: antialiased bilinear resize is SEPARABLE, so
+``resize(x)`` is ``R_h @ x @ R_w^T`` with small dense weight matrices — a
+gather-free formulation that runs on the MXU instead of scattering on the
+VPU. The center crop folds in for free as row selection of R (we multiply
+by exactly the rows that survive the crop), the per-channel normalization is
+a trailing affine XLA fuses into the matmul epilogue, and patchify+embed is
+already one matmul (``ops/layers.patch_embed``). Net: the whole eval
+transform of the reference's ``vgg16:transform``
+(``/root/reference/static/models/vgg16.py:40-42``) becomes two batched
+matmuls per image.
+
+Weight matrices replicate ``jax.image.resize(..., "bilinear")`` semantics
+(half-pixel centers, triangle kernel dilated by the scale factor when
+downsampling = antialiasing, rows renormalized), so this path is
+numerically interchangeable with ``ops/layers.preprocess`` (parity-tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from interactive_vit_tpu.ops.layers import mm_precision
+
+
+@functools.lru_cache(maxsize=64)
+def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] antialiased-bilinear resampling matrix."""
+    scale = in_size / out_size
+    support = max(1.0, scale)  # triangle kernel dilated when downsampling
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        center = (i + 0.5) * scale - 0.5
+        lo = int(np.floor(center - support))
+        hi = int(np.ceil(center + support))
+        for j in range(max(0, lo), min(in_size, hi + 1)):
+            t = abs(j - center) / support
+            if t < 1.0:
+                w[i, j] = 1.0 - t
+        s = w[i].sum()
+        if s > 0:
+            w[i] /= s
+    return w
+
+
+def _target_dims(h: int, w: int, size: int) -> Tuple[int, int]:
+    """Shorter-side resize target (parity with ``layers.preprocess``)."""
+    resize_to = int(size * 256 / 224)
+    if h < w:
+        return resize_to, max(resize_to, int(round(w * resize_to / h)))
+    return max(resize_to, int(round(h * resize_to / w))), resize_to
+
+
+def preprocess_mm(
+    images: jnp.ndarray,
+    size: int,
+    mean=(0.485, 0.456, 0.406),
+    std=(0.229, 0.224, 0.225),
+) -> jnp.ndarray:
+    """resize -> center crop -> normalize via two MXU matmuls.
+
+    [B, C, H, W] or [C, H, W] in [0, 1] -> [..., C, size, size].
+    """
+    squeeze = images.ndim == 3
+    if squeeze:
+        images = images[None]
+    b, c, h, w = images.shape
+    nh, nw = _target_dims(h, w, size)
+
+    rh = resize_matrix(h, nh)
+    rw = resize_matrix(w, nw)
+    # fold the center crop into the resampling matrices: keep only the
+    # output rows/cols inside the crop window
+    top, left = (nh - size) // 2, (nw - size) // 2
+    rh = jnp.asarray(rh[top : top + size])          # [size, H]
+    rw = jnp.asarray(rw[left : left + size])        # [size, W]
+
+    prec = mm_precision(images, rh)
+    # rows: [size, H] @ [B*C, H, W] -> [B*C, size, W]
+    x = images.reshape(b * c, h, w)
+    x = jnp.einsum("sh,nhw->nsw", rh, x,
+                   preferred_element_type=jnp.float32, precision=prec)
+    # cols: [B*C, size, W] @ [W, size] -> [B*C, size, size]
+    x = jnp.einsum("nsw,tw->nst", x, rw,
+                   preferred_element_type=jnp.float32, precision=prec)
+    x = x.reshape(b, c, size, size).astype(images.dtype)
+
+    m = jnp.asarray(mean, x.dtype).reshape(1, -1, 1, 1)
+    s = jnp.asarray(std, x.dtype).reshape(1, -1, 1, 1)
+    x = (x - m) / s
+    return x[0] if squeeze else x

@@ -114,3 +114,22 @@ def test_preprocess_matches_torch_transform():
     std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
     t = (t[0] - mean) / std
     np.testing.assert_allclose(np.asarray(y), t.numpy(), atol=1e-4)
+
+
+def test_preprocess_mm_matches_jax_image():
+    """The MXU-matmul preprocess is interchangeable with the jax.image path
+    (resize-as-separable-matmul with crop folded into row selection)."""
+    from interactive_vit_tpu.ops.layers import preprocess
+    from interactive_vit_tpu.ops.preprocess_mm import preprocess_mm
+
+    for h, w in [(300, 400), (224, 224), (500, 280)]:
+        x = np.random.default_rng(0).random((3, h, w)).astype(np.float32)
+        a = np.asarray(preprocess(jnp.asarray(x), 224))
+        b = np.asarray(preprocess_mm(jnp.asarray(x), 224))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    # batched input
+    xb = np.random.default_rng(1).random((2, 3, 256, 320)).astype(np.float32)
+    a = np.asarray(preprocess(jnp.asarray(xb), 224))
+    b = np.asarray(preprocess_mm(jnp.asarray(xb), 224))
+    np.testing.assert_allclose(a, b, atol=1e-4)

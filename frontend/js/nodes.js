@@ -658,22 +658,43 @@ export class NetNode extends Node {
 
 	static async create(endpoint, params = {}) {
 		const qs = new URLSearchParams(params).toString();
-		const io = await (
-			await fetch(`description/${endpoint}${qs ? `?${qs}` : ""}`)
-		).json();
+		const resp = await fetch(`description/${endpoint}${qs ? `?${qs}` : ""}`);
+		if (!resp.ok) throw new Error(await resp.text());
+		const io = await resp.json();
 		let html = "";
 		try {
 			html = await (
 				await fetch(`contents/${endpoint}${qs ? `?${qs}` : ""}`)
 			).text();
 		} catch {
-			html = endpoint;
+			html = ""; // retry button offered in buildContent
 		}
 		return new NetNode(endpoint, params, io, html);
 	}
 
 	buildContent(el) {
-		el.innerHTML = this.contentsHtml;
+		if (this.contentsHtml) {
+			el.innerHTML = this.contentsHtml;
+			return;
+		}
+		// metadata fetch failed: offer a Retry (reference contract,
+		// net_node.js:415-421)
+		const retry = document.createElement("button");
+		retry.textContent = "retry";
+		retry.addEventListener("click", async () => {
+			try {
+				const qs = new URLSearchParams(this.params).toString();
+				const resp = await fetch(
+					`contents/${this.endpoint}${qs ? `?${qs}` : ""}`,
+				);
+				if (resp.ok) {
+					this.contentsHtml = await resp.text();
+					el.textContent = "";
+					el.innerHTML = this.contentsHtml;
+				}
+			} catch {}
+		});
+		el.append(document.createTextNode(this.endpoint), retry);
 	}
 
 	serializeExtra() {

@@ -148,7 +148,7 @@ def forward(params: Params, images: jnp.ndarray, cfg: CLIPVisionConfig,
             attns.append(probs.astype(x.dtype))
     out = {"embedding": project(params, x, cfg)}
     if want_attn:
-        out["attn"] = jnp.stack(attns)
+        out["attn"] = tuple(attns)  # per-layer, unstacked (see vit.forward)
     return out
 
 

@@ -234,7 +234,7 @@ def flash_attention(
     v: jnp.ndarray,
     want_attn: bool = False,
     n_real: Optional[int] = None,
-    block_q: int = 128,
+    block_q: Optional[int] = None,
     block_k: int = 128,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused attention on [B, H, N, Dh]; same contract as
@@ -247,6 +247,10 @@ def flash_attention(
     """
     b, h, n, d = q.shape
     n_real = n_real if n_real is not None else n
+    if block_q is None:
+        # full-row q blocks up to N=768: K/V DMA'd once per (b,h) instead of
+        # once per q block (measured on ViT-L@384 N=577: 165 -> 197 imgs/s)
+        block_q = _round_up(n, 8) if n <= 768 else 256
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)

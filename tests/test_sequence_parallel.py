@@ -68,3 +68,44 @@ def test_ring_output_sharding(mesh):
     )
     shard_shapes = {s.data.shape for s in out.addressable_shards}
     assert shard_shapes == {(1, 2, 8, 16)}
+
+
+def test_sp_attn_impl_in_vit_forward(mesh):
+    """Sequence-parallel attention plugs into the model like any kernel."""
+    import jax
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.parallel.sp_attention import make_sp_attn_impl
+
+    # heads divisible by 8 for Ulysses; tokens divisible by 8 for sharding:
+    # 32px/16 -> 4+1=5 tokens, not divisible -> use 112px/16 -> 49+1=50...
+    # pick img 176/16 -> 121+1=122 tokens; not divisible by 8 either.
+    # Use pad_tokens=True: 122 -> pads to 128 = 16 per device, n_real=122.
+    cfg = vit.ViTConfig("vit_sp", img_size=176, patch=16, width=64,
+                        depth=2, heads=8, num_classes=10)
+    params = vit.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, 3, 176, 176), np.float32)
+    )
+
+    ref = vit.forward(params, x, cfg, want_attn=True)
+    impl = make_sp_attn_impl(mesh, axis="seq", kind="ulysses")
+    sp = vit.forward(params, x, cfg, want_attn=True, attn_impl=impl,
+                     pad_tokens=True)
+    np.testing.assert_allclose(
+        np.asarray(sp["logits"]), np.asarray(ref["logits"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp["attn"][0]), np.asarray(ref["attn"][0]), atol=2e-5
+    )
+
+    # ring: no maps, logits only
+    ring = make_sp_attn_impl(mesh, axis="seq", kind="ring")
+    rp = vit.forward(params, x, cfg, want_attn=False, attn_impl=ring,
+                     pad_tokens=True)
+    np.testing.assert_allclose(
+        np.asarray(rp["logits"]), np.asarray(ref["logits"]), atol=2e-5
+    )
+
+    with pytest.raises(ValueError, match="ulysses"):
+        vit.forward(params, x, cfg, want_attn=True, attn_impl=ring,
+                    pad_tokens=True)

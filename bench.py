@@ -36,6 +36,9 @@ def main() -> None:
                         choices=["bfloat16", "float32"])
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
+    parser.add_argument("--block", default="auto",
+                        choices=["auto", "fused", "none"],
+                        help="fused attention-block Pallas kernel policy")
     parser.add_argument("--no-attn-maps", action="store_true",
                         help="pure classification (not the headline config)")
     args = parser.parse_args()
@@ -45,17 +48,21 @@ def main() -> None:
     import numpy as np
 
     from interactive_vit_tpu.models import vit
-    from interactive_vit_tpu.ops.dispatch import default_attn_impl
+    from interactive_vit_tpu.ops.dispatch import (
+        default_attn_impl, default_block_impl,
+    )
 
     cfg = vit.VARIANTS[args.variant]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
     attn_impl = default_attn_impl(args.attn)
+    block_impl = default_block_impl(args.block, dtype=dtype, n=cfg.tokens,
+                                    d=cfg.width, heads=cfg.heads)
     want_attn = not args.no_attn_maps
 
     def fn(params, images):
         out = vit.forward(params, images, cfg, want_attn=want_attn,
-                          attn_impl=attn_impl)
+                          attn_impl=attn_impl, block_impl=block_impl)
         if want_attn:
             # extraction contract: logits + per-layer maps + rollout all leave
             # the program (nothing DCE'd away)

@@ -116,6 +116,7 @@ def block(p: Params, x: jnp.ndarray, cfg: CLIPVisionConfig,
 
 def embed(params: Params, images: jnp.ndarray, cfg: CLIPVisionConfig
           ) -> jnp.ndarray:
+    images = images.astype(params["patch_embed"]["w"].dtype)
     x = L.patchify(images, cfg.patch)
     x = jnp.dot(x, params["patch_embed"]["w"],
                 preferred_element_type=jnp.float32,

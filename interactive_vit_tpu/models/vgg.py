@@ -48,7 +48,10 @@ def _ensure_batched(x):
 
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """3x3 same-pad conv, NCHW/OIHW, f32-accumulated."""
+    """3x3 same-pad conv, NCHW/OIHW, f32-accumulated.
+
+    Activations adopt the weight dtype (bf16 serving path)."""
+    x = x.astype(w.dtype)
     xb, squeeze = _ensure_batched(x)
     y = jax.lax.conv_general_dilated(
         xb, w, window_strides=(1, 1), padding="SAME",

@@ -118,7 +118,13 @@ def init_params(key: jax.Array, cfg: ViTConfig,
 
 
 def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
-    """Patch-embed + CLS + position embeddings: [B,C,H,W] -> [B,N,D]."""
+    """Patch-embed + CLS + position embeddings: [B,C,H,W] -> [B,N,D].
+
+    Activations adopt the weight dtype here (the model's single entry
+    point), so a bf16-weighted model runs bf16 end-to-end even when the
+    wire delivers f32 images.
+    """
+    images = images.astype(params["patch_embed"]["w"].dtype)
     x = L.patch_embed(images, params["patch_embed"], cfg.patch)
     return L.add_cls_and_pos(x, params["cls_token"], params["pos_emb"])
 

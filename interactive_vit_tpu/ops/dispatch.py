@@ -44,6 +44,32 @@ def auto_attention(q, k, v, want_attn=False, n_real=None):
     return attention_reference(q, k, v, want_attn=want_attn, n_real=n_real)
 
 
+def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
+                       d: int = 0, heads: int = 0):
+    """Resolve the fused attention-BLOCK kernel policy.
+
+    "auto": the Pallas fused block (LN+QKV+softmax+proj+residual, VMEM-
+    resident scores, in-kernel map emission) on TPU in bf16 when it fits —
+    measured 13.8 -> 12.95 ms/batch-32 on ViT-B/16 with maps vs the XLA
+    path. f32 excluded: HIGHEST-precision dots inside Mosaic compile
+    pathologically slowly and the parity path doesn't need the kernel.
+    """
+    if name in ("none", "reference"):
+        return None
+    from interactive_vit_tpu.ops.fused_block import fits, fused_attn_block
+
+    if name == "fused":
+        return fused_attn_block
+    if name == "auto":
+        import jax.numpy as jnp
+
+        if (on_tpu() and dtype is not None and dtype != jnp.float32
+                and n and fits(n, d, heads, dtype)):
+            return fused_attn_block
+        return None
+    raise ValueError(f"unknown block impl {name!r}")
+
+
 def default_attn_impl(name: str = "auto"):
     """Resolve an attention implementation by policy name.
 

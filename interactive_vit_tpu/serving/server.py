@@ -33,6 +33,7 @@ def build_app(
     max_wait_ms: float = 3.0,
     seed: int = 0,
     attn_impl_name: str = "auto",
+    dtype_name: str = "float32",
 ) -> App:
     reg = registry()
     register_builtin(reg)
@@ -54,14 +55,21 @@ def build_app(
     from interactive_vit_tpu.models.vit_plugin import make_vit_model
     from interactive_vit_tpu.ops.dispatch import default_attn_impl
 
+    import jax.numpy as jnp
+
+    # serving dtype: f32 = exact (parity contract); bfloat16 = the fast
+    # interactive path (taps carry bf16 noise ~1e-3, invisible in the UI)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     attn_impl = default_attn_impl(attn_impl_name)
     for variant in models:
         if variant == "clip_b32":
-            model = make_clip_model(seed=seed, attn_impl=attn_impl)
+            model = make_clip_model(seed=seed, attn_impl=attn_impl,
+                                    dtype=dtype)
         elif variant == "vgg16":
-            model = make_vgg16_model(seed=seed)
+            model = make_vgg16_model(seed=seed, dtype=dtype)
         else:
-            model = make_vit_model(variant, seed=seed, attn_impl=attn_impl)
+            model = make_vit_model(variant, seed=seed, attn_impl=attn_impl,
+                                   dtype=dtype)
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))
@@ -82,6 +90,10 @@ def main() -> None:
     parser.add_argument("--max-wait-ms", type=float, default=3.0)
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="model weight/compute dtype (bfloat16 = fast "
+                             "interactive path)")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -97,6 +109,7 @@ def main() -> None:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         attn_impl_name=args.attn,
+        dtype_name=args.dtype,
     )
     app.serve(args.host, args.port)
 

@@ -1,0 +1,72 @@
+"""Fused attention-block Pallas kernel vs the unfused reference path."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from interactive_vit_tpu.models import vit
+from interactive_vit_tpu.ops import fused_block as fb
+
+
+@pytest.fixture(autouse=True)
+def pallas_interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    monkeypatch.setattr(
+        fb.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+CFG = vit.ViTConfig("vit_fb", img_size=32, patch=16, width=64,
+                    depth=2, heads=4, num_classes=10)
+
+
+def test_block_matches_unfused():
+    params = vit.init_params(jax.random.key(0), CFG)
+    p = params["blocks"][0]
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, CFG.tokens, CFG.width), np.float32)
+    )
+    ref, ref_probs = vit.block(p, x, CFG, want_attn=True)
+    got, probs = vit.block(p, x, CFG, want_attn=True,
+                           block_impl=fb.fused_attn_block)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=1e-5)
+
+
+def test_block_no_probs():
+    params = vit.init_params(jax.random.key(1), CFG)
+    p = params["blocks"][1]
+    x = jnp.asarray(
+        np.random.default_rng(1).random((1, CFG.tokens, CFG.width), np.float32)
+    )
+    ref, _ = vit.block(p, x, CFG, want_attn=False)
+    got, probs = vit.block(p, x, CFG, want_attn=False,
+                           block_impl=fb.fused_attn_block)
+    assert probs is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_full_forward_with_fused_blocks():
+    params = vit.init_params(jax.random.key(2), CFG)
+    x = jnp.asarray(
+        np.random.default_rng(2).random((2, 3, 32, 32), np.float32)
+    )
+    ref = vit.forward(params, x, CFG, want_attn=True)
+    got = vit.forward(params, x, CFG, want_attn=True,
+                      block_impl=fb.fused_attn_block)
+    np.testing.assert_allclose(np.asarray(got["logits"]),
+                               np.asarray(ref["logits"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["rollout"]),
+                               np.asarray(ref["rollout"]), atol=1e-5)
+
+
+def test_fits_estimator():
+    # ViT-B with maps fits; ViT-L's 16-head probs tap does not
+    assert fb.fits(197, 768, 12, jnp.bfloat16)
+    assert not fb.fits(577, 1024, 16, jnp.bfloat16)

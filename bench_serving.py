@@ -27,6 +27,8 @@ def main() -> None:
     parser.add_argument("--duration", type=float, default=30.0)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
     parser.add_argument(
         "--taps", default="viewer", choices=["viewer", "primary"],
         help="viewer = tap only the classifier output (what an interactive "
@@ -42,7 +44,8 @@ def main() -> None:
     )
 
     app = build_app(models=(args.model,), graphs_dir="/tmp/bench_graphs",
-                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                    dtype_name=args.dtype)
     httpd = app.serve("127.0.0.1", 0, background=True)
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
 

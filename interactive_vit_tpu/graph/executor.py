@@ -244,11 +244,21 @@ class Executor:
         if sig in self._cache:
             fn, out_keys, caps_arg = self._cache[sig]
             stats.cache_hit = True
+            stats.stage_s = time.perf_counter() - t0
         else:
             staged, out_keys, caps_arg = self._stage(graph, tap_set)
-            fn = jax.jit(staged) if self.use_jit else staged
+            if self.use_jit:
+                fn = jax.jit(staged)
+                stats.stage_s = time.perf_counter() - t0
+                # explicit AOT compile so stats separate compile from execute
+                # (the decode/compile/execute split is a BASELINE metric)
+                t0 = time.perf_counter()
+                fn = fn.lower(inputs, caps_arg).compile()
+                stats.compile_s = time.perf_counter() - t0
+            else:
+                fn = staged
+                stats.stage_s = time.perf_counter() - t0
             self._cache[sig] = (fn, out_keys, caps_arg)
-        stats.stage_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         flat = fn(inputs, caps_arg)

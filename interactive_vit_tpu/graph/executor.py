@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from interactive_vit_tpu.graph.ir import Graph, GraphError, Node, Pinout
+from interactive_vit_tpu.graph.ir import Graph
 from interactive_vit_tpu.graph.registry import Registry, registry
 
 logger = logging.getLogger(__name__)

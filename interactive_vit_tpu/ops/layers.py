@@ -1,7 +1,7 @@
 """Transformer layer ops — jnp reference implementations.
 
 These are the semantic ground truth for the Pallas kernels in
-``ops/flash_attention.py`` / ``ops/fused_mlp.py``: every kernel must match
+``ops/flash_attention.py`` / ``ops/fused_block.py``: every kernel must match
 these to <=1e-4 in f32 (the BASELINE.json parity contract). They are also
 the CPU-backend execution path.
 
@@ -19,7 +19,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

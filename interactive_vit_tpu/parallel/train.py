@@ -12,7 +12,7 @@ reduce over the data axis automatically because params are replicated on it.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 from interactive_vit_tpu.graph.executor import Executor, TapSpec
 from interactive_vit_tpu.graph.ir import Graph

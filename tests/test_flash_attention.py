@@ -10,7 +10,6 @@ import functools
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from interactive_vit_tpu.ops.attention import attention_reference

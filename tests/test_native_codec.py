@@ -5,8 +5,6 @@ byte-identical messages and identical decode results, including every error
 class. Skipped cleanly when g++/the .so is unavailable.
 """
 
-import importlib
-
 import numpy as np
 import pytest
 

@@ -13,7 +13,6 @@ from interactive_vit_tpu.graph.ir import Graph
 from interactive_vit_tpu.graph.registry import Registry
 from interactive_vit_tpu.ops.node_ops import register_builtin
 from interactive_vit_tpu.serving.app import App
-from interactive_vit_tpu.serving.batcher import MicroBatcher
 from interactive_vit_tpu.wire.codec import Request, Response
 
 
@@ -234,7 +233,6 @@ def test_primary_policy_and_explicit_taps():
         assert set(out) == {0, 1}
 
         # explicit taps: exactly the attention map
-        import json as _json
         from interactive_vit_tpu.wire.codec import (
             REQUEST_MAGIC, decode_message, encode_message,
         )

@@ -1,7 +1,6 @@
 """Training step: loss decreases on a fixed batch; DP x TP sharded."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -98,6 +98,46 @@ class App:
     def contents(self, name: str, params: Dict[str, str]) -> str:
         return self.reg.get_node(name).contents(params)
 
+    def debug_eval(self, body: bytes) -> Dict:
+        """Eager per-node evaluation: wall-time + fault isolation per node.
+
+        The unfused debug path (SURVEY.md §7 "per-node error attribution
+        ... needs a debug (unfused) executor path"): each node runs and
+        syncs individually, so timings attribute to nodes and one failing
+        node doesn't kill the rest (downstream reports 'eval error
+        upstream'). POST the same wire bytes as /compute.
+        """
+        import time as _time
+
+        req = WireRequest()
+        req.decode(body)
+        timings: Dict[int, float] = {}
+        outputs, errors = {}, {}
+        import jax
+
+        for n in req.graph.order():
+            if any(e.src is not None and e.src.node.index in errors
+                   for e in n.inputs.values()):
+                errors[n.index] = "eval error upstream"
+                continue
+            try:
+                kind = self.reg.get_node(n.name)
+                t0 = _time.perf_counter()
+                pinout = kind.compute(n.params, n.get_pinin())
+                jax.block_until_ready(list(pinout.pinout.values()))
+                timings[n.index] = (_time.perf_counter() - t0) * 1e3
+                n.set_pinout(pinout)
+                outputs[n.index] = {
+                    ch: list(t.shape) for ch, t in pinout.pinout.items()
+                }
+            except Exception as err:  # noqa: BLE001 — per-node isolation
+                errors[n.index] = str(err)
+        return {
+            "timings_ms": {str(k): round(v, 3) for k, v in timings.items()},
+            "output_shapes": {str(k): v for k, v in outputs.items()},
+            "errors": {str(k): v for k, v in errors.items()},
+        }
+
     def descriptions(self, names) -> Dict[str, Dict]:
         out = {}
         for name in names:
@@ -184,6 +224,8 @@ class App:
                     if path == "/compute":
                         raw = app.compute(body)
                         self._send(200, raw, "application/octet-stream")
+                    elif path == "/debug_eval":
+                        self._json(app.debug_eval(body))
                     elif path.startswith("/save_graph/"):
                         name = path[len("/save_graph/"):]
                         if not name.endswith(".json"):

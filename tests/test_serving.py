@@ -248,3 +248,28 @@ def test_primary_policy_and_explicit_taps():
     finally:
         httpd.shutdown()
         app.batcher.stop()
+
+
+def test_debug_eval_endpoint(served):
+    """Per-node timings + fault isolation over HTTP."""
+    _, base = served
+    g = Graph()
+    a = g.add_node("cos", {"A": "2.0"})
+    b = g.add_node("cos")
+    g.connect(a, "o", b, "o")
+    g.add_input(np.ones((16,), np.float32), a, "o")
+    out = json.loads(_post(base + "/debug_eval", bytes(Request.encode(g))))
+    assert set(out["timings_ms"]) == {"0", "1"}
+    assert out["output_shapes"]["1"]["o"] == [16]
+    assert out["errors"] == {}
+
+    # failing node: downstream isolated
+    g2 = Graph()
+    bad = g2.add_node("binop", {"op": "+"})
+    down = g2.add_node("cos")
+    g2.connect(bad, "c", down, "o")
+    g2.add_input(np.ones((4,), np.float32), bad, "a")
+    g2.add_input(np.ones((5,), np.float32), bad, "b")
+    out2 = json.loads(_post(base + "/debug_eval", bytes(Request.encode(g2))))
+    assert "0" in out2["errors"]
+    assert out2["errors"]["1"] == "eval error upstream"

@@ -137,6 +137,7 @@ def block(
     attn_impl=None,
     n_real: Optional[int] = None,
     block_impl=None,
+    mlp_impl=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Pre-LN transformer block; optionally taps the attention maps.
 
@@ -145,6 +146,9 @@ def block(
     ``block_impl``: a fused whole-attention-branch kernel
     (``ops/fused_block.fused_attn_block`` signature); when set it replaces
     LN1+QKV+attention+proj+residual in one pallas call.
+    ``mlp_impl``: a fused MLP-branch kernel
+    (``ops/fused_mlp.fused_mlp_block`` signature) replacing
+    LN2+fc1+GELU+fc2+residual.
     """
     if block_impl is not None:
         x, probs = block_impl(x, p, cfg.heads, cfg.ln_eps, want_attn)
@@ -155,7 +159,10 @@ def block(
             n_real=n_real,
         )
         x = x + h
-    x = x + L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
+    if mlp_impl is not None:
+        x = mlp_impl(x, p, cfg.ln_eps)
+    else:
+        x = x + L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
     return x, probs
 
 
@@ -180,6 +187,7 @@ def forward(
     attn_impl=None,
     pad_tokens: bool = False,
     block_impl=None,
+    mlp_impl=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward with optional taps.
 
@@ -209,7 +217,7 @@ def forward(
     cls_traj: List[jnp.ndarray] = [x[:, 0]]
     for p in params["blocks"]:
         x, probs = block(p, x, cfg, want_attn=want_attn, attn_impl=attn_impl,
-                         n_real=nr, block_impl=block_impl)
+                         n_real=nr, block_impl=block_impl, mlp_impl=mlp_impl)
         if want_attn:
             # tap in activation dtype: the softmax ran f32, but emitting
             # f32 maps doubles the dominant HBM write traffic (L*B*H*N^2);

@@ -50,6 +50,15 @@ async function initToolbar() {
 		return b;
 	};
 	btn("Save", saveGraph);
+	btn("Save to server", async () => {
+		const name = prompt("graph name");
+		if (!name) return;
+		const resp = await fetch(`save_graph/${name}`, {
+			method: "POST",
+			body: JSON.stringify(Context.serialize()),
+		});
+		if (!resp.ok) alert(await resp.text());
+	});
 	btn("Load file", loadGraphFromFile);
 
 	const sel = document.createElement("select");

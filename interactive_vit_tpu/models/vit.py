@@ -240,7 +240,7 @@ def forward(
 # -- graph-node decomposition ---------------------------------------------------
 
 
-def layer_fns(cfg: ViTConfig, attn_impl=None):
+def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None):
     """The model as an ordered list of named tappable layers.
 
     Each entry is ``(layer_name, extra_out_channels, fn)`` with
@@ -273,7 +273,7 @@ def layer_fns(cfg: ViTConfig, attn_impl=None):
     def make_block_fn(i):
         def block_fn(p, ins, want_attn=True):
             y, probs = block(p, ins["o"], cfg, want_attn=want_attn,
-                             attn_impl=attn_impl)
+                             attn_impl=attn_impl, block_impl=block_impl)
             outs = {"o": y}
             if probs is not None:
                 outs["attn"] = probs

@@ -34,17 +34,24 @@ def make_vit_model(
     ``params=None`` -> deterministic random init (no pretrained download in
     this environment; use ``models/weights.py`` converters to load real
     checkpoints). ``attn_impl`` swaps the attention kernel (Pallas flash on
-    TPU; jnp reference on CPU).
+    TPU; jnp reference on CPU). In non-f32 dtypes the fused attention-block
+    kernel is auto-selected per the dispatch policy.
     """
+    import jax.numpy as jnp
+
     cfg = vit.VARIANTS[variant]
     if params is None:
-        import jax.numpy as jnp
-
         params = vit.init_params(
             jax.random.key(seed), cfg, dtype=dtype or jnp.float32
         )
 
-    layers = vit.layer_fns(cfg, attn_impl=attn_impl)
+    from interactive_vit_tpu.ops.dispatch import default_block_impl
+
+    leaf_dtype = jax.tree.leaves(params)[0].dtype
+    block_impl = default_block_impl(
+        "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width, heads=cfg.heads
+    )
+    layers = vit.layer_fns(cfg, attn_impl=attn_impl, block_impl=block_impl)
     descriptions = {
         "transform": f"Resize+CenterCrop({cfg.img_size})+Normalize",
         "embed": f"PatchEmbed p={cfg.patch} d={cfg.width} + CLS + pos",

@@ -1,0 +1,67 @@
+"""Checkpoint conversion CLI: torch state dicts -> orbax param checkpoints.
+
+The bridge for users switching from the reference stack (torchvision /
+timm / OpenAI-CLIP weights) to this framework:
+
+    python -m interactive_vit_tpu.tools.convert \
+        --model vit_b16 --layout torchvision \
+        --input vit_b_16.pth --output ckpts/vit_b16
+
+torch is imported lazily (only this CLI needs it; the framework itself is
+torch-free).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def load_torch_state_dict(path: str):
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    return {k: v.numpy() for k, v in obj.items()}
+
+
+def convert(model: str, layout: str, sd) -> object:
+    if model == "vgg16":
+        from interactive_vit_tpu.models import vgg
+
+        return vgg.from_torchvision(sd)
+    if model == "clip_b32":
+        from interactive_vit_tpu.models import clip
+
+        return clip.from_openai(sd, clip.CLIPVisionConfig())
+    from interactive_vit_tpu.models import vit, weights
+
+    cfg = vit.VARIANTS[model]
+    if layout == "timm":
+        return weights.from_timm(sd, cfg)
+    return weights.from_torchvision(sd, cfg)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", required=True,
+                        help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|vgg16")
+    parser.add_argument("--layout", default="torchvision",
+                        choices=["torchvision", "timm", "openai"])
+    parser.add_argument("--input", required=True, help="torch .pth path")
+    parser.add_argument("--output", required=True,
+                        help="orbax checkpoint directory to write")
+    args = parser.parse_args()
+
+    from interactive_vit_tpu.utils.checkpoint import save_params
+
+    sd = load_torch_state_dict(args.input)
+    params = convert(args.model, args.layout, sd)
+    save_params(args.output, params)
+    print(f"converted {args.input} ({args.layout}) -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

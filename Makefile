@@ -1,0 +1,24 @@
+.PHONY: install test bench bench-serving serve native clean
+
+install:
+	pip install -e . --no-deps --no-build-isolation
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-serving:
+	python bench_serving.py
+
+serve:
+	python -m interactive_vit_tpu.serving.server --port 8000 \
+	    --models vit_t16,vit_b16,clip_b32,vgg16 --dtype bfloat16
+
+native:
+	python -m interactive_vit_tpu.runtime.build
+
+clean:
+	rm -rf build dist *.egg-info interactive_vit_tpu/runtime/_ivt_native.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

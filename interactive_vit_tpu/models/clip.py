@@ -175,8 +175,8 @@ def layer_fns(cfg: CLIPVisionConfig, attn_impl=None):
     layers.append(("embed", [], embed_fn))
 
     def make_block_fn(i):
-        def block_fn(p, ins, want_attn=True):
-            y, probs = block(p, ins["o"], cfg, want_attn=want_attn,
+        def block_fn(p, ins, want=frozenset()):
+            y, probs = block(p, ins["o"], cfg, want_attn=bool(want),
                              attn_impl=attn_impl)
             outs = {"o": y}
             if probs is not None:

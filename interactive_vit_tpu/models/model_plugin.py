@@ -41,10 +41,18 @@ class LayerNodeKind(NodeKind):
         self._fn = fn
 
     def io(self, params):
-        return {"ins": ["o"], "outs": ["o"] + self._extra}
+        # layers with an "r" (rollout) extra also ACCEPT an optional "r"
+        # input: the rollout flows along the chain like the activation
+        ins = ["o"] + (["r"] if "r" in self._extra else [])
+        return {"ins": ins, "outs": ["o"] + self._extra}
 
     def extra_outs(self, params):
         return list(self._extra)
+
+    # extra inputs are optional (executor skips the missing-input check)
+    @property
+    def optional_inputs(self):
+        return "r" in self._extra
 
     def contents(self, params):
         return f"<p>{self.get_name()}</p> <p>{self.model.describe(self.layer_name)}</p>"
@@ -57,29 +65,28 @@ class LayerNodeKind(NodeKind):
 
     def fn(self, params):
         taps = set((params.get("__taps__") or "").split(","))
-        want_extra = bool(taps & set(self._extra))
+        want = frozenset(taps & set(self._extra))
         f = self._fn
 
         if self.captures(params) is None:
             def run_stateless(ins):
-                outs = f({}, ins, **self._kw(want_extra))
-                return self._filter(outs, want_extra)
+                outs = f({}, ins, **self._kw(want))
+                return self._filter(outs, want)
             return run_stateless
 
         def run(ins, caps):
-            outs = f(caps, ins, **self._kw(want_extra))
-            return self._filter(outs, want_extra)
+            outs = f(caps, ins, **self._kw(want))
+            return self._filter(outs, want)
 
         return run
 
-    def _kw(self, want_extra: bool) -> Dict[str, Any]:
-        # layers with extra taps accept want_attn; plain layers don't
-        return {"want_attn": want_extra} if self._extra else {}
+    def _kw(self, want: frozenset) -> Dict[str, Any]:
+        # layers with extra taps accept the wanted-extras set; plain don't
+        return {"want": want} if self._extra else {}
 
-    def _filter(self, outs: Dict[str, Any], want_extra: bool) -> Dict[str, Any]:
-        if want_extra:
-            return outs
-        return {ch: v for ch, v in outs.items() if ch == "o"}
+    def _filter(self, outs: Dict[str, Any], want: frozenset) -> Dict[str, Any]:
+        return {ch: v for ch, v in outs.items()
+                if ch == "o" or ch in want}
 
 
 class JaxModel:

@@ -61,7 +61,9 @@ VARIANTS: Dict[str, ViTConfig] = {
     "vit_t16": ViTConfig("vit_t16", 224, 16, 192, 12, 3),
     "vit_s16": ViTConfig("vit_s16", 224, 16, 384, 12, 6),
     "vit_b16": ViTConfig("vit_b16", 224, 16, 768, 12, 12),
+    "vit_b32": ViTConfig("vit_b32", 224, 32, 768, 12, 12),
     "vit_l16": ViTConfig("vit_l16", 384, 16, 1024, 24, 16),
+    "vit_h14": ViTConfig("vit_h14", 224, 14, 1280, 32, 16),
 }
 
 
@@ -271,18 +273,30 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None):
     layers.append(("embed", [], embed_fn))
 
     def make_block_fn(i):
-        def block_fn(p, ins, want_attn=True):
-            y, probs = block(p, ins["o"], cfg, want_attn=want_attn,
+        def block_fn(p, ins, want=frozenset()):
+            x = ins["o"]
+            want_attn = bool({"attn", "r"} & want)
+            y, probs = block(p, x, cfg, want_attn=want_attn,
                              attn_impl=attn_impl, block_impl=block_impl)
             outs = {"o": y}
-            if probs is not None:
+            if probs is not None and "attn" in want:
                 outs["attn"] = probs
+            if "r" in want:
+                # rollout flows along the chain: r_out = step(attn, r_in);
+                # an unwired r input means "this is the first tapped block"
+                b, n = x.shape[0], x.shape[1]
+                r_in = ins.get("r")
+                if r_in is None:
+                    r_in = jnp.broadcast_to(
+                        jnp.eye(n, dtype=jnp.float32), (b, n, n)
+                    )
+                outs["r"] = attn_ops.rollout_step(probs, r_in).astype(x.dtype)
             return outs
 
         return block_fn
 
     for i in range(cfg.depth):
-        layers.append((f"blocks.{i}", ["attn"], make_block_fn(i)))
+        layers.append((f"blocks.{i}", ["attn", "r"], make_block_fn(i)))
 
     def norm_fn(p, ins):
         return {"o": final_norm({"norm": p}, ins["o"], cfg)}

@@ -94,6 +94,22 @@ def mhsa(
     return out, probs
 
 
+def rollout_step(attn: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:
+    """One layer of attention rollout: fold [B,H,N,N] maps into [B,N,N].
+
+    carry is the rollout up to the previous layer (identity at layer 0).
+    Used both by ``attention_rollout`` (monolithic forward) and by the
+    per-block "r" channel in the interactive graph (the rollout flows
+    along the chain like the activation does).
+    """
+    mean_heads = attn.astype(jnp.float32).mean(axis=1)  # [B, N, N]
+    n = mean_heads.shape[-1]
+    aug = 0.5 * mean_heads + 0.5 * jnp.eye(n, dtype=jnp.float32)
+    aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
+    return jnp.einsum("bij,bjk->bik", aug, carry.astype(jnp.float32),
+                      precision=mm_precision(aug))
+
+
 def attention_rollout(attns) -> jnp.ndarray:
     """Attention rollout (Abnar & Zuidema 2020) over per-layer maps.
 
@@ -110,12 +126,7 @@ def attention_rollout(attns) -> jnp.ndarray:
     if hasattr(attns, "shape"):
         attns = list(attns)
     b, _, n, _ = attns[0].shape
-    eye = jnp.eye(n, dtype=jnp.float32)
-    rollout = jnp.broadcast_to(eye, (b, n, n))
+    rollout = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (b, n, n))
     for a in attns:
-        mean_heads = a.astype(jnp.float32).mean(axis=1)  # [B, N, N]
-        aug = 0.5 * mean_heads + 0.5 * eye
-        aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
-        rollout = jnp.einsum("bij,bjk->bik", aug, rollout,
-                             precision=mm_precision(aug, rollout))
+        rollout = rollout_step(a, rollout)
     return rollout

@@ -46,9 +46,11 @@ def test_node_names_registered(setup):
     for n in names:
         assert n in reg
         io = reg.get_node(n).io({})
-        assert io["ins"] == ["o"]
+        assert io["ins"][0] == "o"  # blocks add an optional "r" input
         assert "o" in io["outs"]
-    assert "attn" in reg.get_node("vit_test:blocks.0").io({})["outs"]
+    blk_io = reg.get_node("vit_test:blocks.0").io({})
+    assert "attn" in blk_io["outs"] and "r" in blk_io["outs"]
+    assert blk_io["ins"] == ["o", "r"]
 
 
 def test_generated_graph_json(setup):
@@ -146,3 +148,32 @@ def test_transform_node_shapes(setup):
     g.add_input(x, t, "o")
     out = ex.run(g)
     assert out[0]["o"].shape == (3, 32, 32)
+
+
+def test_rollout_channel_flows_through_chain(setup):
+    """Attention rollout as a graph channel: wiring r block->block
+    accumulates exactly attention_rollout of those blocks' maps
+    (BASELINE config 2 in the interactive graph)."""
+    from interactive_vit_tpu.ops.attention import attention_rollout
+
+    params, model, reg, _ = setup
+    ex = Executor(reg)
+    g = Graph()
+    emb = g.add_node("vit_test:embed")
+    b0 = g.add_node("vit_test:blocks.0")
+    b1 = g.add_node("vit_test:blocks.1")
+    g.connect(emb, "o", b0, "o")
+    g.connect(b0, "o", b1, "o")
+    g.connect(b0, "r", b1, "r")  # rollout flows along the chain
+    x = np.random.default_rng(5).random((1, 3, 32, 32)).astype(np.float32)
+    g.add_input(x, emb, "o")
+
+    out = ex.run(g, taps={(2, "r")})
+    got = np.asarray(out[2]["r"])
+
+    mono = vit.forward(params, jnp.asarray(x), CFG, want_attn=True)
+    expect = np.asarray(attention_rollout(list(mono["attn"][:2])))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+    # rows remain probability distributions
+    np.testing.assert_allclose(got.sum(-1), np.ones_like(got.sum(-1)),
+                               atol=1e-5)

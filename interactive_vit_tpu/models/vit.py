@@ -291,12 +291,15 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None):
                         jnp.eye(n, dtype=jnp.float32), (b, n, n)
                     )
                 outs["r"] = attn_ops.rollout_step(probs, r_in).astype(x.dtype)
+            if "cls" in want:
+                # CLS-token trajectory tap: [B, D] after this block
+                outs["cls"] = y[:, 0]
             return outs
 
         return block_fn
 
     for i in range(cfg.depth):
-        layers.append((f"blocks.{i}", ["attn", "r"], make_block_fn(i)))
+        layers.append((f"blocks.{i}", ["attn", "r", "cls"], make_block_fn(i)))
 
     def norm_fn(p, ins):
         return {"o": final_norm({"norm": p}, ins["o"], cfg)}

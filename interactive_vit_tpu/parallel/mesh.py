@@ -45,10 +45,12 @@ def make_mesh(
     if axis_sizes is None:
         axis_sizes = {"data": len(devices), "model": 1}
     shape = (axis_sizes.get("data", 1), axis_sizes.get("model", 1))
-    if shape[0] * shape[1] != len(devices):
+    need = shape[0] * shape[1]
+    if need < len(devices):
+        devices = devices[:need]  # a sub-mesh is fine; use the first chips
+    if need != len(devices):
         raise ValueError(
-            f"mesh {shape} needs {shape[0] * shape[1]} devices, "
-            f"got {len(devices)}"
+            f"mesh {shape} needs {need} devices, got {len(devices)}"
         )
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, ("data", "model"))

@@ -273,3 +273,23 @@ def test_debug_eval_endpoint(served):
     out2 = json.loads(_post(base + "/debug_eval", bytes(Request.encode(g2))))
     assert "0" in out2["errors"]
     assert out2["errors"]["1"] == "eval error upstream"
+
+
+def test_batcher_survives_failing_request(served):
+    """A request that fails at trace poisons only its own future; the
+    worker keeps serving (failure-detection contract)."""
+    _, base = served
+    bad = Graph()
+    n = bad.add_node("binop", {"op": "+"})
+    bad.add_input(np.ones((4,), np.float32), n, "a")
+    bad.add_input(np.ones((5,), np.float32), n, "b")  # shape mismatch
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/compute", Request.encode(bad))
+    assert ei.value.code == 400
+    assert "node 0" in ei.value.read().decode()
+
+    # the worker is still alive and serving
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    out = Response.decode(_post(base + "/compute",
+                                Request.encode(make_cos_graph(x))))
+    np.testing.assert_allclose(out[0]["o"], np.cos(2.0 * x), rtol=1e-6)

@@ -177,3 +177,18 @@ def test_rollout_channel_flows_through_chain(setup):
     # rows remain probability distributions
     np.testing.assert_allclose(got.sum(-1), np.ones_like(got.sum(-1)),
                                atol=1e-5)
+
+
+def test_cls_trajectory_tap(setup):
+    params, model, reg, _ = setup
+    ex = Executor(reg)
+    g = Graph()
+    emb = g.add_node("vit_test:embed")
+    b0 = g.add_node("vit_test:blocks.0")
+    g.connect(emb, "o", b0, "o")
+    x = np.random.default_rng(6).random((2, 3, 32, 32)).astype(np.float32)
+    g.add_input(x, emb, "o")
+    out = ex.run(g, taps={(1, "cls"), (1, "o")})
+    np.testing.assert_allclose(
+        np.asarray(out[1]["cls"]), np.asarray(out[1]["o"])[:, 0], atol=1e-6
+    )

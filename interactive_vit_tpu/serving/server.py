@@ -24,6 +24,20 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
+def enable_compilation_cache(cache_dir: str = "/tmp/ivt_jit_cache") -> None:
+    """Persistent XLA compilation cache: server restarts (and repeated
+    bench runs) reuse compiled programs instead of paying 5-30s per graph
+    signature again."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logger.info("compilation cache at %s", cache_dir)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        logger.warning("compilation cache unavailable: %s", e)
+
+
 def build_app(
     models=("vit_t16",),
     graphs_dir: str = None,
@@ -94,6 +108,8 @@ def main() -> None:
                         choices=["float32", "bfloat16"],
                         help="model weight/compute dtype (bfloat16 = fast "
                              "interactive path)")
+    parser.add_argument("--jit-cache", default="/tmp/ivt_jit_cache",
+                        help="persistent compilation cache dir ('' = off)")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -101,6 +117,8 @@ def main() -> None:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    if args.jit_cache:
+        enable_compilation_cache(args.jit_cache)
     app = build_app(
         models=[m for m in args.models.split(",") if m],
         graphs_dir=args.graphs_dir,

@@ -149,6 +149,39 @@ class App:
             "errors": {str(k): v for k, v in errors.items()},
         }
 
+    def health(self, timeout_s: float = 5.0) -> Dict:
+        """Device liveness probe: run a tiny op with a deadline.
+
+        Failure detection for serving (SURVEY.md §5): a wedged accelerator
+        (observed with the tunneled TPU) hangs rather than erroring, so
+        liveness = a real device round-trip finishing in time.
+        """
+        import concurrent.futures
+
+        import jax
+        import jax.numpy as jnp
+
+        def probe():
+            x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+            jax.block_until_ready(x)
+            return str(jax.devices()[0])
+
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(probe)
+            try:
+                device = fut.result(timeout=timeout_s)
+                return {
+                    "ok": True,
+                    "device": device,
+                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                }
+            except concurrent.futures.TimeoutError:
+                return {"ok": False,
+                        "error": f"device probe exceeded {timeout_s}s"}
+            except Exception as e:  # noqa: BLE001
+                return {"ok": False, "error": str(e)}
+
     def descriptions(self, names) -> Dict[str, Dict]:
         out = {}
         for name in names:
@@ -217,6 +250,9 @@ class App:
                         self._json(app.descriptions(names))
                     elif path == "/metrics":
                         self._json(app.metrics.snapshot())
+                    elif path == "/health":
+                        h = app.health()
+                        self._json(h, code=200 if h["ok"] else 503)
                     elif path.startswith("/static/"):
                         self._serve_frontend(path[len("/static/"):])
                     else:

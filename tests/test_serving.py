@@ -293,3 +293,10 @@ def test_batcher_survives_failing_request(served):
     out = Response.decode(_post(base + "/compute",
                                 Request.encode(make_cos_graph(x))))
     np.testing.assert_allclose(out[0]["o"], np.cos(2.0 * x), rtol=1e-6)
+
+
+def test_health_endpoint(served):
+    _, base = served
+    h = json.loads(_get(base + "/health"))
+    assert h["ok"] is True
+    assert "device" in h and h["latency_ms"] >= 0

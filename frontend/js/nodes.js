@@ -250,6 +250,7 @@ export class AttnViewNode extends Node {
 	constructor() {
 		super("attn_view", "attention");
 		this.addInput("attn");
+		this.addInput("r"); // accepts a rollout map [B,N,N] too
 		this.head = 0;
 		this.query = 0; // 0 = CLS
 	}
@@ -274,7 +275,15 @@ export class AttnViewNode extends Node {
 	}
 
 	onInputs(read) {
-		this.t = read("attn");
+		// a wired rollout map [B,N,N] / [N,N] wins over raw attention
+		const r = read("r");
+		if (r) {
+			this.t = r.dims.length === 2
+				? { dims: [1, ...r.dims], data: r.data }
+				: r; // [B,N,N] renders as H=B "heads" (first sample = head 0)
+		} else {
+			this.t = read("attn");
+		}
 		this.redraw();
 	}
 

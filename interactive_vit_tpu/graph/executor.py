@@ -123,12 +123,33 @@ class ExecStats:
 class Executor:
     """Stages, compiles (with caching), and runs graphs."""
 
-    def __init__(self, reg: Optional[Registry] = None, use_jit: bool = True):
+    # LRU bound on compiled programs: long-running interactive serving sees
+    # unbounded distinct (graph, shapes, taps) signatures; each compiled
+    # program pins device executables + host memory.
+    MAX_CACHE_ENTRIES = 64
+
+    def __init__(self, reg: Optional[Registry] = None, use_jit: bool = True,
+                 max_cache_entries: Optional[int] = None):
+        from collections import OrderedDict
+
         self.reg = reg or registry()
         self.use_jit = use_jit
-        # signature -> (jitted fn, output keys)
-        self._cache: Dict[str, Tuple[Any, List[Tuple[int, str]]]] = {}
+        self.max_cache_entries = max_cache_entries or self.MAX_CACHE_ENTRIES
+        # signature -> (compiled fn, output keys, captures) — LRU-ordered
+        self._cache: "OrderedDict[str, Tuple[Any, List, Dict]]" = OrderedDict()
         self.last_stats = ExecStats()
+
+    def _cache_get(self, sig: str):
+        hit = self._cache.get(sig)
+        if hit is not None:
+            self._cache.move_to_end(sig)
+        return hit
+
+    def _cache_put(self, sig: str, entry) -> None:
+        self._cache[sig] = entry
+        self._cache.move_to_end(sig)
+        while len(self._cache) > self.max_cache_entries:
+            self._cache.popitem(last=False)
 
     # -- validation -----------------------------------------------------------
     def validate(self, graph: Graph) -> None:
@@ -241,8 +262,9 @@ class Executor:
         inputs = tuple(e.tensor for _, _, e in graph.input_edges())
 
         t0 = time.perf_counter()
-        if sig in self._cache:
-            fn, out_keys, caps_arg = self._cache[sig]
+        hit = self._cache_get(sig)
+        if hit is not None:
+            fn, out_keys, caps_arg = hit
             stats.cache_hit = True
             stats.stage_s = time.perf_counter() - t0
         else:
@@ -258,7 +280,7 @@ class Executor:
             else:
                 fn = staged
                 stats.stage_s = time.perf_counter() - t0
-            self._cache[sig] = (fn, out_keys, caps_arg)
+            self._cache_put(sig, (fn, out_keys, caps_arg))
 
         t0 = time.perf_counter()
         flat = fn(inputs, caps_arg)
@@ -301,14 +323,15 @@ class Executor:
 
         stats = ExecStats()
         t0 = time.perf_counter()
-        if sig in self._cache:
-            fn, out_keys, caps_arg = self._cache[sig]
+        hit = self._cache_get(sig)
+        if hit is not None:
+            fn, out_keys, caps_arg = hit
             stats.cache_hit = True
         else:
             staged, out_keys, caps_arg = self._stage(g0, tap_set)
             vmapped = jax.vmap(staged, in_axes=(0, None), out_axes=0)
             fn = jax.jit(vmapped) if self.use_jit else vmapped
-            self._cache[sig] = (fn, out_keys, caps_arg)
+            self._cache_put(sig, (fn, out_keys, caps_arg))
         stats.stage_s = time.perf_counter() - t0
 
         per_graph = [

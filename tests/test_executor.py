@@ -155,3 +155,19 @@ def test_diamond_multi_consumer(ex):
     np.testing.assert_allclose(
         out[3]["c"], np.cos(2 * c) * np.cos(0.5 * c), rtol=1e-6
     )
+
+
+def test_compile_cache_lru_eviction(reg):
+    ex = Executor(reg, max_cache_entries=2)
+    for size in (4, 8, 16):
+        g = Graph()
+        n = g.add_node("cos")
+        g.add_input(np.zeros((size,), np.float32), n, "o")
+        ex.run(g)
+    assert ex.cache_info()["entries"] == 2
+    # the oldest (size 4) was evicted -> re-running it is a miss
+    g = Graph()
+    n = g.add_node("cos")
+    g.add_input(np.zeros((4,), np.float32), n, "o")
+    ex.run(g)
+    assert not ex.last_stats.cache_hit

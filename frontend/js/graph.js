@@ -303,6 +303,19 @@ export class Context {
 
 	static async deserialize(obj) {
 		Context.clear();
+		// batched metadata prefetch per kind (kills the reference's N+1
+		// GET storm on 42-node graph loads, SURVEY.md §3.4)
+		const byKind = new Map();
+		for (const data of obj.nodes) {
+			const kind = data.instance.kind;
+			if (!byKind.has(kind)) byKind.set(kind, []);
+			byKind.get(kind).push(data.instance);
+		}
+		await Promise.all(
+			[...byKind.entries()].map(([kind, instances]) =>
+				Context.kinds.get(kind)?.prefetch?.(instances),
+			),
+		);
 		const nodes = [];
 		for (const data of obj.nodes) {
 			const node = await Context.createNode(

@@ -656,6 +656,11 @@ export class ResizeNode extends Node {
 // ---- server layer node (net_node contract) -------------------------------------------
 
 export class NetNode extends Node {
+	// endpoint -> {io, contents}; filled by prefetch() (ONE /descriptions
+	// request for a whole graph load, vs the reference's 2 GETs per node —
+	// its 42-node vgg16 load fired ~84 sequential requests)
+	static metadataCache = new Map();
+
 	constructor(endpoint, params, io, contentsHtml) {
 		super("net_node", endpoint);
 		this.endpoint = endpoint;
@@ -665,7 +670,28 @@ export class NetNode extends Node {
 		this.contentsHtml = contentsHtml;
 	}
 
+	static async prefetch(endpoints) {
+		const missing = [...new Set(endpoints)].filter(
+			(e) => !NetNode.metadataCache.has(e),
+		);
+		if (!missing.length) return;
+		try {
+			const out = await (
+				await fetch(`descriptions?names=${missing.join(",")}`)
+			).json();
+			for (const [name, meta] of Object.entries(out)) {
+				if (!meta.error) NetNode.metadataCache.set(name, meta);
+			}
+		} catch (e) {
+			console.warn("batched metadata prefetch failed", e);
+		}
+	}
+
 	static async create(endpoint, params = {}) {
+		const cached = NetNode.metadataCache.get(endpoint);
+		if (cached && !Object.keys(params).length) {
+			return new NetNode(endpoint, params, cached.io, cached.contents);
+		}
 		const qs = new URLSearchParams(params).toString();
 		const resp = await fetch(`description/${endpoint}${qs ? `?${qs}` : ""}`);
 		if (!resp.ok) throw new Error(await resp.text());
@@ -736,5 +762,7 @@ export function registerAll() {
 	Context.registerKind("resize", simple(ResizeNode));
 	Context.registerKind("net_node", {
 		make: async (inst) => NetNode.create(inst.endpoint, inst.params),
+		prefetch: (instances) =>
+			NetNode.prefetch(instances.map((i) => i.endpoint)),
 	});
 }

@@ -18,6 +18,13 @@ def make_clip_model(params: Optional[Any] = None, seed: int = 0,
     if params is None:
         params = clip.init_params(jax.random.key(seed), cfg,
                                   dtype=dtype or jnp.float32)
+
+    from interactive_vit_tpu.ops.dispatch import default_block_impl
+
+    leaf_dtype = jax.tree.leaves(params)[0].dtype
+    block_impl = default_block_impl(
+        "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width, heads=cfg.heads
+    )
     descriptions = {
         "transform": f"Resize+CenterCrop({cfg.img_size})+CLIP-Normalize",
         "embed": f"PatchEmbed p={cfg.patch} + CLS + pos + ln_pre",
@@ -29,7 +36,8 @@ def make_clip_model(params: Optional[Any] = None, seed: int = 0,
     }
     return JaxModel(
         name=cfg.name,
-        layers=clip.layer_fns(cfg, attn_impl=attn_impl),
+        layers=clip.layer_fns(cfg, attn_impl=attn_impl,
+                              block_impl=block_impl),
         params=params,
         layer_params_fn=clip.layer_params,
         descriptions=descriptions,

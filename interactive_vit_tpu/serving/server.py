@@ -90,6 +90,43 @@ def build_app(
     return app
 
 
+def warmup(app: App, models, batch_sizes=(1,)) -> None:
+    """Pre-compile each model's full-chain program at boot.
+
+    With the persistent compilation cache this is a one-time cost per
+    (model, batch) signature; afterwards the first user request is served
+    at steady-state latency instead of paying a compile.
+    """
+    import numpy as np
+
+    from interactive_vit_tpu.wire.schema import graph_from_json
+
+    for variant in models:
+        try:
+            obj = app.graphs.load(variant + ".json")
+        except FileNotFoundError:
+            continue
+        for bs in batch_sizes:
+            # canonical 224px single-image signature (other input shapes
+            # still compile on first sight — the persistent cache then
+            # remembers them across restarts)
+            graphs = []
+            for _ in range(bs):
+                gi = graph_from_json(obj)
+                gi.add_input(np.zeros((3, 224, 224), np.float32),
+                             gi.nodes[0], "o")
+                graphs.append(gi)
+            import time as _t
+
+            t0 = _t.perf_counter()
+            if bs == 1:
+                app.executor.run(graphs[0], taps="primary")
+            else:
+                app.executor.run_stacked(graphs, taps="primary")
+            logger.info("warmed %s batch=%d in %.1fs", variant, bs,
+                        _t.perf_counter() - t0)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="interactive_vit_tpu server")
     parser.add_argument("--host", default="127.0.0.1")
@@ -110,6 +147,10 @@ def main() -> None:
                              "interactive path)")
     parser.add_argument("--jit-cache", default="/tmp/ivt_jit_cache",
                         help="persistent compilation cache dir ('' = off)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile each model's full-chain program "
+                             "at boot (first request then runs at steady "
+                             "state)")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -129,6 +170,8 @@ def main() -> None:
         attn_impl_name=args.attn,
         dtype_name=args.dtype,
     )
+    if args.warmup:
+        warmup(app, [m for m in args.models.split(",") if m])
     app.serve(args.host, args.port)
 
 

@@ -300,3 +300,32 @@ def test_health_endpoint(served):
     h = json.loads(_get(base + "/health"))
     assert h["ok"] is True
     assert "device" in h and h["latency_ms"] >= 0
+
+
+def test_boot_warmup():
+    """--warmup pre-compiles the model chain; the next request is a hit."""
+    import jax
+    from interactive_vit_tpu.models import vit as vit_mod
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.serving.server import warmup
+    from interactive_vit_tpu.wire.schema import GraphLibrary, graph_from_json
+
+    cfg = vit_mod.ViTConfig("vit_warm", img_size=224, patch=16, width=64,
+                            depth=1, heads=4, num_classes=10)
+    vit_mod.VARIANTS["vit_warm"] = cfg
+    reg = Registry()
+    register_builtin(reg)
+    import tempfile
+
+    gdir = tempfile.mkdtemp()
+    app = App(reg=reg, graphs_dir=gdir)
+    model = make_vit_model("vit_warm",
+                           params=vit_mod.init_params(jax.random.key(0), cfg))
+    model.register(reg, app.graphs)
+
+    warmup(app, ["vit_warm"])
+    g = graph_from_json(app.graphs.load("vit_warm.json"))
+    g.add_input(np.zeros((3, 224, 224), np.float32), g.nodes[0], "o")
+    app.executor.run(g, taps="primary")
+    assert app.executor.last_stats.cache_hit
+    app.batcher.stop()

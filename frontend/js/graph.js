@@ -186,10 +186,39 @@ export class Context {
 	// ---- evaluation -----------------------------------------------------------
 	static evalEpoch = 0;
 
+	/** Nodes whose inputs are all satisfied (transitively). A half-wired
+	 * node (just dropped on the canvas) must not 400 the whole request —
+	 * the reference evaluated per-node with isolation; we stage one
+	 * program, so incomplete nodes are excluded up front and labeled. */
+	static readySet() {
+		const ready = new Map(); // node -> bool
+		const isReady = (n) => {
+			if (ready.has(n)) return ready.get(n);
+			ready.set(n, false); // cycle guard
+			let ok;
+			if (n.isSource()) {
+				ok = n.sourceTensor() !== null;
+			} else {
+				ok = n.ins.every((p) => {
+					if (p.channel === "r") return true; // optional rollout-in
+					const e = Context.edges.find((x) => x.dst === p);
+					return e && isReady(e.src.node);
+				});
+			}
+			ready.set(n, ok);
+			return ok;
+		};
+		for (const n of Context.nodes) isReady(n);
+		return ready;
+	}
+
 	static async evaluate() {
 		const epoch = ++Context.evalEpoch;
-		// server request: every non-source non-viewer node
-		const reqNodes = Context.nodes.filter((n) => !n.isSource() && !n.isViewer());
+		// server request: every READY non-source non-viewer node
+		const ready = Context.readySet();
+		const reqNodes = Context.nodes.filter(
+			(n) => !n.isSource() && !n.isViewer() && ready.get(n),
+		);
 		const index = new Map(reqNodes.map((n, i) => [n, i]));
 		const nodesJson = reqNodes.map((n) => n.wireSpec());
 		const edgesJson = [];
@@ -225,7 +254,13 @@ export class Context {
 			}
 		}
 
-		for (const n of Context.nodes) n.setStatus(reqNodes.length ? "…" : "");
+		for (const n of Context.nodes) {
+			if (!n.isSource() && !n.isViewer() && !ready.get(n)) {
+				n.setStatus("unwired inputs");
+			} else {
+				n.setStatus(reqNodes.length ? "…" : "");
+			}
+		}
 		if (!reqNodes.length) {
 			Context.routeResults(new Map(), index, epoch);
 			return;

@@ -56,16 +56,25 @@ def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
     """
     if name in ("none", "reference"):
         return None
-    from interactive_vit_tpu.ops.fused_block import fits, fused_attn_block
+    from interactive_vit_tpu.ops.fused_block import (
+        fits, fits_headwise, fused_attn_block, headwise_attn_block,
+    )
 
     if name == "fused":
         return fused_attn_block
+    if name == "headwise":
+        return headwise_attn_block
     if name == "auto":
         import jax.numpy as jnp
 
-        if (on_tpu() and dtype is not None and dtype != jnp.float32
-                and n and fits(n, d, heads, dtype)):
-            return fused_attn_block
+        if on_tpu() and dtype is not None and dtype != jnp.float32 and n:
+            if fits(n, d, heads, dtype):
+                return fused_attn_block
+            if fits_headwise(n, d, heads, dtype):
+                # per-head grid: covers models whose whole-image working
+                # set exceeds VMEM (ViT-L/16@384 w/ maps: +5% over the
+                # row-resident kernel, and LN/QKV/proj fuse in)
+                return headwise_attn_block
         return None
     raise ValueError(f"unknown block impl {name!r}")
 

@@ -146,8 +146,123 @@ def fused_attn_block(
     return results[0], None
 
 
+def _headwise_kernel(x_ref, qkvh_ref, projw_ref, projb_ref, y_ref,
+                     *rest, sm_scale: float, prec, emit: bool):
+    """Per-(image, head) program: attention for ONE head + its slice of the
+    output projection, accumulated across the head grid axis.
+
+    The identity concat(o_h) @ W = sum_h o_h @ W[h*dh:(h+1)*dh] lets each
+    head contribute its rank-dh share of the projected output, so the
+    VMEM working set stays per-head — this is what makes ViT-L/16@384
+    (16 heads x 640^2 maps, too big for the one-program-per-image kernel)
+    fit. y accumulates in an f32 scratch, written once on the last head.
+    """
+    if emit:
+        probs_ref, acc_ref = rest
+    else:
+        (acc_ref,) = rest
+    h = pl.program_id(1)
+    nh = pl.num_programs(1)
+
+    qkv = qkvh_ref[0, 0]  # [N, 3*dh]
+    dh = qkv.shape[-1] // 3
+    q, k, v = qkv[:, :dh], qkv[:, dh:2 * dh], qkv[:, 2 * dh:]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * sm_scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    probs = p / jnp.sum(p, axis=1, keepdims=True)
+    if emit:
+        probs_ref[0, 0] = probs.astype(probs_ref.dtype)
+
+    o = jax.lax.dot(probs.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32, precision=prec)
+    contrib = jax.lax.dot(o.astype(v.dtype), projw_ref[0],
+                          preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = x_ref[0].astype(jnp.float32) + projb_ref[0] + contrib
+
+    @pl.when(h != 0)
+    def _acc():
+        acc_ref[...] = acc_ref[...] + contrib
+
+    @pl.when(h == nh - 1)
+    def _store():
+        y_ref[0] = acc_ref[...].astype(y_ref.dtype)
+
+
+def headwise_attn_block(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    eps: float = 1e-6,
+    want_attn: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fused attention branch for models too big for ``fused_attn_block``.
+
+    LN + QKV run in XLA (they are plain fused matmuls there); the kernel
+    grid is (B, H): per-head attention with optional per-head map emission
+    and projection accumulation. Same contract as ``fused_attn_block``.
+    """
+    from interactive_vit_tpu.ops import layers as L
+
+    b, n, d = x.shape
+    dh = d // heads
+    ln = L.layer_norm(x, p["ln1_s"], p["ln1_b"], eps)
+    qkv = L.linear(ln, p["qkv_w"], p["qkv_b"])  # [B, N, 3D]
+    # -> [B, H, N, 3*dh] with (q|k|v) contiguous per head
+    qkvh = (qkv.reshape(b, n, 3, heads, dh)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(b, heads, n, 3 * dh))
+    projw = p["proj_w"].reshape(heads, dh, d)
+
+    kernel = functools.partial(
+        _headwise_kernel, sm_scale=dh ** -0.5, prec=_precision(x.dtype),
+        emit=want_attn,
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if want_attn:
+        out_shape.append(jax.ShapeDtypeStruct((b, heads, n, n), x.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, 1, n, n), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    results = pl.pallas_call(
+        kernel,
+        grid=(b, heads),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, 3 * dh), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, d), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x, qkvh, projw, p["proj_b"].reshape(1, d))
+    if want_attn:
+        return results[0], results[1]
+    return results[0], None
+
+
 def fits(n: int, d: int, heads: int, dtype) -> bool:
-    """VMEM feasibility estimate for one grid program."""
+    """VMEM feasibility estimate for one ``fused_attn_block`` program."""
     esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
     weights = d * 3 * d * esize + d * d * esize
     acts = n * d * esize * 3 + n * 3 * d * esize  # x, ln, y, qkv
@@ -155,3 +270,18 @@ def fits(n: int, d: int, heads: int, dtype) -> bool:
     probs_tap = heads * n * n * esize
     total = weights + acts + scores + probs_tap
     return total < 12 * 1024 * 1024
+
+
+def fits_headwise(n: int, d: int, heads: int, dtype) -> bool:
+    """VMEM feasibility for one ``headwise_attn_block`` program (per head)."""
+    esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
+    dh = d // heads
+    per_head = (
+        n * 3 * dh * esize      # qkv slice
+        + n * n * 4 * 2         # s + probs f32
+        + n * n * esize         # probs tap block
+        + dh * d * esize        # proj slice
+        + n * d * 4             # f32 accumulator scratch
+        + n * d * esize * 2     # x block + y block
+    )
+    return per_head < 12 * 1024 * 1024

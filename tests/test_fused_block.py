@@ -70,3 +70,37 @@ def test_fits_estimator():
     # ViT-B with maps fits; ViT-L's 16-head probs tap does not
     assert fb.fits(197, 768, 12, jnp.bfloat16)
     assert not fb.fits(577, 1024, 16, jnp.bfloat16)
+
+
+def test_headwise_matches_unfused():
+    params = vit.init_params(jax.random.key(3), CFG)
+    p = params["blocks"][0]
+    x = jnp.asarray(
+        np.random.default_rng(3).random((2, CFG.tokens, CFG.width), np.float32)
+    )
+    # the headwise kernel covers only the attention branch; compare that
+    from interactive_vit_tpu.ops import layers as L
+    from interactive_vit_tpu.ops.attention import mhsa
+
+    h, ref_probs = mhsa(
+        L.layer_norm(x, p["ln1_s"], p["ln1_b"], CFG.ln_eps),
+        p, CFG.heads, want_attn=True,
+    )
+    ref = x + h
+    got, probs = fb.headwise_attn_block(x, p, CFG.heads, CFG.ln_eps,
+                                        want_attn=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=1e-5)
+
+
+def test_headwise_no_probs():
+    params = vit.init_params(jax.random.key(4), CFG)
+    p = params["blocks"][1]
+    x = jnp.asarray(
+        np.random.default_rng(4).random((1, CFG.tokens, CFG.width), np.float32)
+    )
+    got, probs = fb.headwise_attn_block(x, p, CFG.heads, CFG.ln_eps)
+    assert probs is None
+    ref, _ = fb.fused_attn_block(x, p, CFG.heads, CFG.ln_eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -47,7 +47,6 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
 

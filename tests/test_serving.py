@@ -308,7 +308,7 @@ def test_boot_warmup():
     from interactive_vit_tpu.models import vit as vit_mod
     from interactive_vit_tpu.models.vit_plugin import make_vit_model
     from interactive_vit_tpu.serving.server import warmup
-    from interactive_vit_tpu.wire.schema import GraphLibrary, graph_from_json
+    from interactive_vit_tpu.wire.schema import graph_from_json
 
     cfg = vit_mod.ViTConfig("vit_warm", img_size=224, patch=16, width=64,
                             depth=1, heads=4, num_classes=10)

@@ -22,9 +22,11 @@ fuses. This executor instead:
 
 Tap sets
 --------
-``taps="all"``    every output channel of every node (wire-protocol parity).
-``taps="sinks"``  only output channels with no consumer inside the graph.
-``taps={(i,ch)}`` an explicit set — the interactive fast path.
+``taps="all"``      every output channel of every node (wire-protocol parity).
+``taps="primary"``  every output EXCEPT unconsumed expensive extras
+                    (attention maps) — the serving default.
+``taps="sinks"``    only output channels with no consumer inside the graph.
+``taps={(i,ch)}``   an explicit set — the interactive fast path.
 """
 
 from __future__ import annotations

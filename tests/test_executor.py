@@ -171,3 +171,30 @@ def test_compile_cache_lru_eviction(reg):
     g.add_input(np.zeros((4,), np.float32), n, "o")
     ex.run(g)
     assert not ex.last_stats.cache_hit
+
+
+def test_unjitted_executor_path(reg):
+    """use_jit=False: the staged closure runs eagerly, same results."""
+    ex = Executor(reg, use_jit=False)
+    g = Graph()
+    a = g.add_node("cos", {"A": "2.0"})
+    b = g.add_node("cos")
+    g.connect(a, "o", b, "o")
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    g.add_input(x, a, "o")
+    out = ex.run(g)
+    np.testing.assert_allclose(
+        np.asarray(out[1]["o"]), np.cos(np.cos(2.0 * x)), rtol=1e-6
+    )
+
+
+def test_run_device_resident(reg):
+    """to_host=False keeps outputs as jax arrays (bench fast path)."""
+    import jax
+
+    ex = Executor(reg)
+    g = Graph()
+    n = g.add_node("cos")
+    g.add_input(np.ones((4,), np.float32), n, "o")
+    out = ex.run(g, to_host=False)
+    assert isinstance(out[0]["o"], jax.Array)

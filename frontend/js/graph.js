@@ -256,7 +256,7 @@ export class Context {
 
 		for (const n of Context.nodes) {
 			if (!n.isSource() && !n.isViewer() && !ready.get(n)) {
-				n.setStatus("unwired inputs");
+				n.setStatus("awaiting inputs");
 			} else {
 				n.setStatus(reqNodes.length ? "…" : "");
 			}

@@ -47,6 +47,14 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compilation cache: repeated bench runs skip the 10-30s
+    # compile (and a flaky-tunnel compile stall can't eat the whole run)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ivt_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
     from interactive_vit_tpu.models import vit
     from interactive_vit_tpu.ops.dispatch import (
         default_attn_impl, default_block_impl,

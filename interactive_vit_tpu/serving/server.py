@@ -145,6 +145,11 @@ def main() -> None:
                         choices=["float32", "bfloat16"],
                         help="model weight/compute dtype (bfloat16 = fast "
                              "interactive path)")
+    parser.add_argument("--platform", default="default",
+                        choices=["default", "cpu"],
+                        help="'cpu' forces the CPU backend in-process "
+                             "(frontend/dev work without touching the TPU); "
+                             "'default' uses whatever JAX selects")
     parser.add_argument("--jit-cache", default="/tmp/ivt_jit_cache",
                         help="persistent compilation cache dir ('' = off)")
     parser.add_argument("--warmup", action="store_true",
@@ -158,6 +163,13 @@ def main() -> None:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    if args.platform == "cpu":
+        # In-process platform override: the axon sitecustomize hook ignores
+        # the JAX_PLATFORMS env var, but honors jax.config (same escape as
+        # tests/conftest.py) as long as it runs before first backend use.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.jit_cache:
         enable_compilation_cache(args.jit_cache)
     app = build_app(

@@ -77,7 +77,7 @@ def main() -> None:
             return out["logits"], out["attn"], out["rollout"]
         return out["logits"]
 
-    jitted = jax.jit(fn)
+    from interactive_vit_tpu.ops.layouts import row_major_out_shardings
 
     def run_one(batch: int) -> float:
         images = jnp.asarray(
@@ -86,6 +86,10 @@ def main() -> None:
             ),
             dtype=dtype,
         )
+        # row-major tap layouts: kills the per-layer [B,H,N,N] relayout
+        # copies at the jit boundary (ops/layouts.py)
+        sh = row_major_out_shardings(fn, params, images)
+        jitted = jax.jit(fn, out_shardings=sh) if sh is not None else jax.jit(fn)
         out = jitted(params, images)  # compile + warmup
         jax.block_until_ready(out)
         t0 = time.perf_counter()

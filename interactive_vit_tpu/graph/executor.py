@@ -47,6 +47,16 @@ logger = logging.getLogger(__name__)
 TapSpec = Union[str, Iterable[Tuple[int, str]]]
 
 
+def _jit(fn, *example_args):
+    """jit with row-major entry-output layouts (ops/layouts.py): tap
+    outputs otherwise pay a whole-tensor relayout copy at the jit boundary
+    on TPU (PJRT's compact default layout for rank>=3 is non-descending)."""
+    from interactive_vit_tpu.ops.layouts import row_major_out_shardings
+
+    sh = row_major_out_shardings(fn, *example_args)
+    return jax.jit(fn, out_shardings=sh) if sh is not None else jax.jit(fn)
+
+
 class NodeError(Exception):
     """An error attributed to one graph node (TargettedError contract)."""
 
@@ -272,7 +282,7 @@ class Executor:
         else:
             staged, out_keys, caps_arg = self._stage(graph, tap_set)
             if self.use_jit:
-                fn = jax.jit(staged)
+                fn = _jit(staged, inputs, caps_arg)
                 stats.stage_s = time.perf_counter() - t0
                 # explicit AOT compile so stats separate compile from execute
                 # (the decode/compile/execute split is a BASELINE metric)
@@ -323,19 +333,6 @@ class Executor:
         sig = g0.signature(extra=[_tap_key(tap_set), self.use_jit,
                                   "stacked", bucket])
 
-        stats = ExecStats()
-        t0 = time.perf_counter()
-        hit = self._cache_get(sig)
-        if hit is not None:
-            fn, out_keys, caps_arg = hit
-            stats.cache_hit = True
-        else:
-            staged, out_keys, caps_arg = self._stage(g0, tap_set)
-            vmapped = jax.vmap(staged, in_axes=(0, None), out_axes=0)
-            fn = jax.jit(vmapped) if self.use_jit else vmapped
-            self._cache_put(sig, (fn, out_keys, caps_arg))
-        stats.stage_s = time.perf_counter() - t0
-
         per_graph = [
             tuple(e.tensor for _, _, e in g.input_edges()) for g in graphs
         ]
@@ -345,6 +342,19 @@ class Executor:
             jnp.stack([pg[i] for pg in per_graph])
             for i in range(len(per_graph[0]))
         )
+
+        stats = ExecStats()
+        t0 = time.perf_counter()
+        hit = self._cache_get(sig)
+        if hit is not None:
+            fn, out_keys, caps_arg = hit
+            stats.cache_hit = True
+        else:
+            staged, out_keys, caps_arg = self._stage(g0, tap_set)
+            vmapped = jax.vmap(staged, in_axes=(0, None), out_axes=0)
+            fn = _jit(vmapped, stacked, caps_arg) if self.use_jit else vmapped
+            self._cache_put(sig, (fn, out_keys, caps_arg))
+        stats.stage_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         flat = fn(stacked, caps_arg)

@@ -95,14 +95,19 @@ def mhsa(
 
 
 def rollout_step(attn: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:
-    """One layer of attention rollout: fold [B,H,N,N] maps into [B,N,N].
+    """One layer of attention rollout: fold attention maps into [B,N,N].
 
+    ``attn`` is either per-head maps [B,H,N,N] (meaned here) or already
+    head-meaned maps [B,N,N] (the fused kernels emit these directly —
+    cheaper than re-reading the per-head tensor from HBM).
     carry is the rollout up to the previous layer (identity at layer 0).
     Used both by ``attention_rollout`` (monolithic forward) and by the
     per-block "r" channel in the interactive graph (the rollout flows
     along the chain like the activation does).
     """
-    mean_heads = attn.astype(jnp.float32).mean(axis=1)  # [B, N, N]
+    mean_heads = attn.astype(jnp.float32)
+    if mean_heads.ndim == 4:
+        mean_heads = mean_heads.mean(axis=1)  # [B, N, N]
     n = mean_heads.shape[-1]
     aug = 0.5 * mean_heads + 0.5 * jnp.eye(n, dtype=jnp.float32)
     aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
@@ -113,8 +118,9 @@ def rollout_step(attn: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:
 def attention_rollout(attns) -> jnp.ndarray:
     """Attention rollout (Abnar & Zuidema 2020) over per-layer maps.
 
-    ``attns``: a sequence of [B, H, N, N] post-softmax maps (or a stacked
-    [L, B, H, N, N] array). Returns [B, N, N]: cumulative token-to-token
+    ``attns``: a sequence of [B, H, N, N] post-softmax maps, of [B, N, N]
+    head-meaned maps, or a stacked array of either. Returns [B, N, N]:
+    cumulative token-to-token
     attribution with residual connections folded in as 0.5*I +
     0.5*mean-over-heads, renormalized, matrix-chained across layers. Drives
     the BASELINE config 2 "CLS + attention-rollout visualization".
@@ -125,7 +131,7 @@ def attention_rollout(attns) -> jnp.ndarray:
     """
     if hasattr(attns, "shape"):
         attns = list(attns)
-    b, _, n, _ = attns[0].shape
+    b, n = attns[0].shape[0], attns[0].shape[-1]
     rollout = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (b, n, n))
     for a in attns:
         rollout = rollout_step(a, rollout)

@@ -44,8 +44,10 @@ def _precision(dtype):
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
-            projb_ref, y_ref, *probs_out, heads: int, eps: float,
-            prec, emit: bool):
+            projb_ref, y_ref, *taps, heads: int, eps: float,
+            prec, emit: bool, emit_mean: bool):
+    probs_ref = taps[0] if emit else None
+    mean_ref = taps[1 if emit else 0] if emit_mean else None
     x = x_ref[0]  # [N, D]
     n, d = x.shape
     dh = d // heads
@@ -65,6 +67,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
     qkv = (qkv + qkvb_ref[0]).astype(x.dtype)  # [N, 3D]
 
     outs = []
+    msum = None  # head-mean accumulator, f32 in VMEM
     for h in range(heads):
         q = qkv[:, h * dh:(h + 1) * dh]
         k = qkv[:, d + h * dh: d + (h + 1) * dh]
@@ -78,11 +81,18 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
         l = jnp.sum(p, axis=1, keepdims=True)
         probs = p / l
         if emit:
-            probs_out[0][0, h] = probs.astype(probs_out[0].dtype)
+            probs_ref[0, h] = probs.astype(probs_ref.dtype)
+        if emit_mean:
+            msum = probs if msum is None else msum + probs
         outs.append(
             jax.lax.dot(probs.astype(v.dtype), v,
                         preferred_element_type=jnp.float32, precision=prec)
         )
+    if emit_mean:
+        # head-mean tap: rollout consumes this [N, N] instead of re-reading
+        # (and re-laying-out) the full [H, N, N] probs from HBM — measured
+        # ~2.3 ms/batch-32 of copy + convert_reduce on ViT-B
+        mean_ref[0] = (msum * (1.0 / heads)).astype(mean_ref.dtype)
 
     o = jnp.concatenate(outs, axis=-1).astype(x.dtype)  # [N, D]
     y = xf + jax.lax.dot(
@@ -97,12 +107,18 @@ def fused_attn_block(
     heads: int,
     eps: float = 1e-6,
     want_attn: bool = False,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None)."""
+    want_mean: bool = False,
+):
+    """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None).
+
+    ``want_mean=True`` appends a third result: the head-mean post-softmax
+    maps [B, N, N] (activation dtype, f32-accumulated in-kernel — the
+    rollout's input) so consumers never touch the full per-head tensor.
+    """
     b, n, d = x.shape
     kernel = functools.partial(
         _kernel, heads=heads, eps=eps, prec=_precision(x.dtype),
-        emit=want_attn,
+        emit=want_attn, emit_mean=want_mean,
     )
 
     def row(v):  # 1-D params as (1, K) VMEM blocks
@@ -127,6 +143,15 @@ def fused_attn_block(
             pl.BlockSpec((1, heads, n, n), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
+    if want_mean:
+        # activation dtype: halves the L*B*N^2 HBM write; the rollout
+        # upcasts to f32 (it consumed bf16 per-head probs before, so the
+        # numerics class is unchanged)
+        out_shape.append(jax.ShapeDtypeStruct((b, n, n), x.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
 
     results = pl.pallas_call(
         kernel,
@@ -141,13 +166,16 @@ def fused_attn_block(
       p["qkv_w"], p["qkv_b"].reshape(1, 3 * d),
       p["proj_w"], p["proj_b"].reshape(1, d))
 
-    if want_attn:
-        return results[0], results[1]
-    return results[0], None
+    y = results[0]
+    probs = results[1] if want_attn else None
+    if want_mean:
+        return y, probs, results[-1]
+    return y, probs
 
 
 def _headwise_kernel(x_ref, qkvh_ref, projw_ref, projb_ref, y_ref,
-                     *rest, sm_scale: float, prec, emit: bool):
+                     *rest, sm_scale: float, prec, emit: bool,
+                     emit_mean: bool):
     """Per-(image, head) program: attention for ONE head + its slice of the
     output projection, accumulated across the head grid axis.
 
@@ -157,10 +185,10 @@ def _headwise_kernel(x_ref, qkvh_ref, projw_ref, projb_ref, y_ref,
     (16 heads x 640^2 maps, too big for the one-program-per-image kernel)
     fit. y accumulates in an f32 scratch, written once on the last head.
     """
-    if emit:
-        probs_ref, acc_ref = rest
-    else:
-        (acc_ref,) = rest
+    rest = list(rest)
+    probs_ref = rest.pop(0) if emit else None
+    mean_ref = rest.pop(0) if emit_mean else None
+    (acc_ref,) = rest
     h = pl.program_id(1)
     nh = pl.num_programs(1)
 
@@ -177,6 +205,17 @@ def _headwise_kernel(x_ref, qkvh_ref, projw_ref, projb_ref, y_ref,
     probs = p / jnp.sum(p, axis=1, keepdims=True)
     if emit:
         probs_ref[0, 0] = probs.astype(probs_ref.dtype)
+    if emit_mean:
+        # mean block is revisited across the sequential head axis
+        contrib_m = (probs * (1.0 / nh)).astype(mean_ref.dtype)
+
+        @pl.when(h == 0)
+        def _mean_init():
+            mean_ref[0] = contrib_m
+
+        @pl.when(h != 0)
+        def _mean_acc():
+            mean_ref[0] = mean_ref[0] + contrib_m
 
     o = jax.lax.dot(probs.astype(v.dtype), v,
                     preferred_element_type=jnp.float32, precision=prec)
@@ -202,7 +241,8 @@ def headwise_attn_block(
     heads: int,
     eps: float = 1e-6,
     want_attn: bool = False,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    want_mean: bool = False,
+):
     """Fused attention branch for models too big for ``fused_attn_block``.
 
     LN + QKV run in XLA (they are plain fused matmuls there); the kernel
@@ -223,7 +263,7 @@ def headwise_attn_block(
 
     kernel = functools.partial(
         _headwise_kernel, sm_scale=dh ** -0.5, prec=_precision(x.dtype),
-        emit=want_attn,
+        emit=want_attn, emit_mean=want_mean,
     )
     out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
     out_specs = [
@@ -234,6 +274,12 @@ def headwise_attn_block(
         out_shape.append(jax.ShapeDtypeStruct((b, heads, n, n), x.dtype))
         out_specs.append(
             pl.BlockSpec((1, 1, n, n), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if want_mean:
+        out_shape.append(jax.ShapeDtypeStruct((b, n, n), x.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     results = pl.pallas_call(
@@ -256,9 +302,11 @@ def headwise_attn_block(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(x, qkvh, projw, p["proj_b"].reshape(1, d))
-    if want_attn:
-        return results[0], results[1]
-    return results[0], None
+    y = results[0]
+    probs = results[1] if want_attn else None
+    if want_mean:
+        return y, probs, results[-1]
+    return y, probs
 
 
 def fits(n: int, d: int, heads: int, dtype) -> bool:
@@ -266,7 +314,7 @@ def fits(n: int, d: int, heads: int, dtype) -> bool:
     esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
     weights = d * 3 * d * esize + d * d * esize
     acts = n * d * esize * 3 + n * 3 * d * esize  # x, ln, y, qkv
-    scores = n * n * 4 * 2                         # s + probs f32
+    scores = n * n * 4 * 3                         # s + probs + mean acc f32
     probs_tap = heads * n * n * esize
     total = weights + acts + scores + probs_tap
     return total < 12 * 1024 * 1024
@@ -280,6 +328,7 @@ def fits_headwise(n: int, d: int, heads: int, dtype) -> bool:
         n * 3 * dh * esize      # qkv slice
         + n * n * 4 * 2         # s + probs f32
         + n * n * esize         # probs tap block
+        + n * n * 4             # head-mean tap block (f32)
         + dh * d * esize        # proj slice
         + n * d * 4             # f32 accumulator scratch
         + n * d * esize * 2     # x block + y block

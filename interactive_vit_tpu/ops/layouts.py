@@ -1,0 +1,57 @@
+"""Entry-output layout control for tap-heavy jitted programs.
+
+PJRT's default ("compact") layout for rank>=3 TPU outputs can be
+non-descending — e.g. a [B, H, N, N] bf16 attention-map tap defaults to
+``major_to_minor=(1, 2, 0, 3)`` — while kernels and fusions naturally
+produce row-major. XLA then inserts a whole-tensor relayout copy right at
+the jit boundary: measured 12 x 0.12 ms/batch on the ViT-B/16 headline
+config (batch 32, maps on), ~15% of the step. Forcing row-major layouts on
+every entry output removes those copies, and host transfers (the wire
+codec reads numpy row-major) need no conversion either.
+
+Reference contract analog: the reference shipped tensors contiguous
+row-major on the wire (/root/reference/main/message.py:89-127); this keeps
+the TPU-side representation identical to the wire representation.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def row_major_out_shardings(fn, *args):
+    """out_shardings pytree pinning every output of ``fn(*args)`` to a
+    row-major (descending major_to_minor) single-device layout.
+
+    Returns None (caller should jit without constraints) off-TPU, when the
+    layout API is unavailable, or when ``fn`` cannot be shape-evaluated.
+    """
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+    except Exception:  # noqa: BLE001 — no backend at all
+        return None
+    if dev.platform != "tpu":
+        return None
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+    except ImportError:
+        return None
+    sds = SingleDeviceSharding(dev)
+    try:
+        shapes = jax.eval_shape(fn, *args)
+    except Exception as e:  # noqa: BLE001 — fall back to default layouts
+        logger.debug("row_major_out_shardings: eval_shape failed: %s", e)
+        return None
+
+    def fmt(s):
+        nd = getattr(s, "ndim", None)
+        if not nd:
+            return sds
+        return Format(Layout(major_to_minor=tuple(range(nd))), sds)
+
+    return jax.tree.map(fmt, shapes)

@@ -131,7 +131,7 @@ def pipelined_vit_forward(
     x = vit.embed(params, images, cfg)
 
     def layer_fn(p, x):
-        y, _ = vit.block(p, x, cfg, want_attn=False)
+        y, _, _ = vit.block(p, x, cfg, want_attn=False)
         return y
 
     x = pipeline_apply(params["blocks"], x, layer_fn, mesh, axis=axis,

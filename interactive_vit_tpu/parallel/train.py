@@ -61,7 +61,7 @@ def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
 
                 @functools.partial(jax.checkpoint)
                 def run_block(bp, x):
-                    y, _ = vit.block(bp, x, cfg, want_attn=False,
+                    y, _, _ = vit.block(bp, x, cfg, want_attn=False,
                                      attn_impl=attn_impl)
                     return y
 

@@ -31,8 +31,8 @@ def test_block_matches_unfused():
     x = jnp.asarray(
         np.random.default_rng(0).random((2, CFG.tokens, CFG.width), np.float32)
     )
-    ref, ref_probs = vit.block(p, x, CFG, want_attn=True)
-    got, probs = vit.block(p, x, CFG, want_attn=True,
+    ref, ref_probs, _ = vit.block(p, x, CFG, want_attn=True)
+    got, probs, _ = vit.block(p, x, CFG, want_attn=True,
                            block_impl=fb.fused_attn_block)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
@@ -45,8 +45,8 @@ def test_block_no_probs():
     x = jnp.asarray(
         np.random.default_rng(1).random((1, CFG.tokens, CFG.width), np.float32)
     )
-    ref, _ = vit.block(p, x, CFG, want_attn=False)
-    got, probs = vit.block(p, x, CFG, want_attn=False,
+    ref, _, _ = vit.block(p, x, CFG, want_attn=False)
+    got, probs, _ = vit.block(p, x, CFG, want_attn=False,
                            block_impl=fb.fused_attn_block)
     assert probs is None
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
@@ -64,6 +64,42 @@ def test_full_forward_with_fused_blocks():
                                np.asarray(ref["logits"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["rollout"]),
                                np.asarray(ref["rollout"]), atol=1e-5)
+
+
+def test_block_mean_emission():
+    """In-kernel head-mean == mean over the emitted per-head probs."""
+    params = vit.init_params(jax.random.key(5), CFG)
+    p = params["blocks"][0]
+    x = jnp.asarray(
+        np.random.default_rng(5).random((2, CFG.tokens, CFG.width), np.float32)
+    )
+    y, probs, mean = fb.fused_attn_block(x, p, CFG.heads, CFG.ln_eps,
+                                         want_attn=True, want_mean=True)
+    assert mean.dtype == x.dtype
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(probs).mean(axis=1), atol=1e-6)
+    # mean-only (the "r"-tap-only serving path): no per-head tensor at all
+    y2, probs2, mean2 = fb.fused_attn_block(x, p, CFG.heads, CFG.ln_eps,
+                                            want_attn=False, want_mean=True)
+    assert probs2 is None
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
+
+
+def test_headwise_mean_emission():
+    params = vit.init_params(jax.random.key(6), CFG)
+    p = params["blocks"][0]
+    x = jnp.asarray(
+        np.random.default_rng(6).random((2, CFG.tokens, CFG.width), np.float32)
+    )
+    y, probs, mean = fb.headwise_attn_block(x, p, CFG.heads, CFG.ln_eps,
+                                            want_attn=True, want_mean=True)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(probs).mean(axis=1), atol=1e-6)
+    y2, probs2, mean2 = fb.headwise_attn_block(x, p, CFG.heads, CFG.ln_eps,
+                                               want_mean=True)
+    assert probs2 is None
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean), atol=1e-6)
 
 
 def test_fits_estimator():

@@ -45,8 +45,8 @@ def test_block_with_mlp_impl():
     x = jnp.asarray(
         np.random.default_rng(1).random((1, CFG.tokens, CFG.width), np.float32)
     )
-    ref, _ = vit.block(p, x, CFG)
-    got, _ = vit.block(p, x, CFG, mlp_impl=fm.fused_mlp_block)
+    ref, _, _ = vit.block(p, x, CFG)
+    got, _, _ = vit.block(p, x, CFG, mlp_impl=fm.fused_mlp_block)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 

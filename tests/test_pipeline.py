@@ -33,7 +33,7 @@ def test_pipeline_apply_matches_sequential(mesh, params):
     )
 
     def layer_fn(p, x):
-        y, _ = vit.block(p, x, CFG, want_attn=False)
+        y, _, _ = vit.block(p, x, CFG, want_attn=False)
         return y
 
     piped = pipeline_apply(params["blocks"], x, layer_fn, mesh)

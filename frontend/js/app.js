@@ -103,8 +103,8 @@ async function initTools() {
 		if (node) node_move(node, x, y);
 	};
 	for (const kind of [
-		"img_src", "img_view", "multi_view", "attn_view", "slice", "shuffle",
-		"binop", "const", "noise", "conv2d", "resize", "cos",
+		"img_src", "img_view", "multi_view", "attn_view", "overlay", "slice",
+		"shuffle", "binop", "const", "noise", "conv2d", "resize", "cos",
 	]) {
 		Workspace.registerTool(kind, spawn(kind));
 	}
@@ -130,6 +130,22 @@ async function main() {
 	Workspace.init(document.getElementById("workspace"));
 	await initTools();
 	await initToolbar();
+
+	// graph-edit keys: undo/redo, delete selection (skip while typing)
+	window.addEventListener("keydown", async (ev) => {
+		const tag = ev.target?.tagName;
+		if (tag === "INPUT" || tag === "TEXTAREA" || tag === "SELECT") return;
+		if ((ev.ctrlKey || ev.metaKey) && ev.key.toLowerCase() === "z") {
+			ev.preventDefault();
+			await (ev.shiftKey ? Context.redo() : Context.undo());
+		} else if ((ev.ctrlKey || ev.metaKey) && ev.key.toLowerCase() === "y") {
+			ev.preventDefault();
+			await Context.redo();
+		} else if (ev.key === "Delete" || ev.key === "Backspace") {
+			ev.preventDefault();
+			Context.removeSelected();
+		}
+	});
 }
 
 main();

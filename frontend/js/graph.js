@@ -126,6 +126,7 @@ export class Context {
 
 	/** Adopt an already-constructed Node into the graph + DOM. */
 	static addNodeInstance(node) {
+		Context.snapshot();
 		Context.nodes.push(node);
 		renderNode(node);
 		Context.changed();
@@ -133,10 +134,18 @@ export class Context {
 	}
 
 	static removeNode(node) {
-		Context.edges
-			.filter((e) => e.src.node === node || e.dst.node === node)
-			.forEach((e) => Context.disconnect(e));
+		Context.snapshot();
+		const s = Context.suppressHistory;
+		Context.suppressHistory = true;
+		try {
+			Context.edges
+				.filter((e) => e.src.node === node || e.dst.node === node)
+				.forEach((e) => Context.disconnect(e));
+		} finally {
+			Context.suppressHistory = s;
+		}
 		Context.nodes = Context.nodes.filter((n) => n !== node);
+		Context.selection.delete(node);
 		node.el?.remove();
 		Context.changed();
 	}
@@ -163,9 +172,18 @@ export class Context {
 			console.warn("edge would create a cycle");
 			return null;
 		}
+		Context.snapshot();
 		// one edge per input channel: replace existing
 		const existing = Context.edges.find((e) => e.dst === dstPort);
-		if (existing) Context.disconnect(existing);
+		if (existing) {
+			const s = Context.suppressHistory;
+			Context.suppressHistory = true;
+			try {
+				Context.disconnect(existing);
+			} finally {
+				Context.suppressHistory = s;
+			}
+		}
 		const edge = new Edge(srcPort, dstPort);
 		Context.edges.push(edge);
 		renderEdge(edge);
@@ -174,6 +192,7 @@ export class Context {
 	}
 
 	static disconnect(edge) {
+		Context.snapshot();
 		Context.edges = Context.edges.filter((e) => e !== edge);
 		edge.path?.remove();
 		Context.changed();
@@ -181,6 +200,75 @@ export class Context {
 
 	static changed() {
 		Context.onChange?.();
+	}
+
+	// ---- undo/redo (snapshot-based over the serialization schema) -------------
+	static history = [];
+	static redoStack = [];
+	static suppressHistory = false;
+
+	/** Push the current graph state; call at the START of a structural
+	 * mutation. Nested mutations (removeNode's edge cleanup, connect's
+	 * replace-existing) run with history suppressed so one user gesture is
+	 * one undo step. */
+	static snapshot() {
+		if (Context.suppressHistory) return;
+		Context.history.push(JSON.stringify(Context.serialize()));
+		if (Context.history.length > 50) Context.history.shift();
+		Context.redoStack.length = 0;
+	}
+
+	static async _restore(json) {
+		const s = Context.suppressHistory;
+		Context.suppressHistory = true;
+		try {
+			await Context.deserialize(JSON.parse(json));
+		} finally {
+			Context.suppressHistory = s;
+		}
+	}
+
+	static async undo() {
+		if (!Context.history.length) return;
+		Context.redoStack.push(JSON.stringify(Context.serialize()));
+		await Context._restore(Context.history.pop());
+	}
+
+	static async redo() {
+		if (!Context.redoStack.length) return;
+		Context.history.push(JSON.stringify(Context.serialize()));
+		await Context._restore(Context.redoStack.pop());
+	}
+
+	// ---- multi-select -----------------------------------------------------------
+	static selection = new Set();
+
+	static toggleSelect(node) {
+		if (Context.selection.has(node)) {
+			Context.selection.delete(node);
+			node.el?.classList.remove("selected");
+		} else {
+			Context.selection.add(node);
+			node.el?.classList.add("selected");
+		}
+	}
+
+	static clearSelection() {
+		for (const n of Context.selection) n.el?.classList.remove("selected");
+		Context.selection.clear();
+	}
+
+	static removeSelected() {
+		if (!Context.selection.size) return;
+		Context.snapshot();
+		const s = Context.suppressHistory;
+		Context.suppressHistory = true;
+		try {
+			for (const n of [...Context.selection]) Context.removeNode(n);
+		} finally {
+			Context.suppressHistory = s;
+			Context.selection.clear();
+		}
 	}
 
 	// ---- evaluation -----------------------------------------------------------
@@ -337,6 +425,17 @@ export class Context {
 	}
 
 	static async deserialize(obj) {
+		Context.snapshot(); // loading a graph is one undoable step
+		const suppress = Context.suppressHistory;
+		Context.suppressHistory = true;
+		try {
+			await Context._deserializeBody(obj);
+		} finally {
+			Context.suppressHistory = suppress;
+		}
+	}
+
+	static async _deserializeBody(obj) {
 		Context.clear();
 		// batched metadata prefetch per kind (kills the reference's N+1
 		// GET storm on 42-node graph loads, SURVEY.md §3.4)
@@ -456,21 +555,27 @@ function renderNode(node) {
 	Context.container.append(el);
 	node.buildContent(content);
 
-	// dragging by the header
+	// dragging by the header; shift-click toggles multi-selection and a
+	// drag on a selected node moves the whole selection together
 	header.addEventListener("pointerdown", (ev) => {
 		if (ev.target === close) return;
+		if (ev.shiftKey) {
+			ev.preventDefault();
+			Context.toggleSelect(node);
+			return;
+		}
 		ev.preventDefault();
 		const startX = ev.clientX;
 		const startY = ev.clientY;
-		const origX = node.x;
-		const origY = node.y;
+		const group = Context.selection.has(node)
+			? [...Context.selection]
+			: [node];
+		const origins = group.map((n) => ({ n, x: n.x, y: n.y }));
 		const move = (mv) => {
 			const scale = window.workspaceScale || 1;
-			node_move(
-				node,
-				origX + (mv.clientX - startX) / scale,
-				origY + (mv.clientY - startY) / scale,
-			);
+			const dx = (mv.clientX - startX) / scale;
+			const dy = (mv.clientY - startY) / scale;
+			for (const o of origins) node_move(o.n, o.x + dx, o.y + dy);
 		};
 		const up = () => {
 			window.removeEventListener("pointermove", move);

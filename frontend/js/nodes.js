@@ -260,14 +260,19 @@ export class AttnViewNode extends Node {
 			this.head = Number(v) | 0;
 			this.redraw();
 		}, 3);
+		this.headInput = h.input;
 		const q = labeledInput("query tok", "0", (v) => {
 			this.query = Number(v) | 0;
 			this.redraw();
 		}, 4);
+		// head grid: every head at once, click one to select it
+		this.headGrid = document.createElement("div");
+		this.headGrid.className = "multiview-grid";
+		this.headGrid.title = "all heads (click to select)";
 		this.canvas = document.createElement("canvas");
 		this.full = document.createElement("canvas");
 		this.full.title = "full N x N map";
-		el.append(h.wrap, q.wrap, this.canvas, this.full);
+		el.append(h.wrap, q.wrap, this.headGrid, this.canvas, this.full);
 	}
 
 	isViewer() {
@@ -303,6 +308,26 @@ export class AttnViewNode extends Node {
 		const head = Math.min(this.head, H - 1);
 		const q = Math.min(this.query, N - 1);
 		const map = data.subarray(head * N * N, (head + 1) * N * N);
+		// head grid: one thumbnail per head, selected head outlined
+		this.headGrid.textContent = "";
+		const cols = Math.ceil(Math.sqrt(H));
+		this.headGrid.style.gridTemplateColumns = `repeat(${cols}, 1fr)`;
+		for (let hi = 0; hi < H; hi++) {
+			const thumb = document.createElement("canvas");
+			thumb.title = `head ${hi}`;
+			thumb.className = hi === head ? "head-thumb selected" : "head-thumb";
+			drawTensor(
+				thumb,
+				{ dims: [N, N], data: data.subarray(hi * N * N, (hi + 1) * N * N) },
+				Math.max(32, 160 / cols),
+			);
+			thumb.addEventListener("click", () => {
+				this.head = hi;
+				if (this.headInput) this.headInput.value = String(hi);
+				this.redraw();
+			});
+			this.headGrid.append(thumb);
+		}
 		// full map heatmap
 		drawTensor(this.full, { dims: [N, N], data: map }, 128);
 		// one query row as a spatial grid (skip CLS col), e.g. 196 -> 14x14
@@ -315,6 +340,115 @@ export class AttnViewNode extends Node {
 				112,
 			);
 		}
+	}
+}
+
+export class OverlayNode extends Node {
+	// Attention/rollout heat composited onto the source image: wire the
+	// image into "o" and a block's rollout ("r") or attention tap into "r".
+	// The token row for `query` (CLS by default, minus the CLS column) is
+	// bilinearly upsampled to the image size and alpha-blended as a
+	// red→yellow heat ramp. Pure client-side (canvas) compositing.
+	constructor(inst) {
+		super("overlay", "rollout overlay");
+		this.addInput("o");
+		this.addInput("r");
+		this.query = Number(inst?.query ?? 0);
+		this.alpha = Number(inst?.alpha ?? 0.6);
+	}
+
+	buildContent(el) {
+		const q = labeledInput("query tok", String(this.query), (v) => {
+			this.query = Number(v) | 0;
+			this.redraw();
+		}, 4);
+		const a = labeledInput("alpha", String(this.alpha), (v) => {
+			this.alpha = Math.min(1, Math.max(0, Number(v) || 0));
+			this.redraw();
+		}, 4);
+		this.canvas = document.createElement("canvas");
+		el.append(q.wrap, a.wrap, this.canvas);
+	}
+
+	isViewer() {
+		return true;
+	}
+
+	serializeExtra() {
+		return { query: this.query, alpha: this.alpha };
+	}
+
+	onInputs(read) {
+		this.img = read("o");
+		this.map = read("r");
+		this.redraw();
+	}
+
+	redraw() {
+		const img = this.img;
+		let t = this.map;
+		if (!img || !t) return;
+		if (img.dims.length !== 3) return;
+		const [c, h, w] = img.dims;
+		// normalize the map to a single [N, N]: [B/H,N,N] or [B,H,N,N]
+		// take the first sample / head
+		let dims = t.dims;
+		let data = t.data;
+		while (dims.length > 2) {
+			const tail = dims.slice(1).reduce((x, y) => x * y, 1);
+			data = data.subarray(0, tail);
+			dims = dims.slice(1);
+		}
+		if (dims.length !== 2 || dims[0] !== dims[1]) return;
+		const n = dims[0];
+		const q = Math.min(this.query, n - 1);
+		// query row minus the CLS column -> spatial grid
+		const row = data.subarray(q * n + 1, (q + 1) * n);
+		const side = Math.floor(Math.sqrt(row.length));
+		if (side < 2) return;
+		const heat = normToU8(row.subarray(0, side * side));
+		// bilinear upsample side×side -> h×w, composite over the image
+		const plane = h * w;
+		const norm = normToU8(img.data);
+		const out = new ImageData(w, h);
+		const sy = (side - 1) / Math.max(1, h - 1);
+		const sx = (side - 1) / Math.max(1, w - 1);
+		for (let y = 0; y < h; y++) {
+			const fy = y * sy;
+			const y0 = Math.floor(fy);
+			const y1 = Math.min(side - 1, y0 + 1);
+			const wy = fy - y0;
+			for (let x = 0; x < w; x++) {
+				const fx = x * sx;
+				const x0 = Math.floor(fx);
+				const x1 = Math.min(side - 1, x0 + 1);
+				const wx = fx - x0;
+				const hv =
+					((heat[y0 * side + x0] * (1 - wx) + heat[y0 * side + x1] * wx) *
+						(1 - wy) +
+						(heat[y1 * side + x0] * (1 - wx) + heat[y1 * side + x1] * wx) *
+							wy) /
+					255;
+				const a = this.alpha * hv;
+				// red→yellow ramp
+				const hr = 255;
+				const hg = Math.max(0, 2 * hv - 1) * 255;
+				const i = y * w + x;
+				const r = norm[i];
+				const g = norm[c >= 3 ? plane + i : i];
+				const b = norm[c >= 3 ? 2 * plane + i : i];
+				out.data[4 * i] = r * (1 - a) + hr * a;
+				out.data[4 * i + 1] = g * (1 - a) + hg * a;
+				out.data[4 * i + 2] = b * (1 - a) + 0;
+				out.data[4 * i + 3] = 255;
+			}
+		}
+		this.canvas.width = w;
+		this.canvas.height = h;
+		const scale = Math.min(1, 224 / Math.max(h, w));
+		this.canvas.style.width = `${Math.round(w * scale)}px`;
+		this.canvas.style.height = `${Math.round(h * scale)}px`;
+		this.canvas.getContext("2d").putImageData(out, 0, 0);
 	}
 }
 
@@ -749,6 +883,7 @@ export function registerAll() {
 	Context.registerKind("img_view", simple(ImgViewNode));
 	Context.registerKind("multi_view", simple(MultiViewNode));
 	Context.registerKind("attn_view", simple(AttnViewNode));
+	Context.registerKind("overlay", simple(OverlayNode));
 	Context.registerKind("category", {
 		make: async (inst) => new CategoryNode(inst?.cats),
 	});

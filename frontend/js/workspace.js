@@ -30,6 +30,7 @@ export class Workspace {
 			const pannable = ev.button === 1 || (ev.button === 0 && ev.ctrlKey) ||
 				(ev.button === 0 && ev.target === root);
 			if (!pannable) return;
+			if (ev.target === root) Context.clearSelection();
 			ev.preventDefault();
 			const sx = ev.clientX - Workspace.offsetX;
 			const sy = ev.clientY - Workspace.offsetY;

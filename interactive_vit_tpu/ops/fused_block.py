@@ -173,64 +173,88 @@ def fused_attn_block(
     return y, probs
 
 
-def _headwise_kernel(x_ref, qkvh_ref, projw_ref, projb_ref, y_ref,
-                     *rest, sm_scale: float, prec, emit: bool,
-                     emit_mean: bool):
-    """Per-(image, head) program: attention for ONE head + its slice of the
-    output projection, accumulated across the head grid axis.
+def _headwise_kernel(x_ref, q_ref, k_ref, v_ref, projw_ref, projb_ref,
+                     y_ref, *rest, dh: int, heads: int, prec, emit: bool,
+                     emit_mean: bool, packed: bool):
+    """Per-(image, head-group) program: attention for ``hb`` heads + their
+    slice of the output projection, accumulated across the group grid axis.
 
     The identity concat(o_h) @ W = sum_h o_h @ W[h*dh:(h+1)*dh] lets each
     head contribute its rank-dh share of the projected output, so the
-    VMEM working set stays per-head — this is what makes ViT-L/16@384
+    VMEM working set stays per-group — this is what makes ViT-L/16@384
     (16 heads x 640^2 maps, too big for the one-program-per-image kernel)
-    fit. y accumulates in an f32 scratch, written once on the last head.
+    fit. y accumulates in an f32 scratch, written once on the last group.
+
+    ``packed``: q/k/v refs are [1, N, hb*dh] column-blocks of the SAME
+    untransposed [B, N, 3D] QKV tensor, selected purely by index map
+    (Mosaic wants 128-divisible column blocks, so hb = 128/dh heads ride
+    in one program). The [B,H,N,*] transpose this replaces was a 28 MB
+    relayout per block (~2.6 ms/iter of "data formatting" on the
+    ViT-L/16@384 trace). Non-packing head dims fall back to the
+    transposed layout (``packed=False``: rank-4 [1,1,N,dh] refs).
     """
     rest = list(rest)
     probs_ref = rest.pop(0) if emit else None
     mean_ref = rest.pop(0) if emit_mean else None
     (acc_ref,) = rest
-    h = pl.program_id(1)
-    nh = pl.num_programs(1)
+    g = pl.program_id(1)
+    ng = pl.num_programs(1)
+    sm_scale = dh ** -0.5
 
-    qkv = qkvh_ref[0, 0]  # [N, 3*dh]
-    dh = qkv.shape[-1] // 3
-    q, k, v = qkv[:, :dh], qkv[:, dh:2 * dh], qkv[:, 2 * dh:]
+    if packed:
+        q_all, k_all, v_all = q_ref[0], k_ref[0], v_ref[0]  # [N, hb*dh]
+        hb = q_all.shape[-1] // dh
+    else:
+        q_all, k_all, v_all = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]  # [N, dh]
+        hb = 1
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * sm_scale
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    probs = p / jnp.sum(p, axis=1, keepdims=True)
-    if emit:
-        probs_ref[0, 0] = probs.astype(probs_ref.dtype)
+    outs = []
+    msum = None
+    for j in range(hb):
+        q = q_all[:, j * dh:(j + 1) * dh]
+        k = k_all[:, j * dh:(j + 1) * dh]
+        v = v_all[:, j * dh:(j + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * sm_scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        probs = p / jnp.sum(p, axis=1, keepdims=True)
+        if emit:
+            probs_ref[0, j] = probs.astype(probs_ref.dtype)
+        if emit_mean:
+            msum = probs if msum is None else msum + probs
+        outs.append(
+            jax.lax.dot(probs.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32, precision=prec)
+        )
+
     if emit_mean:
-        # mean block is revisited across the sequential head axis
-        contrib_m = (probs * (1.0 / nh)).astype(mean_ref.dtype)
+        # mean block is revisited across the sequential group axis
+        contrib_m = (msum * (1.0 / heads)).astype(mean_ref.dtype)
 
-        @pl.when(h == 0)
+        @pl.when(g == 0)
         def _mean_init():
             mean_ref[0] = contrib_m
 
-        @pl.when(h != 0)
+        @pl.when(g != 0)
         def _mean_acc():
             mean_ref[0] = mean_ref[0] + contrib_m
 
-    o = jax.lax.dot(probs.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32, precision=prec)
-    contrib = jax.lax.dot(o.astype(v.dtype), projw_ref[0],
+    o = outs[0] if hb == 1 else jnp.concatenate(outs, axis=-1)
+    contrib = jax.lax.dot(o.astype(v_all.dtype), projw_ref[0],
                           preferred_element_type=jnp.float32, precision=prec)
 
-    @pl.when(h == 0)
+    @pl.when(g == 0)
     def _init():
         acc_ref[...] = x_ref[0].astype(jnp.float32) + projb_ref[0] + contrib
 
-    @pl.when(h != 0)
+    @pl.when(g != 0)
     def _acc():
         acc_ref[...] = acc_ref[...] + contrib
 
-    @pl.when(h == nh - 1)
+    @pl.when(g == ng - 1)
     def _store():
         y_ref[0] = acc_ref[...].astype(y_ref.dtype)
 
@@ -246,53 +270,80 @@ def headwise_attn_block(
     """Fused attention branch for models too big for ``fused_attn_block``.
 
     LN + QKV run in XLA (they are plain fused matmuls there); the kernel
-    grid is (B, H): per-head attention with optional per-head map emission
-    and projection accumulation. Same contract as ``fused_attn_block``.
+    grid is (B, heads/hb): per-head attention with optional per-head map
+    emission and projection accumulation. Same contract as
+    ``fused_attn_block``.
     """
     from interactive_vit_tpu.ops import layers as L
 
     b, n, d = x.shape
     dh = d // heads
     ln = L.layer_norm(x, p["ln1_s"], p["ln1_b"], eps)
-    qkv = L.linear(ln, p["qkv_w"], p["qkv_b"])  # [B, N, 3D]
-    # -> [B, H, N, 3*dh] with (q|k|v) contiguous per head
-    qkvh = (qkv.reshape(b, n, 3, heads, dh)
-            .transpose(0, 3, 1, 2, 4)
-            .reshape(b, heads, n, 3 * dh))
-    projw = p["proj_w"].reshape(heads, dh, d)
+    qkv = L.linear(ln, p["qkv_w"], p["qkv_b"])  # [B, N, 3D], untransposed
+
+    # head packing: Mosaic column blocks must be 128-divisible, so ride
+    # hb = 128/dh heads per program straight off the untransposed QKV
+    packed = dh <= 128 and 128 % dh == 0 and heads % max(1, 128 // dh) == 0
+    hb = 128 // dh if packed else 1
+    ng = heads // hb
 
     kernel = functools.partial(
-        _headwise_kernel, sm_scale=dh ** -0.5, prec=_precision(x.dtype),
-        emit=want_attn, emit_mean=want_mean,
+        _headwise_kernel, dh=dh, heads=heads, prec=_precision(x.dtype),
+        emit=want_attn, emit_mean=want_mean, packed=packed,
     )
     out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
     out_specs = [
-        pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
+        pl.BlockSpec((1, n, d), lambda i, g: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if want_attn:
         out_shape.append(jax.ShapeDtypeStruct((b, heads, n, n), x.dtype))
         out_specs.append(
-            pl.BlockSpec((1, 1, n, n), lambda i, h: (i, h, 0, 0),
+            pl.BlockSpec((1, hb, n, n), lambda i, g: (i, g, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     if want_mean:
         out_shape.append(jax.ShapeDtypeStruct((b, n, n), x.dtype))
         out_specs.append(
-            pl.BlockSpec((1, n, n), lambda i, h: (i, 0, 0),
+            pl.BlockSpec((1, n, n), lambda i, g: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
+
+    if packed:
+        w = hb * dh  # == 128
+        qkv_args = (qkv, qkv, qkv)
+        qkv_specs = [
+            # q/k/v: 128-wide column blocks of the one [B, N, 3D] tensor,
+            # picked by block index (col block g / ng+g / 2*ng+g)
+            pl.BlockSpec((1, n, w), lambda i, g: (i, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, w), lambda i, g: (i, 0, ng + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, w), lambda i, g: (i, 0, 2 * ng + g),
+                         memory_space=pltpu.VMEM),
+        ]
+        projw = p["proj_w"].reshape(ng, w, d)
+    else:
+        # fallback: per-head transposed layout (pays the relayout copy)
+        qh = (qkv.reshape(b, n, 3, heads, dh).transpose(2, 0, 3, 1, 4))
+        qkv_args = (qh[0], qh[1], qh[2])  # each [B, H, N, dh]
+        qkv_specs = [
+            pl.BlockSpec((1, 1, n, dh), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ]
+        projw = p["proj_w"].reshape(heads, dh, d)
+
     results = pl.pallas_call(
         kernel,
-        grid=(b, heads),
+        grid=(b, ng),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
+            pl.BlockSpec((1, n, d), lambda i, g: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, 3 * dh), lambda i, h: (i, h, 0, 0),
+            *qkv_specs,
+            pl.BlockSpec((1, hb * dh, d), lambda i, g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh, d), lambda i, h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, h: (0, 0),
+            pl.BlockSpec((1, d), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -301,7 +352,7 @@ def headwise_attn_block(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(x, qkvh, projw, p["proj_b"].reshape(1, d))
+    )(x, *qkv_args, projw, p["proj_b"].reshape(1, d))
     y = results[0]
     probs = results[1] if want_attn else None
     if want_mean:
@@ -321,16 +372,20 @@ def fits(n: int, d: int, heads: int, dtype) -> bool:
 
 
 def fits_headwise(n: int, d: int, heads: int, dtype) -> bool:
-    """VMEM feasibility for one ``headwise_attn_block`` program (per head)."""
+    """VMEM feasibility for one ``headwise_attn_block`` program (one
+    head group of hb = 128/dh heads; s/probs temporaries reuse across the
+    unrolled per-head loop)."""
     esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
     dh = d // heads
-    per_head = (
-        n * 3 * dh * esize      # qkv slice
-        + n * n * 4 * 2         # s + probs f32
-        + n * n * esize         # probs tap block
-        + n * n * 4             # head-mean tap block (f32)
-        + dh * d * esize        # proj slice
-        + n * d * 4             # f32 accumulator scratch
-        + n * d * esize * 2     # x block + y block
+    hb = 128 // dh if (dh <= 128 and 128 % dh == 0
+                       and heads % max(1, 128 // dh) == 0) else 1
+    per_prog = (
+        n * 3 * hb * dh * esize  # qkv column blocks
+        + n * n * 4 * 2          # s + probs f32 (reused per head)
+        + hb * n * n * esize     # probs tap block
+        + n * n * 4              # head-mean accumulator (f32)
+        + hb * dh * d * esize    # proj slice
+        + n * d * 4              # f32 accumulator scratch
+        + n * d * esize * 2      # x block + y block
     )
-    return per_head < 12 * 1024 * 1024
+    return per_prog < 13 * 1024 * 1024

@@ -86,6 +86,28 @@ def test_block_mean_emission():
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
 
 
+def test_headwise_packed_matches_fused():
+    """dh divides 128 and heads % (128/dh) == 0 -> the packed (no-qkv-
+    transpose) path; parity against the per-image fused kernel."""
+    cfg = vit.ViTConfig("vit_fb_packed", img_size=32, patch=16, width=128,
+                        depth=1, heads=4, num_classes=10)
+    params = vit.init_params(jax.random.key(7), cfg)
+    p = params["blocks"][0]
+    x = jnp.asarray(
+        np.random.default_rng(7).random((2, cfg.tokens, cfg.width),
+                                        np.float32)
+    )
+    ref, ref_probs, ref_mean = fb.fused_attn_block(
+        x, p, cfg.heads, cfg.ln_eps, want_attn=True, want_mean=True)
+    got, probs, mean = fb.headwise_attn_block(
+        x, p, cfg.heads, cfg.ln_eps, want_attn=True, want_mean=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                               atol=1e-5)
+
+
 def test_headwise_mean_emission():
     params = vit.init_params(jax.random.key(6), CFG)
     p = params["blocks"][0]

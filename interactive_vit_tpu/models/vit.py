@@ -124,9 +124,13 @@ def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
 
     Activations adopt the weight dtype here (the model's single entry
     point), so a bf16-weighted model runs bf16 end-to-end even when the
-    wire delivers f32 images.
+    wire delivers f32 images. With weight-only int8 (ops/quant.py) the
+    weight leaf is a dict; the bias (never quantized) carries the
+    activation dtype instead.
     """
-    images = images.astype(params["patch_embed"]["w"].dtype)
+    pe = params["patch_embed"]
+    act_dtype = pe["w"].dtype if hasattr(pe["w"], "dtype") else pe["b"].dtype
+    images = images.astype(act_dtype)
     x = L.patch_embed(images, params["patch_embed"], cfg.patch)
     return L.add_cls_and_pos(x, params["cls_token"], params["pos_emb"])
 

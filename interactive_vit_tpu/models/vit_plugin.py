@@ -28,6 +28,7 @@ def make_vit_model(
     dtype=None,
     attn_impl=None,
     with_categories: bool = True,
+    quantize: bool = False,
 ) -> JaxModel:
     """Build a registerable ``JaxModel`` for a ViT variant.
 
@@ -36,6 +37,12 @@ def make_vit_model(
     checkpoints). ``attn_impl`` swaps the attention kernel (Pallas flash on
     TPU; jnp reference on CPU). In non-f32 dtypes the fused attention-block
     kernel is auto-selected per the dispatch policy.
+
+    ``quantize=True`` -> weight-only int8 (``ops/quant.py``): linear weights
+    stored int8 per-channel, dequantized inside the matmuls; halves the
+    weight HBM streaming that dominates small-batch interactive latency.
+    The fused block kernels take dense weights, so quantized models run the
+    unfused (XLA/flash) path.
     """
     import jax.numpy as jnp
 
@@ -48,9 +55,16 @@ def make_vit_model(
     from interactive_vit_tpu.ops.dispatch import default_block_impl
 
     leaf_dtype = jax.tree.leaves(params)[0].dtype
-    block_impl = default_block_impl(
-        "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width, heads=cfg.heads
-    )
+    if quantize:
+        from interactive_vit_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
+        block_impl = None
+    else:
+        block_impl = default_block_impl(
+            "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width,
+            heads=cfg.heads
+        )
     layers = vit.layer_fns(cfg, attn_impl=attn_impl, block_impl=block_impl)
     descriptions = {
         "transform": f"Resize+CenterCrop({cfg.img_size})+Normalize",

@@ -20,7 +20,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from interactive_vit_tpu.ops.layers import mm_precision
+from interactive_vit_tpu.ops.layers import linear, mm_precision
 
 Params = Dict[str, jnp.ndarray]
 
@@ -30,9 +30,7 @@ def qkv_proj(x: jnp.ndarray, p: Params, heads: int
     """Fused QKV projection -> per-head tensors [B, H, N, Dh]."""
     b, n, d = x.shape
     dh = d // heads
-    qkv = jnp.dot(x, p["qkv_w"], preferred_element_type=jnp.float32,
-                  precision=mm_precision(x, p["qkv_w"]))
-    qkv = (qkv + p["qkv_b"]).astype(x.dtype)
+    qkv = linear(x, p["qkv_w"], p["qkv_b"])  # dense or weight-only int8
     qkv = qkv.reshape(b, n, 3, heads, dh)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
     return q, k, v
@@ -88,10 +86,7 @@ def mhsa(
     impl = attn_impl or attention_reference
     out, probs = impl(q, k, v, want_attn, n_real=n_real)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-    out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32,
-                  precision=mm_precision(out, p["proj_w"]))
-    out = (out + p["proj_b"]).astype(x.dtype)
-    return out, probs
+    return linear(out, p["proj_w"], p["proj_b"]), probs
 
 
 def rollout_step(attn: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:

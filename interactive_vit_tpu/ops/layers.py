@@ -64,10 +64,22 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=x.dtype != jnp.float32)
 
 
-def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """x @ w + b with f32 accumulation. w is [D_in, D_out]."""
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32,
-                precision=mm_precision(x, w))
+def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """x @ w + b with f32 accumulation. w is [D_in, D_out], either a dense
+    array or a weight-only int8 dict (``ops/quant.py``): the per-column
+    scale commutes with the matmul, so dequantization is a cheap column
+    rescale of the f32 accumulator and the int8->activation-dtype convert
+    fuses into the weight read."""
+    from interactive_vit_tpu.ops.quant import QKEY, SKEY, is_quantized
+
+    if is_quantized(w):
+        y = jnp.dot(x, w[QKEY].astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision(x))
+        y = y * w[SKEY]
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32,
+                    precision=mm_precision(x, w))
     if b is not None:
         y = y + b
     return y.astype(x.dtype)

@@ -72,18 +72,26 @@ def build_app(
     import jax.numpy as jnp
 
     # serving dtype: f32 = exact (parity contract); bfloat16 = the fast
-    # interactive path (taps carry bf16 noise ~1e-3, invisible in the UI)
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    # interactive path (taps carry bf16 noise ~1e-3, invisible in the UI);
+    # int8 = weight-only quantization over bf16 activations (halves weight
+    # HBM streaming — the small-batch interactive bottleneck; ops/quant.py)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "int8": jnp.bfloat16}[dtype_name]
+    quantize = dtype_name == "int8"
     attn_impl = default_attn_impl(attn_impl_name)
     for variant in models:
         if variant == "clip_b32":
+            if quantize:
+                logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_clip_model(seed=seed, attn_impl=attn_impl,
                                     dtype=dtype)
         elif variant == "vgg16":
+            if quantize:
+                logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_vgg16_model(seed=seed, dtype=dtype)
         else:
             model = make_vit_model(variant, seed=seed, attn_impl=attn_impl,
-                                   dtype=dtype)
+                                   dtype=dtype, quantize=quantize)
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))
@@ -142,9 +150,10 @@ def main() -> None:
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
     parser.add_argument("--dtype", default="float32",
-                        choices=["float32", "bfloat16"],
+                        choices=["float32", "bfloat16", "int8"],
                         help="model weight/compute dtype (bfloat16 = fast "
-                             "interactive path)")
+                             "interactive path; int8 = weight-only "
+                             "quantized serving over bf16 activations)")
     parser.add_argument("--platform", default="default",
                         choices=["default", "cpu"],
                         help="'cpu' forces the CPU backend in-process "

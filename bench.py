@@ -27,9 +27,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--variant", default="vit_b16")
     parser.add_argument(
-        "--batch", type=int, default=32,
-        help="batch size; 0 = sweep {32,64,128} (batch 32 is the measured "
-             "knee on v5e: attention-map traffic anti-scales past it)",
+        "--batch", type=int, default=0,
+        help="batch size; 0 (default) = sweep {32,64,128} and report the "
+             "best (the knee moved from 32 to 64 once the tap relayout "
+             "copies were eliminated — sweeping is robust to tunnel noise)",
     )
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--dtype", default="bfloat16",

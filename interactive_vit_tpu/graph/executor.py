@@ -141,15 +141,58 @@ class Executor:
     MAX_CACHE_ENTRIES = 64
 
     def __init__(self, reg: Optional[Registry] = None, use_jit: bool = True,
-                 max_cache_entries: Optional[int] = None):
+                 max_cache_entries: Optional[int] = None, mesh=None):
         from collections import OrderedDict
 
         self.reg = reg or registry()
         self.use_jit = use_jit
         self.max_cache_entries = max_cache_entries or self.MAX_CACHE_ENTRIES
+        # Multi-chip serving (BASELINE config 5 targets v5e-8): a
+        # jax.sharding.Mesh with ("data", "model") axes. Captures are
+        # TP-sharded per parallel/mesh.param_spec (Megatron split for
+        # transformer blocks, replicated otherwise) and run_stacked's
+        # micro-batch is sharded over "data"; XLA GSPMD inserts the ICI
+        # collectives. Node fns must be GSPMD-partitionable in mesh mode —
+        # the servers pass attn/block impls accordingly (XLA path; the
+        # shard_map'd ring/Ulysses impls are the long-sequence option).
+        self.mesh = mesh
         # signature -> (compiled fn, output keys, captures) — LRU-ordered
         self._cache: "OrderedDict[str, Tuple[Any, List, Dict]]" = OrderedDict()
         self.last_stats = ExecStats()
+
+    def _place_captures(self, caps_arg: Dict[str, Any]) -> Dict[str, Any]:
+        """TP-shard (or replicate) capture pytrees onto the mesh."""
+        if self.mesh is None or not caps_arg:
+            return caps_arg
+        from jax.sharding import NamedSharding
+
+        from interactive_vit_tpu.parallel.mesh import param_spec
+
+        def walk(tree, prefix=""):
+            if isinstance(tree, dict):
+                return {k: walk(v, prefix + "/" + k) for k, v in tree.items()}
+            if isinstance(tree, (list, tuple)):
+                t = [walk(v, prefix + f"/{i}") for i, v in enumerate(tree)]
+                return type(tree)(t)
+            return jax.device_put(
+                tree, NamedSharding(self.mesh, param_spec(prefix)))
+
+        return walk(caps_arg)
+
+    def _place_inputs(self, inputs, batched: bool):
+        """Replicate single-request inputs / shard stacked batches on
+        "data" across the mesh."""
+        if self.mesh is None:
+            return inputs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            nbatch = self.mesh.shape["data"]
+            spec = (P("data") if batched and x.shape[0] % nbatch == 0
+                    else P())
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return tuple(put(jnp.asarray(x)) for x in inputs)
 
     def _cache_get(self, sig: str):
         hit = self._cache.get(sig)
@@ -272,6 +315,7 @@ class Executor:
         sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit])
 
         inputs = tuple(e.tensor for _, _, e in graph.input_edges())
+        inputs = self._place_inputs(inputs, batched=False)
 
         t0 = time.perf_counter()
         hit = self._cache_get(sig)
@@ -281,8 +325,10 @@ class Executor:
             stats.stage_s = time.perf_counter() - t0
         else:
             staged, out_keys, caps_arg = self._stage(graph, tap_set)
+            caps_arg = self._place_captures(caps_arg)
             if self.use_jit:
-                fn = _jit(staged, inputs, caps_arg)
+                fn = (_jit(staged, inputs, caps_arg) if self.mesh is None
+                      else jax.jit(staged))
                 stats.stage_s = time.perf_counter() - t0
                 # explicit AOT compile so stats separate compile from execute
                 # (the decode/compile/execute split is a BASELINE metric)
@@ -330,6 +376,10 @@ class Executor:
         tap_set = resolve_taps(g0, taps, self.reg)
         k = len(graphs)
         bucket = 1 << (k - 1).bit_length()  # next power of two
+        if self.mesh is not None:
+            # the stacked batch shards over "data": bucket up to the axis
+            # size (both are powers of two, so divisibility follows)
+            bucket = max(bucket, self.mesh.shape["data"])
         sig = g0.signature(extra=[_tap_key(tap_set), self.use_jit,
                                   "stacked", bucket])
 
@@ -342,6 +392,7 @@ class Executor:
             jnp.stack([pg[i] for pg in per_graph])
             for i in range(len(per_graph[0]))
         )
+        stacked = self._place_inputs(stacked, batched=True)
 
         stats = ExecStats()
         t0 = time.perf_counter()
@@ -351,8 +402,14 @@ class Executor:
             stats.cache_hit = True
         else:
             staged, out_keys, caps_arg = self._stage(g0, tap_set)
+            caps_arg = self._place_captures(caps_arg)
             vmapped = jax.vmap(staged, in_axes=(0, None), out_axes=0)
-            fn = _jit(vmapped, stacked, caps_arg) if self.use_jit else vmapped
+            if not self.use_jit:
+                fn = vmapped
+            elif self.mesh is None:
+                fn = _jit(vmapped, stacked, caps_arg)
+            else:
+                fn = jax.jit(vmapped)
             self._cache_put(sig, (fn, out_keys, caps_arg))
         stats.stage_s = time.perf_counter() - t0
 

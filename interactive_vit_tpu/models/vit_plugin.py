@@ -29,6 +29,7 @@ def make_vit_model(
     attn_impl=None,
     with_categories: bool = True,
     quantize: bool = False,
+    kernels: bool = True,
 ) -> JaxModel:
     """Build a registerable ``JaxModel`` for a ViT variant.
 
@@ -59,6 +60,10 @@ def make_vit_model(
         from interactive_vit_tpu.ops.quant import quantize_tree
 
         params = quantize_tree(params)
+        block_impl = None
+    elif not kernels:
+        # GSPMD-partitionable path (mesh-sharded serving: Pallas custom
+        # calls don't partition); attention runs in XLA
         block_impl = None
     else:
         block_impl = default_block_impl(

@@ -66,9 +66,10 @@ class App:
         max_batch: int = 8,
         max_wait_ms: float = 3.0,
         use_jit: bool = True,
+        mesh=None,
     ):
         self.reg = reg or registry()
-        self.executor = Executor(self.reg, use_jit=use_jit)
+        self.executor = Executor(self.reg, use_jit=use_jit, mesh=mesh)
         self.metrics = Metrics()
         self.batcher = MicroBatcher(
             self.executor, max_batch=max_batch, max_wait_ms=max_wait_ms,

@@ -48,11 +48,25 @@ def build_app(
     seed: int = 0,
     attn_impl_name: str = "auto",
     dtype_name: str = "float32",
+    mesh_spec: str = "",
 ) -> App:
     reg = registry()
     register_builtin(reg)
     for d in plugin_dirs:
         scan_plugins([d], reg)
+
+    mesh = None
+    if mesh_spec:
+        # multi-chip serving (BASELINE config 5: v5e-8): "data=4,model=2".
+        # Captures TP-shard per parallel/mesh.param_spec; micro-batches
+        # shard over "data". Pallas custom calls are not GSPMD-partitioned,
+        # so mesh mode serves through the XLA attention path.
+        from interactive_vit_tpu.parallel.mesh import make_mesh
+
+        axes = dict(kv.split("=") for kv in mesh_spec.split(","))
+        mesh = make_mesh({k: int(v) for k, v in axes.items()})
+        attn_impl_name = "reference"
+        logger.info("serving on mesh %s", dict(mesh.shape))
 
     graphs_dir = graphs_dir or os.path.join(_REPO_ROOT, "static/graphs")
     frontend_dir = frontend_dir or os.path.join(_REPO_ROOT, "frontend")
@@ -62,6 +76,7 @@ def build_app(
         frontend_dir=frontend_dir if os.path.isdir(frontend_dir) else None,
         max_batch=max_batch,
         max_wait_ms=max_wait_ms,
+        mesh=mesh,
     )
 
     from interactive_vit_tpu.models.clip_plugin import make_clip_model
@@ -91,7 +106,8 @@ def build_app(
             model = make_vgg16_model(seed=seed, dtype=dtype)
         else:
             model = make_vit_model(variant, seed=seed, attn_impl=attn_impl,
-                                   dtype=dtype, quantize=quantize)
+                                   dtype=dtype, quantize=quantize,
+                                   kernels=mesh is None)
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))
@@ -154,6 +170,10 @@ def main() -> None:
                         help="model weight/compute dtype (bfloat16 = fast "
                              "interactive path; int8 = weight-only "
                              "quantized serving over bf16 activations)")
+    parser.add_argument("--mesh", default="",
+                        help="multi-chip serving mesh, e.g. 'data=4,model=2'"
+                             " (BASELINE config 5 targets v5e-8); empty = "
+                             "single device")
     parser.add_argument("--platform", default="default",
                         choices=["default", "cpu"],
                         help="'cpu' forces the CPU backend in-process "
@@ -190,6 +210,7 @@ def main() -> None:
         max_wait_ms=args.max_wait_ms,
         attn_impl_name=args.attn,
         dtype_name=args.dtype,
+        mesh_spec=args.mesh,
     )
     if args.warmup:
         warmup(app, [m for m in args.models.split(",") if m])

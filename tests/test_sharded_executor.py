@@ -1,0 +1,123 @@
+"""Mesh-sharded graph executor (multi-chip serving, BASELINE config 5).
+
+Runs on the 8-virtual-device CPU mesh (conftest). The contract: an
+Executor built with a (data, model) mesh produces the same tap outputs as
+the single-device executor — captures TP-shard per
+``parallel/mesh.param_spec``, ``run_stacked`` micro-batches shard over
+"data", and XLA GSPMD inserts the collectives.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from interactive_vit_tpu.graph.executor import Executor
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.models import vit
+from interactive_vit_tpu.models.vit_plugin import make_vit_model
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.parallel.mesh import make_mesh
+from interactive_vit_tpu.wire.schema import GraphLibrary, graph_from_json
+
+CFG = vit.ViTConfig("vit_mesh", img_size=32, patch=16, width=64,
+                    depth=2, heads=4, num_classes=16)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    vit.VARIANTS["vit_mesh"] = CFG
+    reg = Registry()
+    register_builtin(reg)
+    lib = GraphLibrary(str(tmp_path_factory.mktemp("graphs")))
+    # kernels=False: the mesh path serves through GSPMD-partitionable XLA
+    make_vit_model("vit_mesh", kernels=False).register(reg, lib)
+    yield reg, lib
+    del vit.VARIANTS["vit_mesh"]
+
+
+def _graph(lib, rng_seed=0):
+    g = graph_from_json(lib.load("vit_mesh.json"))
+    img = np.random.default_rng(rng_seed).random((3, 32, 32)).astype(
+        np.float32)
+    g.add_input(img, g.nodes[0], "o")
+    return g
+
+
+def _flatten(outs):
+    return {
+        (i, ch): np.asarray(v)
+        for i, sub in outs.items() for ch, v in sub.items()
+    }
+
+
+@pytest.mark.parametrize("axes", [
+    {"data": 8, "model": 1},
+    {"data": 1, "model": 2},
+    {"data": 4, "model": 2},
+])
+def test_single_request_matches_unsharded(setup, axes):
+    reg, lib = setup
+    ref = Executor(reg=reg).run(_graph(lib), taps="primary")
+    mesh = make_mesh(axes)
+    got = Executor(reg=reg, mesh=mesh).run(_graph(lib), taps="primary")
+    ref_f, got_f = _flatten(ref), _flatten(got)
+    assert ref_f.keys() == got_f.keys()
+    for k in ref_f:
+        np.testing.assert_allclose(got_f[k], ref_f[k], atol=1e-5,
+                                   err_msg=str(k))
+
+
+def test_stacked_batch_shards_over_data(setup):
+    reg, lib = setup
+    graphs = [_graph(lib, seed) for seed in range(5)]
+    ref = Executor(reg=reg).run_stacked(
+        [_graph(lib, s) for s in range(5)], taps="primary")
+    mesh = make_mesh({"data": 4, "model": 2})
+    ex = Executor(reg=reg, mesh=mesh)
+    got = ex.run_stacked(graphs, taps="primary")
+    assert len(got) == len(ref) == 5
+    for r, g in zip(ref, got):
+        rf, gf = _flatten(r), _flatten(g)
+        assert rf.keys() == gf.keys()
+        for k in rf:
+            np.testing.assert_allclose(gf[k], rf[k], atol=1e-5,
+                                       err_msg=str(k))
+    # second submit hits the compiled-program cache
+    ex.run_stacked([_graph(lib, 9)] * 3, taps="primary")
+    assert not ex.last_stats.cache_hit  # 3 -> bucket 4, same as 5? no: 5->8
+    ex.run_stacked([_graph(lib, 10)] * 3, taps="primary")
+    assert ex.last_stats.cache_hit
+
+
+def test_captures_actually_sharded(setup):
+    """TP leaves (qkv_w) really live sharded on the model axis."""
+    reg, lib = setup
+    mesh = make_mesh({"data": 4, "model": 2})
+    ex = Executor(reg=reg, mesh=mesh)
+    ex.run(_graph(lib), taps="primary")
+    _, _, caps = next(iter(ex._cache.values()))
+    leaves = jax.tree.leaves(caps)
+    sharded = [
+        x for x in leaves
+        if hasattr(x, "sharding") and not x.sharding.is_fully_replicated
+    ]
+    assert sharded, "expected at least one TP-sharded capture leaf"
+
+
+def test_serving_app_on_mesh(tmp_path):
+    """build_app(mesh_spec=...) serves a compute round-trip end-to-end."""
+    from interactive_vit_tpu.serving.server import build_app
+    from interactive_vit_tpu.wire.codec import Request, Response
+
+    app = build_app(models=("vit_t16",), graphs_dir=str(tmp_path),
+                    mesh_spec="data=4,model=2", dtype_name="float32")
+    obj = app.graphs.load("vit_t16.json")
+    g = graph_from_json(obj)
+    img = np.random.default_rng(1).random((3, 224, 224)).astype(np.float32)
+    g.add_input(img, g.nodes[0], "o")
+    body = app.compute(Request.encode(g))
+    outs = Response.decode(body)
+    assert len(outs) >= 16
+    logits = [v for sub in outs.values() for v in sub.values()]
+    assert all(np.isfinite(v).all() for v in logits)

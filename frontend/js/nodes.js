@@ -289,36 +289,40 @@ export class AttnViewNode extends Node {
 		} else {
 			this.t = read("attn");
 		}
+		this.buildGrid(); // thumbnails only change with the tensor
 		this.redraw();
 	}
 
-	redraw() {
+	/** Normalize to [H,N,N] (first sample of [B,H,N,N]), or null. */
+	maps() {
 		const t = this.t;
-		if (!t) return;
-		// accept [H,N,N] or [B,H,N,N] (first sample)
+		if (!t) return null;
 		let dims = t.dims;
 		let data = t.data;
 		if (dims.length === 4) {
-			const [, H, N] = [dims[0], dims[1], dims[2]];
 			data = data.subarray(0, dims[1] * dims[2] * dims[3]);
 			dims = [dims[1], dims[2], dims[3]];
 		}
-		if (dims.length !== 3) return;
-		const [H, N] = [dims[0], dims[1]];
-		const head = Math.min(this.head, H - 1);
-		const q = Math.min(this.query, N - 1);
-		const map = data.subarray(head * N * N, (head + 1) * N * N);
-		// head grid: one thumbnail per head, selected head outlined
+		return dims.length === 3 ? { dims, data } : null;
+	}
+
+	buildGrid() {
+		// one thumbnail per head; rebuilt only when the tensor changes —
+		// head/query edits just retoggle the selection class (a full
+		// rebuild re-normalizes H*N*N floats per keystroke)
 		this.headGrid.textContent = "";
+		const m = this.maps();
+		if (!m) return;
+		const [H, N] = m.dims;
 		const cols = Math.ceil(Math.sqrt(H));
 		this.headGrid.style.gridTemplateColumns = `repeat(${cols}, 1fr)`;
 		for (let hi = 0; hi < H; hi++) {
 			const thumb = document.createElement("canvas");
 			thumb.title = `head ${hi}`;
-			thumb.className = hi === head ? "head-thumb selected" : "head-thumb";
+			thumb.className = "head-thumb";
 			drawTensor(
 				thumb,
-				{ dims: [N, N], data: data.subarray(hi * N * N, (hi + 1) * N * N) },
+				{ dims: [N, N], data: m.data.subarray(hi * N * N, (hi + 1) * N * N) },
 				Math.max(32, 160 / cols),
 			);
 			thumb.addEventListener("click", () => {
@@ -328,6 +332,18 @@ export class AttnViewNode extends Node {
 			});
 			this.headGrid.append(thumb);
 		}
+	}
+
+	redraw() {
+		const m = this.maps();
+		if (!m) return;
+		const [H, N] = m.dims;
+		const head = Math.min(this.head, H - 1);
+		const q = Math.min(this.query, N - 1);
+		const map = m.data.subarray(head * N * N, (head + 1) * N * N);
+		[...this.headGrid.children].forEach((el, hi) =>
+			el.classList.toggle("selected", hi === head),
+		);
 		// full map heatmap
 		drawTensor(this.full, { dims: [N, N], data: map }, 128);
 		// one query row as a spatial grid (skip CLS col), e.g. 196 -> 14x14

@@ -164,20 +164,10 @@ class Executor:
         """TP-shard (or replicate) capture pytrees onto the mesh."""
         if self.mesh is None or not caps_arg:
             return caps_arg
-        from jax.sharding import NamedSharding
+        from interactive_vit_tpu.parallel.mesh import param_shardings
 
-        from interactive_vit_tpu.parallel.mesh import param_spec
-
-        def walk(tree, prefix=""):
-            if isinstance(tree, dict):
-                return {k: walk(v, prefix + "/" + k) for k, v in tree.items()}
-            if isinstance(tree, (list, tuple)):
-                t = [walk(v, prefix + f"/{i}") for i, v in enumerate(tree)]
-                return type(tree)(t)
-            return jax.device_put(
-                tree, NamedSharding(self.mesh, param_spec(prefix)))
-
-        return walk(caps_arg)
+        return jax.device_put(
+            caps_arg, param_shardings(caps_arg, self.mesh))
 
     def _place_inputs(self, inputs, batched: bool):
         """Replicate single-request inputs / shard stacked batches on
@@ -377,9 +367,11 @@ class Executor:
         k = len(graphs)
         bucket = 1 << (k - 1).bit_length()  # next power of two
         if self.mesh is not None:
-            # the stacked batch shards over "data": bucket up to the axis
-            # size (both are powers of two, so divisibility follows)
-            bucket = max(bucket, self.mesh.shape["data"])
+            # the stacked batch shards over "data": round the bucket up to
+            # a multiple of the axis size (sub-meshes like data=3 or 6 are
+            # legal, so power-of-two alone does not guarantee divisibility)
+            nd = self.mesh.shape["data"]
+            bucket = -(-bucket // nd) * nd
         sig = g0.signature(extra=[_tap_key(tap_set), self.use_jit,
                                   "stacked", bucket])
 

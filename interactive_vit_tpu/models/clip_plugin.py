@@ -11,7 +11,8 @@ from interactive_vit_tpu.models.model_plugin import JaxModel
 
 
 def make_clip_model(params: Optional[Any] = None, seed: int = 0,
-                    dtype=None, attn_impl=None, cfg=None) -> JaxModel:
+                    dtype=None, attn_impl=None, cfg=None,
+                    kernels: bool = True) -> JaxModel:
     import jax.numpy as jnp
 
     cfg = cfg or clip.CLIPVisionConfig()
@@ -22,9 +23,11 @@ def make_clip_model(params: Optional[Any] = None, seed: int = 0,
     from interactive_vit_tpu.ops.dispatch import default_block_impl
 
     leaf_dtype = jax.tree.leaves(params)[0].dtype
+    # kernels=False: GSPMD-partitionable path for mesh-sharded serving
+    # (Pallas custom calls don't partition), same contract as vit_plugin
     block_impl = default_block_impl(
         "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width, heads=cfg.heads
-    )
+    ) if kernels else None
     descriptions = {
         "transform": f"Resize+CenterCrop({cfg.img_size})+CLIP-Normalize",
         "embed": f"PatchEmbed p={cfg.patch} + CLS + pos + ln_pre",

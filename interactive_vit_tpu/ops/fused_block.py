@@ -173,6 +173,13 @@ def fused_attn_block(
     return y, probs
 
 
+def _head_group(dh: int, heads: int) -> int:
+    """Heads per program for the packed headwise layout, or 0 if the
+    model's head dim can't pack into Mosaic's 128-lane column blocks."""
+    hb = 128 // dh if (dh <= 128 and 128 % dh == 0) else 0
+    return hb if hb and heads % hb == 0 else 0
+
+
 def _headwise_kernel(x_ref, q_ref, k_ref, v_ref, projw_ref, projb_ref,
                      y_ref, *rest, dh: int, heads: int, prec, emit: bool,
                      emit_mean: bool, packed: bool):
@@ -196,7 +203,8 @@ def _headwise_kernel(x_ref, q_ref, k_ref, v_ref, projw_ref, projb_ref,
     rest = list(rest)
     probs_ref = rest.pop(0) if emit else None
     mean_ref = rest.pop(0) if emit_mean else None
-    (acc_ref,) = rest
+    acc_ref = rest.pop(0)
+    mean_acc_ref = rest.pop(0) if emit_mean else None
     g = pl.program_id(1)
     ng = pl.num_programs(1)
     sm_scale = dh ** -0.5
@@ -231,16 +239,23 @@ def _headwise_kernel(x_ref, q_ref, k_ref, v_ref, projw_ref, projb_ref,
         )
 
     if emit_mean:
-        # mean block is revisited across the sequential group axis
-        contrib_m = (msum * (1.0 / heads)).astype(mean_ref.dtype)
+        # accumulate across the sequential group axis in an f32 scratch
+        # (accumulating in the bf16 output would compound rounding per
+        # group, diverging from fused_attn_block's f32-accumulated mean);
+        # the output block is written once, on the last group
+        contrib_m = msum * (1.0 / heads)
 
         @pl.when(g == 0)
         def _mean_init():
-            mean_ref[0] = contrib_m
+            mean_acc_ref[...] = contrib_m
 
         @pl.when(g != 0)
         def _mean_acc():
-            mean_ref[0] = mean_ref[0] + contrib_m
+            mean_acc_ref[...] = mean_acc_ref[...] + contrib_m
+
+        @pl.when(g == ng - 1)
+        def _mean_store():
+            mean_ref[0] = mean_acc_ref[...].astype(mean_ref.dtype)
 
     o = outs[0] if hb == 1 else jnp.concatenate(outs, axis=-1)
     contrib = jax.lax.dot(o.astype(v_all.dtype), projw_ref[0],
@@ -283,8 +298,9 @@ def headwise_attn_block(
 
     # head packing: Mosaic column blocks must be 128-divisible, so ride
     # hb = 128/dh heads per program straight off the untransposed QKV
-    packed = dh <= 128 and 128 % dh == 0 and heads % max(1, 128 // dh) == 0
-    hb = 128 // dh if packed else 1
+    hb = _head_group(dh, heads)
+    packed = hb > 0
+    hb = hb or 1
     ng = heads // hb
 
     kernel = functools.partial(
@@ -348,7 +364,10 @@ def headwise_attn_block(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((n, d), jnp.float32)]
+            + ([pltpu.VMEM((n, n), jnp.float32)] if want_mean else [])
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -377,8 +396,7 @@ def fits_headwise(n: int, d: int, heads: int, dtype) -> bool:
     unrolled per-head loop)."""
     esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
     dh = d // heads
-    hb = 128 // dh if (dh <= 128 and 128 % dh == 0
-                       and heads % max(1, 128 // dh) == 0) else 1
+    hb = _head_group(dh, heads) or 1
     per_prog = (
         n * 3 * hb * dh * esize  # qkv column blocks
         + n * n * 4 * 2          # s + probs f32 (reused per head)

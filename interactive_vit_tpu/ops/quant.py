@@ -51,17 +51,24 @@ def dequantize_weight(w: Dict[str, jnp.ndarray], dtype=jnp.float32):
     return (w[QKEY].astype(jnp.float32) * w[SKEY]).astype(dtype)
 
 
-def quantize_tree(params: Any) -> Any:
-    """Replace every 2-D float weight leaf named ``*_w``/``w`` with its
-    int8 form; everything else (norms, biases, embeddings) is untouched."""
+#: transformer-block linear weights: the standard weight-only targets.
+#: First (patch embed) and last (classifier head) layers stay dense — the
+#: usual int8 recipe exclusion: their error lands directly on the patch
+#: features / logits, and they are a negligible share of HBM traffic.
+BLOCK_WEIGHTS = frozenset({"qkv_w", "proj_w", "fc1_w", "fc2_w"})
+
+
+def quantize_tree(params: Any, names: frozenset = BLOCK_WEIGHTS) -> Any:
+    """Replace 2-D float weight leaves named in ``names`` with their int8
+    form; everything else (norms, biases, embeddings, first/last-layer
+    weights) is untouched."""
 
     def walk(obj: Any) -> Any:
         if isinstance(obj, dict):
             out = {}
             for k, v in obj.items():
                 if (
-                    isinstance(k, str)
-                    and (k == "w" or k.endswith("_w"))
+                    k in names
                     and hasattr(v, "ndim")
                     and v.ndim == 2
                     and jnp.issubdtype(v.dtype, jnp.floating)

@@ -57,7 +57,19 @@ def make_mesh(
 
 
 def param_spec(path: str) -> P:
-    """PartitionSpec for a ViT param, keyed by its pytree path leaf name."""
+    """PartitionSpec for a ViT param, keyed by its pytree path leaf name.
+
+    Weight-only int8 leaves (``ops/quant.py``) live one level deeper —
+    ``.../qkv_w/int8_q`` ([D_in, D_out] like the dense weight) and
+    ``.../qkv_w/int8_s`` ([D_out]) — and shard like their dense parent so
+    quantized serving keeps the same TP layout.
+    """
+    if path.endswith("/int8_q"):
+        return param_spec(path[: -len("/int8_q")])
+    if path.endswith("/int8_s"):
+        parent = param_spec(path[: -len("/int8_s")])
+        # scale is per-OUTPUT-channel: sharded iff the weight's out dim is
+        return P(parent[1]) if len(parent) == 2 else P()
     if path.endswith("qkv_w") or path.endswith("fc1_w"):
         return P(None, "model")          # shard output features
     if path.endswith("qkv_b") or path.endswith("fc1_b"):

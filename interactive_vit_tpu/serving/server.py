@@ -99,7 +99,7 @@ def build_app(
             if quantize:
                 logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_clip_model(seed=seed, attn_impl=attn_impl,
-                                    dtype=dtype)
+                                    dtype=dtype, kernels=mesh is None)
         elif variant == "vgg16":
             if quantize:
                 logger.warning("int8 not wired for %s; serving bf16", variant)

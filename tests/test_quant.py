@@ -62,9 +62,9 @@ def test_quantize_tree_structure():
     assert quant.is_quantized(blk["fc1_w"])
     assert not quant.is_quantized(blk["ln1_s"])  # norms untouched
     assert blk["qkv_b"].dtype == params["blocks"][0]["qkv_b"].dtype
-    assert quant.is_quantized(qparams["patch_embed"]["w"])
-    assert quant.is_quantized(qparams["head"]["w"])
-    # pos_emb is 3-D, never quantized
+    # first/last layers stay dense (standard weight-only exclusion)
+    assert not quant.is_quantized(qparams["patch_embed"]["w"])
+    assert not quant.is_quantized(qparams["head"]["w"])
     assert not quant.is_quantized(qparams["pos_emb"])
 
 

@@ -105,6 +105,35 @@ def test_captures_actually_sharded(setup):
     assert sharded, "expected at least one TP-sharded capture leaf"
 
 
+def test_quantized_captures_tp_shard():
+    """int8 weight leaves shard like their dense parents (param_spec
+    resolves .../qkv_w/int8_q to the dense qkv_w spec)."""
+    from jax.sharding import PartitionSpec as P
+
+    from interactive_vit_tpu.parallel.mesh import param_spec
+
+    assert param_spec("blocks/0/qkv_w/int8_q") == P(None, "model")
+    assert param_spec("blocks/0/qkv_w/int8_s") == P("model")
+    assert param_spec("blocks/0/proj_w/int8_q") == P("model", None)
+    assert param_spec("blocks/0/proj_w/int8_s") == P(None)
+    assert param_spec("head/w/int8_q") == P()
+
+    # and physically, through the executor: quantized vit graph on a mesh
+    from interactive_vit_tpu.ops.quant import QKEY
+    import jax.numpy as jnp
+
+    params = vit.init_params(jax.random.key(0), CFG)
+    from interactive_vit_tpu.ops.quant import quantize_tree
+    qp = quantize_tree(params)
+    mesh = make_mesh({"data": 4, "model": 2})
+    from interactive_vit_tpu.parallel.mesh import shard_params
+    placed = shard_params(qp, mesh)
+    q_leaf = placed["blocks"][0]["qkv_w"][QKEY]
+    assert not q_leaf.sharding.is_fully_replicated
+    np.testing.assert_array_equal(
+        np.asarray(q_leaf), np.asarray(qp["blocks"][0]["qkv_w"][QKEY]))
+
+
 def test_serving_app_on_mesh(tmp_path):
     """build_app(mesh_spec=...) serves a compute round-trip end-to-end."""
     from interactive_vit_tpu.serving.server import build_app

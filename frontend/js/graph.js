@@ -480,6 +480,14 @@ export class Context {
 
 let pendingWire = null; // out-port awaiting an in-port click
 
+function beginWire(port) {
+	pendingWire = port;
+	document
+		.querySelectorAll(".port.pending")
+		.forEach((d) => d.classList.remove("pending"));
+	if (port) port.el?.classList.add("pending");
+}
+
 function portDot(port) {
 	const dot = document.createElement("div");
 	dot.className = `port ${port.direction}`;
@@ -494,17 +502,10 @@ function portDot(port) {
 	dot.addEventListener("click", (ev) => {
 		ev.stopPropagation();
 		if (port.direction === "out") {
-			pendingWire = pendingWire === port ? null : port;
-			document
-				.querySelectorAll(".port.pending")
-				.forEach((d) => d.classList.remove("pending"));
-			if (pendingWire) dot.classList.add("pending");
+			beginWire(pendingWire === port ? null : port);
 		} else if (pendingWire) {
 			Context.connect(pendingWire, port);
-			document
-				.querySelectorAll(".port.pending")
-				.forEach((d) => d.classList.remove("pending"));
-			pendingWire = null;
+			beginWire(null);
 		}
 	});
 	return wrap;
@@ -599,7 +600,13 @@ function portCenter(port) {
 function renderEdge(edge) {
 	const path = document.createElementNS("http://www.w3.org/2000/svg", "path");
 	path.classList.add("edge");
-	path.addEventListener("click", () => Context.disconnect(edge));
+	// click: delete; shift-click: re-route — detach and pick the source
+	// back up as the pending wire, ready to drop on another in-port
+	path.addEventListener("click", (ev) => {
+		const src = edge.src;
+		Context.disconnect(edge);
+		if (ev.shiftKey) beginWire(src);
+	});
 	edge.path = path;
 	Context.svg.append(path);
 	drawEdge(edge);

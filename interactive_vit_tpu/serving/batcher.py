@@ -108,26 +108,69 @@ class MicroBatcher:
         return group, others
 
     def _loop(self) -> None:
+        # depth-1 pipeline: after dispatching batch i+1 (async — jax
+        # returns in-flight arrays), materialize batch i, so i's
+        # device->host transfer and future resolution overlap i+1's TPU
+        # compute. All dispatches AND transfers stay on this one thread
+        # (cross-thread device_get deadlocks on this backend).
+        pending = None  # (group, flat_device_results, t0)
         while True:
-            item = self._q.get()
+            if pending is not None:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    # queue idle: finish the in-flight batch now
+                    self._materialize(pending)
+                    pending = None
+                    continue
+            else:
+                item = self._q.get()
             if item is None:
+                if pending is not None:
+                    self._materialize(pending)
                 return
             group, requeue = self._collect_group(item)
             for other in requeue:
                 self._q.put(other)
-            self._run_group(group)
+            dispatched = self._dispatch(group)
+            if pending is not None:
+                self._materialize(pending)
+            pending = dispatched
 
-    def _run_group(self, group: List[_Item]) -> None:
+    def _dispatch(self, group: List[_Item]):
+        """Launch a group on the device; returns the in-flight handle or
+        None if staging/dispatch failed (futures already failed)."""
         t0 = time.perf_counter()
         try:
             if len(group) == 1:
-                results = [self.executor.run(group[0].graph, group[0].taps)]
+                flat = self.executor.run(group[0].graph, group[0].taps,
+                                         defer=True)
             else:
-                results = self.executor.run_stacked(
-                    [it.graph for it in group], group[0].taps
+                flat = self.executor.run_stacked(
+                    [it.graph for it in group], group[0].taps, defer=True
                 )
-            dt = time.perf_counter() - t0
-            self.metrics.compute_latency.observe(dt)
+            return (group, flat, t0)
+        except Exception as err:  # noqa: BLE001 — fail the whole group
+            logger.exception("batch dispatch failed")
+            self.metrics.inc("batch_errors")
+            for it in group:
+                if not it.future.done():
+                    it.future.set_exception(err)
+            return None
+
+    def _materialize(self, pending) -> None:
+        if pending is None:
+            return
+        group, flat, t0 = pending
+        try:
+            import jax
+
+            flat = jax.device_get(flat)
+            if len(group) == 1:
+                results = [Executor.split_single(flat)]
+            else:
+                results = Executor.split_stacked(flat, len(group))
+            self.metrics.compute_latency.observe(time.perf_counter() - t0)
             self.metrics.batch_sizes.observe(len(group))
             self.metrics.inc("batches")
             self.metrics.inc("batched_requests", len(group))
@@ -136,7 +179,7 @@ class MicroBatcher:
                 self.metrics.request_latency.observe(
                     time.perf_counter() - it.enqueued
                 )
-        except Exception as err:  # noqa: BLE001 — fail the whole group
+        except Exception as err:  # noqa: BLE001 — device errors surface here
             logger.exception("batch failed")
             self.metrics.inc("batch_errors")
             for it in group:

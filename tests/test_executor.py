@@ -198,3 +198,45 @@ def test_run_device_resident(reg):
     g.add_input(np.ones((4,), np.float32), n, "o")
     out = ex.run(g, to_host=False)
     assert isinstance(out[0]["o"], jax.Array)
+
+
+def test_input_cache_reuses_device_buffers(simple_setup=None):
+    """Content-addressed input cache: identical bytes -> same device
+    buffer (no re-upload); changed bytes -> fresh upload; LRU-bounded."""
+    import numpy as np
+
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg=reg)
+
+    img = np.random.default_rng(0).random((4, 8)).astype(np.float32)
+    a = ex._device_input(img)
+    b = ex._device_input(img.copy())  # same content, different array
+    assert a is b
+    c = ex._device_input(img + 1)
+    assert c is not a
+    assert len(ex._input_cache) == 2
+
+    # correctness through the full run path (second run = cache hit)
+    def run_once(x):
+        g = Graph()
+        n = g.add_node("cos", {"A": "1.0", "b": "0.0"})
+        g.add_input(x, n, "o")
+        outs = ex.run(g, taps="all")
+        return outs[0]["o"]
+
+    r1 = run_once(img)
+    r2 = run_once(img.copy())
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(r1, np.cos(img), atol=1e-6)
+
+    # LRU eviction respects the byte budget
+    ex.input_cache_budget = img.nbytes * 2
+    for i in range(5):
+        ex._device_input(img + 2 + i)
+    assert ex._input_cache_bytes <= ex.input_cache_budget

@@ -217,6 +217,23 @@ class Executor:
             self._cache.move_to_end(sig)
         return hit
 
+    def is_compiled(self, graph: Graph, taps: TapSpec,
+                    batch: Optional[int] = None) -> bool:
+        """True if (graph, taps, batch-bucket) has a cached program — the
+        batcher asks before pipelining a dispatch behind finished results
+        (a cold compile would stall them for seconds)."""
+        tap_set = resolve_taps(graph, taps, self.reg)
+        if batch is None or batch == 1:
+            sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit])
+        else:
+            bucket = 1 << (batch - 1).bit_length()
+            if self.mesh is not None:
+                nd = self.mesh.shape["data"]
+                bucket = -(-bucket // nd) * nd
+            sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit,
+                                         "stacked", bucket])
+        return sig in self._cache
+
     def _cache_put(self, sig: str, entry) -> None:
         self._cache[sig] = entry
         self._cache.move_to_end(sig)

@@ -47,12 +47,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _precision(dtype) -> jax.lax.Precision:
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+from interactive_vit_tpu.ops.layers import precision_for as _precision
 
 
 # -- kernel 1: row-resident (full K per Q block), optional probs output --------
@@ -161,6 +156,11 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
     s = jnp.where(col < n_real, s, MASK_VALUE)
+    # zero padded/OOB v rows: their p weights are exp(MASK)==0, but
+    # 0 * garbage (NaN under the interpreter, unspecified on chip) would
+    # still poison the accumulator through the dot
+    vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + kv_idx * block_k
+    v = jnp.where(vrow < n_real, v, 0)
 
     # row stats are stored lane-replicated [bq, LANES] (min f32 tile width);
     # every lane of a row holds the same value
@@ -186,8 +186,12 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 
 def _online_call(q, k, v, n_real: int, block_q: int, block_k: int):
-    bh, n_pad, d = q.shape
-    grid = (bh, n_pad // block_q, n_pad // block_k)
+    bh, n, d = q.shape
+    # cdiv grids: Mosaic masks the edge blocks, so no host-side padding —
+    # floored grids silently skipped the last partial block of real rows
+    # (keys beyond n read garbage but the col < n_real mask kills them;
+    # garbage query rows beyond n are never returned to the caller)
+    grid = (bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k))
     kernel = functools.partial(
         _online_kernel,
         sm_scale=d ** -0.5,
@@ -208,7 +212,7 @@ def _online_call(q, k, v, n_real: int, block_q: int, block_k: int):
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),  # m
             pltpu.VMEM((block_q, LANES), jnp.float32),  # l
@@ -261,15 +265,10 @@ def flash_attention(
         out, probs = _rowfull_call(qf, kf, vf, n_real, want_attn,
                                    block_q=min(block_q, _round_up(n, 8)))
     else:
-        # online kernel wants block-divisible key length
-        n_pad = _round_up(n, block_k)
-        if n_pad != n:
-            pad = ((0, 0), (0, n_pad - n), (0, 0))
-            qf = jnp.pad(qf, pad)
-            kf = jnp.pad(kf, pad)
-            vf = jnp.pad(vf, pad)
-        out = _online_call(qf, kf, vf, n_real, block_q=block_q, block_k=block_k)
-        out = out[:, :n]
+        # exact shapes here too: cdiv grid + Mosaic edge-block masking
+        # inside _online_call (no host-side padding)
+        out = _online_call(qf, kf, vf, min(n_real, n),
+                           block_q=block_q, block_k=block_k)
         probs = None
 
     out = out.reshape(b, h, n, d)

@@ -35,12 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 Params = Dict[str, jnp.ndarray]
 
 
-def _precision(dtype):
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+from interactive_vit_tpu.ops.layers import precision_for as _precision
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,

@@ -41,6 +41,15 @@ def mm_precision(*xs: jnp.ndarray) -> jax.lax.Precision:
     return jax.lax.Precision.DEFAULT
 
 
+def precision_for(dtype) -> jax.lax.Precision:
+    """``mm_precision`` keyed by dtype instead of arrays — the form the
+    Pallas kernels need at closure-build time. Single source of the
+    policy: f32 -> HIGHEST (this backend's DEFAULT truncates f32 passes
+    to bf16), everything else -> DEFAULT."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                eps: float = 1e-6) -> jnp.ndarray:
     """LayerNorm over the last axis, f32 statistics regardless of x dtype."""

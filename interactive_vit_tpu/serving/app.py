@@ -90,7 +90,10 @@ class App:
         taps = req.taps if req.taps is not None else "primary"
         outputs = self.batcher.submit(req.graph, taps=taps).result()
         raw = WireResponse(outputs).encode()
-        self.metrics.request_latency.observe(time.perf_counter() - t0)
+        # request_latency (the BASELINE p50 deliverable) is observed by the
+        # batcher at enqueue->resolve; observing here too would mix two
+        # distributions into one histogram
+        self.metrics.wire_latency.observe(time.perf_counter() - t0)
         return raw
 
     def description(self, name: str, params: Dict[str, str]) -> Dict:
@@ -168,20 +171,25 @@ class App:
             return str(jax.devices()[0])
 
         t0 = time.perf_counter()
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(probe)
-            try:
-                device = fut.result(timeout=timeout_s)
-                return {
-                    "ok": True,
-                    "device": device,
-                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
-                }
-            except concurrent.futures.TimeoutError:
-                return {"ok": False,
-                        "error": f"device probe exceeded {timeout_s}s"}
-            except Exception as e:  # noqa: BLE001
-                return {"ok": False, "error": str(e)}
+        # no `with`: the context manager's shutdown(wait=True) would block
+        # on the probe thread — hanging /health in exactly the wedged-device
+        # case it exists to report
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(probe)
+        try:
+            device = fut.result(timeout=timeout_s)
+            return {
+                "ok": True,
+                "device": device,
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+            }
+        except concurrent.futures.TimeoutError:
+            return {"ok": False,
+                    "error": f"device probe exceeded {timeout_s}s"}
+        except Exception as e:  # noqa: BLE001
+            return {"ok": False, "error": str(e)}
+        finally:
+            pool.shutdown(wait=False)
 
     def descriptions(self, names) -> Dict[str, Dict]:
         out = {}
@@ -292,9 +300,13 @@ class App:
                                b" (no frontend bundled)</body></html>",
                                "text/html")
                     return
-                full = os.path.abspath(os.path.join(app.frontend_dir, rel))
-                if not full.startswith(app.frontend_dir + os.sep) and \
-                        full != os.path.join(app.frontend_dir, rel):
+                # traversal guard: resolve then require containment — a
+                # leading "/" or ".." in rel must never escape frontend_dir
+                # (the reference used django.views.static.serve for exactly
+                # this reason, views.py:52-59)
+                full = os.path.abspath(
+                    os.path.join(app.frontend_dir, rel.lstrip("/\\")))
+                if not full.startswith(app.frontend_dir + os.sep):
                     raise FileNotFoundError(rel)
                 with open(full, "rb") as f:
                     data = f.read()

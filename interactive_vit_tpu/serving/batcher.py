@@ -29,6 +29,8 @@ from interactive_vit_tpu.serving.metrics import Metrics
 
 logger = logging.getLogger(__name__)
 
+_IDLE = object()  # sentinel: non-blocking poll found nothing
+
 
 class _Item:
     __slots__ = ("graph", "taps", "future", "enqueued", "sig")
@@ -56,18 +58,23 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self.metrics = metrics or Metrics()
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        # other-signature items deferred while collecting a group; consumed
+        # FIRST next cycle (FIFO), so a minority signature can't be starved
+        # by a steady majority stream. Worker-thread-only, no lock needed.
+        self._backlog: List[_Item] = []
+        self._thread: Optional[threading.Thread] = None
         self._started = False
         self._lock = threading.Lock()
 
     def start(self) -> None:
         with self._lock:
-            if not self._started:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._loop, daemon=True)
                 self._thread.start()
                 self._started = True
 
     def stop(self) -> None:
-        if self._started:
+        if self._started and self._thread is not None:
             self._q.put(None)
             self._thread.join(timeout=5)
             self._started = False
@@ -81,14 +88,21 @@ class MicroBatcher:
         return item.future
 
     # -- worker ----------------------------------------------------------------
-    def _collect_group(self, first: _Item) -> Tuple[List[_Item], List[_Item]]:
+    def _collect_group(self, first: _Item) -> List[_Item]:
         """Gather same-signature items up to max_batch within the window.
 
-        Returns (group, requeue) — items of other signatures seen while
-        collecting are requeued in arrival order.
+        Same-signature items already in the backlog join immediately;
+        other signatures seen on the queue go to the BACK of the backlog
+        (the front of next cycle's service order — arrival-order fair).
         """
         group = [first]
-        others: List[_Item] = []
+        keep: List[_Item] = []
+        for it in self._backlog:
+            if it.sig == first.sig and len(group) < self.max_batch:
+                group.append(it)
+            else:
+                keep.append(it)
+        self._backlog = keep
         deadline = time.perf_counter() + self.max_wait_s
         while len(group) < self.max_batch:
             timeout = deadline - time.perf_counter()
@@ -104,8 +118,16 @@ class MicroBatcher:
             if item.sig == first.sig:
                 group.append(item)
             else:
-                others.append(item)
-        return group, others
+                self._backlog.append(item)
+        return group
+
+    def _next_item(self, block: bool) -> Optional[_Item]:
+        if self._backlog:
+            return self._backlog.pop(0)
+        try:
+            return self._q.get() if block else self._q.get_nowait()
+        except queue.Empty:
+            return _IDLE
 
     def _loop(self) -> None:
         # depth-1 pipeline: after dispatching batch i+1 (async — jax
@@ -115,27 +137,45 @@ class MicroBatcher:
         # (cross-thread device_get deadlocks on this backend).
         pending = None  # (group, flat_device_results, t0)
         while True:
-            if pending is not None:
-                try:
-                    item = self._q.get_nowait()
-                except queue.Empty:
-                    # queue idle: finish the in-flight batch now
-                    self._materialize(pending)
-                    pending = None
-                    continue
-            else:
-                item = self._q.get()
+            item = self._next_item(block=pending is None)
+            if item is _IDLE:
+                # queue idle: finish the in-flight batch now
+                self._materialize(pending)
+                pending = None
+                continue
             if item is None:
-                if pending is not None:
-                    self._materialize(pending)
+                self._materialize(pending)
+                self._drain_stopped()
                 return
-            group, requeue = self._collect_group(item)
-            for other in requeue:
-                self._q.put(other)
+            group = self._collect_group(item)
+            if pending is not None and not self.executor.is_compiled(
+                group[0].graph, group[0].taps, len(group)
+            ):
+                # this dispatch will cold-compile (5-30s): resolve the
+                # already-finished batch first instead of stalling it
+                self._materialize(pending)
+                pending = None
             dispatched = self._dispatch(group)
             if pending is not None:
                 self._materialize(pending)
             pending = dispatched
+
+    def _drain_stopped(self) -> None:
+        """Fail anything still queued at shutdown — a pending Future that
+        is never resolved hangs its HTTP handler thread forever."""
+        err = RuntimeError("batcher stopped")
+        leftovers = list(self._backlog)
+        self._backlog = []
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                leftovers.append(it)
+        for it in leftovers:
+            if not it.future.done():
+                it.future.set_exception(err)
 
     def _dispatch(self, group: List[_Item]):
         """Launch a group on the device; returns the in-flight handle or

@@ -38,13 +38,18 @@ class LatencyHistogram:
         with self._lock:
             return len(self._vals)
 
+    def mean(self) -> float:
+        with self._lock:
+            return sum(self._vals) / len(self._vals) if self._vals else 0.0
+
 
 class Metrics:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self.counters: Dict[str, int] = {}
-        self.request_latency = LatencyHistogram()
-        self.compute_latency = LatencyHistogram()
+        self.request_latency = LatencyHistogram()  # enqueue -> resolved
+        self.compute_latency = LatencyHistogram()  # batch dispatch -> host
+        self.wire_latency = LatencyHistogram()     # decode -> encoded
         self.batch_sizes = LatencyHistogram()
         self.started = time.time()
 
@@ -62,8 +67,7 @@ class Metrics:
             "request_p50_ms": self.request_latency.quantile(0.5) * 1e3,
             "request_p95_ms": self.request_latency.quantile(0.95) * 1e3,
             "compute_p50_ms": self.compute_latency.quantile(0.5) * 1e3,
-            "mean_batch_size": (
-                sum(self.batch_sizes._vals) / max(1, self.batch_sizes.count())
-            ),
+            "wire_p50_ms": self.wire_latency.quantile(0.5) * 1e3,
+            "mean_batch_size": self.batch_sizes.mean(),
             "requests_per_s": counters.get("compute_requests", 0) / max(up, 1e-9),
         }

@@ -108,3 +108,18 @@ def test_mhsa_with_flash_impl_matches_reference():
     ours, probs = mhsa(x, p, heads, want_attn=True, attn_impl=fa.flash_mhsa)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs), atol=1e-5)
+
+
+def test_online_trailing_rows_not_divisible_by_block_q():
+    """n > ROWFULL_MAX_N with n_pad not a multiple of block_q used to
+    floor the q-grid and silently skip the last partial block of real
+    rows (regression: n=2049 left row 2048 uninitialized)."""
+    n = fa.ROWFULL_MAX_N + 1  # 2049: pad-to-128 is NOT a 256 multiple
+    q, k, v = make_qkv(1, 1, n, 8, seed=7)
+    out, probs = fa.flash_attention(q, k, v, want_attn=False)
+    assert probs is None
+    ref, _ = attention_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, -260:], np.asarray(ref)[:, :, -260:],
+        atol=2e-5,
+    )

@@ -329,3 +329,117 @@ def test_boot_warmup():
     app.executor.run(g, taps="primary")
     assert app.executor.last_stats.cache_hit
     app.batcher.stop()
+
+
+def test_static_absolute_path_traversal_blocked():
+    """GET /static//etc/passwd must not read outside frontend_dir
+    (os.path.join swallows the prefix when the suffix is absolute).
+    Needs a bundled frontend — the shared fixture serves the fallback
+    page for every static path."""
+    reg = Registry()
+    register_builtin(reg)
+    app = App(reg=reg, graphs_dir="/root/reference/static/graphs",
+              frontend_dir="/root/repo/frontend")
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        for path in ("/static//etc/passwd", "/static/%2Fetc%2Fpasswd",
+                     "/static/..%2f..%2f..%2fetc%2fpasswd"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _get(base + path)
+            assert ei.value.code in (400, 404)
+    finally:
+        httpd.shutdown()
+        app.batcher.stop()
+
+
+class _StubExecutor:
+    """Minimal Executor stand-in for batcher unit tests."""
+
+    def __init__(self):
+        self.calls = []
+
+    def run(self, graph, taps, defer=False):
+        self.calls.append(1)
+        return {"0/o": graph}  # flat dict contract
+
+    def run_stacked(self, graphs, taps, defer=False):
+        self.calls.append(len(graphs))
+        return {"0/o": list(graphs)}
+
+    def is_compiled(self, graph, taps, batch=None):
+        return True
+
+
+def _stub_item(sig):
+    from interactive_vit_tpu.serving.batcher import _Item
+
+    class G:  # graph stand-in: only .signature is needed pre-dispatch
+        def signature(self, extra=()):
+            return sig
+
+    return _Item(G(), "all", sig)
+
+
+def test_batcher_drain_on_stop_fails_queued_futures(monkeypatch):
+    """Shutdown must not leave futures pending forever (a pending future
+    hangs its HTTP handler thread)."""
+    from interactive_vit_tpu.serving.batcher import MicroBatcher
+
+    b = MicroBatcher(_StubExecutor())
+    a1, a2 = _stub_item("sigA"), _stub_item("sigB")
+    b._backlog.append(a1)
+    b._q.put(a2)
+    b._drain_stopped()
+    for it in (a1, a2):
+        assert it.future.done()
+        with pytest.raises(RuntimeError):
+            it.future.result()
+
+
+def test_batcher_restart_after_stop():
+    """stop() then submit() must restart the worker thread (Thread
+    objects are single-use)."""
+    from interactive_vit_tpu.serving.batcher import MicroBatcher
+
+    import numpy as np
+
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    reg = Registry()
+    register_builtin(reg)
+    b = MicroBatcher(Executor(reg=reg), max_wait_ms=1.0)
+
+    def eval_once():
+        g = Graph()
+        n = g.add_node("cos", {"A": "1.0", "b": "0.0"})
+        g.add_input(np.ones((4, 4), np.float32), n, "o")
+        return b.submit(g, taps="all").result(timeout=30)
+
+    out1 = eval_once()
+    b.stop()
+    out2 = eval_once()  # restarts the worker
+    np.testing.assert_allclose(out2[0]["o"], out1[0]["o"])
+    b.stop()
+
+
+def test_batcher_minority_signature_not_starved():
+    """Other-signature items go to the backlog and are served FIRST next
+    cycle, ahead of later same-signature arrivals."""
+    from interactive_vit_tpu.serving.batcher import MicroBatcher
+
+    b = MicroBatcher(_StubExecutor(), max_batch=4, max_wait_ms=1.0)
+    first = _stub_item("sigA")
+    minority = _stub_item("sigB")
+    b._q.put(minority)
+    group = b._collect_group(first)
+    assert [it.sig for it in group] == ["sigA"]
+    assert [it.sig for it in b._backlog] == ["sigB"]
+    # next cycle serves the backlog before the queue
+    later = _stub_item("sigA")
+    b._q.put(later)
+    nxt = b._next_item(block=True)
+    assert nxt is minority

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.ir import Graph, effective_params
 from interactive_vit_tpu.graph.registry import Registry, registry
 
 logger = logging.getLogger(__name__)
@@ -260,9 +260,14 @@ class Executor:
                     raise NodeError(
                         n.index, n.name, f"unknown output channel {ch!r}"
                     )
-            if not getattr(kind, "optional_inputs", False):
+            # optional_inputs: True = all optional, or a set of channel
+            # names (only those may be unwired)
+            optional = getattr(kind, "optional_inputs", False)
+            if optional is not True:
+                skip = optional if isinstance(optional, (set, frozenset)) \
+                    else frozenset()
                 for ch in io["ins"]:
-                    if ch not in n.inputs:
+                    if ch not in n.inputs and ch not in skip:
                         raise NodeError(n.index, n.name, f"missing input {ch!r}")
 
     # -- staging ----------------------------------------------------------------
@@ -285,19 +290,14 @@ class Executor:
         caps_arg = {
             str(i): c for i, c in captures.items() if c is not None
         }
-        # Per-node effective params: inject "__taps__", the sorted channels of
-        # this node that are either tapped or consumed downstream. Node kinds
-        # with *expensive optional outputs* (e.g. flash attention, where
-        # emitting the N x N maps is a materially different kernel) read it to
-        # skip work; ordinary kinds ignore it. It participates in the cache
-        # signature via the tap-set key.
-        eff_params: Dict[int, Dict[str, str]] = {}
-        for n in graph.nodes:
-            live = {ch for (i, ch) in tap_set if i == n.index}
-            for ch, edges in n.outputs.items():
-                if any(e.dst is not None for e in edges):
-                    live.add(ch)
-            eff_params[n.index] = dict(n.params, __taps__=",".join(sorted(live)))
+        # Per-node effective params: inject "__taps__" (ir.effective_params).
+        # Node kinds with *expensive optional outputs* (e.g. flash attention,
+        # where emitting the N x N maps is a materially different kernel)
+        # read it to skip work; ordinary kinds ignore it. It participates in
+        # the cache signature via the tap-set key.
+        eff_params: Dict[int, Dict[str, str]] = {
+            n.index: effective_params(n, tap_set) for n in graph.nodes
+        }
 
         def staged(inputs: Tuple[Any, ...], caps: Dict[str, Any]) -> Dict[str, Any]:
             # env: (node_index, channel) -> traced array
@@ -480,12 +480,19 @@ class Executor:
             vmapped = jax.vmap(staged, in_axes=(0, None), out_axes=0)
             if not self.use_jit:
                 fn = vmapped
-            elif self.mesh is None:
-                fn = _jit(vmapped, stacked, caps_arg)
             else:
-                fn = jax.jit(vmapped)
+                fn = (_jit(vmapped, stacked, caps_arg) if self.mesh is None
+                      else jax.jit(vmapped))
+                stats.stage_s = time.perf_counter() - t0
+                # AOT compile: (a) the decode/compile/execute split is a
+                # BASELINE metric; (b) the compiled executable drops the
+                # staged closure, which otherwise pins the first batch's
+                # Graph objects (and their request tensors) in the LRU
+                t0 = time.perf_counter()
+                fn = fn.lower(stacked, caps_arg).compile()
+                stats.compile_s = time.perf_counter() - t0
             self._cache_put(sig, (fn, out_keys, caps_arg))
-        stats.stage_s = time.perf_counter() - t0
+        stats.stage_s = stats.stage_s or (time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         flat = fn(stacked, caps_arg)
@@ -522,7 +529,7 @@ class Executor:
                 continue
             try:
                 kind = self.reg.get_node(n.name)
-                pinout = kind.compute(n.params, n.get_pinin())
+                pinout = kind.compute(effective_params(n), n.get_pinin())
                 n.set_pinout(pinout)
                 outputs[n.index] = pinout.as_dict()
             except Exception as err:  # noqa: BLE001 — per-node isolation

@@ -91,6 +91,20 @@ class Pinout:
         return dict(self.pinout)
 
 
+def effective_params(node: "Node", tap_set=None) -> Dict[str, str]:
+    """``node.params`` plus ``__taps__``: the sorted output channels that
+    are tapped or consumed downstream. Node kinds with expensive optional
+    outputs (attention maps, rollout) read it to decide what to emit —
+    EVERY evaluation path (staged executor, eager debug, registry compute,
+    per-node timings) must inject it or wired extra channels silently
+    never get computed."""
+    live = {ch for (i, ch) in (tap_set or ()) if i == node.index}
+    for ch, edges in node.outputs.items():
+        if any(e.dst is not None for e in edges):
+            live.add(ch)
+    return dict(node.params, __taps__=",".join(sorted(live)))
+
+
 class Node:
     """Graph node: a node-kind name plus stringly-typed params.
 
@@ -163,16 +177,31 @@ class Graph:
         return node
 
     def connect(self, a: Node, a_ch: str, b: Node, b_ch: str) -> Edge:
+        self._drop_input(b, b_ch)
         edge = Edge(Port(a, a_ch, "out"), Port(b, b_ch, "in"))
         a.outputs.setdefault(a_ch, []).append(edge)
         b.inputs[b_ch] = edge
         return edge
 
     def add_input(self, value: TensorLike, node: Node, channel: str) -> Edge:
+        self._drop_input(node, channel)
         edge = Edge(None, Port(node, channel, "in"))
         edge.tensor = value
         node.inputs[channel] = edge
         return edge
+
+    @staticmethod
+    def _drop_input(node: Node, channel: str) -> None:
+        """Detach any existing edge into (node, channel): re-connecting an
+        input must not leave the stale edge in the old source's outputs —
+        it would double-count the destination's indegree in ``order()``
+        (a malformed wire request could then topo-sort a consumer before
+        its real producer)."""
+        old = node.inputs.pop(channel, None)
+        if old is not None and old.src is not None:
+            edges = old.src.node.outputs.get(old.src.channel, [])
+            if old in edges:
+                edges.remove(old)
 
     # -- analysis -------------------------------------------------------------
     def input_edges(self) -> List[Tuple[Node, str, Edge]]:

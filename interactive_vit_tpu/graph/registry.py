@@ -120,9 +120,11 @@ class Registry:
         evaluation goes through ``executor.Executor`` which stages the whole
         graph into one XLA program instead.
         """
+        from interactive_vit_tpu.graph.ir import effective_params
+
         for n in graph.order():
             kind = self.get_node(n.name)
-            pinout = kind.compute(n.params, n.get_pinin())
+            pinout = kind.compute(effective_params(n), n.get_pinin())
             n.set_pinout(pinout)
 
 

@@ -49,10 +49,12 @@ class LayerNodeKind(NodeKind):
     def extra_outs(self, params):
         return list(self._extra)
 
-    # extra inputs are optional (executor skips the missing-input check)
+    # the rollout-carry input is optional (executor skips the missing-input
+    # check for exactly this channel; "o" stays required so an unwired
+    # block still gets the structured "missing input 'o'" attribution)
     @property
     def optional_inputs(self):
-        return "r" in self._extra
+        return {"r"} if "r" in self._extra else frozenset()
 
     def contents(self, params):
         return f"<p>{self.get_name()}</p> <p>{self.model.describe(self.layer_name)}</p>"

@@ -293,9 +293,10 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None):
         return {"o": preprocess_mm(ins["o"], cfg.img_size)}
 
     def embed_fn(p, ins):
+        # unbatched [C,H,W] inputs get a batch dim; downstream stays
+        # batched (the graph contract is batch-carrying end-to-end)
         x = ins["o"]
-        squeeze = x.ndim == 3
-        if squeeze:
+        if x.ndim == 3:
             x = x[None]
         return {"o": embed(p, x, cfg)}
 

@@ -29,10 +29,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from interactive_vit_tpu.ops.layers import mm_precision
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _local_ring_attention(q, k, v, axis_name: str, n_real: int, n_total: int):
+def _local_ring_attention(q, k, v, axis_name: str, n_real: int):
     """Per-device body under shard_map: q,k,v are local [B,H,nl,D] shards."""
     p = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
@@ -50,8 +52,9 @@ def _local_ring_attention(q, k, v, axis_name: str, n_real: int, n_total: int):
     for step in range(p):
         # k_cur originated on device (my - step) mod p -> its global key range
         src = (my - step) % p
+        kf = k_cur.astype(jnp.float32)
         s = jnp.einsum(
-            "bhnd,bhmd->bhnm", qf, k_cur.astype(jnp.float32)
+            "bhnd,bhmd->bhnm", qf, kf, precision=mm_precision(qf, kf)
         ) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3) + src * nl
         s = jnp.where(col < n_real, s, MASK_VALUE)
@@ -60,8 +63,9 @@ def _local_ring_attention(q, k, v, axis_name: str, n_real: int, n_total: int):
         alpha = jnp.exp(m - m_new)
         pexp = jnp.exp(s - m_new)
         l = alpha * l + jnp.sum(pexp, axis=-1, keepdims=True)
+        vf = v_cur.astype(jnp.float32)
         acc = acc * alpha + jnp.einsum(
-            "bhnm,bhmd->bhnd", pexp, v_cur.astype(jnp.float32)
+            "bhnm,bhmd->bhnd", pexp, vf, precision=mm_precision(pexp, vf)
         )
         m = m_new
 
@@ -88,9 +92,9 @@ def ring_attention(
     n = q.shape[2]
     n_real = n if n_real is None else n_real
     spec = P(None, None, axis, None)
-    fn = shard_mapped = jax.shard_map(
+    fn = jax.shard_map(
         functools.partial(
-            _local_ring_attention, axis_name=axis, n_real=n_real, n_total=n
+            _local_ring_attention, axis_name=axis, n_real=n_real
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),
@@ -115,14 +119,16 @@ def _local_ulysses(q, k, v, axis_name: str, n_real: int, want_attn: bool):
 
     qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)  # [B, H/p, N, D]
     scale = qh.shape[-1] ** -0.5
+    qf, kf = qh.astype(jnp.float32), kh.astype(jnp.float32)
     s = jnp.einsum(
-        "bhnd,bhmd->bhnm", qh.astype(jnp.float32), kh.astype(jnp.float32)
+        "bhnd,bhmd->bhnm", qf, kf, precision=mm_precision(qf, kf)
     ) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
     s = jnp.where(col < n_real, s, MASK_VALUE)
     probs = jax.nn.softmax(s, axis=-1)
+    vf = vh.astype(jnp.float32)
     out = jnp.einsum(
-        "bhnm,bhmd->bhnd", probs, vh.astype(jnp.float32)
+        "bhnm,bhmd->bhnd", probs, vf, precision=mm_precision(probs, vf)
     ).astype(q.dtype)
     out = to_tokens(out)  # back to [B, H, nl, D]
     if want_attn:

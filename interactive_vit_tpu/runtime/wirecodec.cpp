@@ -51,6 +51,7 @@ int ivt_scan(const uint8_t* buf, uint64_t len, uint32_t expect_magic,
   const uint32_t json_size = read_u32(buf + 12);
   if (magic != expect_magic) return -2;
   if (byte_size > len) return -3;
+  if (kHeaderSize + json_size > len) return -3;  // json extent in range
   if (static_cast<int>(block_cnt) > max_blocks) return -5;
 
   json_out[0] = kHeaderSize;
@@ -68,7 +69,11 @@ int ivt_scan(const uint8_t* buf, uint64_t len, uint32_t expect_magic,
     dim_cnt[i] = dims;
     uint64_t elems = 1;
     for (uint32_t d = 0; d < dims; ++d) {
-      elems *= read_u32(buf + off + 4ull * d);
+      const uint64_t dim = read_u32(buf + off + 4ull * d);
+      // overflow guard: a crafted dims product wrapping 2^64 could pass
+      // the extent check below with a forged block_size
+      if (dim != 0 && elems > UINT64_MAX / 4 / dim) return -4;
+      elems *= dim;
     }
     off += 4ull * dims;
     if (off + 4ull * elems > len) return -3;

@@ -46,11 +46,13 @@ def debug_nans(on: bool = True) -> None:
 
 def node_timings(executor, graph) -> Dict[int, float]:
     """Eager per-node wall-times (seconds). Debug path: unfused, eager."""
+    from interactive_vit_tpu.graph.ir import effective_params
+
     timings: Dict[int, float] = {}
     for n in graph.order():
         kind = executor.reg.get_node(n.name)
         t0 = time.perf_counter()
-        pinout = kind.compute(n.params, n.get_pinin())
+        pinout = kind.compute(effective_params(n), n.get_pinin())
         jax.block_until_ready(list(pinout.pinout.values()))
         timings[n.index] = time.perf_counter() - t0
         n.set_pinout(pinout)

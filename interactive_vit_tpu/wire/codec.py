@@ -98,7 +98,11 @@ def decode_message(b: bytes, expect_magic: Optional[int] = None):
             (json_off, json_size), blocks = _native.scan(b, expect_magic)
         except ValueError as err:
             raise WireError(str(err)) from err
-        json_obj = json.loads(b[json_off : json_off + json_size].decode("utf-8"))
+        try:
+            json_obj = json.loads(
+                b[json_off : json_off + json_size].decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError) as err:
+            raise WireError(f"bad message json: {err}") from err
         tensors = []
         for dims_off, dim_cnt, data_off, elem_cnt in blocks:
             dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=dims_off)
@@ -114,7 +118,15 @@ def decode_message(b: bytes, expect_magic: Optional[int] = None):
         raise WireError(f"truncated message: header says {byte_size}, got {len(b)}")
 
     off = _HEADER.size
-    json_obj = json.loads(b[off : off + json_size].decode("utf-8"))
+    if off + json_size > len(b):
+        raise WireError(
+            f"json extent out of range: {json_size} bytes at {off}, "
+            f"message is {len(b)}"
+        )
+    try:
+        json_obj = json.loads(b[off : off + json_size].decode("utf-8"))
+    except (json.JSONDecodeError, UnicodeDecodeError) as err:
+        raise WireError(f"bad message json: {err}") from err
     off = _align4(off + json_size)
 
     tensors: List[np.ndarray] = []

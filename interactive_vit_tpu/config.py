@@ -33,6 +33,7 @@ class Config:
     models: str = "vit_t16"
     graphs_dir: Optional[str] = None
     frontend_dir: Optional[str] = None
+    compute_timeout_s: float = 120.0  # /compute deadline; wedged device -> 503
 
     # compute
     attn_impl: str = "auto"          # auto | flash | reference

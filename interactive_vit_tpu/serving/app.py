@@ -36,6 +36,7 @@ from typing import Dict, Optional
 from urllib.parse import parse_qs, unquote, urlparse
 
 from interactive_vit_tpu.graph.executor import Executor
+from interactive_vit_tpu.graph.ir import effective_params
 from interactive_vit_tpu.graph.registry import Registry, registry
 from interactive_vit_tpu.serving.batcher import MicroBatcher
 from interactive_vit_tpu.serving.metrics import Metrics
@@ -44,6 +45,10 @@ from interactive_vit_tpu.wire.codec import Response as WireResponse
 from interactive_vit_tpu.wire.schema import GraphLibrary
 
 logger = logging.getLogger(__name__)
+
+class ComputeTimeout(Exception):
+    """A /compute request exceeded its deadline — mapped to HTTP 503."""
+
 
 _MIME = {
     ".html": "text/html",
@@ -67,7 +72,9 @@ class App:
         max_wait_ms: float = 3.0,
         use_jit: bool = True,
         mesh=None,
+        compute_timeout_s: float = 120.0,
     ):
+        self.compute_timeout_s = compute_timeout_s
         self.reg = reg or registry()
         self.executor = Executor(self.reg, use_jit=use_jit, mesh=mesh)
         self.metrics = Metrics()
@@ -88,7 +95,21 @@ class App:
         # node's primary outputs (reference contract) but expensive optional
         # channels (attention maps) only when wired/tapped
         taps = req.taps if req.taps is not None else "primary"
-        outputs = self.batcher.submit(req.graph, taps=taps).result()
+        # A wedged tunneled TPU hangs rather than erroring (CLAUDE.md trap);
+        # without a deadline every /compute handler thread would block
+        # forever while ThreadingHTTPServer keeps spawning more. Fail fast
+        # with 503 so clients can retry/route around the device.
+        import concurrent.futures
+
+        try:
+            outputs = self.batcher.submit(req.graph, taps=taps).result(
+                timeout=self.compute_timeout_s
+            )
+        except concurrent.futures.TimeoutError:
+            raise ComputeTimeout(
+                f"compute exceeded {self.compute_timeout_s}s "
+                "(device wedged or overloaded)"
+            ) from None
         raw = WireResponse(outputs).encode()
         # request_latency (the BASELINE p50 deliverable) is observed by the
         # batcher at enqueue->resolve; observing here too would mix two
@@ -127,9 +148,13 @@ class App:
             try:
                 kind = self.reg.get_node(n.name)
                 # per-node jit (not op-by-op eager: each eager op is a tiny
-                # compile + dispatch, catastrophic through a remote backend)
-                fn = kind.fn(n.params)
-                caps = kind.captures(n.params)
+                # compile + dispatch, catastrophic through a remote backend).
+                # effective_params injects __taps__ so wired optional
+                # channels (attn/r/cls) ARE computed here — the invariant of
+                # graph/ir.py: every evaluation path must inject it.
+                eff = effective_params(n)
+                fn = kind.fn(eff)
+                caps = kind.captures(eff)
                 jitted = jax.jit(fn)
                 ins = n.get_pinin().as_dict()
                 args = (ins,) if caps is None else (ins, caps)
@@ -290,6 +315,10 @@ class App:
                         self._json({"saved": name})
                     else:
                         self._send(404, b"not found", "text/plain")
+                except ComputeTimeout as e:
+                    app.metrics.inc("errors")
+                    logger.error("POST %s timed out: %s", self.path, e)
+                    self._send(503, str(e).encode(), "text/plain")
                 except Exception as e:  # noqa: BLE001 — 400 contract
                     logger.exception("POST %s failed", self.path)
                     self._bad(str(e))

@@ -49,6 +49,7 @@ def build_app(
     attn_impl_name: str = "auto",
     dtype_name: str = "float32",
     mesh_spec: str = "",
+    compute_timeout_s: float = 120.0,
 ) -> App:
     reg = registry()
     register_builtin(reg)
@@ -77,6 +78,7 @@ def build_app(
         max_batch=max_batch,
         max_wait_ms=max_wait_ms,
         mesh=mesh,
+        compute_timeout_s=compute_timeout_s,
     )
 
     from interactive_vit_tpu.models.clip_plugin import make_clip_model
@@ -163,6 +165,10 @@ def main() -> None:
                         help="comma-separated extra plugin dirs to scan")
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--max-wait-ms", type=float, default=3.0)
+    parser.add_argument("--compute-timeout-s", type=float, default=120.0,
+                        help="per-request /compute deadline; a wedged "
+                             "device returns 503 instead of hanging the "
+                             "handler thread")
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
     parser.add_argument("--dtype", default="float32",
@@ -211,6 +217,7 @@ def main() -> None:
         attn_impl_name=args.attn,
         dtype_name=args.dtype,
         mesh_spec=args.mesh,
+        compute_timeout_s=args.compute_timeout_s,
     )
     if args.warmup:
         warmup(app, [m for m in args.models.split(",") if m])

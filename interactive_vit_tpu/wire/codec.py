@@ -131,12 +131,21 @@ def decode_message(b: bytes, expect_magic: Optional[int] = None):
 
     tensors: List[np.ndarray] = []
     for i in range(block_cnt):
+        # bounds-check each extent before reading so a truncated block table
+        # raises WireError, matching the native scanner's -3 ("truncated
+        # message") instead of leaking struct.error / ValueError
         start = off
+        if off + 8 > len(b):
+            raise WireError(f"truncated message: block {i} header at {off}")
         block_size, dim_cnt = struct.unpack_from("<II", b, off)
         off += 8
+        if off + 4 * dim_cnt > len(b):
+            raise WireError(f"truncated message: block {i} dims at {off}")
         dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=off)
         off += 4 * dim_cnt
         elem_cnt = int(np.prod(dims)) if dim_cnt > 0 else 1
+        if off + 4 * elem_cnt > len(b):
+            raise WireError(f"truncated message: block {i} data at {off}")
         data = np.frombuffer(b, dtype="<f4", count=elem_cnt, offset=off)
         off += 4 * elem_cnt
         if start + block_size != off:

@@ -104,6 +104,33 @@ def test_truncated_rejected():
         decode_message(raw[:-8], expect_magic=REQUEST_MAGIC)
 
 
+def test_truncated_block_table_raises_wireerror(monkeypatch):
+    """A block whose header/dims/data extend past the buffer must raise
+    WireError in the pure-Python fallback too (the native scanner returns
+    -3 'truncated message'), never struct.error/ValueError."""
+    import interactive_vit_tpu.wire.codec as codec
+
+    monkeypatch.setattr(codec, "_native", None)
+    good = hand_encode(
+        REQUEST_MAGIC, {"nodes": [], "edges": []},
+        [np.ones((4,), np.float32)],
+    )
+    # header claims the truncated length so the byte_size check passes and
+    # the block loop is what must catch the truncation
+    for cut in (4, 10, 20):  # mid-data, mid-dims, mid-block-header
+        bad = bytearray(good[:-cut])
+        struct.pack_into("<I", bad, 0, len(bad))
+        with pytest.raises(WireError, match="truncated"):
+            decode_message(bytes(bad), expect_magic=REQUEST_MAGIC)
+    # huge dim count: dims extent overflows the buffer
+    bad = bytearray(good)
+    json_end = 16 + struct.unpack_from("<I", good, 12)[0]
+    blk = (json_end + 3) & ~3
+    struct.pack_into("<I", bad, blk + 4, 1 << 20)
+    with pytest.raises(WireError, match="truncated"):
+        decode_message(bytes(bad), expect_magic=REQUEST_MAGIC)
+
+
 def test_padding_alignment():
     # json sizes 0..7 exercise every padding case (message.py:13-16)
     for pad_len in range(8):

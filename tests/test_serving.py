@@ -275,6 +275,74 @@ def test_debug_eval_endpoint(served):
     assert out2["errors"]["1"] == "eval error upstream"
 
 
+def test_debug_eval_computes_wired_optional_channels():
+    """debug_eval must inject __taps__ (effective_params) like every other
+    evaluation path — a block's wired 'attn' channel is computed, not
+    'input has no value' on the consumer (advisor r1, app.py:131)."""
+    import jax
+    from interactive_vit_tpu.models import vit as vit_mod
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit_mod.ViTConfig("vit_dbg", img_size=32, patch=16, width=64,
+                            depth=1, heads=4, num_classes=10)
+    vit_mod.VARIANTS["vit_dbg"] = cfg
+    try:
+        reg = Registry()
+        register_builtin(reg)
+        model = make_vit_model(
+            "vit_dbg", params=vit_mod.init_params(jax.random.key(0), cfg))
+        model.register(reg)
+        app = App(reg=reg, graphs_dir="/root/reference/static/graphs")
+        g = Graph()
+        emb = g.add_node("vit_dbg:embed")
+        b0 = g.add_node("vit_dbg:blocks.0")
+        down = g.add_node("cos")
+        g.connect(emb, "o", b0, "o")
+        g.connect(b0, "attn", down, "o")  # wire the optional channel
+        x = np.random.default_rng(0).random((1, 3, 32, 32)).astype(np.float32)
+        g.add_input(x, emb, "o")
+        out = app.debug_eval(bytes(Request.encode(g)))
+        assert out["errors"] == {}, out["errors"]
+        assert out["output_shapes"]["1"]["attn"] == \
+            [1, 4, cfg.tokens, cfg.tokens]
+        assert "2" in out["timings_ms"]
+    finally:
+        del vit_mod.VARIANTS["vit_dbg"]
+
+
+def test_compute_timeout_returns_503():
+    """A wedged device must fail /compute fast with 503, not hang the
+    handler thread forever (advisor r1, app.py:91)."""
+    import concurrent.futures
+
+    reg = Registry()
+    register_builtin(reg)
+    app = App(reg=reg, graphs_dir="/root/reference/static/graphs",
+              compute_timeout_s=0.2)
+
+    class WedgedBatcher:
+        def submit(self, graph, taps):
+            return concurrent.futures.Future()  # never resolves
+
+        def start(self):
+            pass
+
+        def stop(self):
+            pass
+
+    app.batcher = WedgedBatcher()
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        x = np.ones((4,), np.float32)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/compute", Request.encode(make_cos_graph(x)))
+        assert ei.value.code == 503
+        assert "exceeded" in ei.value.read().decode()
+    finally:
+        httpd.shutdown()
+
+
 def test_batcher_survives_failing_request(served):
     """A request that fails at trace poisons only its own future; the
     worker keeps serving (failure-detection contract)."""

@@ -47,13 +47,18 @@ logger = logging.getLogger(__name__)
 TapSpec = Union[str, Iterable[Tuple[int, str]]]
 
 
-def _jit(fn, *example_args):
+def _jit(fn, *example_args, mesh=None, batched=False):
     """jit with row-major entry-output layouts (ops/layouts.py): tap
     outputs otherwise pay a whole-tensor relayout copy at the jit boundary
-    on TPU (PJRT's compact default layout for rank>=3 is non-descending)."""
-    from interactive_vit_tpu.ops.layouts import row_major_out_shardings
+    on TPU (PJRT's compact default layout for rank>=3 is non-descending).
+    In mesh mode the layouts compose with NamedShardings (data-sharded
+    batch dim for stacked programs, replicated taps otherwise)."""
+    from interactive_vit_tpu.ops.layouts import (
+        row_major_mesh_out_shardings, row_major_out_shardings,
+    )
 
-    sh = row_major_out_shardings(fn, *example_args)
+    sh = (row_major_out_shardings(fn, *example_args) if mesh is None else
+          row_major_mesh_out_shardings(fn, mesh, batched, *example_args))
     return jax.jit(fn, out_shardings=sh) if sh is not None else jax.jit(fn)
 
 
@@ -369,8 +374,8 @@ class Executor:
             staged, out_keys, caps_arg = self._stage(graph, tap_set)
             caps_arg = self._place_captures(caps_arg)
             if self.use_jit:
-                fn = (_jit(staged, inputs, caps_arg) if self.mesh is None
-                      else jax.jit(staged))
+                fn = _jit(staged, inputs, caps_arg, mesh=self.mesh,
+                          batched=False)
                 stats.stage_s = time.perf_counter() - t0
                 # explicit AOT compile so stats separate compile from execute
                 # (the decode/compile/execute split is a BASELINE metric)
@@ -481,8 +486,8 @@ class Executor:
             if not self.use_jit:
                 fn = vmapped
             else:
-                fn = (_jit(vmapped, stacked, caps_arg) if self.mesh is None
-                      else jax.jit(vmapped))
+                fn = _jit(vmapped, stacked, caps_arg, mesh=self.mesh,
+                          batched=True)
                 stats.stage_s = time.perf_counter() - t0
                 # AOT compile: (a) the decode/compile/execute split is a
                 # BASELINE metric; (b) the compiled executable drops the

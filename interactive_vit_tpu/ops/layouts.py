@@ -55,3 +55,59 @@ def row_major_out_shardings(fn, *args):
         return Format(Layout(major_to_minor=tuple(range(nd))), sds)
 
     return jax.tree.map(fmt, shapes)
+
+
+def mesh_out_spec(shape, mesh, batched: bool):
+    """PartitionSpec for a mesh-mode entry output.
+
+    Stacked (vmapped) programs emit a leading bucket dim that the executor
+    rounds to a multiple of the data axis — shard it over "data", matching
+    the input placement (``executor._place_inputs``). Everything else
+    replicates: taps go straight to the host wire codec, and a replicated
+    row-major output is exactly the wire representation.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    nd_data = mesh.shape.get("data", 1)
+    if batched and len(shape) >= 1 and shape[0] and shape[0] % nd_data == 0:
+        return P("data")
+    return P()
+
+
+def row_major_mesh_out_shardings(fn, mesh, batched: bool, *args):
+    """Mesh-mode analog of ``row_major_out_shardings``: every output gets a
+    NamedSharding (data-sharded batch dim for stacked programs, replicated
+    otherwise), composed with a row-major layout on TPU.
+
+    Off-TPU (the fake CPU mesh) the layout API is unavailable, so plain
+    NamedShardings are returned — the sharding half of the contract is what
+    the virtual-mesh tests can assert; the layout half only exists on real
+    TPU, where the PJRT compact-layout trap lives (see module docstring).
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    try:
+        shapes = jax.eval_shape(fn, *args)
+    except Exception as e:  # noqa: BLE001 — fall back to default layouts
+        logger.debug("row_major_mesh_out_shardings: eval_shape failed: %s", e)
+        return None
+
+    fmt_cls = None
+    if list(mesh.devices.flat)[0].platform == "tpu":
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            fmt_cls = (Format, Layout)
+        except ImportError:
+            pass
+
+    def fmt(s):
+        sh = NamedSharding(mesh, mesh_out_spec(s.shape, mesh, batched))
+        nd = getattr(s, "ndim", 0)
+        if fmt_cls is not None and nd >= 1:
+            Format, Layout = fmt_cls
+            return Format(Layout(major_to_minor=tuple(range(nd))), sh)
+        return sh
+
+    return jax.tree.map(fmt, shapes)

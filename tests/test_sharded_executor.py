@@ -134,6 +134,41 @@ def test_quantized_captures_tp_shard():
         np.asarray(q_leaf), np.asarray(qp["blocks"][0]["qkv_w"][QKEY]))
 
 
+def test_mesh_output_shardings_pinned(setup):
+    """Mesh-mode jit pins entry-output shardings: stacked outputs shard
+    their bucket dim over "data", single-request taps replicate (the
+    layout half of ops/layouts.row_major_mesh_out_shardings composes on
+    real TPU only — see the module docstring)."""
+    from jax.sharding import PartitionSpec as P
+
+    from interactive_vit_tpu.ops.layouts import mesh_out_spec
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    assert mesh_out_spec((8, 3, 5), mesh, batched=True) == P("data")
+    assert mesh_out_spec((5, 3), mesh, batched=True) == P()  # indivisible
+    assert mesh_out_spec((8, 3), mesh, batched=False) == P()
+    assert mesh_out_spec((), mesh, batched=True) == P()
+
+    reg, lib = setup
+    ex = Executor(reg=reg, mesh=mesh)
+    flat = ex.run_stacked([_graph(lib, s) for s in range(4)],
+                          taps="primary", defer=True)
+    try:
+        for key, arr in flat.items():
+            spec = arr.sharding.spec
+            assert spec[0] == "data", f"{key}: {spec}"
+    finally:
+        jax.block_until_ready(list(flat.values()))
+
+    flat1 = ex.run(_graph(lib), taps="primary", defer=True)
+    try:
+        for key, arr in flat1.items():
+            assert arr.sharding.is_fully_replicated, \
+                f"{key}: {arr.sharding}"
+    finally:
+        jax.block_until_ready(list(flat1.values()))
+
+
 def test_serving_app_on_mesh(tmp_path):
     """build_app(mesh_spec=...) serves a compute round-trip end-to-end."""
     from interactive_vit_tpu.serving.server import build_app

@@ -17,7 +17,11 @@ def make_vgg16_model(params: Optional[Any] = None, seed: int = 0,
     if params is None:
         params = vgg.init_params(jax.random.key(seed),
                                  dtype=dtype or jnp.float32)
-    cats = [f"class_{i:03d}" for i in range(1000)] if with_categories else None
+    # real ImageNet category strings, matching the reference's
+    # weights.meta["categories"] (/root/reference/static/models/vgg16.py:22)
+    from interactive_vit_tpu.models.labels import class_names
+
+    cats = class_names(1000) if with_categories else None
     descriptions = {"transform": "Resize+CenterCrop(224)+Normalize",
                     "avgpool": "AdaptiveAvgPool2d((7,7))",
                     "flatten": "Flatten"}

@@ -81,11 +81,9 @@ def make_vit_model(
             for i in range(cfg.depth)
         },
     }
-    cats = (
-        [f"class_{i:03d}" for i in range(cfg.num_classes)]
-        if with_categories
-        else None
-    )
+    from interactive_vit_tpu.models.labels import class_names
+
+    cats = class_names(cfg.num_classes) if with_categories else None
     return JaxModel(
         name=variant,
         layers=layers,

@@ -38,6 +38,20 @@ def enable_compilation_cache(cache_dir: str = "/tmp/ivt_jit_cache") -> None:
         logger.warning("compilation cache unavailable: %s", e)
 
 
+def load_model_params(variant: str, path: str, layout: str = "torchvision"):
+    """Load real weights for ``variant`` from any supported checkpoint form:
+    an orbax directory (our native format, written by tools/convert), a
+    ``.safetensors`` file (torch-free), or a torch ``.pth``. File formats go
+    through the layout converters (``tools/convert.convert``)."""
+    if os.path.isdir(path):
+        from interactive_vit_tpu.utils.checkpoint import load_params
+
+        return load_params(path)
+    from interactive_vit_tpu.tools.convert import convert, load_state_dict
+
+    return convert(variant, layout, load_state_dict(path))
+
+
 def build_app(
     models=("vit_t16",),
     graphs_dir: str = None,
@@ -50,6 +64,8 @@ def build_app(
     dtype_name: str = "float32",
     mesh_spec: str = "",
     compute_timeout_s: float = 120.0,
+    ckpts=None,
+    ckpt_layout: str = "torchvision",
 ) -> App:
     reg = registry()
     register_builtin(reg)
@@ -96,18 +112,30 @@ def build_app(
              "int8": jnp.bfloat16}[dtype_name]
     quantize = dtype_name == "int8"
     attn_impl = default_attn_impl(attn_impl_name)
+    ckpts = dict(ckpts or {})
     for variant in models:
+        params = None
+        if variant in ckpts:
+            params = load_model_params(variant, ckpts[variant], ckpt_layout)
+            if dtype is not jnp.float32:
+                import jax
+
+                params = jax.tree.map(
+                    lambda x: jnp.asarray(x, dtype), params)
+            logger.info("loaded %s weights from %s", variant, ckpts[variant])
         if variant == "clip_b32":
             if quantize:
                 logger.warning("int8 not wired for %s; serving bf16", variant)
-            model = make_clip_model(seed=seed, attn_impl=attn_impl,
+            model = make_clip_model(params=params, seed=seed,
+                                    attn_impl=attn_impl,
                                     dtype=dtype, kernels=mesh is None)
         elif variant == "vgg16":
             if quantize:
                 logger.warning("int8 not wired for %s; serving bf16", variant)
-            model = make_vgg16_model(seed=seed, dtype=dtype)
+            model = make_vgg16_model(params=params, seed=seed, dtype=dtype)
         else:
-            model = make_vit_model(variant, seed=seed, attn_impl=attn_impl,
+            model = make_vit_model(variant, params=params, seed=seed,
+                                   attn_impl=attn_impl,
                                    dtype=dtype, quantize=quantize,
                                    kernels=mesh is None)
         model.register(reg, app.graphs)
@@ -176,6 +204,14 @@ def main() -> None:
                         help="model weight/compute dtype (bfloat16 = fast "
                              "interactive path; int8 = weight-only "
                              "quantized serving over bf16 activations)")
+    parser.add_argument("--ckpt", action="append", default=[],
+                        metavar="MODEL=PATH",
+                        help="serve MODEL with real weights from PATH (an "
+                             "orbax dir from tools/convert, a .safetensors "
+                             "file, or a torch .pth); repeatable")
+    parser.add_argument("--ckpt-layout", default="torchvision",
+                        choices=["torchvision", "timm", "openai"],
+                        help="state-dict naming of file checkpoints")
     parser.add_argument("--mesh", default="",
                         help="multi-chip serving mesh, e.g. 'data=4,model=2'"
                              " (BASELINE config 5 targets v5e-8); empty = "
@@ -218,6 +254,8 @@ def main() -> None:
         dtype_name=args.dtype,
         mesh_spec=args.mesh,
         compute_timeout_s=args.compute_timeout_s,
+        ckpts=dict(kv.split("=", 1) for kv in args.ckpt),
+        ckpt_layout=args.ckpt_layout,
     )
     if args.warmup:
         warmup(app, [m for m in args.models.split(",") if m])

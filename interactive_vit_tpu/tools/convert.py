@@ -16,7 +16,16 @@ from __future__ import annotations
 import argparse
 
 
-def load_torch_state_dict(path: str):
+def load_state_dict(path: str):
+    """Load a checkpoint file into {name: numpy array}.
+
+    ``.safetensors`` files load torch-free (utils/safetensors_io — the HF
+    checkpoint format); anything else goes through ``torch.load`` (lazy
+    import: only this path needs torch)."""
+    if path.endswith(".safetensors"):
+        from interactive_vit_tpu.utils.safetensors_io import load_file
+
+        return load_file(path)
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
@@ -25,6 +34,10 @@ def load_torch_state_dict(path: str):
     if "state_dict" in obj and isinstance(obj["state_dict"], dict):
         obj = obj["state_dict"]
     return {k: v.numpy() for k, v in obj.items()}
+
+
+# historical name, kept for callers
+load_torch_state_dict = load_state_dict
 
 
 def convert(model: str, layout: str, sd) -> object:
@@ -50,14 +63,16 @@ def main() -> None:
                         help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|vgg16")
     parser.add_argument("--layout", default="torchvision",
                         choices=["torchvision", "timm", "openai"])
-    parser.add_argument("--input", required=True, help="torch .pth path")
+    parser.add_argument("--input", required=True,
+                        help="checkpoint path (.pth via torch, or "
+                             ".safetensors torch-free)")
     parser.add_argument("--output", required=True,
                         help="orbax checkpoint directory to write")
     args = parser.parse_args()
 
     from interactive_vit_tpu.utils.checkpoint import save_params
 
-    sd = load_torch_state_dict(args.input)
+    sd = load_state_dict(args.input)
     params = convert(args.model, args.layout, sd)
     save_params(args.output, params)
     print(f"converted {args.input} ({args.layout}) -> {args.output}")

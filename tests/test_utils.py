@@ -63,3 +63,34 @@ def test_debug_nans_toggles():
         jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()
     tracing.debug_nans(False)
     jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0)).block_until_ready()
+
+
+def test_safetensors_roundtrip(tmp_path):
+    """Dependency-free safetensors writer/reader: exact f32/int round-trip,
+    bf16 upcast to f32, truncation rejected."""
+    from interactive_vit_tpu.utils.safetensors_io import (
+        SafetensorsError, load_file, save_file,
+    )
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "w": rng.standard_normal((4, 8)).astype(np.float32),
+        "b": rng.integers(-5, 5, size=(8,)).astype(np.int32),
+        "scalar": np.float32(2.5).reshape(()),
+        "bf": jnp.asarray(rng.standard_normal((3, 3)), dtype=jnp.bfloat16),
+    }
+    path = str(tmp_path / "x.safetensors")
+    save_file(tensors, path, metadata={"who": "test"})
+    back = load_file(path)
+    np.testing.assert_array_equal(back["w"], tensors["w"])
+    np.testing.assert_array_equal(back["b"], tensors["b"])
+    assert back["scalar"].shape == () and back["scalar"] == np.float32(2.5)
+    # bf16 -> f32 upcast is exact
+    assert back["bf"].dtype == np.float32
+    np.testing.assert_array_equal(
+        back["bf"], np.asarray(tensors["bf"], dtype=np.float32))
+
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[:-4])
+    with pytest.raises(SafetensorsError):
+        load_file(path)

@@ -1,0 +1,107 @@
+// Cross-language wire-protocol test: decodes the byte-exact fixtures the
+// Python codec committed under tests/fixtures/ and checks every field, then
+// round-trips the JS encoder. This file is the executable half of the
+// frontend contract pin (the build image has no JS runtime — see
+// docs/frontend_playbook.md); run it on any machine with node >= 20:
+//
+//     node --test frontend/js/
+//
+// Format spec: /root/reference/main/message.py:22-127 and
+// /root/reference/main/static/main/nodes/net_node.js:60-80,236-248.
+
+import { test } from "node:test";
+import assert from "node:assert/strict";
+import { readFileSync } from "node:fs";
+import { dirname, join } from "node:path";
+import { fileURLToPath } from "node:url";
+
+import {
+	REQUEST_MAGIC,
+	RESPONSE_MAGIC,
+	decodeMessage,
+	encodeMessage,
+} from "./wire.js";
+
+const FIXTURES = join(
+	dirname(fileURLToPath(import.meta.url)),
+	"..",
+	"..",
+	"tests",
+	"fixtures",
+);
+
+function load(name) {
+	const buf = readFileSync(join(FIXTURES, name));
+	// slice to a standalone ArrayBuffer (readFileSync may share a pool)
+	return buf.buffer.slice(buf.byteOffset, buf.byteOffset + buf.byteLength);
+}
+
+const expected = JSON.parse(
+	readFileSync(join(FIXTURES, "wire_fixtures.json"), "utf-8"),
+);
+
+function sum(arr) {
+	let s = 0;
+	for (const v of arr) s += v;
+	return s;
+}
+
+test("decodes the Python-encoded request fixture", () => {
+	const { json, tensors } = decodeMessage(
+		load("wire_request.bin"),
+		REQUEST_MAGIC,
+	);
+	const exp = expected.request;
+	assert.deepEqual(
+		json.nodes.map((n) => n.endpoint),
+		exp.nodes.map((n) => n.endpoint),
+	);
+	assert.deepEqual(json.nodes[0].params, exp.nodes[0].params);
+	assert.deepEqual(json.taps, exp.taps);
+	assert.equal(tensors.length, exp.tensor_dims.length);
+	exp.tensor_dims.forEach((dims, i) => {
+		assert.deepEqual(tensors[i].dims, dims);
+		assert.ok(Math.abs(sum(tensors[i].data) - exp.tensor_sums[i]) < 1e-4);
+	});
+	// the graph-input edges reference tensor blocks by index
+	const tensorEdges = json.edges.filter((e) => "tensor" in e);
+	assert.equal(tensorEdges.length, exp.tensor_dims.length);
+});
+
+test("decodes the Python-encoded response fixture", () => {
+	const { json, tensors } = decodeMessage(
+		load("wire_response.bin"),
+		RESPONSE_MAGIC,
+	);
+	const exp = expected.response;
+	assert.deepEqual(json, exp.routes);
+	exp.tensor_dims.forEach((dims, i) => assert.deepEqual(tensors[i].dims, dims));
+	assert.deepEqual(Array.from(tensors[1].data), exp.c_values);
+	const attn = tensors[2].data;
+	assert.equal(attn[0], exp.attn_first_last[0]);
+	assert.equal(attn[attn.length - 1], exp.attn_first_last[1]);
+});
+
+test("JS encoder round-trips and matches the header spec", () => {
+	const obj = {
+		nodes: [{ endpoint: "cos", params: { A: "2.0" } }],
+		edges: [{ out_port: { node: 0, channel: "o" }, tensor: 0 }],
+	};
+	const t = { dims: [2, 3], data: new Float32Array([1, 2, 3, 4, 5, 6]) };
+	const buf = encodeMessage(obj, [t], REQUEST_MAGIC);
+	const view = new DataView(buf);
+	assert.equal(view.getUint32(0, true), buf.byteLength);
+	assert.equal(view.getUint32(4, true), REQUEST_MAGIC);
+	assert.equal(view.getUint32(8, true), 1);
+	const { json, tensors } = decodeMessage(buf, REQUEST_MAGIC);
+	assert.deepEqual(json, obj);
+	assert.deepEqual(tensors[0].dims, [2, 3]);
+	assert.deepEqual(Array.from(tensors[0].data), [1, 2, 3, 4, 5, 6]);
+});
+
+test("bad magic and truncation are rejected", () => {
+	const buf = encodeMessage({ nodes: [], edges: [] }, [], REQUEST_MAGIC);
+	assert.throws(() => decodeMessage(buf, RESPONSE_MAGIC), /bad magic/);
+	const short = buf.slice(0, buf.byteLength - 2);
+	assert.throws(() => decodeMessage(short, REQUEST_MAGIC), /truncated/);
+});

@@ -80,16 +80,36 @@ export function decodeMessage(buf, expectMagic = RESPONSE_MAGIC) {
 		}
 		if (dimCnt === 0) elems = 1;
 		const dataOff = off + 8 + 4 * dimCnt;
-		// Float32Array view requires 4B alignment; format guarantees it
-		const data = new Float32Array(buf, dataOff, elems);
+		// negotiated extension: response entries tagged dtype:"bf16" carry
+		// u16 bf16 bits (half the bytes) — upcast to f32 here so every
+		// consumer still sees Float32Array, like the reference format
+		const dtype =
+			Array.isArray(json) && json[i] && json[i].dtype
+				? json[i].dtype
+				: "f32";
+		let data;
+		if (dtype === "bf16") {
+			const bits = new Uint16Array(buf, dataOff, elems);
+			data = new Float32Array(elems);
+			const u32 = new Uint32Array(data.buffer);
+			for (let e = 0; e < elems; e++) u32[e] = bits[e] << 16;
+		} else {
+			// Float32Array view requires 4B alignment; format guarantees it
+			data = new Float32Array(buf, dataOff, elems);
+		}
 		tensors.push({ dims, data });
 		off += blockSize;
 	}
 	return { json, tensors };
 }
 
-/** POST the graph to /compute and route outputs per (node,channel). */
-export async function compute(requestJson, tensors) {
+/**
+ * POST the graph to /compute and route outputs per (node,channel).
+ * opts.respDtype = "bf16" opts into half-size response blocks (viewer taps
+ * don't need f32; the server tags each block so decode stays exact).
+ */
+export async function compute(requestJson, tensors, opts = {}) {
+	if (opts.respDtype) requestJson = { ...requestJson, resp_dtype: opts.respDtype };
 	const body = encodeMessage(requestJson, tensors);
 	const resp = await fetch("compute", { method: "POST", body });
 	if (!resp.ok) {

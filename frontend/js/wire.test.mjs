@@ -82,6 +82,20 @@ test("decodes the Python-encoded response fixture", () => {
 	assert.equal(attn[attn.length - 1], exp.attn_first_last[1]);
 });
 
+test("decodes the bf16-tagged response fixture (negotiated extension)", () => {
+	const { json, tensors } = decodeMessage(
+		load("wire_response_bf16.bin"),
+		RESPONSE_MAGIC,
+	);
+	const exp = expected.response_bf16;
+	assert.ok(json.every((e) => e.dtype === "bf16"));
+	assert.deepEqual(Array.from(tensors[0].data), exp.o_values);
+	assert.deepEqual(tensors[1].dims, exp.attn_dims);
+	const attn = tensors[1].data;
+	assert.equal(attn[0], exp.attn_first_last[0]);
+	assert.equal(attn[attn.length - 1], exp.attn_first_last[1]);
+});
+
 test("JS encoder round-trips and matches the header spec", () => {
 	const obj = {
 		nodes: [{ endpoint: "cos", params: { A: "2.0" } }],

@@ -91,6 +91,7 @@ class App:
         self.metrics.inc("compute_requests")
         req = WireRequest()
         req.decode(body)
+        self.metrics.decode_latency.observe(time.perf_counter() - t0)
         # explicit client taps when given; else the primary policy — every
         # node's primary outputs (reference contract) but expensive optional
         # channels (attention maps) only when wired/tapped
@@ -110,7 +111,10 @@ class App:
                 f"compute exceeded {self.compute_timeout_s}s "
                 "(device wedged or overloaded)"
             ) from None
-        raw = WireResponse(outputs).encode()
+        t_enc = time.perf_counter()
+        raw = WireResponse(outputs).encode(dtype=req.resp_dtype)
+        self.metrics.encode_latency.observe(time.perf_counter() - t_enc)
+        self.metrics.inc("response_bytes", len(raw))
         # request_latency (the BASELINE p50 deliverable) is observed by the
         # batcher at enqueue->resolve; observing here too would mix two
         # distributions into one histogram

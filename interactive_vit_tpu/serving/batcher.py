@@ -181,6 +181,8 @@ class MicroBatcher:
         """Launch a group on the device; returns the in-flight handle or
         None if staging/dispatch failed (futures already failed)."""
         t0 = time.perf_counter()
+        for it in group:
+            self.metrics.queue_latency.observe(t0 - it.enqueued)
         try:
             if len(group) == 1:
                 flat = self.executor.run(group[0].graph, group[0].taps,

@@ -50,6 +50,9 @@ class Metrics:
         self.request_latency = LatencyHistogram()  # enqueue -> resolved
         self.compute_latency = LatencyHistogram()  # batch dispatch -> host
         self.wire_latency = LatencyHistogram()     # decode -> encoded
+        self.decode_latency = LatencyHistogram()   # wire decode only
+        self.queue_latency = LatencyHistogram()    # enqueue -> dispatch
+        self.encode_latency = LatencyHistogram()   # wire encode only
         self.batch_sizes = LatencyHistogram()
         self.started = time.time()
 
@@ -68,6 +71,12 @@ class Metrics:
             "request_p95_ms": self.request_latency.quantile(0.95) * 1e3,
             "compute_p50_ms": self.compute_latency.quantile(0.5) * 1e3,
             "wire_p50_ms": self.wire_latency.quantile(0.5) * 1e3,
+            # per-request phase breakdown (server-side; anything the client
+            # measures beyond wire_p50 is network RTT + client work):
+            # decode -> queue -> compute -> encode
+            "decode_p50_ms": self.decode_latency.quantile(0.5) * 1e3,
+            "queue_p50_ms": self.queue_latency.quantile(0.5) * 1e3,
+            "encode_p50_ms": self.encode_latency.quantile(0.5) * 1e3,
             "mean_batch_size": self.batch_sizes.mean(),
             "requests_per_s": counters.get("compute_requests", 0) / max(up, 1e-9),
         }

@@ -62,10 +62,38 @@ def _native_lib():
 _native = _native_lib()
 
 
-def encode_message(magic: int, json_obj, tensors: List[np.ndarray]) -> bytes:
-    """Encode a JSON header + list of f32 tensors into one wire message."""
+def _bf16_payload(arr: np.ndarray) -> bytes:
+    """f32 array -> bf16 bits (u16 LE), zero-padded to a 4-byte boundary.
+
+    bf16 is the top half of f32, so the conversion is a round-to-nearest
+    truncation; the pad keeps the next block's u32 header aligned."""
+    f32 = np.ascontiguousarray(arr, dtype=np.float32)
+    # round-to-nearest-even like hardware bf16 casts (plain >>16 truncates)
+    bits = f32.view(np.uint32)
+    rounded = ((bits + 0x7FFF + ((bits >> 16) & 1)) >> 16).astype("<u2")
+    raw = rounded.tobytes()
+    return raw + b"\x00" * (_align4(len(raw)) - len(raw))
+
+
+def _bf16_to_f32(chunk: bytes, elem_cnt: int) -> np.ndarray:
+    bits = np.frombuffer(chunk, dtype="<u2", count=elem_cnt)
+    return (bits.astype(np.uint32) << 16).view(np.float32)
+
+
+def encode_message(
+    magic: int, json_obj, tensors: List[np.ndarray],
+    dtypes: Optional[List[str]] = None,
+) -> bytes:
+    """Encode a JSON header + tensors into one wire message.
+
+    ``dtypes`` (extension, default all-"f32"): per-tensor wire dtype. "bf16"
+    halves a block's bytes; it is only emitted when the peer opted in via
+    the request's ``resp_dtype`` field, and the response JSON tags each
+    non-f32 entry with ``"dtype"`` so decoders stay self-describing. f32 is
+    the reference-compatible default (``message.py:89-127``)."""
     json_utf8 = json.dumps(json_obj).encode("utf-8")
-    if _native is not None:
+    all_f32 = dtypes is None or all(d == "f32" for d in dtypes)
+    if _native is not None and all_f32:
         arrs = [np.asarray(t, dtype=np.float32) for t in tensors]
         return _native.pack(magic, json_utf8, arrs)
     parts: List[bytes] = []
@@ -75,15 +103,21 @@ def encode_message(magic: int, json_obj, tensors: List[np.ndarray]) -> bytes:
     parts.append(b"\x00" * pad)
 
     block_bytes = 0
-    for t in tensors:
-        arr = np.asarray(t, dtype=np.float32)
-        if arr.ndim > 0 and not arr.flags.c_contiguous:
-            arr = np.ascontiguousarray(arr)
+    for i, t in enumerate(tensors):
+        dt = "f32" if dtypes is None else dtypes[i]
+        arr = np.asarray(t)
         dims = np.asarray(arr.shape, dtype=np.uint32)
-        block_size = 8 + dims.nbytes + arr.nbytes
+        if dt == "bf16":
+            data = _bf16_payload(arr)
+        elif dt == "f32":
+            arr = np.ascontiguousarray(arr, dtype=np.float32)
+            data = arr.tobytes()
+        else:
+            raise WireError(f"unsupported wire dtype {dt!r}")
+        block_size = 8 + dims.nbytes + len(data)
         parts.append(struct.pack("<II", block_size, dims.size))
         parts.append(dims.tobytes())
-        parts.append(arr.tobytes())
+        parts.append(data)
         block_bytes += block_size
 
     byte_size = _HEADER.size + len(json_utf8) + pad + block_bytes
@@ -91,24 +125,25 @@ def encode_message(magic: int, json_obj, tensors: List[np.ndarray]) -> bytes:
     return header + b"".join(parts)
 
 
+def _block_dtypes(json_obj) -> Optional[List[str]]:
+    """Per-block wire dtypes from a response-style JSON (a list of route
+    entries, each optionally tagged ``"dtype"``). None = all f32 (the
+    reference format and every request)."""
+    if not isinstance(json_obj, list):
+        return None
+    tags = [
+        e.get("dtype", "f32") if isinstance(e, dict) else "f32"
+        for e in json_obj
+    ]
+    return tags if any(t != "f32" for t in tags) else None
+
+
 def decode_message(b: bytes, expect_magic: Optional[int] = None):
-    """Decode a wire message into (json_obj, [np.ndarray])."""
-    if _native is not None and expect_magic is not None:
-        try:
-            (json_off, json_size), blocks = _native.scan(b, expect_magic)
-        except ValueError as err:
-            raise WireError(str(err)) from err
-        try:
-            json_obj = json.loads(
-                b[json_off : json_off + json_size].decode("utf-8"))
-        except (json.JSONDecodeError, UnicodeDecodeError) as err:
-            raise WireError(f"bad message json: {err}") from err
-        tensors = []
-        for dims_off, dim_cnt, data_off, elem_cnt in blocks:
-            dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=dims_off)
-            data = np.frombuffer(b, dtype="<f4", count=elem_cnt, offset=data_off)
-            tensors.append(data.reshape(tuple(int(d) for d in dims)))
-        return json_obj, tensors
+    """Decode a wire message into (json_obj, [np.ndarray]).
+
+    Non-f32 blocks (the negotiated ``dtype`` extension) are upcast to f32
+    on decode — callers always see f32, exactly like the reference format.
+    """
     if len(b) < _HEADER.size:
         raise WireError(f"message too short: {len(b)} bytes")
     byte_size, magic, block_cnt, json_size = _HEADER.unpack_from(b, 0)
@@ -129,6 +164,20 @@ def decode_message(b: bytes, expect_magic: Optional[int] = None):
         raise WireError(f"bad message json: {err}") from err
     off = _align4(off + json_size)
 
+    dtypes = _block_dtypes(json_obj)
+    if _native is not None and expect_magic is not None and dtypes is None:
+        # all-f32 fast path: single-pass native block scan
+        try:
+            (json_off, json_size), blocks = _native.scan(b, expect_magic)
+        except ValueError as err:
+            raise WireError(str(err)) from err
+        tensors = []
+        for dims_off, dim_cnt, data_off, elem_cnt in blocks:
+            dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=dims_off)
+            data = np.frombuffer(b, dtype="<f4", count=elem_cnt, offset=data_off)
+            tensors.append(data.reshape(tuple(int(d) for d in dims)))
+        return json_obj, tensors
+
     tensors: List[np.ndarray] = []
     for i in range(block_cnt):
         # bounds-check each extent before reading so a truncated block table
@@ -144,10 +193,19 @@ def decode_message(b: bytes, expect_magic: Optional[int] = None):
         dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=off)
         off += 4 * dim_cnt
         elem_cnt = int(np.prod(dims)) if dim_cnt > 0 else 1
-        if off + 4 * elem_cnt > len(b):
+        dt = "f32" if dtypes is None or i >= len(dtypes) else dtypes[i]
+        data_bytes = (
+            _align4(2 * elem_cnt) if dt == "bf16" else 4 * elem_cnt
+        )
+        if off + data_bytes > len(b):
             raise WireError(f"truncated message: block {i} data at {off}")
-        data = np.frombuffer(b, dtype="<f4", count=elem_cnt, offset=off)
-        off += 4 * elem_cnt
+        if dt == "bf16":
+            data = _bf16_to_f32(b[off : off + data_bytes], elem_cnt)
+        elif dt == "f32":
+            data = np.frombuffer(b, dtype="<f4", count=elem_cnt, offset=off)
+        else:
+            raise WireError(f"block {i}: unsupported wire dtype {dt!r}")
+        off += data_bytes
         if start + block_size != off:
             raise WireError(
                 f"tensor block {i}: size mismatch "
@@ -172,6 +230,7 @@ class Request:
     def __init__(self) -> None:
         self.graph = Graph()
         self.taps = None  # None | list[(node_index, channel)]
+        self.resp_dtype = "f32"  # negotiated response block dtype
 
     def decode(self, b: bytes) -> None:
         json_obj, tensors = decode_message(b, expect_magic=REQUEST_MAGIC)
@@ -179,6 +238,11 @@ class Request:
             self.taps = [
                 (int(t["node"]), str(t["channel"])) for t in json_obj["taps"]
             ]
+        # opt-in extension: the client asks for halved response bytes;
+        # absent -> f32, the reference-compatible default
+        self.resp_dtype = str(json_obj.get("resp_dtype", "f32"))
+        if self.resp_dtype not in ("f32", "bf16"):
+            raise WireError(f"unsupported resp_dtype {self.resp_dtype!r}")
 
         for node_json in json_obj["nodes"]:
             self.graph.add_node(node_json["endpoint"], node_json.get("params", {}))
@@ -239,14 +303,23 @@ class Response:
     def __init__(self, outputs: Dict[int, Dict[str, np.ndarray]]):
         self.outputs = outputs
 
-    def encode(self) -> bytes:
+    def encode(self, dtype: str = "f32") -> bytes:
+        """``dtype="bf16"``: the negotiated extension — every block ships
+        as bf16 bits (half the bytes; taps are viewer data where bf16's
+        ~3 decimal digits are invisible), each entry tagged ``"dtype"``
+        so decoders stay self-describing. Default f32 = reference format."""
         json_obj = []
         tensors: List[np.ndarray] = []
         for node in self.outputs:
             for channel, t in self.outputs[node].items():
-                json_obj.append({"node": node, "channel": channel})
+                entry = {"node": node, "channel": channel}
+                if dtype != "f32":
+                    entry["dtype"] = dtype
+                json_obj.append(entry)
                 tensors.append(np.asarray(t))
-        return encode_message(RESPONSE_MAGIC, json_obj, tensors)
+        dtypes = None if dtype == "f32" else [dtype] * len(tensors)
+        return encode_message(RESPONSE_MAGIC, json_obj, tensors,
+                              dtypes=dtypes)
 
     @staticmethod
     def decode(b: bytes) -> Dict[int, Dict[str, np.ndarray]]:

@@ -52,6 +52,16 @@ def build_response_bytes() -> bytes:
     return bytes(Response(outputs).encode())
 
 
+def build_response_bf16_bytes() -> bytes:
+    """The negotiated bf16 extension: same outputs, half-size blocks."""
+    outputs = {
+        0: {"o": np.float32([1.0, 2.5, -3.25])},
+        1: {"attn": np.linspace(0, 1, 5, dtype=np.float32)},  # odd count:
+        # exercises the pad-to-4B rule for 2-byte elements
+    }
+    return bytes(Response(outputs).encode(dtype="bf16"))
+
+
 def expected() -> dict:
     """The decoded content both language tests assert against."""
     return {
@@ -77,6 +87,12 @@ def expected() -> dict:
             "c_values": [1.5, -2.25],
             "attn_first_last": [0.0, 1.0],
         },
+        "response_bf16": {
+            # exactly-representable bf16 values round-trip losslessly
+            "o_values": [1.0, 2.5, -3.25],
+            "attn_dims": [5],
+            "attn_first_last": [0.0, 1.0],
+        },
     }
 
 
@@ -85,6 +101,8 @@ if __name__ == "__main__":
         f.write(build_request_bytes())
     with open(os.path.join(HERE, "wire_response.bin"), "wb") as f:
         f.write(build_response_bytes())
+    with open(os.path.join(HERE, "wire_response_bf16.bin"), "wb") as f:
+        f.write(build_response_bf16_bytes())
     with open(os.path.join(HERE, "wire_fixtures.json"), "w") as f:
         json.dump(expected(), f, indent=1)
     print("wire fixtures written")

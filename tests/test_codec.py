@@ -146,3 +146,55 @@ def test_scalar_tensor():
     _, tensors = decode_message(raw, expect_magic=RESPONSE_MAGIC)
     assert tensors[0].shape == ()
     assert tensors[0] == np.float32(3.5)
+
+
+def test_bf16_response_extension_roundtrip():
+    """Negotiated bf16 blocks: half the bytes, tagged entries, exact
+    round-trip for bf16-representable values, round-to-nearest-even for
+    the rest; f32 default unchanged."""
+    vals = np.linspace(-3, 3, 7, dtype=np.float32)
+    big = np.random.default_rng(0).standard_normal((4, 5)).astype(np.float32)
+    raw_f32 = Response({0: {"o": vals}, 1: {"m": big}}).encode()
+    raw_bf16 = Response({0: {"o": vals}, 1: {"m": big}}).encode(dtype="bf16")
+    assert len(raw_bf16) < len(raw_f32)
+
+    obj, tensors = decode_message(raw_bf16, expect_magic=RESPONSE_MAGIC)
+    assert all(e["dtype"] == "bf16" for e in obj)
+    # decoded values equal an explicit round-to-nearest bf16 cast
+    import jax.numpy as jnp
+
+    for got, want in zip(tensors, [vals, big]):
+        ref = np.asarray(jnp.asarray(want, dtype=jnp.bfloat16),
+                         dtype=np.float32)
+        np.testing.assert_array_equal(got, ref)
+
+    out = Response.decode(raw_bf16)
+    assert out[1]["m"].shape == (4, 5)
+
+
+def test_bf16_odd_element_count_pads_to_alignment():
+    """2-byte payloads with odd element counts pad to the 4B boundary so
+    the next block header stays aligned."""
+    raw = Response({0: {"a": np.float32([1, 2, 3])},
+                    1: {"b": np.float32([4, 5])}}).encode(dtype="bf16")
+    out = Response.decode(raw)
+    np.testing.assert_array_equal(out[0]["a"], [1, 2, 3])
+    np.testing.assert_array_equal(out[1]["b"], [4, 5])
+
+
+def test_request_resp_dtype_negotiation():
+    g = Graph()
+    n = g.add_node("cos")
+    g.add_input(np.ones(4, np.float32), n, "o")
+    raw = Request.encode(g)
+    obj, tensors = decode_message(bytes(raw), expect_magic=REQUEST_MAGIC)
+    obj["resp_dtype"] = "bf16"
+    req = Request()
+    req.decode(bytes(encode_message(REQUEST_MAGIC, obj, tensors)))
+    assert req.resp_dtype == "bf16"
+    req2 = Request()
+    req2.decode(bytes(raw))
+    assert req2.resp_dtype == "f32"
+    obj["resp_dtype"] = "f8"
+    with pytest.raises(WireError):
+        Request().decode(bytes(encode_message(REQUEST_MAGIC, obj, tensors)))

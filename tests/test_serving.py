@@ -511,3 +511,38 @@ def test_batcher_minority_signature_not_starved():
     b._q.put(later)
     nxt = b._next_item(block=True)
     assert nxt is minority
+
+
+def test_bf16_response_negotiation_over_http(served):
+    """resp_dtype=bf16 halves tap bytes end-to-end; default stays f32."""
+    from interactive_vit_tpu.wire.codec import (
+        REQUEST_MAGIC, decode_message, encode_message,
+    )
+
+    _, base = served
+    x = np.linspace(0, 1, 256, dtype=np.float32)
+    raw = Request.encode(make_cos_graph(x))
+    f32_resp = _post(base + "/compute", raw)
+
+    obj, tensors = decode_message(bytes(raw), expect_magic=REQUEST_MAGIC)
+    obj["resp_dtype"] = "bf16"
+    bf16_resp = _post(
+        base + "/compute", bytes(encode_message(REQUEST_MAGIC, obj, tensors)))
+    assert len(bf16_resp) < len(f32_resp)
+    out = Response.decode(bf16_resp)
+    # bf16 carries ~3 decimal digits: plenty for viewer taps
+    np.testing.assert_allclose(out[0]["o"], np.cos(2.0 * x), atol=2e-2)
+
+
+def test_metrics_phase_breakdown(served):
+    """decode/queue/compute/encode phases appear in /metrics (the latency
+    attribution the RTT-floor claim rests on)."""
+    _, base = served
+    x = np.ones((64,), np.float32)
+    _post(base + "/compute", Request.encode(make_cos_graph(x)))
+    m = json.loads(_get(base + "/metrics"))
+    for key in ("decode_p50_ms", "queue_p50_ms", "compute_p50_ms",
+                "encode_p50_ms", "request_p50_ms"):
+        assert key in m, key
+        assert m[key] >= 0
+    assert m["counters"]["response_bytes"] > 0

@@ -860,6 +860,7 @@ export class NetNode extends Node {
 	buildContent(el) {
 		if (this.contentsHtml) {
 			el.innerHTML = this.contentsHtml;
+			this.bindContents(el);
 			return;
 		}
 		// metadata fetch failed: offer a Retry (reference contract,
@@ -880,6 +881,43 @@ export class NetNode extends Node {
 			} catch {}
 		});
 		el.append(document.createTextNode(this.endpoint), retry);
+	}
+
+	/**
+	 * Bind server-delivered editable UI (the contents/ contract): any
+	 * [data-param] element writes its value into this.params and
+	 * re-evaluates; a [data-matrix] table of [data-cell] inputs re-encodes
+	 * to the base64 f32 matrix param (conv2d). The reference rendered its
+	 * editors client-side per node class; here the SERVER ships the editor
+	 * HTML, so plugin nodes get editable UIs with zero frontend code.
+	 */
+	bindContents(el) {
+		for (const input of el.querySelectorAll("[data-param]")) {
+			const name = input.dataset.param;
+			if (this.params[name] !== undefined) input.value = this.params[name];
+			input.addEventListener("change", () => {
+				this.params[name] = input.value;
+				Context.changed();
+			});
+		}
+		for (const table of el.querySelectorAll("[data-matrix]")) {
+			const reencode = () => {
+				const h = Number(table.dataset.h);
+				const w = Number(table.dataset.w);
+				const m = new Float32Array(h * w);
+				for (const cell of table.querySelectorAll("[data-cell]")) {
+					const [i, j] = cell.dataset.cell.split(",").map(Number);
+					m[i * w + j] = Number(cell.value) || 0;
+				}
+				this.params.matrix = btoa(
+					String.fromCharCode(...new Uint8Array(m.buffer)),
+				);
+				Context.changed();
+			};
+			for (const cell of table.querySelectorAll("[data-cell]")) {
+				cell.addEventListener("change", reencode);
+			}
+		}
 	}
 
 	serializeExtra() {

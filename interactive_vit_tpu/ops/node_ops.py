@@ -47,6 +47,24 @@ def _jparam(params: Dict[str, str], key: str, default):
     return json.loads(v) if isinstance(v, str) else v
 
 
+def _num_input(name: str, value, step="any", title=None) -> str:
+    """A labeled numeric input bound to a node param.
+
+    The ``data-param`` convention is the server-delivered editable-UI
+    contract (the reference served structured HTML bodies per node,
+    ``/root/reference/main/context.py:90-92``; its conv matrix editor was
+    client-only — here the server delivers it): the frontend binds any
+    ``[data-param]`` element to the node's params dict and re-evaluates on
+    change (``frontend/js/nodes.js`` NetNode.bindContents)."""
+    import html as _html
+
+    label = _html.escape(title or name)
+    return (
+        f"<label>{label} <input data-param=\"{_html.escape(name)}\" "
+        f"type=\"number\" step=\"{step}\" value=\"{value}\"></label>"
+    )
+
+
 class CosNode(NodeKind):
     """Elementwise cos(A*x + b) — the reference's demo server node."""
 
@@ -58,7 +76,8 @@ class CosNode(NodeKind):
 
     def contents(self, params):
         a, b = self.decode_params(params)
-        return f"cos({a}x+{b})"
+        return (f"<p>cos(A&middot;x + b)</p>"
+                f"{_num_input('A', a)} {_num_input('b', b)}")
 
     def io(self, params):
         return {"ins": ["o"], "outs": ["o"]}
@@ -81,6 +100,14 @@ class BinOpNode(NodeKind):
     def __init__(self) -> None:
         super().__init__("binop")
 
+    def contents(self, params):
+        cur = params.get("op", "+")
+        opts = "".join(
+            f"<option value=\"{o}\"{' selected' if o == cur else ''}>"
+            f"a {o} b</option>" for o in self.OPS
+        )
+        return f"<select data-param=\"op\">{opts}</select>"
+
     def io(self, params):
         return {"ins": ["a", "b"], "outs": ["c"]}
 
@@ -99,6 +126,20 @@ class _IndexNode(NodeKind):
 
     def io(self, params):
         return {"ins": ["o"], "outs": ["o"]}
+
+    def contents(self, params):
+        fixed = _jparam(params, "fixed", [])
+        free = _jparam(params, "free", [])
+        n = len(fixed) + len(free)
+        spec = ["?"] * n
+        for f in fixed:
+            if int(f["dim"]) < n:
+                spec[int(f["dim"])] = str(int(f["val"]))
+        for f in free:
+            if int(f["in_dim"]) < n:
+                spec[int(f["in_dim"])] = f"d{int(f['out_dim'])}"
+        expr = ", ".join(spec) if spec else ":"
+        return f"<p>{self.name}</p><code>y = x[{expr}]</code>"
 
     def fn(self, params):
         fixed = _jparam(params, "fixed", [])
@@ -137,6 +178,15 @@ class ConstNode(NodeKind):
     def __init__(self) -> None:
         super().__init__("const")
 
+    def contents(self, params):
+        import html as _html
+
+        value = float(_jparam(params, "value", 0.0))
+        dims = _jparam(params, "dims", [1])
+        return (f"<p>const fill</p>{_num_input('value', value)} "
+                f"<label>dims <input data-param=\"dims\" type=\"text\" "
+                f"value=\"{_html.escape(json.dumps(dims))}\"></label>")
+
     def io(self, params):
         return {"ins": [], "outs": ["o"]}
 
@@ -157,6 +207,16 @@ class NoiseNode(NodeKind):
 
     def __init__(self) -> None:
         super().__init__("noise")
+
+    def contents(self, params):
+        import html as _html
+
+        dims = _jparam(params, "dims", [1])
+        seed = int(float(params.get("seed", 0)))
+        return (f"<p>uniform[0,1) noise</p>"
+                f"<label>dims <input data-param=\"dims\" type=\"text\" "
+                f"value=\"{_html.escape(json.dumps(dims))}\"></label> "
+                f"{_num_input('seed', seed, step='1')}")
 
     def io(self, params):
         return {"ins": [], "outs": ["o"]}
@@ -181,6 +241,26 @@ class Conv2dNode(NodeKind):
 
     def __init__(self) -> None:
         super().__init__("conv2d")
+
+    def contents(self, params):
+        # the editable k x k matrix, server-delivered (the reference's
+        # richest node UI, client-rendered there: conv2d_node.js:107-139).
+        # The frontend re-encodes edited cells to the base64 matrix param.
+        m = self._matrix(params)
+        h, w = m.shape
+        rows = "".join(
+            "<tr>" + "".join(
+                f"<td><input data-cell=\"{i},{j}\" type=\"number\" "
+                f"step=\"any\" value=\"{m[i, j]:g}\"></td>"
+                for j in range(w)
+            ) + "</tr>"
+            for i in range(h)
+        )
+        return (f"<p>conv2d {h}&times;{w} (valid)</p>"
+                f"{_num_input('h', h, step='1')} "
+                f"{_num_input('w', w, step='1')}"
+                f"<table data-matrix data-h=\"{h}\" data-w=\"{w}\">"
+                f"{rows}</table>")
 
     def io(self, params):
         return {"ins": ["o"], "outs": ["o"]}
@@ -227,6 +307,14 @@ class ResizeNode(NodeKind):
 
     def __init__(self) -> None:
         super().__init__("resize")
+
+    def contents(self, params):
+        import html as _html
+
+        dims = [int(d) for d in _jparam(params, "dims", [224, 224])]
+        return (f"<p>bilinear resize</p>"
+                f"<label>dims <input data-param=\"dims\" type=\"text\" "
+                f"value=\"{_html.escape(json.dumps(dims))}\"></label>")
 
     def io(self, params):
         return {"ins": ["o"], "outs": ["o"]}

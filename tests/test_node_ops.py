@@ -143,3 +143,31 @@ def test_reference_saved_graph_slice_json_evaluates(ex):
     out = ex.run(g, taps="all")
     np.testing.assert_array_equal(out[1]["o"], img[0])         # slice [0,:,:]
     np.testing.assert_array_equal(out[3]["o"], img[0].T)       # shuffle swap
+
+
+def test_contents_serve_editable_html():
+    """Server-delivered editable node UIs (the contents/ contract,
+    reference main/context.py:90-92): every parameterized builtin ships
+    data-param-bound inputs; conv2d ships its editable matrix table with
+    current values."""
+    import base64 as b64
+
+    reg = Registry()
+    register_builtin(reg)
+    assert 'data-param="A"' in reg.get_node("cos").contents({"A": "2.0"})
+    assert 'value="2.0"' in reg.get_node("cos").contents({"A": "2.0"})
+    binop = reg.get_node("binop").contents({"op": "*"})
+    assert 'data-param="op"' in binop and 'value="*" selected' in binop
+    assert 'data-param="dims"' in reg.get_node("noise").contents({})
+    assert 'data-param="value"' in reg.get_node("const").contents({})
+    assert 'data-param="dims"' in reg.get_node("resize").contents({})
+    sl = reg.get_node("slice").contents(
+        {"fixed": '[{"dim": 0, "val": 2}]',
+         "free": '[{"in_dim": 1, "out_dim": 0}]'})
+    assert "y = x[2, d0]" in sl
+
+    m = np.arange(9, dtype="<f4")
+    html = reg.get_node("conv2d").contents(
+        {"h": "3", "w": "3", "matrix": b64.b64encode(m.tobytes()).decode()})
+    assert 'data-matrix' in html and 'data-cell="2,2"' in html
+    assert 'value="8"' in html

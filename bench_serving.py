@@ -34,6 +34,11 @@ def main() -> None:
         help="viewer = tap only the classifier output (what an interactive "
              "session renders); primary = reference-style all intermediates",
     )
+    parser.add_argument(
+        "--resp-dtype", default="f32", choices=["f32", "bf16"],
+        help="negotiated response block dtype (bf16 halves tap bytes on "
+             "the wire; docs/wire_protocol.md extension)",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -60,6 +65,8 @@ def main() -> None:
         edges_json.append({"out_port": {"node": i, "channel": "o"},
                            "in_port": {"node": i - 1, "channel": "o"}})
     graph_json = {"nodes": nodes_json, "edges": edges_json}
+    if args.resp_dtype != "f32":
+        graph_json["resp_dtype"] = args.resp_dtype
     if args.taps == "viewer":
         # what the frontend sends: only the edge feeding the category viewer
         graph_json["taps"] = [
@@ -150,6 +157,23 @@ def main() -> None:
         f"p50={p50:.1f}ms p95={p95:.1f}ms rate={rps:.1f} req/s "
         f"mean_batch={snap['mean_batch_size']:.2f} "
         f"server_compute_p50={snap['compute_p50_ms']:.1f}ms",
+        file=sys.stderr,
+    )
+    # the latency-attribution table: server-side phases vs the client wall
+    # clock — the difference is network RTT + client work (VERDICT r1 #7)
+    server_sum = (snap["decode_p50_ms"] + snap["queue_p50_ms"]
+                  + snap["compute_p50_ms"] + snap["encode_p50_ms"])
+    print(
+        "latency breakdown (p50 ms): "
+        f"decode={snap['decode_p50_ms']:.2f} "
+        f"queue={snap['queue_p50_ms']:.2f} "
+        f"compute={snap['compute_p50_ms']:.2f} "
+        f"encode={snap['encode_p50_ms']:.2f} "
+        f"| server total={server_sum:.1f} "
+        f"| client wall p50={p50:.1f} "
+        f"| rtt+client={p50 - server_sum:.1f} "
+        f"(resp_dtype={args.resp_dtype}, "
+        f"resp bytes/req={snap['counters'].get('response_bytes', 0) // max(1, snap['counters'].get('compute_requests', 1))})",
         file=sys.stderr,
     )
     # "interactive under load": BASELINE fixes no number; report p50 with

@@ -38,9 +38,34 @@ Params = Dict[str, jnp.ndarray]
 from interactive_vit_tpu.ops.layers import precision_for as _precision
 
 
+# Overflow guard for the no-max-subtract softmax: exp(80) = 5.5e34 and a
+# row sums <= N * exp(80) ~ 1e37 < f32 max (3.4e38) for N up to ~6000.
+# Trained-ViT attention logits sit around |s| <= ~40, so the clamp never
+# engages in practice — it only bounds the pathological case.
+_SOFTMAX_CLAMP = 80.0
+
+
+def _row_softmax(s, fast: bool):
+    """Row softmax returning (unnormalized p, reciprocal row-sum r).
+
+    ``fast=True`` skips the max-subtract pass: the lane-wise max reduction
+    + [N, N] subtract are pure VPU latency serialized between the two MXU
+    dots of every head; a clamp gives the same overflow safety for one
+    cheap elementwise op (exactness: softmax is shift-invariant, so modulo
+    f32 rounding the results are identical whenever |s| < 80 — always, for
+    real attention logits). Division is deferred to the caller: normalize
+    taps with one multiply, or fold r into the [N, dh] output instead of
+    the [N, N] probs (maps-off path)."""
+    if fast:
+        p = jnp.exp(jnp.minimum(s, _SOFTMAX_CLAMP))
+    else:
+        p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+    return p, 1.0 / jnp.sum(p, axis=1, keepdims=True)
+
+
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             projb_ref, y_ref, *taps, heads: int, eps: float,
-            prec, emit: bool, emit_mean: bool):
+            prec, emit: bool, emit_mean: bool, fast: bool):
     probs_ref = taps[0] if emit else None
     mean_ref = taps[1 if emit else 0] if emit_mean else None
     x = x_ref[0]  # [N, D]
@@ -71,18 +96,25 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ) * scale  # [N, N] f32, VMEM-resident
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        probs = p / l
-        if emit:
-            probs_ref[0, h] = probs.astype(probs_ref.dtype)
-        if emit_mean:
-            msum = probs if msum is None else msum + probs
-        outs.append(
-            jax.lax.dot(probs.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32, precision=prec)
-        )
+        p, r = _row_softmax(s, fast)
+        if emit or emit_mean:
+            probs = p * r  # one multiply instead of a division pass
+            pb = probs.astype(x.dtype)  # cast once; tap AND dot reuse it
+            if emit:
+                probs_ref[0, h] = pb
+            if emit_mean:
+                msum = probs if msum is None else msum + probs
+            outs.append(
+                jax.lax.dot(pb, v, preferred_element_type=jnp.float32,
+                            precision=prec)
+            )
+        else:
+            # maps-off: never normalize the [N, N] probs at all — fold the
+            # reciprocal row-sum into the [N, dh] head output
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            outs.append(o * r)
     if emit_mean:
         # head-mean tap: rollout consumes this [N, N] instead of re-reading
         # (and re-laying-out) the full [H, N, N] probs from HBM — measured
@@ -103,17 +135,20 @@ def fused_attn_block(
     eps: float = 1e-6,
     want_attn: bool = False,
     want_mean: bool = False,
+    fast_softmax: bool = True,
 ):
     """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None).
 
     ``want_mean=True`` appends a third result: the head-mean post-softmax
     maps [B, N, N] (activation dtype, f32-accumulated in-kernel — the
     rollout's input) so consumers never touch the full per-head tensor.
+    ``fast_softmax`` (default): clamp-guarded no-max-subtract softmax with
+    deferred normalization (see ``_row_softmax``).
     """
     b, n, d = x.shape
     kernel = functools.partial(
         _kernel, heads=heads, eps=eps, prec=_precision(x.dtype),
-        emit=want_attn, emit_mean=want_mean,
+        emit=want_attn, emit_mean=want_mean, fast=fast_softmax,
     )
 
     def row(v):  # 1-D params as (1, K) VMEM blocks
@@ -177,7 +212,7 @@ def _head_group(dh: int, heads: int) -> int:
 
 def _headwise_kernel(x_ref, q_ref, k_ref, v_ref, projw_ref, projb_ref,
                      y_ref, *rest, dh: int, heads: int, prec, emit: bool,
-                     emit_mean: bool, packed: bool):
+                     emit_mean: bool, packed: bool, fast: bool):
     """Per-(image, head-group) program: attention for ``hb`` heads + their
     slice of the output projection, accumulated across the group grid axis.
 
@@ -221,17 +256,24 @@ def _headwise_kernel(x_ref, q_ref, k_ref, v_ref, projw_ref, projb_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ) * sm_scale
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        probs = p / jnp.sum(p, axis=1, keepdims=True)
-        if emit:
-            probs_ref[0, j] = probs.astype(probs_ref.dtype)
-        if emit_mean:
-            msum = probs if msum is None else msum + probs
-        outs.append(
-            jax.lax.dot(probs.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32, precision=prec)
-        )
+        p, r = _row_softmax(s, fast)
+        if emit or emit_mean:
+            probs = p * r
+            pb = probs.astype(v.dtype)  # cast once; tap AND dot reuse it
+            if emit:
+                probs_ref[0, j] = pb
+            if emit_mean:
+                msum = probs if msum is None else msum + probs
+            outs.append(
+                jax.lax.dot(pb, v, preferred_element_type=jnp.float32,
+                            precision=prec)
+            )
+        else:
+            # two-pass no-probs path: normalization folds into [N, dh]
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            outs.append(o * r)
 
     if emit_mean:
         # accumulate across the sequential group axis in an f32 scratch
@@ -276,6 +318,7 @@ def headwise_attn_block(
     eps: float = 1e-6,
     want_attn: bool = False,
     want_mean: bool = False,
+    fast_softmax: bool = True,
 ):
     """Fused attention branch for models too big for ``fused_attn_block``.
 
@@ -301,6 +344,7 @@ def headwise_attn_block(
     kernel = functools.partial(
         _headwise_kernel, dh=dh, heads=heads, prec=_precision(x.dtype),
         emit=want_attn, emit_mean=want_mean, packed=packed,
+        fast=fast_softmax,
     )
     out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
     out_specs = [

@@ -110,6 +110,7 @@ export class Context {
 	static onChange = null; // set by app.js -> schedules eval
 	static container = null;
 	static svg = null;
+	static respDtype = "bf16"; // wire tap dtype ("f32" = reference-exact)
 
 	static registerKind(kind, factory) {
 		Context.kinds.set(kind, factory);
@@ -357,7 +358,12 @@ export class Context {
 		try {
 			const reqJson = { nodes: nodesJson, edges: edgesJson };
 			if (taps.length) reqJson.taps = taps;
-			const outputs = await compute(reqJson, tensors);
+			// viewer taps are render data: bf16 blocks halve response bytes
+			// over the wire (negotiated extension, docs/wire_protocol.md);
+			// Context.respDtype = "f32" restores reference-exact payloads
+			const outputs = await compute(reqJson, tensors, {
+				respDtype: Context.respDtype,
+			});
 			if (epoch !== Context.evalEpoch) return; // stale
 			Context.routeResults(outputs, index, epoch);
 			for (const n of reqNodes) n.setStatus("ok");

@@ -65,67 +65,76 @@ def _row_softmax(s, fast: bool):
 
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             projb_ref, y_ref, *taps, heads: int, eps: float,
-            prec, emit: bool, emit_mean: bool, fast: bool):
+            prec, emit: bool, emit_mean: bool, fast: bool, bb: int):
     probs_ref = taps[0] if emit else None
     mean_ref = taps[1 if emit else 0] if emit_mean else None
-    x = x_ref[0]  # [N, D]
-    n, d = x.shape
-    dh = d // heads
-    scale = dh ** -0.5
+    # bb images per program (measured ~4.5% on v5e at bb=2: per-program
+    # fixed cost amortizes and image i+1's score dots overlap image i's
+    # VPU softmax tail). Merging the bb images' LN/QKV/proj into single
+    # [bb*N, ...] dots was measured SLOWER (258 vs 235 us): row offsets of
+    # N=197 are sublane-tile-misaligned, so the per-image slices of the
+    # merged qkv pay VPU shuffles that outweigh the fill/drain savings.
+    for b in range(bb):
+        x = x_ref[b]  # [N, D]
+        n, d = x.shape
+        dh = d // heads
+        scale = dh ** -0.5
 
-    # LayerNorm in f32
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
-    ln = (ln * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+        # LayerNorm in f32
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+        ln = (ln * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
 
-    # fused QKV projection: one big MXU matmul
-    qkv = jax.lax.dot(
-        ln, qkvw_ref[...], preferred_element_type=jnp.float32, precision=prec
-    )
-    qkv = (qkv + qkvb_ref[0]).astype(x.dtype)  # [N, 3D]
+        # fused QKV projection: one big MXU matmul
+        qkv = jax.lax.dot(
+            ln, qkvw_ref[...], preferred_element_type=jnp.float32,
+            precision=prec
+        )
+        qkv = (qkv + qkvb_ref[0]).astype(x.dtype)  # [N, 3D]
 
-    outs = []
-    msum = None  # head-mean accumulator, f32 in VMEM
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh]
-        k = qkv[:, d + h * dh: d + (h + 1) * dh]
-        v = qkv[:, 2 * d + h * dh: 2 * d + (h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale  # [N, N] f32, VMEM-resident
-        p, r = _row_softmax(s, fast)
-        if emit or emit_mean:
-            probs = p * r  # one multiply instead of a division pass
-            pb = probs.astype(x.dtype)  # cast once; tap AND dot reuse it
-            if emit:
-                probs_ref[0, h] = pb
-            if emit_mean:
-                msum = probs if msum is None else msum + probs
-            outs.append(
-                jax.lax.dot(pb, v, preferred_element_type=jnp.float32,
-                            precision=prec)
-            )
-        else:
-            # maps-off: never normalize the [N, N] probs at all — fold the
-            # reciprocal row-sum into the [N, dh] head output
-            o = jax.lax.dot(p.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32,
-                            precision=prec)
-            outs.append(o * r)
-    if emit_mean:
-        # head-mean tap: rollout consumes this [N, N] instead of re-reading
-        # (and re-laying-out) the full [H, N, N] probs from HBM — measured
-        # ~2.3 ms/batch-32 of copy + convert_reduce on ViT-B
-        mean_ref[0] = (msum * (1.0 / heads)).astype(mean_ref.dtype)
+        outs = []
+        msum = None  # head-mean accumulator, f32 in VMEM
+        for h in range(heads):
+            q = qkv[:, h * dh:(h + 1) * dh]
+            k = qkv[:, d + h * dh: d + (h + 1) * dh]
+            v = qkv[:, 2 * d + h * dh: 2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) * scale  # [N, N] f32, VMEM-resident
+            p, r = _row_softmax(s, fast)
+            if emit or emit_mean:
+                probs = p * r  # one multiply instead of a division pass
+                pb = probs.astype(x.dtype)  # cast once; tap + dot reuse it
+                if emit:
+                    probs_ref[b, h] = pb
+                if emit_mean:
+                    msum = probs if msum is None else msum + probs
+                outs.append(
+                    jax.lax.dot(pb, v, preferred_element_type=jnp.float32,
+                                precision=prec)
+                )
+            else:
+                # maps-off: never normalize the [N, N] probs at all — fold
+                # the reciprocal row-sum into the [N, dh] head output
+                o = jax.lax.dot(p.astype(v.dtype), v,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                outs.append(o * r)
+        if emit_mean:
+            # head-mean tap: rollout consumes this [N, N] instead of
+            # re-reading (and re-laying-out) the full [H, N, N] probs from
+            # HBM — measured ~2.3 ms/batch-32 of copy + convert_reduce
+            mean_ref[b] = (msum * (1.0 / heads)).astype(mean_ref.dtype)
 
-    o = jnp.concatenate(outs, axis=-1).astype(x.dtype)  # [N, D]
-    y = xf + jax.lax.dot(
-        o, projw_ref[...], preferred_element_type=jnp.float32, precision=prec
-    ) + projb_ref[0]
-    y_ref[0] = y.astype(y_ref.dtype)
+        o = jnp.concatenate(outs, axis=-1).astype(x.dtype)  # [N, D]
+        y = xf + jax.lax.dot(
+            o, projw_ref[...], preferred_element_type=jnp.float32,
+            precision=prec
+        ) + projb_ref[0]
+        y_ref[b] = y.astype(y_ref.dtype)
 
 
 def fused_attn_block(
@@ -146,16 +155,16 @@ def fused_attn_block(
     deferred normalization (see ``_row_softmax``).
     """
     b, n, d = x.shape
+    # two images per program when the batch divides (measured ~4.5% on
+    # v5e; VMEM stays within budget — weights are shared across the loop)
+    bb = 2 if b % 2 == 0 and b > 1 else 1
     kernel = functools.partial(
         _kernel, heads=heads, eps=eps, prec=_precision(x.dtype),
-        emit=want_attn, emit_mean=want_mean, fast=fast_softmax,
+        emit=want_attn, emit_mean=want_mean, fast=fast_softmax, bb=bb,
     )
 
-    def row(v):  # 1-D params as (1, K) VMEM blocks
-        return v.reshape(1, -1)
-
     in_specs = [
-        pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -165,12 +174,12 @@ def fused_attn_block(
     ]
     out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
     out_specs = [
-        pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ]
     if want_attn:
         out_shape.append(jax.ShapeDtypeStruct((b, heads, n, n), x.dtype))
         out_specs.append(
-            pl.BlockSpec((1, heads, n, n), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, heads, n, n), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     if want_mean:
@@ -179,13 +188,13 @@ def fused_attn_block(
         # numerics class is unchanged)
         out_shape.append(jax.ShapeDtypeStruct((b, n, n), x.dtype))
         out_specs.append(
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
 
     results = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

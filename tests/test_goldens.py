@@ -137,3 +137,23 @@ def test_imagenet_labels_wired_into_category_nodes(tmp_path):
     cats = [n["instance"]["cats"] for n in obj["nodes"]
             if n["instance"].get("kind") == "category"]
     assert cats and cats[0][0] == "tench" and cats[0][285] == "Egyptian cat"
+
+
+def test_int8_weight_only_preserves_prediction():
+    """Weight-only int8 quantization on a REAL checkpoint file (the golden
+    safetensors): argmax predictions match f32 and logits stay close — the
+    accuracy validation the int8 serving path lacked while no checkpoint
+    existed (round-1 ROADMAP)."""
+    from interactive_vit_tpu.ops.quant import quantize_tree
+    from interactive_vit_tpu.utils.safetensors_io import load_file
+
+    golden = np.load(os.path.join(FIXTURES, "vit_golden.npz"))
+    sd = load_file(os.path.join(FIXTURES, "vit_golden_tv.safetensors"))
+    params = weights.from_torchvision(sd, VIT_CFG)
+    x = jnp.asarray(golden["input"])
+    f32_logits = np.asarray(vit.forward(params, x, VIT_CFG)["logits"])
+    q_logits = np.asarray(
+        vit.forward(quantize_tree(params), x, VIT_CFG)["logits"])
+    assert (np.argmax(q_logits, -1) == np.argmax(f32_logits, -1)).all()
+    # per-channel int8 on ViT weights: logits within a few 1e-2 of f32
+    np.testing.assert_allclose(q_logits, f32_logits, atol=0.05)

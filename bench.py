@@ -34,7 +34,10 @@ def main() -> None:
     )
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--dtype", default="bfloat16",
-                        choices=["bfloat16", "float32"])
+                        choices=["bfloat16", "float32", "int8w8a8"],
+                        help="int8w8a8: dynamic-activation int8 matmuls "
+                             "(2x MXU rate on v5e) over bf16 — NOT the "
+                             "headline numeric class; opt-in measurement")
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
     parser.add_argument("--block", default="auto",
@@ -62,11 +65,21 @@ def main() -> None:
     )
 
     cfg = vit.VARIANTS[args.variant]
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
     attn_impl = default_attn_impl(args.attn)
-    block_impl = default_block_impl(args.block, dtype=dtype, n=cfg.tokens,
-                                    d=cfg.width, heads=cfg.heads)
+    if args.dtype == "int8w8a8":
+        # int8 x int8 MXU matmuls for every block linear (qkv/proj/fc1/fc2);
+        # the fused block kernel takes dense weights, so attention itself
+        # runs the unfused XLA/flash path (ops/quant.py docstring)
+        from interactive_vit_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params, mode="w8a8")
+        block_impl = None
+    else:
+        block_impl = default_block_impl(args.block, dtype=dtype,
+                                        n=cfg.tokens, d=cfg.width,
+                                        heads=cfg.heads)
     want_attn = not args.no_attn_maps
 
     def fn(params, images):

@@ -39,9 +39,12 @@ def make_vit_model(
     TPU; jnp reference on CPU). In non-f32 dtypes the fused attention-block
     kernel is auto-selected per the dispatch policy.
 
-    ``quantize=True`` -> weight-only int8 (``ops/quant.py``): linear weights
-    stored int8 per-channel, dequantized inside the matmuls; halves the
-    weight HBM streaming that dominates small-batch interactive latency.
+    ``quantize=True`` (or ``"w8"``) -> weight-only int8 (``ops/quant.py``):
+    linear weights stored int8 per-channel, dequantized inside the matmuls;
+    halves the weight HBM streaming that dominates small-batch interactive
+    latency. ``quantize="w8a8"`` additionally quantizes activations
+    per-token at runtime so the matmuls run int8 x int8 on the MXU (2x the
+    bf16 rate on v5e) — a stronger accuracy perturbation, strictly opt-in.
     The fused block kernels take dense weights, so quantized models run the
     unfused (XLA/flash) path.
     """
@@ -59,7 +62,8 @@ def make_vit_model(
     if quantize:
         from interactive_vit_tpu.ops.quant import quantize_tree
 
-        params = quantize_tree(params)
+        mode = quantize if isinstance(quantize, str) else "w8"
+        params = quantize_tree(params, mode=mode)
         block_impl = None
     elif not kernels:
         # GSPMD-partitionable path (mesh-sharded serving: Pallas custom

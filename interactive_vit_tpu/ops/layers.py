@@ -79,8 +79,14 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
     scale commutes with the matmul, so dequantization is a cheap column
     rescale of the f32 accumulator and the int8->activation-dtype convert
     fuses into the weight read."""
-    from interactive_vit_tpu.ops.quant import QKEY, SKEY, is_quantized
+    from interactive_vit_tpu.ops.quant import (
+        QKEY, SKEY, is_quantized, is_w8a8, linear_w8a8,
+    )
 
+    if is_w8a8(w):
+        # int8 x int8 -> int32 MXU path (2x bf16 rate on v5e); dynamic
+        # per-token activation scales, opt-in accuracy class (ops/quant.py)
+        return linear_w8a8(x, w, b)
     if is_quantized(w):
         y = jnp.dot(x, w[QKEY].astype(x.dtype),
                     preferred_element_type=jnp.float32,

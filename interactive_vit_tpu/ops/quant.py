@@ -27,28 +27,78 @@ import numpy as np
 
 #: key markers for a quantized-weight leaf-dict
 QKEY, SKEY = "int8_q", "int8_s"
+#: key markers for a W8A8 leaf-dict: same int8 weight + per-column scale,
+#: but under DIFFERENT keys so the mode is *structural* — pytree key
+#: presence is static under jit (params ride as jit arguments on the bench
+#: path, so a string/flag leaf would fail tracing). With W8A8 the matmul
+#: itself runs int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e);
+#: activations are dynamically per-token quantized at trace time.
+AQKEY, ASKEY = "int8a8_q", "int8a8_s"
 
 
 def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and QKEY in w
 
 
-def quantize_weight(w) -> Dict[str, jnp.ndarray]:
+def is_w8a8(w: Any) -> bool:
+    return isinstance(w, dict) and AQKEY in w
+
+
+def quantize_weight(w, mode: str = "w8") -> Dict[str, jnp.ndarray]:
     """[D_in, D_out] float -> symmetric per-output-channel int8 + f32 scale.
 
     scale[j] = max_i |w[i, j]| / 127; q = round(w / scale), so
-    |w - q * scale| <= scale/2 elementwise.
+    |w - q * scale| <= scale/2 elementwise. ``mode="w8a8"`` stores the
+    same data under the W8A8 keys (structural mode marker — see AQKEY).
     """
     wf = np.asarray(w, np.float32)
     assert wf.ndim == 2, f"quantize_weight wants 2-D, got {wf.shape}"
     s = np.max(np.abs(wf), axis=0) / 127.0
     s = np.where(s == 0, 1.0, s)
     q = np.clip(np.round(wf / s), -127, 127).astype(np.int8)
-    return {QKEY: jnp.asarray(q), SKEY: jnp.asarray(s, jnp.float32)}
+    qk, sk = (QKEY, SKEY) if mode == "w8" else (AQKEY, ASKEY)
+    return {qk: jnp.asarray(q), sk: jnp.asarray(s, jnp.float32)}
 
 
 def dequantize_weight(w: Dict[str, jnp.ndarray], dtype=jnp.float32):
-    return (w[QKEY].astype(jnp.float32) * w[SKEY]).astype(dtype)
+    q = w[QKEY] if QKEY in w else w[AQKEY]
+    s = w[SKEY] if SKEY in w else w[ASKEY]
+    return (q.astype(jnp.float32) * s).astype(dtype)
+
+
+def quantize_acts(x: jnp.ndarray):
+    """Dynamic symmetric per-token int8 quantization of activations.
+
+    x [..., D] -> (q int8 [..., D], s f32 [..., 1]) with
+    q = round(x / s), s = max_d |x[..., d]| / 127. Runs inside jit: the
+    abs-max reduce + scale + round + clip chain fuses into the producing
+    fusion (one extra VPU pass over the activations — negligible next to
+    the int8 MXU matmul it enables).
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def linear_w8a8(x: jnp.ndarray, w: Dict[str, jnp.ndarray], b=None):
+    """x @ W + b with BOTH operands int8: the MXU runs s8 x s8 -> s32 at
+    2x its bf16 rate on v5e. Dequantization is a rank-1 rescale of the
+    int32 accumulator: y = acc * (s_x[..., None] * s_w[None, :]).
+
+    Accuracy class: dynamic per-token activation + per-output-channel
+    weight symmetric int8 (the standard W8A8 recipe). Unlike weight-only
+    int8 this perturbs activations too; it is strictly opt-in and excluded
+    from the parity/headline paths. See tests/test_quant.py for the
+    numeric bound on a full ViT forward.
+    """
+    qx, sx = quantize_acts(x)
+    acc = jnp.dot(qx, w[AQKEY], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * w[ASKEY])
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
 
 
 #: transformer-block linear weights: the standard weight-only targets.
@@ -58,10 +108,12 @@ def dequantize_weight(w: Dict[str, jnp.ndarray], dtype=jnp.float32):
 BLOCK_WEIGHTS = frozenset({"qkv_w", "proj_w", "fc1_w", "fc2_w"})
 
 
-def quantize_tree(params: Any, names: frozenset = BLOCK_WEIGHTS) -> Any:
+def quantize_tree(params: Any, names: frozenset = BLOCK_WEIGHTS,
+                  mode: str = "w8") -> Any:
     """Replace 2-D float weight leaves named in ``names`` with their int8
     form; everything else (norms, biases, embeddings, first/last-layer
-    weights) is untouched."""
+    weights) is untouched. ``mode``: "w8" (weight-only) or "w8a8"
+    (int8 activations too — 2x MXU rate, opt-in accuracy class)."""
 
     def walk(obj: Any) -> Any:
         if isinstance(obj, dict):
@@ -73,7 +125,7 @@ def quantize_tree(params: Any, names: frozenset = BLOCK_WEIGHTS) -> Any:
                     and v.ndim == 2
                     and jnp.issubdtype(v.dtype, jnp.floating)
                 ):
-                    out[k] = quantize_weight(v)
+                    out[k] = quantize_weight(v, mode=mode)
                 else:
                     out[k] = walk(v)
             return out

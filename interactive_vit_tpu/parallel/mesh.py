@@ -64,10 +64,10 @@ def param_spec(path: str) -> P:
     ``.../qkv_w/int8_s`` ([D_out]) — and shard like their dense parent so
     quantized serving keeps the same TP layout.
     """
-    if path.endswith("/int8_q"):
-        return param_spec(path[: -len("/int8_q")])
-    if path.endswith("/int8_s"):
-        parent = param_spec(path[: -len("/int8_s")])
+    if path.endswith("/int8_q") or path.endswith("/int8a8_q"):
+        return param_spec(path[: path.rfind("/")])
+    if path.endswith("/int8_s") or path.endswith("/int8a8_s"):
+        parent = param_spec(path[: path.rfind("/")])
         # scale is per-OUTPUT-channel: sharded iff the weight's out dim is
         return P(parent[1]) if len(parent) == 2 else P()
     if path.endswith("qkv_w") or path.endswith("fc1_w"):

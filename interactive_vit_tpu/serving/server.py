@@ -107,10 +107,12 @@ def build_app(
     # serving dtype: f32 = exact (parity contract); bfloat16 = the fast
     # interactive path (taps carry bf16 noise ~1e-3, invisible in the UI);
     # int8 = weight-only quantization over bf16 activations (halves weight
-    # HBM streaming — the small-batch interactive bottleneck; ops/quant.py)
+    # HBM streaming — the small-batch interactive bottleneck; ops/quant.py);
+    # int8w8a8 = dynamic activation quantization too (int8 MXU matmuls at
+    # 2x the bf16 rate on v5e — the strongest perf mode, opt-in accuracy)
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-             "int8": jnp.bfloat16}[dtype_name]
-    quantize = dtype_name == "int8"
+             "int8": jnp.bfloat16, "int8w8a8": jnp.bfloat16}[dtype_name]
+    quantize = {"int8": "w8", "int8w8a8": "w8a8"}.get(dtype_name, False)
     attn_impl = default_attn_impl(attn_impl_name)
     ckpts = dict(ckpts or {})
     for variant in models:
@@ -200,10 +202,12 @@ def main() -> None:
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
     parser.add_argument("--dtype", default="float32",
-                        choices=["float32", "bfloat16", "int8"],
+                        choices=["float32", "bfloat16", "int8", "int8w8a8"],
                         help="model weight/compute dtype (bfloat16 = fast "
                              "interactive path; int8 = weight-only "
-                             "quantized serving over bf16 activations)")
+                             "quantized serving over bf16 activations; "
+                             "int8w8a8 = dynamic-activation int8 MXU "
+                             "matmuls, 2x rate, opt-in accuracy class)")
     parser.add_argument("--ckpt", action="append", default=[],
                         metavar="MODEL=PATH",
                         help="serve MODEL with real weights from PATH (an "

@@ -114,3 +114,65 @@ def test_graph_path_runs_quantized(tmp_path):
         assert np.isfinite(logits).all()
     finally:
         del vit.VARIANTS["vit_q8"]
+
+
+# -- W8A8 (dynamic activation quantization, int8 MXU matmuls) ----------------
+
+
+def test_quantize_acts_roundtrip_bound():
+    """Per-token activation quantization error is bounded by scale/2."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 17, 64)).astype(np.float32))
+    q, s = quant.quantize_acts(x)
+    assert q.dtype == jnp.int8
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+    # zero rows don't produce NaNs
+    q0, s0 = quant.quantize_acts(jnp.zeros((2, 4, 8)))
+    assert np.isfinite(np.asarray(s0)).all()
+    assert (np.asarray(q0) == 0).all()
+
+
+def test_linear_w8a8_matches_dequantized():
+    """W8A8 linear tracks the f32 matmul within the combined weight +
+    activation quantization noise (both bounded by their scales)."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 9, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    wq = quant.quantize_weight(w, mode="w8a8")
+    assert quant.is_w8a8(wq) and not quant.is_quantized(wq)
+    got = np.asarray(L.linear(x, wq, b))
+    want = np.asarray(L.linear(x, w, b))
+    # ~1% relative error class: int8 grids on both operands over D=128
+    assert np.max(np.abs(got - want)) < 0.05 * np.max(np.abs(want))
+
+
+def test_vit_forward_w8a8_close_to_f32():
+    """Full ViT-Tiny forward under W8A8: noisier than weight-only int8 but
+    the logits must stay in-family and the maps valid distributions."""
+    cfg = vit.VARIANTS["vit_t16"]
+    params = vit.init_params(jax.random.key(0), cfg)
+    qparams = quant.quantize_tree(params, mode="w8a8")
+    blk = qparams["blocks"][0]
+    assert quant.is_w8a8(blk["fc1_w"])
+    x = jnp.asarray(
+        np.random.default_rng(7).random((2, 3, 224, 224), np.float32))
+    ref = vit.forward(params, x, cfg, want_attn=True)
+    got = vit.forward(qparams, x, cfg, want_attn=True)
+    r, g = np.asarray(ref["logits"]), np.asarray(got["logits"])
+    assert np.max(np.abs(r - g)) < 0.3 * (np.max(np.abs(r)) + 1e-6)
+    a = np.asarray(got["attn"][0])
+    np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-3)
+
+
+def test_w8a8_param_specs_shard_like_dense():
+    """W8A8 leaves inherit the dense parent's TP layout (parallel/mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    from interactive_vit_tpu.parallel.mesh import param_spec
+
+    assert param_spec("blocks/0/qkv_w/int8a8_q") == P(None, "model")
+    assert param_spec("blocks/0/qkv_w/int8a8_s") == P("model")
+    assert param_spec("blocks/0/proj_w/int8a8_q") == P("model", None)
+    assert param_spec("blocks/0/proj_w/int8a8_s") == P(None)

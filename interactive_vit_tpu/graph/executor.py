@@ -172,6 +172,9 @@ class Executor:
         self._input_cache_bytes = 0
         self.input_cache_budget = 256 * 1024 * 1024
         self.last_stats = ExecStats()
+        # node-index lists of the chains folded into pipeline schedules by
+        # the most recent _stage (diagnostics + tests)
+        self.last_pp_segments: List[List[int]] = []
 
     def _device_input(self, t) -> Any:
         """Upload an input tensor once; reuse the device buffer on repeats."""
@@ -275,6 +278,90 @@ class Executor:
                     if ch not in n.inputs and ch not in skip:
                         raise NodeError(n.index, n.name, f"missing input {ch!r}")
 
+    # -- pipeline folding ---------------------------------------------------------
+    def _pp_stages(self) -> int:
+        """Pipeline-parallel stage count (mesh "stage" axis; 0 = off)."""
+        if self.mesh is not None and "stage" in self.mesh.axis_names:
+            s = self.mesh.shape["stage"]
+            return s if s > 1 else 0
+        return 0
+
+    def _find_pp_segments(
+        self, order, graph: Graph, node_kinds, tap_set, captures
+    ) -> List[List[Any]]:
+        """Maximal foldable chains of same-fold-group layer nodes.
+
+        A chain n_0 -> ... -> n_k folds into one GPipe schedule
+        (``parallel/pipeline.py``) iff every node shares a ``fold_group``,
+        each interior link is exactly one o->o edge with fan-out 1, no
+        interior node is tapped on any channel, no node wants extra
+        channels (``__taps__`` empty), and every node has captures. Chains
+        are trimmed to the largest multiple of the stage count; the
+        remainder runs sequentially (correctness is unchanged either way —
+        folding is purely an execution strategy).
+        """
+        n_stages = self._pp_stages()
+        tapped_nodes = {i for i, _ in tap_set}
+        # a tap on an extra channel (attention maps etc.) requires the
+        # node's own fn with wants — such a node can't fold at all, while a
+        # node tapped only on "o" may still END a segment (the pipe emits
+        # the last node's "o")
+        extra_tapped = {i for i, ch in tap_set if ch != "o"}
+        segments: List[List[Any]] = []
+        in_segment: Set[int] = set()
+
+        def foldable(n) -> bool:
+            kind = node_kinds[n.index]
+            return (
+                getattr(kind, "fold_group", None) is not None
+                and captures.get(n.index) is not None
+                and set(n.inputs.keys()) <= {"o"}
+                and n.index not in extra_tapped
+            )
+
+        def links_to(a, b) -> bool:
+            """a's ONLY output consumption is one o->o edge into b."""
+            edges = [e for ch, es in a.outputs.items() for e in es
+                     if e.dst is not None]
+            return (
+                len(edges) == 1
+                and edges[0].src.channel == "o"
+                and edges[0].dst.node.index == b.index
+                and edges[0].dst.channel == "o"
+            )
+
+        for n in order:
+            if n.index in in_segment or not foldable(n):
+                continue
+            group = node_kinds[n.index].fold_group
+            chain = [n]
+            cur = n
+            while True:
+                nxt_edges = [e for ch, es in cur.outputs.items()
+                             for e in es if e.dst is not None]
+                if len(nxt_edges) != 1:
+                    break
+                nxt = nxt_edges[0].dst.node
+                if (
+                    nxt.index in in_segment
+                    or not foldable(nxt)
+                    or node_kinds[nxt.index].fold_group != group
+                    or not links_to(cur, nxt)
+                    or set(nxt.inputs.keys()) != {"o"}
+                    or cur.index in tapped_nodes  # interior node tapped
+                ):
+                    break
+                chain.append(nxt)
+                cur = nxt
+            keep = (len(chain) // n_stages) * n_stages
+            if keep >= n_stages and keep >= 2:
+                seg = chain[:keep]
+                # interior taps (all but the last kept node) forbid folding
+                if not any(m.index in tapped_nodes for m in seg[:-1]):
+                    segments.append(seg)
+                    in_segment.update(m.index for m in seg)
+        return segments
+
     # -- staging ----------------------------------------------------------------
     def _stage(
         self, graph: Graph, tap_set: Set[Tuple[int, str]]
@@ -304,6 +391,30 @@ class Executor:
             n.index: effective_params(n, tap_set) for n in graph.nodes
         }
 
+        # Pipeline folding (mesh "stage" axis): untapped chains of uniform
+        # layer nodes execute as ONE GPipe schedule; their captures ride
+        # stacked on a leading layer dim, stage-sharded by _place_captures.
+        segments = (
+            self._find_pp_segments(order, graph, node_kinds, tap_set,
+                                   captures)
+            if self._pp_stages() else []
+        )
+        seg_start: Dict[int, Tuple[int, List[Any], Any]] = {}
+        folded: Set[int] = set()
+        for sid, seg in enumerate(segments):
+            key = f"__pp{sid}"
+            caps_arg[key] = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[captures[m.index] for m in seg],
+            )
+            for m in seg:
+                caps_arg.pop(str(m.index), None)
+                folded.add(m.index)
+            seg_start[seg[0].index] = (
+                sid, seg, node_kinds[seg[0].index].fold_fn()
+            )
+        self.last_pp_segments = [[m.index for m in seg] for seg in segments]
+
         def staged(inputs: Tuple[Any, ...], caps: Dict[str, Any]) -> Dict[str, Any]:
             # env: (node_index, channel) -> traced array
             env: Dict[Tuple[int, str], Any] = {}
@@ -311,6 +422,31 @@ class Executor:
                 env[("in", node.index, ch)] = arr  # type: ignore[index]
 
             for n in order:
+                if n.index in seg_start:
+                    from interactive_vit_tpu.parallel.pipeline import (
+                        pipeline_apply_stacked,
+                    )
+
+                    sid, seg, layer_fn = seg_start[n.index]
+                    e = n.inputs["o"]
+                    x = (env[("in", n.index, "o")] if e.src is None
+                         else env[(e.src.node.index, e.src.channel)])
+                    try:
+                        with jax.named_scope(
+                            f"pp{sid}_n{seg[0].index}-{seg[-1].index}"
+                        ):
+                            y = pipeline_apply_stacked(
+                                caps[f"__pp{sid}"], x, layer_fn, self.mesh,
+                                n_layers=len(seg),
+                            )
+                    except NodeError:
+                        raise
+                    except Exception as err:  # noqa: BLE001
+                        raise NodeError(n.index, n.name, str(err)) from err
+                    env[(seg[-1].index, "o")] = y
+                    continue
+                if n.index in folded:
+                    continue
                 kind = node_kinds[n.index]
                 ins: Dict[str, Any] = {}
                 for ch, e in n.inputs.items():

@@ -30,15 +30,36 @@ LayerSpec = Tuple[str, List[str], Callable]
 
 
 class LayerNodeKind(NodeKind):
-    """One model layer as a graph node kind (analog of ``ModelNode``)."""
+    """One model layer as a graph node kind (analog of ``ModelNode``).
+
+    ``fold_group``: non-None marks this kind as *pipeline-foldable* — all
+    kinds sharing a group string run the SAME computation parameterized
+    only by their captures (e.g. every ``vit_b16:blocks.i``). The executor
+    may replace an untapped chain of same-group nodes with one GPipe
+    schedule over a mesh "stage" axis (``parallel/pipeline.py``).
+    """
 
     def __init__(self, model: "JaxModel", layer_name: str,
-                 extra_outs: List[str], fn: Callable):
+                 extra_outs: List[str], fn: Callable,
+                 fold_group: Optional[str] = None):
         super().__init__(model.prefix() + layer_name)
         self.model = model
         self.layer_name = layer_name
         self._extra = list(extra_outs)
         self._fn = fn
+        self.fold_group = fold_group
+
+    def fold_fn(self) -> Optional[Callable]:
+        """(params, x) -> y single-layer callable for pipeline folding;
+        extras disabled (folding only applies to untapped chains)."""
+        if self.fold_group is None:
+            return None
+        f, kw = self._fn, self._kw(frozenset())
+
+        def layer(p, x):
+            return f(p, {"o": x}, **kw)["o"]
+
+        return layer
 
     def io(self, params):
         # layers with an "r" (rollout) extra also ACCEPT an optional "r"
@@ -108,6 +129,7 @@ class JaxModel:
         layer_params_fn: Callable[[Any, str], Any],
         descriptions: Optional[Dict[str, str]] = None,
         category_names: Optional[List[str]] = None,
+        fold_groups: Optional[Dict[str, str]] = None,
     ):
         self.name = name
         self.layers = list(layers)
@@ -115,6 +137,8 @@ class JaxModel:
         self._layer_params_fn = layer_params_fn
         self.descriptions = descriptions or {}
         self.category_names = category_names
+        # layer_name -> fold group (pipeline-foldable uniform layers)
+        self.fold_groups = fold_groups or {}
 
     def prefix(self) -> str:
         return self.name + ":"
@@ -161,4 +185,5 @@ class JaxModel:
             except Exception as e:  # noqa: BLE001 — parity: log and continue
                 logger.error("could not generate graph %s: %s", self.name, e)
         for lname, extra, fn in self.layers:
-            LayerNodeKind(self, lname, extra, fn).register(reg)
+            LayerNodeKind(self, lname, extra, fn,
+                          fold_group=self.fold_groups.get(lname)).register(reg)

@@ -95,6 +95,10 @@ def make_vit_model(
         layer_params_fn=vit.layer_params,
         descriptions=descriptions,
         category_names=cats,
+        # every block runs the same computation over its own captures, so
+        # untapped block chains are pipeline-foldable (executor PP mode)
+        fold_groups={f"blocks.{i}": f"{variant}:block"
+                     for i in range(cfg.depth)},
     )
 
 

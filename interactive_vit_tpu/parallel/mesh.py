@@ -35,25 +35,35 @@ def make_mesh(
     axis_sizes: Optional[Dict[str, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh.
+    """Build a (data, model[, stage]) mesh.
 
     Default: all devices on the data axis (pure DP) — the right default for
     ViT-B-scale models that fit on one chip. Pass e.g. ``{"data": 4,
-    "model": 2}`` for DP x TP.
+    "model": 2}`` for DP x TP. A ``stage`` axis > 1 adds pipeline
+    parallelism: the serving executor folds untapped block chains into a
+    GPipe schedule over it (``parallel/pipeline.py``), and is only appended
+    when requested so 2-axis consumers see the classic (data, model) mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     if axis_sizes is None:
         axis_sizes = {"data": len(devices), "model": 1}
-    shape = (axis_sizes.get("data", 1), axis_sizes.get("model", 1))
-    need = shape[0] * shape[1]
+    names = ["data", "model"]
+    shape = [axis_sizes.get("data", 1), axis_sizes.get("model", 1)]
+    if axis_sizes.get("stage", 1) > 1:
+        names.append("stage")
+        shape.append(axis_sizes["stage"])
+    unknown = set(axis_sizes) - {"data", "model", "stage"}
+    if unknown:
+        raise ValueError(f"unknown mesh axes {sorted(unknown)}")
+    need = int(np.prod(shape))
     if need < len(devices):
         devices = devices[:need]  # a sub-mesh is fine; use the first chips
     if need != len(devices):
         raise ValueError(
-            f"mesh {shape} needs {need} devices, got {len(devices)}"
+            f"mesh {tuple(shape)} needs {need} devices, got {len(devices)}"
         )
     arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, ("data", "model"))
+    return Mesh(arr, tuple(names))
 
 
 def param_spec(path: str) -> P:
@@ -80,7 +90,14 @@ def param_spec(path: str) -> P:
 
 
 def param_shardings(params: Params, mesh: Mesh):
-    """NamedSharding pytree matching ``params``' structure."""
+    """NamedSharding pytree matching ``params``' structure.
+
+    Subtrees under a ``__pp<i>`` key are layer-STACKED pipeline captures
+    (executor PP folding): their leaves carry a leading layer dim sharded
+    over "stage" (each stage holds its own blocks), rest replicated — the
+    exact in_spec ``pipeline_apply``'s shard_map consumes, so no resharding
+    happens at the shard_map boundary.
+    """
 
     def walk(tree, prefix=""):
         if isinstance(tree, dict):
@@ -88,6 +105,8 @@ def param_shardings(params: Params, mesh: Mesh):
         if isinstance(tree, (list, tuple)):
             t = [walk(v, prefix + f"/{i}") for i, v in enumerate(tree)]
             return type(tree)(t)
+        if "/__pp" in prefix:
+            return NamedSharding(mesh, P("stage"))
         return NamedSharding(mesh, param_spec(prefix))
 
     return walk(params)

@@ -76,6 +76,48 @@ def _pp_local(stacked_params, x_micro, *, axis: str, n_stages: int,
     return outputs
 
 
+def pipeline_apply_stacked(
+    stacked: Any,
+    x: jnp.ndarray,
+    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    mesh: Mesh,
+    axis: str = "stage",
+    n_micro: Optional[int] = None,
+    n_layers: Optional[int] = None,
+) -> jnp.ndarray:
+    """``pipeline_apply`` over params already stacked on a leading layer
+    dim (the executor's PP-folded captures arrive stacked and possibly
+    traced, so the layer count can't be read off a Python list).
+    Traceable: safe to call inside jit — shard_map composes."""
+    n_stages = mesh.shape[axis]
+    if n_layers is None:
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    if n_layers % n_stages:
+        raise ValueError(
+            f"{n_layers} layers not divisible by {n_stages} stages"
+        )
+    b = x.shape[0]
+    if n_micro is None:
+        # serving-friendly default: as many microbatches as divide the
+        # batch, capped at the stage count (b == 1 -> degenerate but valid)
+        n_micro = n_stages if b % n_stages == 0 else 1
+    if b % n_micro:
+        raise ValueError(f"batch {b} not divisible by {n_micro} microbatches")
+
+    x_micro = x.reshape(n_micro, b // n_micro, *x.shape[1:])
+    fn = jax.shard_map(
+        functools.partial(
+            _pp_local, axis=axis, n_stages=n_stages, n_micro=n_micro,
+            layer_fn=layer_fn,
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P()),   # blocks sharded by stage; input replicated
+        out_specs=P(),
+    )
+    y = fn(stacked, x_micro)
+    return y.reshape(b, *x.shape[1:])
+
+
 def pipeline_apply(
     blocks: List[Any],
     x: jnp.ndarray,
@@ -89,30 +131,10 @@ def pipeline_apply(
     x: [B, ...]; B must divide by n_micro (default: the stage count).
     ``layer_fn(params, x) -> y`` applies ONE block.
     """
-    n_stages = mesh.shape[axis]
-    if len(blocks) % n_stages:
-        raise ValueError(
-            f"{len(blocks)} layers not divisible by {n_stages} stages"
-        )
-    n_micro = n_micro or n_stages
-    b = x.shape[0]
-    if b % n_micro:
-        raise ValueError(f"batch {b} not divisible by {n_micro} microbatches")
-
-    stacked = _stack_blocks(blocks)
-    x_micro = x.reshape(n_micro, b // n_micro, *x.shape[1:])
-
-    fn = jax.shard_map(
-        functools.partial(
-            _pp_local, axis=axis, n_stages=n_stages, n_micro=n_micro,
-            layer_fn=layer_fn,
-        ),
-        mesh=mesh,
-        in_specs=(P(axis), P()),   # blocks sharded by stage; input replicated
-        out_specs=P(),
+    return pipeline_apply_stacked(
+        _stack_blocks(blocks), x, layer_fn, mesh, axis=axis,
+        n_micro=n_micro or mesh.shape[axis], n_layers=len(blocks),
     )
-    y = fn(stacked, x_micro)
-    return y.reshape(b, *x.shape[1:])
 
 
 def pipelined_vit_forward(

@@ -218,6 +218,8 @@ def main() -> None:
                         help="state-dict naming of file checkpoints")
     parser.add_argument("--mesh", default="",
                         help="multi-chip serving mesh, e.g. 'data=4,model=2'"
+                             " (add 'stage=N' for pipeline-parallel serving"
+                             " of untapped block chains)"
                              " (BASELINE config 5 targets v5e-8); empty = "
                              "single device")
     parser.add_argument("--platform", default="default",

@@ -1,0 +1,131 @@
+"""Pipeline-parallel serving: executor folds untapped block chains.
+
+With a mesh carrying a "stage" axis, the staging executor replaces a chain
+of same-fold-group layer nodes (vit blocks) with ONE GPipe schedule
+(``parallel/pipeline.py``) — stage s holds blocks [s*L/S, (s+1)*L/S) and
+activations hop stages over ``ppermute``. The reference's topo-stages
+(``/root/reference/main/graph.py:79-99``) are the natural stage
+decomposition SURVEY.md §2.3 maps onto TPU PP; folding is an execution
+strategy only, so results must match the sequential executor bit-for-class.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from interactive_vit_tpu.graph.executor import Executor
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.models import vit
+from interactive_vit_tpu.models.vit_plugin import make_vit_model
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.parallel.mesh import make_mesh
+from interactive_vit_tpu.wire.schema import GraphLibrary, graph_from_json
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    cfg = vit.ViTConfig("vit_pp", img_size=32, patch=16, width=64,
+                        depth=8, heads=4, num_classes=10)
+    vit.VARIANTS["vit_pp"] = cfg
+    reg = Registry()
+    register_builtin(reg)
+    lib = GraphLibrary(str(tmp_path_factory.mktemp("graphs")))
+    model = make_vit_model("vit_pp", with_categories=False)
+    model.register(reg, lib)
+    yield reg, lib, cfg
+    del vit.VARIANTS["vit_pp"]
+
+
+def _graph(lib):
+    g = graph_from_json(lib.load("vit_pp.json"))
+    img = np.random.default_rng(0).random((3, 32, 32)).astype(np.float32)
+    g.add_input(img, g.nodes[0], "o")
+    return g
+
+
+def _head_index(g):
+    return len(g.nodes) - 1
+
+
+def test_pp_fold_matches_sequential(setup):
+    reg, lib, cfg = setup
+    mesh = make_mesh({"stage": 4})
+    assert "stage" in mesh.axis_names
+
+    g = _graph(lib)
+    head = _head_index(g)
+    ref = Executor(reg=reg).run(_graph(lib), taps={(head, "o")})
+
+    ex = Executor(reg=reg, mesh=mesh)
+    got = ex.run(g, taps={(head, "o")})
+    # the 8-block chain folded into one 4-stage pipeline
+    assert len(ex.last_pp_segments) == 1
+    assert len(ex.last_pp_segments[0]) == 8
+    np.testing.assert_allclose(
+        np.asarray(got[head]["o"]), np.asarray(ref[head]["o"]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_pp_fold_skips_tapped_interior(setup):
+    """A mid-chain tap (interactive viewer on block 3's maps) forbids
+    folding across it; results still match and the tap is delivered."""
+    reg, lib, cfg = setup
+    mesh = make_mesh({"stage": 4})
+    g = _graph(lib)
+    head = _head_index(g)
+    # block nodes start at index 2 (transform, embed, blocks.0..7, ...)
+    mid = 5  # blocks.3
+    taps = {(head, "o"), (mid, "attn")}
+
+    ref = Executor(reg=reg).run(_graph(lib), taps=taps)
+    ex = Executor(reg=reg, mesh=mesh)
+    got = ex.run(g, taps=taps)
+
+    # the chain is split around the tapped block: only the 4-node run
+    # after it can fold (blocks.4..7); blocks.0..2 (3 nodes < 4 stages)
+    # run sequentially
+    assert all(mid not in seg for seg in ex.last_pp_segments)
+    np.testing.assert_allclose(
+        np.asarray(got[head]["o"]), np.asarray(ref[head]["o"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[mid]["attn"]), np.asarray(ref[mid]["attn"]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_pp_fold_inactive_without_stage_axis(setup):
+    reg, lib, cfg = setup
+    mesh = make_mesh({"data": 4, "model": 2})
+    g = _graph(lib)
+    head = _head_index(g)
+    ex = Executor(reg=reg, mesh=mesh)
+    ex.run(g, taps={(head, "o")})
+    assert ex.last_pp_segments == []
+
+
+def test_pp_fold_composes_with_batched_serving(setup):
+    """run_stacked (micro-batched serving) over a PP mesh."""
+    reg, lib, cfg = setup
+    mesh = make_mesh({"stage": 4})
+    head_ref = None
+    graphs = []
+    for seed in range(4):
+        g = graph_from_json(lib.load("vit_pp.json"))
+        img = np.random.default_rng(seed).random((3, 32, 32)) \
+            .astype(np.float32)
+        g.add_input(img, g.nodes[0], "o")
+        graphs.append(g)
+    head = _head_index(graphs[0])
+    ex = Executor(reg=reg, mesh=mesh)
+    outs = ex.run_stacked(graphs, taps={(head, "o")})
+    ref = Executor(reg=reg).run(graphs[0], taps={(head, "o")})
+    assert len(outs) == 4
+    np.testing.assert_allclose(
+        np.asarray(outs[0][head]["o"]), np.asarray(ref[head]["o"]),
+        rtol=2e-4, atol=2e-4,
+    )

@@ -68,14 +68,22 @@ def main() -> None:
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
     attn_impl = default_attn_impl(args.attn)
+    mlp_impl = None
     if args.dtype == "int8w8a8":
-        # int8 x int8 MXU matmuls for every block linear (qkv/proj/fc1/fc2);
-        # the fused block kernel takes dense weights, so attention itself
-        # runs the unfused XLA/flash path (ops/quant.py docstring)
+        # int8 x int8 MXU matmuls for the MLP (fc1/fc2) via the Pallas
+        # W8A8 kernel; attention keeps the dense fused-block kernel
+        # (quantizing qkv/proj forces the slow unfused path — measured,
+        # ops/dispatch.default_mlp_impl docstring)
+        from interactive_vit_tpu.ops.dispatch import default_mlp_impl
         from interactive_vit_tpu.ops.quant import quantize_tree
 
-        params = quantize_tree(params, mode="w8a8")
-        block_impl = None
+        params = quantize_tree(params, names=frozenset({"fc1_w", "fc2_w"}),
+                               mode="w8a8")
+        block_impl = default_block_impl(args.block, dtype=dtype,
+                                        n=cfg.tokens, d=cfg.width,
+                                        heads=cfg.heads)
+        mlp_impl = default_mlp_impl("auto", dtype=dtype, d=cfg.width,
+                                    mlp_dim=cfg.mlp_dim, quant="w8a8")
     else:
         block_impl = default_block_impl(args.block, dtype=dtype,
                                         n=cfg.tokens, d=cfg.width,
@@ -84,7 +92,8 @@ def main() -> None:
 
     def fn(params, images):
         out = vit.forward(params, images, cfg, want_attn=want_attn,
-                          attn_impl=attn_impl, block_impl=block_impl)
+                          attn_impl=attn_impl, block_impl=block_impl,
+                          mlp_impl=mlp_impl)
         if want_attn:
             # extraction contract: logits + per-layer maps + rollout all leave
             # the program (nothing DCE'd away)

@@ -272,7 +272,8 @@ def forward(
 # -- graph-node decomposition ---------------------------------------------------
 
 
-def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None):
+def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
+              mlp_impl=None):
     """The model as an ordered list of named tappable layers.
 
     Each entry is ``(layer_name, extra_out_channels, fn)`` with
@@ -309,7 +310,7 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None):
             y, probs, pmean = block(
                 p, x, cfg, want_attn="attn" in want,
                 attn_impl=attn_impl, block_impl=block_impl,
-                want_mean="r" in want,
+                mlp_impl=mlp_impl, want_mean="r" in want,
             )
             outs = {"o": y}
             if probs is not None and "attn" in want:

@@ -56,15 +56,36 @@ def make_vit_model(
             jax.random.key(seed), cfg, dtype=dtype or jnp.float32
         )
 
-    from interactive_vit_tpu.ops.dispatch import default_block_impl
+    from interactive_vit_tpu.ops.dispatch import (
+        default_block_impl, default_mlp_impl,
+    )
 
     leaf_dtype = jax.tree.leaves(params)[0].dtype
+    mlp_impl = None
     if quantize:
         from interactive_vit_tpu.ops.quant import quantize_tree
 
         mode = quantize if isinstance(quantize, str) else "w8"
-        params = quantize_tree(params, mode=mode)
-        block_impl = None
+        if mode == "w8a8":
+            # W8A8 serves through the fused attention block (dense
+            # qkv/proj) + the Pallas W8A8 MLP kernel: quantizing the
+            # attention linears forces the slow unfused XLA path and the
+            # measured XLA quantize-chain breakage (ops/dispatch
+            # docstring), so only fc1/fc2 go int8
+            params = quantize_tree(
+                params, names=frozenset({"fc1_w", "fc2_w"}), mode=mode)
+            block_impl = (
+                default_block_impl("auto", dtype=leaf_dtype, n=cfg.tokens,
+                                   d=cfg.width, heads=cfg.heads)
+                if kernels else None
+            )
+            if kernels:
+                mlp_impl = default_mlp_impl(
+                    "auto", dtype=leaf_dtype, d=cfg.width,
+                    mlp_dim=cfg.mlp_dim, quant="w8a8")
+        else:
+            params = quantize_tree(params, mode=mode)
+            block_impl = None
     elif not kernels:
         # GSPMD-partitionable path (mesh-sharded serving: Pallas custom
         # calls don't partition); attention runs in XLA
@@ -74,7 +95,8 @@ def make_vit_model(
             "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width,
             heads=cfg.heads
         )
-    layers = vit.layer_fns(cfg, attn_impl=attn_impl, block_impl=block_impl)
+    layers = vit.layer_fns(cfg, attn_impl=attn_impl, block_impl=block_impl,
+                           mlp_impl=mlp_impl)
     descriptions = {
         "transform": f"Resize+CenterCrop({cfg.img_size})+Normalize",
         "embed": f"PatchEmbed p={cfg.patch} d={cfg.width} + CLS + pos",

@@ -11,6 +11,7 @@ Dispatch policy:
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
@@ -77,6 +78,39 @@ def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
                 return headwise_attn_block
         return None
     raise ValueError(f"unknown block impl {name!r}")
+
+
+def default_mlp_impl(name: str = "auto", dtype=None, d: int = 0,
+                     mlp_dim: int = 0, quant: str = ""):
+    """Resolve the fused MLP-branch kernel policy.
+
+    The bf16 fused MLP measured SLOWER than XLA's single big matmul
+    (ops/fused_mlp.py docstring) so "auto" returns None for dense models.
+    For W8A8 models (``quant="w8a8"``) the Pallas kernel is the ONLY way
+    to reach the int8 MXU rate without XLA's quantize-chain fusion
+    breakage (measured ~4.5 ms/batch-32 of copies + reduce fusions), so
+    "auto" selects ``fused_mlp_w8a8_block`` on TPU when it fits VMEM.
+    """
+    if name in ("none", "reference"):
+        return None
+    from interactive_vit_tpu.ops import fused_mlp as fm
+
+    if name == "fused":
+        return fm.fused_mlp_block
+    if name == "w8a8":
+        bq = fm.pick_block_q_w8a8(d, mlp_dim) or 128
+        return functools.partial(fm.fused_mlp_w8a8_block, block_q=bq)
+    if name == "auto":
+        import jax.numpy as jnp
+
+        if (quant == "w8a8" and on_tpu() and dtype is not None
+                and dtype != jnp.float32):
+            bq = fm.pick_block_q_w8a8(d, mlp_dim)
+            if bq:
+                return functools.partial(fm.fused_mlp_w8a8_block,
+                                         block_q=bq)
+        return None
+    raise ValueError(f"unknown mlp impl {name!r}")
 
 
 def default_attn_impl(name: str = "auto"):

@@ -98,3 +98,118 @@ def fits(d: int, mlp_dim: int, dtype, block_q: int = 128) -> bool:
     weights = (d * mlp_dim + mlp_dim * d) * esize
     acts = block_q * (d * 3 + mlp_dim) * 4  # f32 working set
     return weights + acts < 12 * 1024 * 1024
+
+
+# -- W8A8 variant: int8 x int8 MXU matmuls with in-kernel quantization ---------
+#
+# The XLA W8A8 path (ops/quant.linear_w8a8) measured SLOWER than bf16 on
+# the full model: XLA breaks the quantize/dequantize chains out of the
+# matmul fusions (~2.6 ms/iter of relayout copies + ~1.9 ms of reduce
+# fusions on ViT-B batch-32, profiler-verified). This kernel keeps the
+# whole quantize -> s8 dot -> dequantize -> GELU -> quantize -> s8 dot
+# chain in VMEM, so the only HBM traffic is x, y, and the int8 weights
+# (half the bf16 bytes). Semantics mirror the jnp path exactly: per-token
+# symmetric int8 (ops/quant.quantize_acts) over the f32 view of the
+# activations.
+
+
+def _round_half_away(x):
+    # Mosaic has no lowering for round-half-to-even (jnp.round/lax.round
+    # with default mode); round-half-away lowers fine. The two differ only
+    # on exact .5 grid points of x/scale — for quantization that is a
+    # 1-ulp difference on a handful of lattice values, inside the W8A8
+    # noise class. The jnp reference (ops/quant.quantize_acts) uses
+    # jnp.round; tests compare logits at the model level.
+    return jnp.floor(x + 0.5)
+
+
+def _quant_rows(xf):
+    """f32 [R, D] -> (int8 [R, D], f32 [R, 1] scale); per-row symmetric."""
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(_round_half_away(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _w8a8_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                 w2_ref, s2_ref, b2_ref, y_ref, *, eps: float):
+    x = x_ref[...]  # [bq, D] activation dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[0] + lnb_ref[0]
+    # mirror the jnp path: quantize the activation-dtype view's f32 value
+    ln = ln.astype(x.dtype).astype(jnp.float32)
+
+    q1, sx1 = _quant_rows(ln)
+    acc1 = jax.lax.dot(q1, w1_ref[...], preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * (sx1 * s1_ref[0]) + b1_ref[0]
+    h = jax.nn.gelu(h.astype(x.dtype), approximate=True).astype(jnp.float32)
+
+    q2, sx2 = _quant_rows(h)
+    acc2 = jax.lax.dot(q2, w2_ref[...], preferred_element_type=jnp.int32)
+    y = xf + acc2.astype(jnp.float32) * (sx2 * s2_ref[0]) + b2_ref[0]
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def fused_mlp_w8a8_block(x: jnp.ndarray, p: Params, eps: float = 1e-6,
+                         block_q: int = 256) -> jnp.ndarray:
+    """x [B, N, D] -> x + MLP_w8a8(LN2(x)), one pallas call.
+
+    ``p["fc1_w"]/p["fc2_w"]`` must be W8A8 leaf-dicts (``ops/quant.py``
+    AQKEY/ASKEY). Rows are processed in [block_q, D] strips of the
+    flattened [B*N, D] token stream (LN and the MLP are row-local);
+    constant weight index maps keep the int8 weights VMEM-resident
+    across the grid.
+    """
+    from interactive_vit_tpu.ops.quant import AQKEY, ASKEY
+
+    b, n, d = x.shape
+    w1, w2 = p["fc1_w"], p["fc2_w"]
+    md = w1[AQKEY].shape[1]
+    rows = b * n
+    x2 = x.reshape(rows, d)
+    kernel = functools.partial(_w8a8_kernel, eps=eps)
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(rows, block_q),),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, md), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, md), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, md), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((md, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(x2, p["ln2_s"].reshape(1, d), p["ln2_b"].reshape(1, d),
+      w1[AQKEY], w1[ASKEY].reshape(1, md), p["fc1_b"].reshape(1, md),
+      w2[AQKEY], w2[ASKEY].reshape(1, d), p["fc2_b"].reshape(1, d))
+    return y2.reshape(b, n, d)
+
+
+def fits_w8a8(d: int, mlp_dim: int, block_q: int = 256) -> bool:
+    """VMEM feasibility: int8 weights (resident) + the dominant
+    simultaneous per-strip buffers (f32 hidden + int8 hidden + f32
+    row-local activations; Mosaic frees dead temporaries)."""
+    weights = d * mlp_dim * 2          # int8 fc1 + fc2
+    acts = block_q * (mlp_dim * 5 + d * 12)
+    return weights + acts < 13 * 1024 * 1024
+
+
+def pick_block_q_w8a8(d: int, mlp_dim: int) -> int:
+    """Largest row-strip in {512, 256, 128} that fits VMEM (0 = none)."""
+    for bq in (512, 256, 128):
+        if fits_w8a8(d, mlp_dim, bq):
+            return bq
+    return 0

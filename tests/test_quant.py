@@ -176,3 +176,36 @@ def test_w8a8_param_specs_shard_like_dense():
     assert param_spec("blocks/0/qkv_w/int8a8_s") == P("model")
     assert param_spec("blocks/0/proj_w/int8a8_q") == P("model", None)
     assert param_spec("blocks/0/proj_w/int8a8_s") == P(None)
+
+
+def test_graph_path_runs_w8a8(tmp_path):
+    """The staged executor evaluates a W8A8 model graph end-to-end (the
+    plugin quantizes fc1/fc2 only; attention linears stay dense so the
+    fused-block/XLA attention path is preserved)."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+    from interactive_vit_tpu.wire.schema import GraphLibrary, graph_from_json
+
+    cfg = vit.ViTConfig("vit_qa8", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=10)
+    vit.VARIANTS["vit_qa8"] = cfg
+    try:
+        reg = Registry()
+        register_builtin(reg)
+        lib = GraphLibrary(str(tmp_path))
+        model = make_vit_model("vit_qa8", quantize="w8a8")
+        blk = model.params["blocks"][0]
+        assert quant.is_w8a8(blk["fc1_w"])
+        assert not quant.is_w8a8(blk["qkv_w"])  # attention stays dense
+        model.register(reg, lib)
+        g = graph_from_json(lib.load("vit_qa8.json"))
+        img = np.random.default_rng(8).random((3, 32, 32)).astype(np.float32)
+        g.add_input(img, g.nodes[0], "o")
+        outs = Executor(reg=reg).run(g, taps="primary")
+        head = max(i for i in outs if outs[i])
+        logits = list(outs[head].values())[0]
+        assert np.isfinite(logits).all()
+    finally:
+        del vit.VARIANTS["vit_qa8"]

@@ -100,6 +100,13 @@ def rollout_step(attn: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:
     per-block "r" channel in the interactive graph (the rollout flows
     along the chain like the activation does).
     """
+    # precision keyed on the INCOMING maps' dtype, not the f32 working
+    # copy: bf16 maps carry 8 mantissa bits, so HIGHEST (6-pass f32
+    # emulation) buys nothing — and at N=577 (ViT-L/16@384) the HIGHEST
+    # batched [B,N,N] chain reproducibly crashes this backend's remote
+    # compile helper (HTTP 500, bisected 2026-08-16). The f32 parity path
+    # (f32 maps) keeps HIGHEST per the 1e-4 contract.
+    prec = mm_precision(attn)
     mean_heads = attn.astype(jnp.float32)
     if mean_heads.ndim == 4:
         mean_heads = mean_heads.mean(axis=1)  # [B, N, N]
@@ -107,7 +114,7 @@ def rollout_step(attn: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:
     aug = 0.5 * mean_heads + 0.5 * jnp.eye(n, dtype=jnp.float32)
     aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
     return jnp.einsum("bij,bjk->bik", aug, carry.astype(jnp.float32),
-                      precision=mm_precision(aug))
+                      precision=prec)
 
 
 def attention_rollout(attns) -> jnp.ndarray:

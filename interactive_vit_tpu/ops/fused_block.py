@@ -212,6 +212,14 @@ def fused_attn_block(
     return y, probs
 
 
+#: head-group working-set budget. The kernel's pallas_call raises the
+#: scoped-vmem limit to (estimate + 4M), so this is bounded by real VMEM
+#: headroom, not the default 16M scoped limit (which killed the whole
+#: ViT-L maps-on compile when hb=4's true stack hit 18.77M — bisected
+#: 2026-08-16). 22M admits hb=4 maps-on / hb=8 maps-off at ViT-L/16@384.
+_HEADWISE_BUDGET = 22 * 1024 * 1024
+
+
 def _headwise_bytes(n: int, d: int, dh: int, hb: int, esize: int,
                     emit: bool, emit_mean: bool) -> int:
     """Per-program VMEM estimate for one hb-head group, calibrated
@@ -251,7 +259,7 @@ def _head_group(dh: int, heads: int, n: int = 0, d: int = 0,
     hb = base
     while hb <= heads:
         if heads % hb == 0 and _headwise_bytes(
-                n, d, dh, hb, esize, emit, emit_mean) < 17 * 1024 * 1024:
+                n, d, dh, hb, esize, emit, emit_mean) < _HEADWISE_BUDGET:
             best = hb
         hb *= 2
     return best
@@ -459,6 +467,15 @@ def headwise_attn_block(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # the default 16M scoped-vmem limit is conservative (v5e has
+            # 128M physical VMEM) and its breach is a COMPILE failure that
+            # killed the whole ViT-L maps-on program (bisected 2026-08-16:
+            # hb=4 stack 18.77M; hb=8 32.76M — the compiler's true stack
+            # runs up to ~1.6x the working-set estimate because streamed
+            # blocks, including the tap outputs, double-buffer). A flat
+            # generous limit keeps group widening safe; real usage is
+            # bounded by the picked group's working set, not this cap.
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(x, *qkv_args, projw, p["proj_b"].reshape(1, d))
     y = results[0]
@@ -487,4 +504,4 @@ def fits_headwise(n: int, d: int, heads: int, dtype) -> bool:
     dh = d // heads
     base = _head_group(dh, heads) or 1
     return _headwise_bytes(n, d, dh, base, esize, emit=True,
-                           emit_mean=True) < 17 * 1024 * 1024
+                           emit_mean=True) < _HEADWISE_BUDGET

@@ -312,11 +312,22 @@ class Executor:
 
         def foldable(n) -> bool:
             kind = node_kinds[n.index]
+            # an extra-channel OUTPUT edge (r/attn/cls wired into a consumer)
+            # disqualifies the node even as a chain TAIL: the fold emits only
+            # the last node's "o", so a consumed extra channel would be
+            # missing from env (raw KeyError, unattributed). Mirrors how
+            # effective_params treats wired extras as wants.
+            extra_consumed = any(
+                e.dst is not None
+                for ch, es in n.outputs.items() if ch != "o"
+                for e in es
+            )
             return (
                 getattr(kind, "fold_group", None) is not None
                 and captures.get(n.index) is not None
                 and set(n.inputs.keys()) <= {"o"}
                 and n.index not in extra_tapped
+                and not extra_consumed
             )
 
         def links_to(a, b) -> bool:

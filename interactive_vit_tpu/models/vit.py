@@ -177,7 +177,13 @@ def block(
         )
         x = x + h
         if want_mean and probs is not None:
-            pmean = probs.astype(jnp.float32).mean(axis=1)
+            # mean over heads accumulates in f32, but the emitted map keeps
+            # the maps' own dtype — matching the fused kernels' bf16
+            # emission, and keeping rollout_step's precision policy keyed on
+            # the model's numeric class (an f32 working copy here would
+            # force HIGHEST rollout matmuls on bf16 models; at N=577 that
+            # chain reproducibly kills this backend's compile helper)
+            pmean = probs.astype(jnp.float32).mean(axis=1).astype(probs.dtype)
         if not want_attn:
             probs = None
     if mlp_impl is not None:

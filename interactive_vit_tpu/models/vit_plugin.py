@@ -66,6 +66,18 @@ def make_vit_model(
         from interactive_vit_tpu.ops.quant import quantize_tree
 
         mode = quantize if isinstance(quantize, str) else "w8"
+        if mode == "w8a8" and not kernels:
+            # Pallas custom calls don't GSPMD-partition, so mesh-sharded
+            # serving disables kernels — and W8A8 without the fused MLP
+            # kernel degenerates to the naive XLA quantize-chain path,
+            # which is measured strictly SLOWER than bf16 (docs/kernels.md
+            # "W8A8 findings") while still paying the accuracy
+            # perturbation. Refuse rather than silently serve it.
+            raise ValueError(
+                "int8w8a8 requires the Pallas kernel path (kernels=True); "
+                "it is not available with mesh-sharded serving — "
+                "use dtype=bfloat16 (or int8 weight-only) on a mesh"
+            )
         if mode == "w8a8":
             # W8A8 serves through the fused attention block (dense
             # qkv/proj) + the Pallas W8A8 MLP kernel: quantizing the

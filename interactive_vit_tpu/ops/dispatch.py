@@ -98,7 +98,16 @@ def default_mlp_impl(name: str = "auto", dtype=None, d: int = 0,
     if name == "fused":
         return fm.fused_mlp_block
     if name == "w8a8":
-        bq = fm.pick_block_q_w8a8(d, mlp_dim) or 128
+        bq = fm.pick_block_q_w8a8(d, mlp_dim)
+        if not bq:
+            # do NOT override the estimator: a config it rejects breaches
+            # scoped VMEM, which is a deterministic COMPILE failure that
+            # kills the whole program (CLAUDE.md) — fail loudly instead
+            raise ValueError(
+                f"W8A8 MLP kernel does not fit VMEM for d={d}, "
+                f"mlp_dim={mlp_dim} (int8 weights alone exceed the "
+                f"budget); use mlp_impl='auto' to fall back to XLA"
+            )
         return functools.partial(fm.fused_mlp_w8a8_block, block_q=bq)
     if name == "auto":
         import jax.numpy as jnp

@@ -213,10 +213,11 @@ def fused_attn_block(
 
 
 #: head-group working-set budget. The kernel's pallas_call raises the
-#: scoped-vmem limit to (estimate + 4M), so this is bounded by real VMEM
-#: headroom, not the default 16M scoped limit (which killed the whole
-#: ViT-L maps-on compile when hb=4's true stack hit 18.77M — bisected
-#: 2026-08-16). 22M admits hb=4 maps-on / hb=8 maps-off at ViT-L/16@384.
+#: scoped-vmem limit to a flat 48M (see the CompilerParams note below), so
+#: this is bounded by real VMEM headroom, not the default 16M scoped limit
+#: (which killed the whole ViT-L maps-on compile when hb=4's true stack
+#: hit 18.77M — bisected 2026-08-16). 22M admits hb=4 maps-on / hb=8
+#: maps-off at ViT-L/16@384.
 _HEADWISE_BUDGET = 22 * 1024 * 1024
 
 

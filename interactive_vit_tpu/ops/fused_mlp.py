@@ -113,13 +113,15 @@ def fits(d: int, mlp_dim: int, dtype, block_q: int = 128) -> bool:
 # activations.
 
 
-def _round_half_away(x):
+def _round_half_up(x):
     # Mosaic has no lowering for round-half-to-even (jnp.round/lax.round
-    # with default mode); round-half-away lowers fine. The two differ only
-    # on exact .5 grid points of x/scale — for quantization that is a
-    # 1-ulp difference on a handful of lattice values, inside the W8A8
-    # noise class. The jnp reference (ops/quant.quantize_acts) uses
-    # jnp.round; tests compare logits at the model level.
+    # with default mode); floor(x + 0.5) — round-half-UP, ties toward +inf
+    # for NEGATIVE values too (floor(-1.5 + 0.5) = -1 where jnp.round
+    # gives -2) — lowers fine. The divergence from the jnp reference
+    # (ops/quant.quantize_acts uses jnp.round) is confined to exact .5
+    # grid points of x/scale: a 1-ulp difference on a handful of lattice
+    # values, inside the W8A8 noise class. Tests compare logits at the
+    # model level.
     return jnp.floor(x + 0.5)
 
 
@@ -127,7 +129,7 @@ def _quant_rows(xf):
     """f32 [R, D] -> (int8 [R, D], f32 [R, 1] scale); per-row symmetric."""
     s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     s = jnp.where(s == 0, 1.0, s)
-    q = jnp.clip(_round_half_away(xf / s), -127, 127).astype(jnp.int8)
+    q = jnp.clip(_round_half_up(xf / s), -127, 127).astype(jnp.int8)
     return q, s
 
 

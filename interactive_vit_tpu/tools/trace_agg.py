@@ -25,13 +25,35 @@ import os
 from typing import Dict, List, Tuple
 
 
-def find_trace_files(log_dir: str) -> List[str]:
-    return sorted(
+def find_trace_files(log_dir: str, latest_only: bool = True) -> List[str]:
+    """Trace files under ``log_dir``.
+
+    ``jax.profiler.start_trace`` appends a NEW timestamped
+    ``plugins/profile/<ts>/`` subdir per trace, so a re-run into the same
+    dir (the sweep harnesses do, to survive tunnel flakes) leaves stale
+    traces behind; summing them would silently multiply every total. By
+    default only the newest profile subdir is aggregated
+    (``latest_only=False`` restores the sum-everything behavior). A
+    ``.trace.json.gz`` also shadows its uncompressed twin so a pair is
+    never double-counted.
+    """
+    paths = sorted(
         glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
                   recursive=True)
         + glob.glob(os.path.join(log_dir, "**", "*.trace.json"),
                     recursive=True)
     )
+    # drop an uncompressed twin when the .gz exists
+    gz_stems = {p[: -len(".gz")] for p in paths if p.endswith(".gz")}
+    paths = [p for p in paths if p.endswith(".gz") or p not in gz_stems]
+    if latest_only and paths:
+        dirs = {os.path.dirname(p) for p in paths}
+        if len(dirs) > 1:
+            newest = max(dirs, key=lambda d: max(
+                os.path.getmtime(p) for p in paths
+                if os.path.dirname(p) == d))
+            paths = [p for p in paths if os.path.dirname(p) == newest]
+    return paths
 
 
 def load_events(path: str) -> List[dict]:
@@ -41,7 +63,7 @@ def load_events(path: str) -> List[dict]:
 
 
 def aggregate(
-    log_dir: str,
+    log_dir: str, latest_only: bool = True,
 ) -> Tuple[Dict[str, float], Dict[str, float], Dict[str, int]]:
     """Sum device-event durations (us) by hlo_category and by event name.
 
@@ -52,7 +74,7 @@ def aggregate(
     by_cat: Dict[str, float] = collections.defaultdict(float)
     by_name: Dict[str, float] = collections.defaultdict(float)
     counts: Dict[str, int] = collections.defaultdict(int)
-    for path in find_trace_files(log_dir):
+    for path in find_trace_files(log_dir, latest_only=latest_only):
         for ev in load_events(path):
             if ev.get("ph") != "X":
                 continue
@@ -67,8 +89,8 @@ def aggregate(
     return dict(by_cat), dict(by_name), dict(counts)
 
 
-def report(log_dir: str, top: int = 20) -> dict:
-    by_cat, by_name, counts = aggregate(log_dir)
+def report(log_dir: str, top: int = 20, latest_only: bool = True) -> dict:
+    by_cat, by_name, counts = aggregate(log_dir, latest_only=latest_only)
     total = sum(by_cat.values())
     out = {
         "total_device_us": round(total, 1),
@@ -88,8 +110,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("log_dir")
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--all-runs", action="store_true",
+                    help="sum EVERY profile subdir under log_dir (default: "
+                         "only the newest — re-runs into the same dir "
+                         "would otherwise double-count)")
     args = ap.parse_args()
-    print(json.dumps(report(args.log_dir, args.top), indent=2))
+    print(json.dumps(
+        report(args.log_dir, args.top, latest_only=not args.all_runs),
+        indent=2))
 
 
 if __name__ == "__main__":

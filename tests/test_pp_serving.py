@@ -98,6 +98,39 @@ def test_pp_fold_skips_tapped_interior(setup):
     )
 
 
+def test_pp_fold_excludes_wired_extra_channel(setup):
+    """A block whose extra output channel (r) is WIRED into a consumer may
+    not fold even as a chain tail: the fold emits only the last node's "o",
+    so folding it would drop the consumed channel (regression: raw
+    ``KeyError (idx, 'r')`` bypassing TargettedError attribution)."""
+    reg, lib, cfg = setup
+    mesh = make_mesh({"stage": 2})
+
+    def build():
+        g = _graph(lib)
+        # rollout chain: blocks.3 r -> blocks.4 r (the interactive
+        # rollout-accumulator wiring)
+        g.connect(g.nodes[5], "r", g.nodes[6], "r")
+        return g
+
+    head = _head_index(build())
+    taps = {(head, "o"), (6, "r")}
+    ref = Executor(reg=reg).run(build(), taps=taps)
+
+    ex = Executor(reg=reg, mesh=mesh)
+    got = ex.run(build(), taps=taps)
+    # neither endpoint of the r-edge may appear in any folded segment
+    assert all(5 not in seg and 6 not in seg for seg in ex.last_pp_segments)
+    np.testing.assert_allclose(
+        np.asarray(got[6]["r"]), np.asarray(ref[6]["r"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[head]["o"]), np.asarray(ref[head]["o"]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_pp_fold_inactive_without_stage_axis(setup):
     reg, lib, cfg = setup
     mesh = make_mesh({"data": 4, "model": 2})

@@ -35,3 +35,34 @@ def test_aggregate_by_category(tmp_path):
     r = report(str(tmp_path), top=5)
     assert r["total_device_us"] == 180.0
     assert r["top_ops_us"][0]["name"] == "fusion.1"
+
+
+def test_aggregate_latest_run_only(tmp_path):
+    """Re-running a sweep into the same trace dir leaves the previous
+    timestamped profile subdir behind; default aggregation must not sum
+    stale runs (that silently doubles every device total)."""
+    ev = lambda dur: [{"ph": "X", "name": "f", "dur": dur,  # noqa: E731
+                       "args": {"hlo_category": "fusion"}}]
+    old = os.path.join(str(tmp_path), "plugins", "profile", "r1",
+                       "t.trace.json.gz")
+    new = os.path.join(str(tmp_path), "plugins", "profile", "r2",
+                       "t.trace.json.gz")
+    _write_trace(old, ev(100.0))
+    _write_trace(new, ev(30.0))
+    os.utime(old, (1.0, 1.0))  # mtime order decides, not dir names
+    by_cat, _, _ = aggregate(str(tmp_path))
+    assert by_cat == {"fusion": 30.0}
+    by_cat_all, _, _ = aggregate(str(tmp_path), latest_only=False)
+    assert by_cat_all == {"fusion": 130.0}
+
+
+def test_gz_shadows_uncompressed_twin(tmp_path):
+    d = str(tmp_path / "plugins" / "profile" / "run1")
+    events = [{"ph": "X", "name": "f", "dur": 10.0,
+               "args": {"hlo_category": "fusion"}}]
+    _write_trace(os.path.join(d, "t.trace.json.gz"), events)
+    with open(os.path.join(d, "t.trace.json"), "w") as f:
+        json.dump({"traceEvents": events}, f)
+    by_cat, _, counts = aggregate(str(tmp_path))
+    assert by_cat == {"fusion": 10.0}
+    assert counts["f"] == 1

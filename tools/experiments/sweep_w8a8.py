@@ -6,39 +6,29 @@
   3. ViT-B int8w8a8 mode (fused blocks + Pallas W8A8 MLP) sweep + trace
   4. ViT-L maps-on compile bisect: pinned vs unpinned layouts, batch 4/8
   5. ViT-L maps-off with the W8A8 MLP kernel (MLP is 40% of its FLOPs)
+
+Writes JSON lines to /tmp/r3_exp3.jsonl and traces under /tmp/r3_traces/.
+Shared loop: tools/experiments/_harness.py.
 """
 
 import functools
-import json
-import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from _harness import make_emit, model_sweep, setup_jax
 
-OUT = open("/tmp/r3_exp3.jsonl", "a", buffering=1)
+emit = make_emit("/tmp/r3_exp3.jsonl")
+jax = setup_jax()
 
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-    OUT.write(json.dumps(kw) + "\n")
-
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/ivt_jit_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-from interactive_vit_tpu.models import vit
-from interactive_vit_tpu.ops import fused_mlp as fm
-from interactive_vit_tpu.ops import layers as L
-from interactive_vit_tpu.ops import quant
-from interactive_vit_tpu.ops.dispatch import (
-    default_attn_impl, default_block_impl, default_mlp_impl,
-)
-from interactive_vit_tpu.ops.layouts import row_major_out_shardings
-from interactive_vit_tpu.tools.trace_agg import aggregate, report
+from interactive_vit_tpu.models import vit  # noqa: E402
+from interactive_vit_tpu.ops import fused_mlp as fm  # noqa: E402
+from interactive_vit_tpu.ops import layers as L  # noqa: E402
+from interactive_vit_tpu.ops import quant  # noqa: E402
+from interactive_vit_tpu.tools.trace_agg import aggregate  # noqa: E402
 
 emit(stage="start", devices=str(jax.devices()))
 
@@ -111,80 +101,18 @@ def w8a8_kernel_numerics():
          rel=err / scale)
 
 
-# ---- 3/4/5. model sweeps ----------------------------------------------------
-
-def model_sweep(variant, tag, want_attn, batches, iters=10, w8a8=False,
-                pin_layouts=True, trace_batch=None):
-    cfg = vit.VARIANTS[variant]
-    dtype = jnp.bfloat16
-    params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
-    attn_impl = default_attn_impl("auto")
-    block_impl = default_block_impl("auto", dtype=dtype, n=cfg.tokens,
-                                    d=cfg.width, heads=cfg.heads)
-    mlp_impl = None
-    if w8a8:
-        params = quant.quantize_tree(
-            params, names=frozenset({"fc1_w", "fc2_w"}), mode="w8a8")
-        mlp_impl = default_mlp_impl("auto", dtype=dtype, d=cfg.width,
-                                    mlp_dim=cfg.mlp_dim, quant="w8a8")
-        assert mlp_impl is not None
-
-    def fn(params, images):
-        out = vit.forward(params, images, cfg, want_attn=want_attn,
-                          attn_impl=attn_impl, block_impl=block_impl,
-                          mlp_impl=mlp_impl)
-        if want_attn:
-            return out["logits"], out["attn"], out["rollout"]
-        return out["logits"]
-
-    for batch in batches:
-        try:
-            images = jnp.asarray(
-                np.random.default_rng(0).random(
-                    (batch, 3, cfg.img_size, cfg.img_size), dtype=np.float32
-                ), dtype=dtype)
-            if pin_layouts:
-                sh = row_major_out_shardings(fn, params, images)
-                jitted = (jax.jit(fn, out_shardings=sh) if sh is not None
-                          else jax.jit(fn))
-            else:
-                jitted = jax.jit(fn)
-            jax.block_until_ready(jitted(params, images))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = jitted(params, images)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            emit(stage="sweep", variant=variant, tag=tag, maps=want_attn,
-                 batch=batch, pin=pin_layouts,
-                 ips=round(batch * iters / dt, 1),
-                 ms_per_batch=round(dt / iters * 1e3, 2))
-            if trace_batch == batch:
-                tdir = f"/tmp/r3_traces/{variant}_{tag}_m{int(want_attn)}_b{batch}"
-                jax.profiler.start_trace(tdir)
-                for _ in range(3):
-                    out = jitted(params, images)
-                jax.block_until_ready(out)
-                jax.profiler.stop_trace()
-                emit(stage="trace", variant=variant, tag=tag,
-                     batch=batch, report=report(tdir, top=10))
-        except Exception as e:  # noqa: BLE001
-            emit(stage="error", variant=variant, tag=tag, maps=want_attn,
-                 batch=batch, pin=pin_layouts, err=repr(e)[:300])
-
-
 pallas_mm_probe()
 w8a8_kernel_numerics()
 
 # ViT-B full int8w8a8 mode (fused blocks + Pallas W8A8 MLP)
-model_sweep("vit_b16", "w8a8kern", True, [32, 64, 128], w8a8=True,
-            trace_batch=64)
+model_sweep(emit, "vit_b16", "w8a8kern", True, [32, 64, 128],
+            quant="mlp_w8a8", trace_batch=64)
 
 # ViT-L maps-on bisect
-model_sweep("vit_l16", "bf16nopin", True, [8], pin_layouts=False)
-model_sweep("vit_l16", "bf16", True, [4], pin_layouts=True)
+model_sweep(emit, "vit_l16", "bf16nopin", True, [8], pin_layouts=False)
+model_sweep(emit, "vit_l16", "bf16", True, [4], pin_layouts=True)
 
 # ViT-L maps-off with W8A8 MLP
-model_sweep("vit_l16", "w8a8kern", False, [16, 32], w8a8=True)
+model_sweep(emit, "vit_l16", "w8a8kern", False, [16, 32], quant="mlp_w8a8")
 
 emit(stage="done")

@@ -64,6 +64,15 @@ VARIANTS: Dict[str, ViTConfig] = {
     "vit_b32": ViTConfig("vit_b32", 224, 32, 768, 12, 12),
     "vit_l16": ViTConfig("vit_l16", 384, 16, 1024, 24, 16),
     "vit_h14": ViTConfig("vit_h14", 224, 14, 1280, 32, 16),
+    # self-supervised (DINO-style) feature extractors: num_classes=0 makes
+    # the head emit final-LN CLS features [B,D] instead of logits; the
+    # patch tokens feed the pca_view/patch_sim dense-feature nodes.
+    # dino_s8's patch-8 grid gives N=785 tokens @224 — the longest
+    # sequence served (beyond ViT-L@384's 577), exercising the
+    # online-softmax tiling past ROWFULL_MAX_N.
+    "dino_s16": ViTConfig("dino_s16", 224, 16, 384, 12, 6, num_classes=0),
+    "dino_s8": ViTConfig("dino_s8", 224, 8, 384, 12, 6, num_classes=0),
+    "dino_b16": ViTConfig("dino_b16", 224, 16, 768, 12, 12, num_classes=0),
 }
 
 
@@ -91,10 +100,15 @@ def init_params(key: jax.Array, cfg: ViTConfig,
                                       jnp.float32) * 0.02).astype(dtype),
         "blocks": [],
         "norm": {"s": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
-        "head": {
-            "w": dense(next(keys), d, (d, cfg.num_classes)),
-            "b": jnp.zeros((cfg.num_classes,), dtype),
-        },
+        # num_classes=0 = feature extractor (DINO-style): no classifier
+        # weights; head() emits the CLS token as the embedding
+        "head": (
+            {
+                "w": dense(next(keys), d, (d, cfg.num_classes)),
+                "b": jnp.zeros((cfg.num_classes,), dtype),
+            }
+            if cfg.num_classes else {}
+        ),
     }
     for _ in range(cfg.depth):
         params["blocks"].append(
@@ -198,8 +212,14 @@ def final_norm(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
 
 
 def head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Classification head on the CLS token: [B,N,D] -> [B,num_classes]."""
-    return L.linear(x[:, 0], params["head"]["w"], params["head"]["b"])
+    """Classification head on the CLS token: [B,N,D] -> [B,num_classes].
+
+    Feature-extractor variants (num_classes=0, empty head params) emit the
+    CLS token itself: [B,N,D] -> [B,D] — the DINO-style embedding."""
+    hp = params.get("head") or {}
+    if "w" not in hp:
+        return x[:, 0]
+    return L.linear(x[:, 0], hp["w"], hp["b"])
 
 
 # -- monolithic forward (bench/training path) -----------------------------------

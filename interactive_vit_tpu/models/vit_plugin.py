@@ -113,7 +113,10 @@ def make_vit_model(
         "transform": f"Resize+CenterCrop({cfg.img_size})+Normalize",
         "embed": f"PatchEmbed p={cfg.patch} d={cfg.width} + CLS + pos",
         "norm": "LayerNorm",
-        "head": f"Linear({cfg.width} -> {cfg.num_classes})",
+        "head": (f"Linear({cfg.width} -> {cfg.num_classes})"
+                 if cfg.num_classes else
+                 f"CLS features [{cfg.width}] (self-supervised: "
+                 f"no classifier)"),
         **{
             f"blocks.{i}": f"TransformerBlock d={cfg.width} h={cfg.heads}"
             for i in range(cfg.depth)
@@ -121,7 +124,8 @@ def make_vit_model(
     }
     from interactive_vit_tpu.models.labels import class_names
 
-    cats = class_names(cfg.num_classes) if with_categories else None
+    cats = (class_names(cfg.num_classes)
+            if with_categories and cfg.num_classes else None)
     return JaxModel(
         name=variant,
         layers=layers,

@@ -51,10 +51,13 @@ def from_torchvision(sd: Dict[str, Any], cfg: ViTConfig,
             "s": jnp.asarray(get("encoder.ln.weight"), dtype),
             "b": jnp.asarray(get("encoder.ln.bias"), dtype),
         },
-        "head": {
-            "w": jnp.asarray(get("heads.head.weight").T, dtype),
-            "b": jnp.asarray(get("heads.head.bias"), dtype),
-        },
+        "head": (
+            {
+                "w": jnp.asarray(get("heads.head.weight").T, dtype),
+                "b": jnp.asarray(get("heads.head.bias"), dtype),
+            }
+            if cfg.num_classes else {}
+        ),
     }
     for i in range(cfg.depth):
         pre = f"encoder.layers.encoder_layer_{i}."
@@ -97,9 +100,10 @@ def to_torchvision(params: Params, cfg: ViTConfig) -> Dict[str, np.ndarray]:
         "encoder.pos_embedding": _t(params["pos_emb"]),
         "encoder.ln.weight": _t(params["norm"]["s"]),
         "encoder.ln.bias": _t(params["norm"]["b"]),
-        "heads.head.weight": _t(params["head"]["w"]).T,
-        "heads.head.bias": _t(params["head"]["b"]),
     }
+    if "w" in (params.get("head") or {}):
+        sd["heads.head.weight"] = _t(params["head"]["w"]).T
+        sd["heads.head.bias"] = _t(params["head"]["b"])
     for i, blk in enumerate(params["blocks"]):
         pre = f"encoder.layers.encoder_layer_{i}."
         sd[pre + "ln_1.weight"] = _t(blk["ln1_s"])
@@ -142,10 +146,14 @@ def from_timm(sd: Dict[str, Any], cfg: ViTConfig, dtype=jnp.float32) -> Params:
             "s": jnp.asarray(get("norm.weight"), dtype),
             "b": jnp.asarray(get("norm.bias"), dtype),
         },
-        "head": {
-            "w": jnp.asarray(get("head.weight").T, dtype),
-            "b": jnp.asarray(get("head.bias"), dtype),
-        },
+        # DINO/self-supervised timm checkpoints ship no classifier head
+        "head": (
+            {
+                "w": jnp.asarray(get("head.weight").T, dtype),
+                "b": jnp.asarray(get("head.bias"), dtype),
+            }
+            if cfg.num_classes else {}
+        ),
     }
     for i in range(cfg.depth):
         pre = f"blocks.{i}."

@@ -18,6 +18,8 @@ Node kinds and their (de)serialized instance contracts:
   noise     dims, seed            uniform [0,1) tensor     (nodes/noise.js:21-28)
   conv2d    matrix (base64 f32), w, h   valid-pad 2-D conv (nodes/conv2d_node.js)
   resize    dims=[H,W]            bilinear CHW resize      (nodes/resize.js:129-130)
+  pca_view  skip                  patch-PCA -> RGB (DINO dense-feature view)
+  patch_sim row, col, skip        token cosine-similarity heatmap
   img_src   identity (client binds the decoded image as input "o")
   img_view / multi_view / category   sinks: identity pass-through so taps can
             read what the client-side viewer would render
@@ -332,13 +334,157 @@ class ResizeNode(NodeKind):
         return run
 
 
-class IdentityNode(NodeKind):
-    """Pass-through; used for sources/sinks whose rendering is client-side."""
+def _token_grid(x, skip: int):
+    """[B,N,D] (or [N,D]) tokens -> (patch tokens [B,P,D], side g).
 
-    def __init__(self, name: str, ins: List[str], outs: List[str]):
+    Drops the first ``skip`` tokens (CLS), requires the remainder to tile a
+    square patch grid (every ViT variant here does: N = (img/patch)^2 + 1).
+    Shape math is trace-time, so a bad wiring fails fast with a clear
+    message instead of a cryptic reshape error inside XLA.
+    """
+    if x.ndim == 2:
+        x = x[None]
+    if x.ndim != 3:
+        raise ValueError(
+            f"expected token sequence [B,N,D] or [N,D], got shape {x.shape}"
+        )
+    p = x.shape[1] - skip
+    g = int(round(p ** 0.5))
+    if g * g != p or g < 2:
+        raise ValueError(
+            f"{p} patch tokens (after skipping {skip}) do not tile a "
+            f"square grid — wire a ViT token sequence ('o' of a block or "
+            f"norm node)"
+        )
+    return x[:, skip:].astype(jnp.float32), g
+
+
+class PcaViewNode(NodeKind):
+    """Patch-token PCA -> RGB image: the DINO/DINOv2 dense-feature view.
+
+    The classic self-supervised-ViT visualization (Caron et al. 2021;
+    Oquab et al. 2023): project every patch token onto the top-3 principal
+    components of the image's own token cloud, map components to RGB.
+    Input "o": tokens [B,N,D] from any block/norm node. Output "o":
+    [B,3,g,g] in [0,1], viewable directly in ``img_view`` and resizable
+    with the builtin ``resize`` node.
+
+    TPU notes: the covariance is a [D,D] einsum (MXU); the eigh of a
+    D<=1280 matrix lowers to XLA's QDWH path and stages into the same
+    program as the model, so toggling the view costs one tap recompile,
+    not a host round-trip. No reference analog (its viewers were
+    client-side canvas composites, ``nodes/multi_view.js``); this realizes
+    the same "splice a viewer onto any edge" contract for dense features.
+    """
+
+    def __init__(self) -> None:
+        super().__init__("pca_view")
+
+    def contents(self, params):
+        skip = int(float(params.get("skip", 1)))
+        return ("<p>patch-PCA &rarr; RGB (DINO-style)</p>"
+                + _num_input("skip", skip, step="1",
+                             title="tokens to skip (CLS)"))
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o"]}
+
+    def fn(self, params):
+        skip = int(float(params.get("skip", 1)))
+
+        def run(ins):
+            from interactive_vit_tpu.ops.layers import mm_precision
+
+            t, g = _token_grid(ins["o"], skip)
+            b, p, _ = t.shape
+            t = t - t.mean(axis=1, keepdims=True)
+            prec = mm_precision(t)
+            cov = jnp.einsum("bpd,bpe->bde", t, t, precision=prec) / p
+            _, vecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+            top3 = vecs[..., -3:][..., ::-1]  # [B,D,3], PC1 first
+            proj = jnp.einsum("bpd,bdc->bpc", t, top3, precision=prec)
+            lo = proj.min(axis=1, keepdims=True)
+            hi = proj.max(axis=1, keepdims=True)
+            img = (proj - lo) / jnp.maximum(hi - lo, 1e-8)
+            return {"o": img.transpose(0, 2, 1).reshape(b, 3, g, g)}
+
+        return run
+
+
+class PatchSimNode(NodeKind):
+    """Cosine similarity of one query token vs every patch -> heatmap.
+
+    Input "o": tokens [B,N,D]. Params ``row``/``col`` select the query
+    patch on the g x g grid; either negative (the default) queries the CLS
+    token instead — the "what is the image about" saliency view. Output
+    "o": [B,3,g,g] grayscale (similarity rescaled from [-1,1] to [0,1],
+    replicated to 3 channels so ``img_view``/``resize`` consume it
+    directly). Editing row/col re-keys constants only — same program
+    signature, so scrubbing the query across the grid stays interactive
+    (no recompile).
+    """
+
+    def __init__(self) -> None:
+        super().__init__("patch_sim")
+
+    def contents(self, params):
+        row = int(float(params.get("row", -1)))
+        col = int(float(params.get("col", -1)))
+        skip = int(float(params.get("skip", 1)))
+        return ("<p>token cosine-similarity heatmap</p>"
+                + _num_input("row", row, step="1",
+                             title="query row (-1 = CLS)")
+                + " " + _num_input("col", col, step="1",
+                                   title="query col (-1 = CLS)")
+                + " " + _num_input("skip", skip, step="1",
+                                   title="tokens to skip (CLS)"))
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o"]}
+
+    def fn(self, params):
+        row = int(float(params.get("row", -1)))
+        col = int(float(params.get("col", -1)))
+        skip = int(float(params.get("skip", 1)))
+
+        def run(ins):
+            from interactive_vit_tpu.ops.layers import mm_precision
+
+            x = ins["o"]
+            if x.ndim == 2:
+                x = x[None]
+            t, g = _token_grid(x, skip)
+            b = t.shape[0]
+            if row < 0 or col < 0:
+                q = x[:, 0].astype(jnp.float32)  # CLS query
+            else:
+                idx = min(row, g - 1) * g + min(col, g - 1)
+                q = t[:, idx]
+            qn = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+            tn = t / jnp.maximum(
+                jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+            sim = jnp.einsum("bpd,bd->bp", tn, qn,
+                             precision=mm_precision(tn))
+            img = ((sim + 1.0) * 0.5).reshape(b, 1, g, g)
+            return {"o": jnp.broadcast_to(img, (b, 3, g, g))}
+
+        return run
+
+
+class IdentityNode(NodeKind):
+    """Pass-through; used for sources/sinks whose rendering is client-side.
+
+    ``optional=True`` -> viewer semantics: any subset of the declared
+    inputs may be wired (the executor skips the missing-input check)."""
+
+    def __init__(self, name: str, ins: List[str], outs: List[str],
+                 optional: bool = False):
         super().__init__(name)
         self._ins = ins
         self._outs = outs
+        if optional:
+            self.optional_inputs = True
 
     def io(self, params):
         return {"ins": self._ins, "outs": self._outs}
@@ -390,10 +536,17 @@ def register_builtin(reg: Registry) -> None:
         NoiseNode(),
         Conv2dNode(),
         ResizeNode(),
+        PcaViewNode(),
+        PatchSimNode(),
         IdentityNode("img_src", ["o"], ["o"]),
         ImgViewNode(),
         IdentityNode("multi_view", ["o"], []),
         IdentityNode("category", ["o"], []),
+        # client-rendered viewer sinks (frontend/js/nodes.js AttnViewNode /
+        # OverlayNode): identity pass-throughs so saved graphs containing
+        # them evaluate fully server-side and the taps ship to the client
+        IdentityNode("attn_view", ["attn", "r"], [], optional=True),
+        IdentityNode("overlay", ["o", "r"], [], optional=True),
     ]:
         kind.register(reg)
 
@@ -409,8 +562,12 @@ def instances():
         NoiseNode(),
         Conv2dNode(),
         ResizeNode(),
+        PcaViewNode(),
+        PatchSimNode(),
         IdentityNode("img_src", ["o"], ["o"]),
         ImgViewNode(),
         IdentityNode("multi_view", ["o"], []),
         IdentityNode("category", ["o"], []),
+        IdentityNode("attn_view", ["attn", "r"], [], optional=True),
+        IdentityNode("overlay", ["o", "r"], [], optional=True),
     ]

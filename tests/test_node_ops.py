@@ -171,3 +171,73 @@ def test_contents_serve_editable_html():
         {"h": "3", "w": "3", "matrix": b64.b64encode(m.tobytes()).decode()})
     assert 'data-matrix' in html and 'data-cell="2,2"' in html
     assert 'value="8"' in html
+
+
+# -- dense-feature visualization nodes (DINO-style) ---------------------------
+
+
+def _tokens(b=2, n=17, d=32, seed=3):
+    """Random token sequence with a CLS slot: [B, 1+16, D] (4x4 grid)."""
+    return np.random.default_rng(seed).standard_normal(
+        (b, n, d)).astype(np.float32)
+
+
+def test_pca_view_matches_numpy_pca(ex):
+    x = _tokens()
+    out = run_one(ex, "pca_view", {"skip": "1"}, {"o": x})["o"]
+    assert out.shape == (2, 3, 4, 4)
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+
+    # numpy reference PCA per image; eigenvector SIGN is arbitrary, so
+    # each channel must match either the reference map or its flip
+    for b in range(2):
+        t = x[b, 1:].astype(np.float64)
+        t = t - t.mean(axis=0, keepdims=True)
+        _, vecs = np.linalg.eigh(t.T @ t / t.shape[0])
+        proj = t @ vecs[:, -3:][:, ::-1]  # [P, 3], PC1 first
+        lo, hi = proj.min(axis=0), proj.max(axis=0)
+        ref = (proj - lo) / np.maximum(hi - lo, 1e-8)
+        got = out[b].reshape(3, 16).T  # [P, 3]
+        for c in range(3):
+            err_same = np.abs(got[:, c] - ref[:, c]).max()
+            err_flip = np.abs(got[:, c] - (1.0 - ref[:, c])).max()
+            assert min(err_same, err_flip) < 1e-3, (c, err_same, err_flip)
+
+
+def test_pca_view_rejects_nonsquare_grid(ex):
+    from interactive_vit_tpu.graph.executor import NodeError
+
+    with pytest.raises(NodeError):
+        run_one(ex, "pca_view", {"skip": "1"}, {"o": _tokens(n=18)})
+
+
+def test_patch_sim_cls_query(ex):
+    x = _tokens()
+    out = run_one(ex, "patch_sim", {}, {"o": x})["o"]
+    assert out.shape == (2, 3, 4, 4)
+    # all three channels identical (grayscale replicate)
+    np.testing.assert_array_equal(out[:, 0], out[:, 1])
+
+    for b in range(2):
+        cls, patches = x[b, 0], x[b, 1:]
+        sim = patches @ cls / (
+            np.linalg.norm(patches, axis=1) * np.linalg.norm(cls))
+        ref = ((sim + 1) / 2).reshape(4, 4)
+        np.testing.assert_allclose(out[b, 0], ref, atol=1e-5)
+
+
+def test_patch_sim_patch_query_is_self_similar(ex):
+    x = _tokens()
+    out = run_one(ex, "patch_sim", {"row": "2", "col": "1"}, {"o": x})["o"]
+    # the query patch has cosine similarity 1 with itself -> value 1.0
+    assert out[0, 0, 2, 1] == pytest.approx(1.0, abs=1e-5)
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+
+
+def test_viewer_sinks_accept_partial_wiring(ex):
+    """attn_view/overlay are optional-input sinks: wiring only one channel
+    must evaluate (the frontend routinely wires just 'attn' or just 'r')."""
+    g = Graph()
+    n = g.add_node("attn_view", {})
+    g.add_input(np.zeros((1, 2, 5, 5), np.float32), n, "attn")
+    ex.run(g, taps="all")  # no missing-input error

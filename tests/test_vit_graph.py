@@ -192,3 +192,71 @@ def test_cls_trajectory_tap(setup):
     np.testing.assert_allclose(
         np.asarray(out[1]["cls"]), np.asarray(out[1]["o"])[:, 0], atol=1e-6
     )
+
+
+# -- self-supervised (DINO-style) feature-extractor variants -------------------
+
+
+def test_dino_feature_head_and_demo_graph():
+    """num_classes=0: head emits CLS features; the committed dino_s16 demo
+    graph (PCA view + similarity heatmap + attention viewers on the
+    feature extractor) evaluates end-to-end server-side."""
+    import json
+    import tempfile
+
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    # small stand-in with the dino contract (num_classes=0)
+    cfg = vit.ViTConfig("dino_test", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=0)
+    vit.VARIANTS["dino_test"] = cfg
+    try:
+        reg = Registry()
+        register_builtin(reg)
+        lib = GraphLibrary(tempfile.mkdtemp())
+        model = make_vit_model("dino_test")
+        model.register(reg, lib)
+
+        # no classifier params, no category sink in the generated graph
+        assert "w" not in (model.params.get("head") or {})
+        obj = lib.load("dino_test.json")
+        kinds = [n["instance"].get("kind") for n in obj["nodes"]]
+        assert "category" not in kinds
+
+        g = graph_from_json(obj)
+        img = np.random.default_rng(0).random((3, 48, 40)).astype(np.float32)
+        g.add_input(img, g.nodes[0], "o")
+        head_i = len(g.nodes) - 1
+        out = Executor(reg=reg).run(g, taps={(head_i, "o")})
+        feats = np.asarray(out[head_i]["o"])
+        assert feats.shape == (1, 64)  # [B, D] embedding, not logits
+
+        # the real demo graph wires pca_view/patch_sim/attn_view/overlay
+        # onto dino_s16; verify its structure references registered kinds
+        demo = json.load(open("static/graphs/dino_s16.json"))
+        eps = {n["instance"].get("endpoint") for n in demo["nodes"]
+               if n["instance"]["kind"] == "net_node"}
+        assert {"pca_view", "patch_sim", "dino_s16:norm",
+                "dino_s16:head"} <= eps
+        assert {n["instance"]["kind"] for n in demo["nodes"]} >= {
+            "img_src", "img_view", "attn_view", "overlay"}
+    finally:
+        del vit.VARIANTS["dino_test"]
+
+
+def test_dino_weights_roundtrip_skips_head():
+    from interactive_vit_tpu.models import weights
+
+    cfg = vit.ViTConfig("dino_rt", img_size=32, patch=16, width=64,
+                        depth=1, heads=4, num_classes=0)
+    params = vit.init_params(jax.random.key(0), cfg)
+    sd = weights.to_torchvision(params, cfg)
+    assert "heads.head.weight" not in sd
+    back = weights.from_torchvision(sd, cfg)
+    assert back["head"] == {}
+    # features path survives the roundtrip
+    x = np.random.default_rng(1).random((1, 3, 32, 32)).astype(np.float32)
+    a = vit.forward(params, jnp.asarray(x), cfg)["logits"]
+    b = vit.forward(back, jnp.asarray(x), cfg)["logits"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert a.shape == (1, 64)

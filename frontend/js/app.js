@@ -108,6 +108,18 @@ async function initTools() {
 	]) {
 		Workspace.registerTool(kind, spawn(kind));
 	}
+	// dense-feature visualization nodes evaluate server-side (pure net
+	// nodes): PCA-to-RGB and token-similarity heatmap (DINO-style views)
+	for (const endpoint of ["pca_view", "patch_sim"]) {
+		Workspace.registerTool(endpoint, async (x, y) => {
+			try {
+				const node = Context.addNodeInstance(await NetNode.create(endpoint));
+				node_move(node, x, y);
+			} catch (e) {
+				alert(`server node unavailable: ${e}`);
+			}
+		});
+	}
 	// spawn any served model layer by endpoint name (full model chains come
 	// from the graph library dropdown)
 	Workspace.registerTool("layer…", async (x, y) => {

@@ -546,3 +546,26 @@ def test_metrics_phase_breakdown(served):
         assert key in m, key
         assert m[key] >= 0
     assert m["counters"]["response_bytes"] > 0
+
+
+def test_dense_feature_nodes_over_http(served):
+    """pca_view/patch_sim are served net-node kinds: /description lists
+    their IO, /contents ships the param-bound editors, and a /compute
+    request through them returns the rendered maps."""
+    app, base = served
+    io = json.loads(_get(f"{base}/description/pca_view"))
+    assert io == {"ins": ["o"], "outs": ["o"]}
+    html = _get(f"{base}/contents/patch_sim").decode()
+    assert 'data-param="row"' in html and 'data-param="col"' in html
+
+    x = np.random.default_rng(0).standard_normal((1, 10, 8)).astype(np.float32)
+    g = Graph()
+    pca = g.add_node("pca_view", {"skip": "1"})
+    sim = g.add_node("patch_sim", {"row": "1", "col": "2"})
+    g.add_input(x, pca, "o")
+    g.add_input(x, sim, "o")
+    resp = _post(f"{base}/compute", Request.encode(g))
+    out = Response.decode(resp)
+    assert out[0]["o"].shape == (1, 3, 3, 3)
+    assert out[1]["o"].shape == (1, 3, 3, 3)
+    assert out[1]["o"][0, 0, 1, 2] == pytest.approx(1.0, abs=1e-5)

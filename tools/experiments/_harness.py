@@ -16,10 +16,19 @@ profile subdir, so re-running after a tunnel flake won't double-count).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 from typing import Iterable, Optional
 
 import numpy as np
+
+# scripts here run as files (sys.path[0] = this dir); make the repo root
+# importable regardless of cwd
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def make_emit(path: str):

@@ -252,9 +252,13 @@ def flash_attention(
     b, h, n, d = q.shape
     n_real = n_real if n_real is not None else n
     if block_q is None:
-        # full-row q blocks up to N=768: K/V DMA'd once per (b,h) instead of
-        # once per q block (measured on ViT-L@384 N=577: 165 -> 197 imgs/s)
-        block_q = _round_up(n, 8) if n <= 768 else 256
+        # full-row q blocks up to N=1024: K/V DMA'd once per (b,h) instead
+        # of once per q block (measured on ViT-L@384 N=577: 165 -> 197
+        # imgs/s; at dino_s8's N=785 full-row beats the 256 fallback by
+        # +20% maps-off / +13% maps-on — /tmp/r3_s8blockq.jsonl,
+        # 2026-08-16). Full-row VMEM at N=1024 is ~4 MB f32 scores +
+        # ~2 MB bf16 probs: comfortably in budget.
+        block_q = _round_up(n, 8) if n <= 1024 else 256
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)

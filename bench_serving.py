@@ -30,9 +30,11 @@ def main() -> None:
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument(
-        "--taps", default="viewer", choices=["viewer", "primary"],
+        "--taps", default="viewer", choices=["viewer", "primary", "features"],
         help="viewer = tap only the classifier output (what an interactive "
-             "session renders); primary = reference-style all intermediates",
+             "session renders); primary = reference-style all intermediates; "
+             "features = splice pca_view + patch_sim onto the norm output "
+             "(the DINO dense-feature session) and tap their rendered maps",
     )
     parser.add_argument(
         "--resp-dtype", default="f32", choices=["f32", "bf16"],
@@ -71,6 +73,24 @@ def main() -> None:
         # what the frontend sends: only the edge feeding the category viewer
         graph_json["taps"] = [
             {"node": len(nodes_json) - 1, "channel": "o"}
+        ]
+    elif args.taps == "features":
+        # the DINO dense-feature session: PCA + similarity views spliced
+        # onto the final-norm tokens, plus the embedding
+        norm_i = next(i for i, n in enumerate(nodes_json)
+                      if n["endpoint"].endswith(":norm"))
+        pca_i, sim_i = len(nodes_json), len(nodes_json) + 1
+        nodes_json.append({"endpoint": "pca_view", "params": {"skip": "1"}})
+        nodes_json.append({"endpoint": "patch_sim",
+                           "params": {"row": "-1", "col": "-1"}})
+        edges_json.append({"out_port": {"node": pca_i, "channel": "o"},
+                           "in_port": {"node": norm_i, "channel": "o"}})
+        edges_json.append({"out_port": {"node": sim_i, "channel": "o"},
+                           "in_port": {"node": norm_i, "channel": "o"}})
+        graph_json["taps"] = [
+            {"node": pca_i, "channel": "o"},
+            {"node": sim_i, "channel": "o"},
+            {"node": norm_i + 1, "channel": "o"},  # head embedding
         ]
 
     def make_request(seed: int) -> bytes:

@@ -359,6 +359,55 @@ def _token_grid(x, skip: int):
     return x[:, skip:].astype(jnp.float32), g
 
 
+def _pca_top3(cov: "jnp.ndarray", prec, iters: int = 96,
+              k: int = 6) -> "jnp.ndarray":
+    """Top-3 eigenvectors of batched SPD ``cov`` [B,D,D], eigenvalue-ordered.
+
+    Simultaneous (subspace) iteration with modified-Gram-Schmidt
+    orthonormalization — matmuls + elementwise only. ``jnp.linalg.eigh``
+    is deliberately NOT used: its QDWH lowering on this backend costs
+    minutes of compile and an iteration-heavy device loop that dominated
+    interactive serving (measured 2026-08-16: the eigh probe blew a 400 s
+    trace budget; this formulation traces in milliseconds). ``k`` extra
+    directions absorb slow convergence of the trailing component; final
+    ordering is by Rayleigh quotient.
+    """
+    bsz, d, _ = cov.shape
+    # deterministic full-rank start: d x k slice of a fixed rotation-ish
+    # basis (iota-seeded cosines), shared across the batch
+    i = jnp.arange(d, dtype=jnp.float32)[:, None]
+    j = jnp.arange(k, dtype=jnp.float32)[None, :]
+    q0 = jnp.cos(i * (j + 1.0) * 0.573 + j)  # [D,k], incoherent columns
+    q = jnp.broadcast_to(q0[None], (bsz, d, k)).astype(cov.dtype)
+
+    def orthonormalize(q):
+        cols = []
+        for c in range(k):
+            v = q[..., c]
+            for u in cols:
+                v = v - u * jnp.sum(u * v, axis=-1, keepdims=True)
+            v = v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+            cols.append(v)
+        return jnp.stack(cols, axis=-1)
+
+    def body(q, _):
+        # 4 power steps per orthonormalization: same converged subspace,
+        # quarter the serial Gram-Schmidt depth (f32 magnitudes stay in
+        # range over 4 unnormalized multiplies for any viz-scale cov)
+        for _i in range(4):
+            q = jnp.einsum("bde,bek->bdk", cov, q, precision=prec)
+        return orthonormalize(q), None
+
+    q = orthonormalize(q)
+    q, _ = jax.lax.scan(body, q, None, length=iters // 4)
+    # Rayleigh quotients order the converged directions
+    cq = jnp.einsum("bde,bek->bdk", cov, q, precision=prec)
+    ray = jnp.sum(q * cq, axis=1)  # [B,k]
+    order = jnp.argsort(-ray, axis=-1)[:, :3]  # top-3, descending
+    return jnp.take_along_axis(q, order[:, None, :], axis=-1)
+
+
 class PcaViewNode(NodeKind):
     """Patch-token PCA -> RGB image: the DINO/DINOv2 dense-feature view.
 
@@ -369,12 +418,15 @@ class PcaViewNode(NodeKind):
     [B,3,g,g] in [0,1], viewable directly in ``img_view`` and resizable
     with the builtin ``resize`` node.
 
-    TPU notes: the covariance is a [D,D] einsum (MXU); the eigh of a
-    D<=1280 matrix lowers to XLA's QDWH path and stages into the same
-    program as the model, so toggling the view costs one tap recompile,
-    not a host round-trip. No reference analog (its viewers were
-    client-side canvas composites, ``nodes/multi_view.js``); this realizes
-    the same "splice a viewer onto any edge" contract for dense features.
+    TPU notes: the covariance is a [D,D] einsum (MXU) and the top-3
+    directions come from matmul-only subspace iteration (``_pca_top3``) —
+    XLA's eigh (QDWH) is avoided on purpose (minutes of compile + an
+    iteration-heavy device loop; measured 2026-08-16). The whole view
+    stages into the same program as the model, so toggling it costs one
+    tap recompile, not a host round-trip. No reference analog (its viewers
+    were client-side canvas composites, ``nodes/multi_view.js``); this
+    realizes the same "splice a viewer onto any edge" contract for dense
+    features.
     """
 
     def __init__(self) -> None:
@@ -400,8 +452,7 @@ class PcaViewNode(NodeKind):
             t = t - t.mean(axis=1, keepdims=True)
             prec = mm_precision(t)
             cov = jnp.einsum("bpd,bpe->bde", t, t, precision=prec) / p
-            _, vecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
-            top3 = vecs[..., -3:][..., ::-1]  # [B,D,3], PC1 first
+            top3 = _pca_top3(cov, prec)  # [B,D,3], PC1 first
             proj = jnp.einsum("bpd,bdc->bpc", t, top3, precision=prec)
             lo = proj.min(axis=1, keepdims=True)
             hi = proj.max(axis=1, keepdims=True)

@@ -30,8 +30,23 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return nll.mean()
 
 
-def make_optimizer(lr: float = 3e-4, wd: float = 0.05):
-    return optax.adamw(lr, weight_decay=wd)
+def make_optimizer(lr: float = 3e-4, wd: float = 0.05,
+                   warmup_steps: int = 0, total_steps: int = 0,
+                   clip_norm: float = 0.0):
+    """AdamW, optionally with global-norm clipping and a warmup+cosine
+    schedule (the standard ViT recipe). ``total_steps=0`` -> constant lr;
+    ``clip_norm=0`` -> no clipping. Defaults preserve the bare AdamW the
+    sharded tests pin down."""
+    sched = lr
+    if total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(1, warmup_steps),
+            decay_steps=total_steps, end_value=lr * 0.01)
+    tx = optax.adamw(sched, weight_decay=wd)
+    if clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
 
 
 def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
@@ -85,14 +100,16 @@ def setup_sharded(
     lr: float = 3e-4,
     attn_impl=None,
     remat: bool = True,
+    optimizer=None,
 ) -> Tuple[Params, Any, Any, Any]:
     """Init params+opt state on the mesh; return jitted (train_step, infer).
 
     Returns (params, opt_state, train_step, infer_fn). All four live on the
     mesh: params/opt_state replicated over data + TP-sharded over model;
-    train_step donates params/opt_state buffers.
+    train_step donates params/opt_state buffers. Pass ``optimizer`` to use
+    a configured one (schedule/clipping via ``make_optimizer``).
     """
-    optimizer = make_optimizer(lr)
+    optimizer = optimizer or make_optimizer(lr)
     params = vit.init_params(jax.random.key(seed), cfg)
     params = mesh_lib.shard_params(params, mesh)
     # optax init builds zeros_like(params) -> inherits the TP shardings

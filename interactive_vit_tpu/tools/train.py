@@ -1,19 +1,24 @@
-"""Training driver: sharded ViT training with checkpointing.
+"""Training driver: sharded ViT training with step checkpointing/resume.
 
     python -m interactive_vit_tpu.tools.train \
         --variant vit_t16 --steps 100 --batch 64 \
-        --mesh data=4,model=2 --output ckpts/vit_t16
+        --mesh data=4,model=2 --output ckpts/vit_t16 --save-every 50
 
 Data is synthetic (deterministic class-conditional Gaussian blobs — this
 environment has no dataset and no egress); the point is the full sharded
-training path: DP x TP mesh, rematerialized backward, optax AdamW, orbax
-checkpoints. Swap ``synthetic_batch`` for a real loader in deployment.
+training path: DP x TP mesh, rematerialized backward, optax AdamW with
+warmup+cosine and global-norm clipping, orbax train-state checkpoints
+(params + optimizer state + step) with ``--resume`` picking up mid-run —
+the elastic-recovery story SURVEY.md §5 requires beyond the reference's
+topology-JSON-only checkpointing. Swap ``synthetic_batch`` for a real
+loader in deployment.
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 
 logger = logging.getLogger(__name__)
@@ -30,20 +35,75 @@ def synthetic_batch(rng, batch: int, img: int, classes: int):
     return images, labels
 
 
-def main() -> None:
+def save_state(path: str, params, opt_state, step: int) -> None:
+    """Train-state checkpoint: params + optimizer state + step counter,
+    one orbax tree (all plain pytrees of arrays)."""
+    import jax.numpy as jnp
+
+    from interactive_vit_tpu.utils.checkpoint import save_params
+
+    save_params(path, {"params": params, "opt_state": opt_state,
+                       "step": jnp.asarray(step)})
+
+
+def load_state(path: str, mesh, like_params, like_opt_state):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from interactive_vit_tpu.utils.checkpoint import load_params
+
+    like = {"params": like_params, "opt_state": like_opt_state,
+            "step": jnp.asarray(0)}
+    st = load_params(path, like=like)
+    # Orbax restores leaves COMMITTED to their saved placement; optimizer
+    # scalars (e.g. adam `count`) were uncommitted single-device at save
+    # time, so the restored tree mixes single-device and mesh-wide leaves
+    # and jit refuses the device mismatch (fresh uncommitted scalars get
+    # moved automatically; committed ones don't). Re-place every leaf:
+    # keep multi-device shardings from the like tree, replicate the rest
+    # over the full mesh.
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    def place(x, l):
+        sh = getattr(l, "sharding", None)
+        if sh is not None and getattr(sh, "num_devices", 1) > 1:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, repl)
+
+    st = jax.tree.map(place, st, like)
+    return st["params"], st["opt_state"], int(st["step"])
+
+
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--variant", default="vit_t16")
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--warmup", type=int, default=0,
+                        help="warmup steps (with cosine decay to --steps)")
+    parser.add_argument("--clip-norm", type=float, default=0.0,
+                        help="global-norm gradient clipping (0 = off)")
     parser.add_argument("--mesh", default="data=all",
                         help="e.g. data=4,model=2; 'data=all' = pure DP")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-remat", action="store_true")
     parser.add_argument("--output", default=None,
-                        help="orbax checkpoint dir to save at the end")
+                        help="orbax checkpoint dir (final weights + "
+                             "train state)")
+    parser.add_argument("--save-every", type=int, default=0,
+                        help="also checkpoint the train state every N steps")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore train state from --output/state and "
+                             "continue at the saved step (pass the SAME "
+                             "--warmup/--clip-norm as the original run — "
+                             "they define the optimizer-state structure)")
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="top-1 accuracy on a held-out synthetic batch "
+                             "every N steps")
     parser.add_argument("--log-every", type=int, default=10)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -67,13 +127,31 @@ def main() -> None:
                 dict(zip(mesh.axis_names, mesh.devices.shape)),
                 mesh.devices.size)
 
+    optimizer = train_lib.make_optimizer(
+        args.lr, warmup_steps=args.warmup,
+        total_steps=args.steps if args.warmup else 0,
+        clip_norm=args.clip_norm)
+    state_dir = os.path.join(args.output, "state") if args.output else None
+
     with mesh:
-        params, opt_state, step_fn, _ = train_lib.setup_sharded(
-            cfg, mesh, seed=args.seed, lr=args.lr, remat=not args.no_remat
+        params, opt_state, step_fn, infer_fn = train_lib.setup_sharded(
+            cfg, mesh, seed=args.seed, lr=args.lr,
+            remat=not args.no_remat, optimizer=optimizer,
         )
-        rng = np.random.default_rng(args.seed)
+        start_step = 0
+        if args.resume:
+            if not (state_dir and os.path.exists(state_dir)):
+                parser.error(f"--resume: no state at {state_dir}")
+            params, opt_state, start_step = load_state(
+                state_dir, mesh, params, opt_state)
+            logger.info("resumed from %s at step %d", state_dir, start_step)
+
+        rng = np.random.default_rng(args.seed + start_step)
+        eval_images, eval_labels = synthetic_batch(
+            np.random.default_rng(10_007), args.batch, cfg.img_size,
+            cfg.num_classes)
         t0 = time.perf_counter()
-        for step in range(args.steps):
+        for step in range(start_step, args.steps):
             images, labels = synthetic_batch(
                 rng, args.batch, cfg.img_size, cfg.num_classes
             )
@@ -85,13 +163,24 @@ def main() -> None:
                 logger.info(
                     "step %4d  loss %.4f  (%.1f imgs/s)",
                     step, float(loss),
-                    (step + 1) * args.batch / dt,
+                    (step - start_step + 1) * args.batch / dt,
                 )
+            if args.eval_every and (step + 1) % args.eval_every == 0:
+                logits = infer_fn(params, jnp.asarray(eval_images))
+                acc = float((np.asarray(logits).argmax(-1)
+                             == eval_labels).mean())
+                logger.info("step %4d  eval top-1 %.3f", step, acc)
+            if (args.save_every and state_dir
+                    and (step + 1) % args.save_every == 0):
+                save_state(state_dir, params, opt_state, step + 1)
+                logger.info("saved train state at step %d", step + 1)
 
     if args.output:
         from interactive_vit_tpu.utils.checkpoint import save_params
 
-        save_params(args.output, params)
+        save_params(os.path.join(args.output, "params"), params)
+        if state_dir:
+            save_state(state_dir, params, opt_state, args.steps)
         logger.info("saved checkpoint to %s", args.output)
 
 

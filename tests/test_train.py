@@ -77,3 +77,48 @@ def test_plugin_dir_discovery():
     g.add_input(x, n, "o")
     out = ex.run(g)
     np.testing.assert_allclose(out[0]["o"], 2.0 * x + 1.0, rtol=1e-6)
+
+
+def test_train_cli_checkpoint_and_resume(tmp_path):
+    """The full driver loop: schedule+clip optimizer, periodic train-state
+    checkpoints, and --resume continuing from the saved step."""
+    from interactive_vit_tpu.tools import train as cli
+
+    vit.VARIANTS["vit_train"] = CFG
+    try:
+        out = str(tmp_path / "ckpt")
+        cli.main(["--variant", "vit_train", "--steps", "4", "--batch", "8",
+                  "--mesh", "data=4,model=2", "--warmup", "2",
+                  "--clip-norm", "1.0", "--save-every", "2",
+                  "--eval-every", "2", "--output", out, "--log-every", "1"])
+        import os
+        assert os.path.exists(os.path.join(out, "state"))
+        assert os.path.exists(os.path.join(out, "params"))
+
+        # resume restores (params, opt_state, step) and continues; the
+        # optimizer flags must match the original run (they define the
+        # opt_state structure)
+        cli.main(["--variant", "vit_train", "--steps", "6", "--batch", "8",
+                  "--mesh", "data=4,model=2", "--warmup", "2",
+                  "--clip-norm", "1.0", "--save-every", "2",
+                  "--output", out, "--resume", "--log-every", "1"])
+        mesh2, params_like, opt_like = _fresh_state()
+        params2, _, step2 = cli.load_state(
+            os.path.join(out, "state"), mesh2, params_like, opt_like)
+        assert step2 == 6
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(params2))
+    finally:
+        del vit.VARIANTS["vit_train"]
+
+
+def _fresh_state():
+    # optimizer config must match the run that WROTE the state (it
+    # defines the opt_state pytree structure orbax restores into)
+    opt = train_lib.make_optimizer(3e-4, warmup_steps=2, total_steps=6,
+                                   clip_norm=1.0)
+    mesh = mesh_lib.make_mesh({"data": 4, "model": 2}, jax.devices()[:8])
+    with mesh:
+        params, opt_state, _, _ = train_lib.setup_sharded(
+            CFG, mesh, optimizer=opt)
+    return mesh, params, opt_state

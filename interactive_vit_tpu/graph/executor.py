@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from interactive_vit_tpu.graph.ir import Graph, effective_params
+from interactive_vit_tpu.graph.ir import Graph, GraphError, effective_params
 from interactive_vit_tpu.graph.registry import Registry, registry
 
 logger = logging.getLogger(__name__)
@@ -116,7 +116,24 @@ def resolve_taps(
                 if e.src is not None:
                     consumed.add((e.src.node.index, e.src.channel))
         return resolve_taps(graph, "all", reg) - consumed
-    return set(taps)  # type: ignore[arg-type]
+    # explicit tap set: validate every (node, channel) now — _stage's
+    # output filter would otherwise silently DROP unknown keys and the
+    # client would get a partial response with HTTP 200 and no diagnostic
+    # (the per-node attribution contract requires a structured error)
+    out = set(taps)  # type: ignore[arg-type]
+    reg = reg or registry()
+    for i, ch in out:
+        if not isinstance(i, int) or i < 0 or i >= len(graph.nodes):
+            raise GraphError(f"tap references nonexistent node {i}")
+        n = graph.nodes[i]
+        kind = reg.get_node(n.name)
+        if ch not in kind.io(n.params)["outs"]:
+            raise NodeError(
+                i, n.name,
+                f"tap channel {ch!r} is not an output of this node "
+                f"(outs: {kind.io(n.params)['outs']})",
+            )
+    return out
 
 
 class ExecStats:
@@ -176,18 +193,24 @@ class Executor:
         # the most recent _stage (diagnostics + tests)
         self.last_pp_segments: List[List[int]] = []
 
-    def _device_input(self, t) -> Any:
-        """Upload an input tensor once; reuse the device buffer on repeats."""
+    def _device_input(self, t, sharding=None) -> Any:
+        """Upload an input tensor once; reuse the device buffer on repeats.
+
+        ``sharding`` participates in the cache key so mesh-placed uploads
+        (replicated single-request inputs) are cached too — one 600 KB
+        ``device_put`` costs ~39 ms over the tunnel (CLAUDE.md), so
+        interactive re-evals must never re-upload an unchanged image."""
         import hashlib
 
         arr = np.ascontiguousarray(np.asarray(t))
         key = (hashlib.blake2b(arr.tobytes(), digest_size=16).digest(),
-               arr.shape, str(arr.dtype))
+               arr.shape, str(arr.dtype), repr(sharding))
         hit = self._input_cache.get(key)
         if hit is not None:
             self._input_cache.move_to_end(key)
             return hit
-        dev = jax.device_put(arr)
+        dev = (jax.device_put(arr) if sharding is None
+               else jax.device_put(arr, sharding))
         self._input_cache[key] = dev
         self._input_cache_bytes += arr.nbytes
         while self._input_cache_bytes > self.input_cache_budget:
@@ -206,18 +229,26 @@ class Executor:
 
     def _place_inputs(self, inputs, batched: bool):
         """Replicate single-request inputs / shard stacked batches on
-        "data" across the mesh."""
+        "data" across the mesh.
+
+        Single-request (non-batched) placements go through the
+        content-addressed input cache — mesh serving previously paid a
+        fresh tunnel ``device_put`` per request for the same image.
+        Stacked batches are freshly-stacked arrays (different bytes per
+        group), so caching them would only churn the LRU."""
         if self.mesh is None:
             return inputs
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def put(x):
-            nbatch = self.mesh.shape["data"]
-            spec = (P("data") if batched and x.shape[0] % nbatch == 0
-                    else P())
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+        nbatch = self.mesh.shape["data"]
 
-        return tuple(put(jnp.asarray(x)) for x in inputs)
+        def put(x):
+            x = jnp.asarray(x)
+            if batched and x.shape[0] % nbatch == 0:
+                return jax.device_put(x, NamedSharding(self.mesh, P("data")))
+            return self._device_input(x, NamedSharding(self.mesh, P()))
+
+        return tuple(put(x) for x in inputs)
 
     def _cache_get(self, sig: str):
         hit = self._cache.get(sig)
@@ -225,22 +256,34 @@ class Executor:
             self._cache.move_to_end(sig)
         return hit
 
+    def _stacked_bucket(self, k: int) -> int:
+        """Power-of-two batch bucket, rounded up to the mesh "data" axis
+        size (sub-meshes like data=3 or 6 are legal, so power-of-two alone
+        does not guarantee divisibility)."""
+        bucket = 1 << (k - 1).bit_length()
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            bucket = -(-bucket // nd) * nd
+        return bucket
+
+    def _program_sig(self, graph: Graph, tap_set,
+                     batch: Optional[int] = None) -> str:
+        """THE cache signature — single source for run / run_stacked /
+        is_compiled (a drift between them silently breaks the batcher's
+        pipelining heuristic: always-False wastes the depth-1 overlap,
+        wrongly-True stalls finished results behind cold compiles)."""
+        extra = [_tap_key(tap_set), self.use_jit]
+        if batch is not None and batch > 1:
+            extra += ["stacked", self._stacked_bucket(batch)]
+        return graph.signature(extra=extra)
+
     def is_compiled(self, graph: Graph, taps: TapSpec,
                     batch: Optional[int] = None) -> bool:
         """True if (graph, taps, batch-bucket) has a cached program — the
         batcher asks before pipelining a dispatch behind finished results
         (a cold compile would stall them for seconds)."""
         tap_set = resolve_taps(graph, taps, self.reg)
-        if batch is None or batch == 1:
-            sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit])
-        else:
-            bucket = 1 << (batch - 1).bit_length()
-            if self.mesh is not None:
-                nd = self.mesh.shape["data"]
-                bucket = -(-bucket // nd) * nd
-            sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit,
-                                         "stacked", bucket])
-        return sig in self._cache
+        return self._program_sig(graph, tap_set, batch) in self._cache
 
     def _cache_put(self, sig: str, entry) -> None:
         self._cache[sig] = entry
@@ -503,7 +546,7 @@ class Executor:
         stats = ExecStats()
         self.validate(graph)
         tap_set = resolve_taps(graph, taps, self.reg)
-        sig = graph.signature(extra=[_tap_key(tap_set), self.use_jit])
+        sig = self._program_sig(graph, tap_set)
 
         inputs = tuple(e.tensor for _, _, e in graph.input_edges())
         if self.mesh is None:
@@ -593,15 +636,8 @@ class Executor:
 
         tap_set = resolve_taps(g0, taps, self.reg)
         k = len(graphs)
-        bucket = 1 << (k - 1).bit_length()  # next power of two
-        if self.mesh is not None:
-            # the stacked batch shards over "data": round the bucket up to
-            # a multiple of the axis size (sub-meshes like data=3 or 6 are
-            # legal, so power-of-two alone does not guarantee divisibility)
-            nd = self.mesh.shape["data"]
-            bucket = -(-bucket // nd) * nd
-        sig = g0.signature(extra=[_tap_key(tap_set), self.use_jit,
-                                  "stacked", bucket])
+        bucket = self._stacked_bucket(k)
+        sig = self._program_sig(g0, tap_set, batch=k)
 
         per_graph = [
             tuple(e.tensor for _, _, e in g.input_edges()) for g in graphs
@@ -688,6 +724,55 @@ class Executor:
                 failed.add(n.index)
                 errors[n.index] = str(err)
         return outputs, errors
+
+    def run_timed_eager(
+        self, graph: Graph
+    ) -> Tuple[Dict[int, float], Dict[int, Dict[str, List[int]]],
+               Dict[int, str]]:
+        """Per-node JITTED evaluation with steady-state wall timings.
+
+        The ``/debug_eval`` engine. Lives beside ``run_eager`` so the
+        per-node fault-isolation semantics ("eval error upstream"
+        propagation, ``__taps__`` injection via ``effective_params``)
+        cannot drift between the debug paths. Per-node jit, not op-by-op
+        eager: each eager op is a tiny compile + dispatch, catastrophic
+        through a remote backend. Returns (timings_ms, output_shapes,
+        errors).
+        """
+        from interactive_vit_tpu.graph.ir import Pinout
+
+        timings: Dict[int, float] = {}
+        shapes: Dict[int, Dict[str, List[int]]] = {}
+        errors: Dict[int, str] = {}
+        failed: Set[int] = set()
+
+        for n in graph.order():
+            if any(e.src is not None and e.src.node.index in failed
+                   for e in n.inputs.values()):
+                failed.add(n.index)
+                errors[n.index] = "eval error upstream"
+                continue
+            try:
+                kind = self.reg.get_node(n.name)
+                eff = effective_params(n)
+                fn = kind.fn(eff)
+                caps = kind.captures(eff)
+                jitted = jax.jit(fn)
+                ins = n.get_pinin().as_dict()
+                args = (ins,) if caps is None else (ins, caps)
+                out = jitted(*args)  # compile + first run
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                out = jitted(*args)  # timed steady-state run
+                jax.block_until_ready(out)
+                timings[n.index] = (time.perf_counter() - t0) * 1e3
+                n.set_pinout(Pinout(out))
+                shapes[n.index] = {ch: list(t.shape)
+                                   for ch, t in out.items()}
+            except Exception as err:  # noqa: BLE001 — per-node isolation
+                failed.add(n.index)
+                errors[n.index] = str(err)
+        return timings, shapes, errors
 
     def cache_info(self) -> Dict[str, int]:
         return {"entries": len(self._cache)}

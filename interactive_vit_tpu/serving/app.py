@@ -36,7 +36,6 @@ from typing import Dict, Optional
 from urllib.parse import parse_qs, unquote, urlparse
 
 from interactive_vit_tpu.graph.executor import Executor
-from interactive_vit_tpu.graph.ir import effective_params
 from interactive_vit_tpu.graph.registry import Registry, registry
 from interactive_vit_tpu.serving.batcher import MicroBatcher
 from interactive_vit_tpu.serving.metrics import Metrics
@@ -45,6 +44,7 @@ from interactive_vit_tpu.wire.codec import Response as WireResponse
 from interactive_vit_tpu.wire.schema import GraphLibrary
 
 logger = logging.getLogger(__name__)
+
 
 class ComputeTimeout(Exception):
     """A /compute request exceeded its deadline — mapped to HTTP 503."""
@@ -136,49 +136,14 @@ class App:
         node doesn't kill the rest (downstream reports 'eval error
         upstream'). POST the same wire bytes as /compute.
         """
-        import time as _time
-
         req = WireRequest()
         req.decode(body)
-        timings: Dict[int, float] = {}
-        outputs, errors = {}, {}
-        import jax
-
-        for n in req.graph.order():
-            if any(e.src is not None and e.src.node.index in errors
-                   for e in n.inputs.values()):
-                errors[n.index] = "eval error upstream"
-                continue
-            try:
-                kind = self.reg.get_node(n.name)
-                # per-node jit (not op-by-op eager: each eager op is a tiny
-                # compile + dispatch, catastrophic through a remote backend).
-                # effective_params injects __taps__ so wired optional
-                # channels (attn/r/cls) ARE computed here — the invariant of
-                # graph/ir.py: every evaluation path must inject it.
-                eff = effective_params(n)
-                fn = kind.fn(eff)
-                caps = kind.captures(eff)
-                jitted = jax.jit(fn)
-                ins = n.get_pinin().as_dict()
-                args = (ins,) if caps is None else (ins, caps)
-                out = jitted(*args)  # compile + first run
-                jax.block_until_ready(out)
-                t0 = _time.perf_counter()
-                out = jitted(*args)  # timed steady-state run
-                jax.block_until_ready(out)
-                timings[n.index] = (_time.perf_counter() - t0) * 1e3
-                from interactive_vit_tpu.graph.ir import Pinout as _Pinout
-
-                n.set_pinout(_Pinout(out))
-                outputs[n.index] = {
-                    ch: list(t.shape) for ch, t in out.items()
-                }
-            except Exception as err:  # noqa: BLE001 — per-node isolation
-                errors[n.index] = str(err)
+        # the engine lives in the executor beside run_eager so the
+        # fault-isolation semantics can't drift (Executor.run_timed_eager)
+        timings, shapes, errors = self.executor.run_timed_eager(req.graph)
         return {
             "timings_ms": {str(k): round(v, 3) for k, v in timings.items()},
-            "output_shapes": {str(k): v for k, v in outputs.items()},
+            "output_shapes": {str(k): v for k, v in shapes.items()},
             "errors": {str(k): v for k, v in errors.items()},
         }
 
@@ -200,11 +165,21 @@ class App:
             return str(jax.devices()[0])
 
         t0 = time.perf_counter()
-        # no `with`: the context manager's shutdown(wait=True) would block
-        # on the probe thread — hanging /health in exactly the wedged-device
-        # case it exists to report
-        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        fut = pool.submit(probe)
+        # ONE shared single-worker pool for the process: a wedged device
+        # blocks the probe thread forever, and a per-call pool would leak
+        # one stuck thread per poll (monitors hit /health every few
+        # seconds). With max_workers=1 there is at most one outstanding
+        # probe; while it is stuck, report failure immediately.
+        pool = getattr(self, "_health_pool", None)
+        if pool is None:
+            pool = self._health_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="health-probe")
+            self._health_fut = None
+        if self._health_fut is not None and not self._health_fut.done():
+            return {"ok": False,
+                    "error": "previous device probe still outstanding "
+                             "(device wedged?)"}
+        self._health_fut = fut = pool.submit(probe)
         try:
             device = fut.result(timeout=timeout_s)
             return {
@@ -217,8 +192,6 @@ class App:
                     "error": f"device probe exceeded {timeout_s}s"}
         except Exception as e:  # noqa: BLE001
             return {"ok": False, "error": str(e)}
-        finally:
-            pool.shutdown(wait=False)
 
     def descriptions(self, names) -> Dict[str, Dict]:
         out = {}
@@ -229,7 +202,10 @@ class App:
                     "io": kind.io({}),
                     "contents": kind.contents({}),
                 }
-            except KeyError as e:
+            except Exception as e:  # noqa: BLE001 — isolate bad entries:
+                # one kind whose io()/contents() raises must not poison
+                # the whole batched palette load (this endpoint exists to
+                # fix the frontend's N+1 metadata storm)
                 out[name] = {"error": str(e)}
         return out
 
@@ -336,10 +312,13 @@ class App:
                 # traversal guard: resolve then require containment — a
                 # leading "/" or ".." in rel must never escape frontend_dir
                 # (the reference used django.views.static.serve for exactly
-                # this reason, views.py:52-59)
-                full = os.path.abspath(
-                    os.path.join(app.frontend_dir, rel.lstrip("/\\")))
-                if not full.startswith(app.frontend_dir + os.sep):
+                # this reason, views.py:52-59). realpath, not abspath: a
+                # symlink inside the tree would let lexically-contained
+                # paths resolve outside it
+                root = os.path.realpath(app.frontend_dir)
+                full = os.path.realpath(
+                    os.path.join(root, rel.lstrip("/\\")))
+                if not full.startswith(root + os.sep):
                     raise FileNotFoundError(rel)
                 with open(full, "rb") as f:
                     data = f.read()

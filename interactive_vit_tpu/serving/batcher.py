@@ -68,23 +68,41 @@ class MicroBatcher:
 
     def start(self) -> None:
         with self._lock:
-            if self._thread is None or not self._thread.is_alive():
-                self._thread = threading.Thread(target=self._loop, daemon=True)
-                self._thread.start()
-                self._started = True
+            self._start_locked()
+
+    def _start_locked(self) -> None:
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+            self._started = True
 
     def stop(self) -> None:
-        if self._started and self._thread is not None:
-            self._q.put(None)
-            self._thread.join(timeout=5)
-            self._started = False
+        # the lock makes stop atomic w.r.t. submit: an item can never be
+        # enqueued between the worker draining and the thread dying (it
+        # would hang its HTTP handler until the compute timeout)
+        with self._lock:
+            if self._started and self._thread is not None:
+                self._q.put(None)
+                self._thread.join(timeout=5)
+                self._started = False
+                if not self._thread.is_alive():
+                    # keep a still-running thread (join timed out mid-
+                    # compile) so _start_locked won't spawn a SECOND
+                    # worker over the same queue/backlog
+                    self._thread = None
 
     def submit(self, graph: Graph, taps: TapSpec = "all") -> Future:
         """Enqueue one eval; returns a Future of {node: {ch: array}}."""
-        self.start()
+        # normalize one-shot iterables ONCE: sorted() below would exhaust
+        # a generator and store an empty tap set on the item (the program
+        # would compile with zero outputs and silently return {})
+        if not isinstance(taps, str):
+            taps = frozenset(taps)
         tap_key = taps if isinstance(taps, str) else str(sorted(taps))
         item = _Item(graph, taps, graph.signature(extra=[tap_key]))
-        self._q.put(item)
+        with self._lock:
+            self._start_locked()
+            self._q.put(item)
         return item.future
 
     # -- worker ----------------------------------------------------------------
@@ -148,13 +166,20 @@ class MicroBatcher:
                 self._drain_stopped()
                 return
             group = self._collect_group(item)
-            if pending is not None and not self.executor.is_compiled(
-                group[0].graph, group[0].taps, len(group)
-            ):
-                # this dispatch will cold-compile (5-30s): resolve the
-                # already-finished batch first instead of stalling it
-                self._materialize(pending)
-                pending = None
+            if pending is not None:
+                try:
+                    compiled = self.executor.is_compiled(
+                        group[0].graph, group[0].taps, len(group))
+                except Exception:  # noqa: BLE001 — bad graph: _dispatch
+                    # will fail the group's futures with the attributed
+                    # error; a raise HERE would kill the worker thread and
+                    # orphan both the in-flight batch and this group
+                    compiled = False
+                if not compiled:
+                    # this dispatch will cold-compile (5-30s): resolve the
+                    # already-finished batch first instead of stalling it
+                    self._materialize(pending)
+                    pending = None
             dispatched = self._dispatch(group)
             if pending is not None:
                 self._materialize(pending)

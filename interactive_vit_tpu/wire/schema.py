@@ -120,8 +120,11 @@ class GraphLibrary:
         )
 
     def _path(self, name: str) -> str:
-        path = os.path.abspath(os.path.join(self.root, name))
-        if not path.startswith(self.root + os.sep):
+        # realpath, not abspath: a symlink under root would let a
+        # lexically-contained name resolve outside the library
+        root = os.path.realpath(self.root)
+        path = os.path.realpath(os.path.join(root, name))
+        if not path.startswith(root + os.sep):
             raise ValueError(f"illegal graph name: {name!r}")
         return path
 

@@ -240,3 +240,83 @@ def test_input_cache_reuses_device_buffers(simple_setup=None):
     for i in range(5):
         ex._device_input(img + 2 + i)
     assert ex._input_cache_bytes <= ex.input_cache_budget
+
+
+def test_explicit_bad_taps_raise_attributed_errors():
+    """Unknown tap node/channel must raise (GraphError/NodeError), not be
+    silently dropped from the response (review finding: partial HTTP 200
+    with no diagnostic violated the attribution contract)."""
+    from interactive_vit_tpu.graph.executor import NodeError
+    from interactive_vit_tpu.graph.ir import GraphError
+
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+
+    g = Graph()
+    n = g.add_node("cos", {})
+    g.add_input(np.ones((4,), np.float32), n, "o")
+    with pytest.raises(GraphError):
+        ex.run(g, taps={(5, "o")})
+    with pytest.raises(NodeError) as ei:
+        ex.run(g, taps={(0, "att")})
+    assert "att" in str(ei.value) and "node 0" in str(ei.value)
+
+
+def test_batcher_survives_bad_graph_and_generator_taps():
+    """A bad graph in the pipelined window must fail ITS OWN future (not
+    kill the worker thread), and generator tap specs must not be silently
+    exhausted to an empty set."""
+    from interactive_vit_tpu.serving.batcher import MicroBatcher
+
+    reg = Registry()
+    register_builtin(reg)
+    b = MicroBatcher(Executor(reg), max_wait_ms=1.0)
+
+    def good():
+        g = Graph()
+        n = g.add_node("cos", {"A": "1.0"})
+        g.add_input(np.ones((4,), np.float32), n, "o")
+        return g
+
+    # generator taps: previously sorted() exhausted it -> empty program
+    fut = b.submit(good(), taps=((i, "o") for i in [0]))
+    out = fut.result(timeout=30)
+    assert 0 in out and "o" in out[0]
+
+    # unknown node kind: future fails with the attributed error, and the
+    # worker keeps serving subsequent requests
+    bad = Graph()
+    bad.add_node("nonexistent_kind", {})
+    f_bad = b.submit(bad, taps="all")
+    with pytest.raises(Exception):
+        f_bad.result(timeout=30)
+    f_ok = b.submit(good(), taps="all")
+    assert 0 in f_ok.result(timeout=30)
+    b.stop()
+
+
+def test_descriptions_isolates_broken_kind():
+    """One kind whose io() raises must not poison the batched palette."""
+    from interactive_vit_tpu.graph.registry import NodeKind
+    from interactive_vit_tpu.serving.app import App
+
+    class Broken(NodeKind):
+        def __init__(self):
+            super().__init__("broken_io")
+
+        def io(self, params):
+            raise ValueError("params required")
+
+        def fn(self, params):
+            return lambda ins: {}
+
+    reg = Registry()
+    register_builtin(reg)
+    Broken().register(reg)
+    app = App(reg=reg, graphs_dir="/root/reference/static/graphs")
+    out = app.descriptions(["cos", "broken_io", "missing"])
+    assert out["cos"]["io"]["ins"] == ["o"]
+    assert "error" in out["broken_io"]
+    assert "error" in out["missing"]
+    app.batcher.stop()

@@ -14,8 +14,14 @@ function scheduleEval() {
 }
 
 async function loadGraphByName(name) {
-	const obj = await (await fetch(`load_graph/${name}`)).json();
-	await Context.deserialize(obj);
+	const resp = await fetch(`load_graph/${name}`);
+	if (!resp.ok) {
+		// the 400 body is plain error text, not JSON — surface it instead
+		// of dying on an unhandled SyntaxError with a blank canvas
+		alert(`could not load ${name}: ${await resp.text()}`);
+		return;
+	}
+	await Context.deserialize(await resp.json());
 }
 
 function saveGraph() {

@@ -200,6 +200,11 @@ export class Context {
 	}
 
 	static changed() {
+		// any mutation (structural or param) invalidates in-flight
+		// results: over the tunnel a /compute can outlive the debounce
+		// window, and routing a stale response onto a mutated/reloaded
+		// graph blanks viewers and marks detached nodes "ok"
+		Context.evalEpoch++;
 		Context.onChange?.();
 	}
 
@@ -289,9 +294,14 @@ export class Context {
 				ok = n.sourceTensor() !== null;
 			} else {
 				ok = n.ins.every((p) => {
-					if (p.channel === "r") return true; // optional rollout-in
 					const e = Context.edges.find((x) => x.dst === p);
-					return e && isReady(e.src.node);
+					// the rollout carry "r" is optional only when UNWIRED —
+					// a wired-but-not-ready producer must gate readiness,
+					// else the edge is silently dropped and the server
+					// computes a block-local rollout that renders as if it
+					// were the accumulated one
+					if (!e) return p.channel === "r";
+					return isReady(e.src.node);
 				});
 			}
 			ready.set(n, ok);
@@ -312,6 +322,7 @@ export class Context {
 		const nodesJson = reqNodes.map((n) => n.wireSpec());
 		const edgesJson = [];
 		const tensors = [];
+		const tensorIndex = new Map();
 		// explicit taps: only what viewers render leaves the TPU
 		const taps = [];
 		for (const e of Context.edges) {
@@ -335,11 +346,19 @@ export class Context {
 			} else if (src.isSource()) {
 				const t = src.sourceTensor();
 				if (t === null) continue; // source not ready: omit, server errors per-node
+				// dedupe: one img_src feeding several consumers must ship
+				// its ~600KB payload ONCE (the tunnel's per-request floor
+				// is transfer-bound)
+				let ti = tensorIndex.get(t);
+				if (ti === undefined) {
+					ti = tensors.length;
+					tensors.push(t);
+					tensorIndex.set(t, ti);
+				}
 				edgesJson.push({
 					out_port: { node: index.get(dst), channel: e.dst.channel },
-					tensor: tensors.length,
+					tensor: ti,
 				});
-				tensors.push(t);
 			}
 		}
 
@@ -356,8 +375,11 @@ export class Context {
 		}
 
 		try {
-			const reqJson = { nodes: nodesJson, edges: edgesJson };
-			if (taps.length) reqJson.taps = taps;
+			// ALWAYS send taps (even []): omitting the field makes the
+			// server fall back to its harvest-everything "primary" policy
+			// — for a viewer-less 24-block chain that ships tens of MB of
+			// intermediates through the tunnel per eval for nothing
+			const reqJson = { nodes: nodesJson, edges: edgesJson, taps };
 			// viewer taps are render data: bf16 blocks halve response bytes
 			// over the wire (negotiated extension, docs/wire_protocol.md);
 			// Context.respDtype = "f32" restores reference-exact payloads
@@ -367,6 +389,11 @@ export class Context {
 			if (epoch !== Context.evalEpoch) return; // stale
 			Context.routeResults(outputs, index, epoch);
 			for (const n of reqNodes) n.setStatus("ok");
+			// sources/viewers were set to the "…" busy marker above and
+			// are not in reqNodes — clear them or they stay busy forever
+			for (const n of Context.nodes) {
+				if (n.isSource() || n.isViewer()) n.setStatus("");
+			}
 		} catch (err) {
 			if (epoch !== Context.evalEpoch) return;
 			const msg = String(err.message || err);

@@ -230,8 +230,15 @@ export class CategoryNode extends Node {
 		const t = read("o");
 		this.list.textContent = "";
 		if (!t) return;
+		// [C] or [B,C]: rank over ONE batch element's class axis — flat
+		// ranking over a [B>1,C] buffer would mix batch elements and
+		// produce out-of-range class indices
 		let logits = t.data;
-		if (t.dims.length === 2 && t.dims[0] === 1) logits = t.data;
+		if (t.dims.length === 2) {
+			logits = t.data.subarray(0, t.dims[1]);
+		} else if (t.dims.length !== 1) {
+			return;
+		}
 		const idx = [...logits.keys()].sort((a, b) => logits[b] - logits[a]);
 		const mx = logits[idx[0]];
 		const mn = logits[idx[idx.length - 1]];
@@ -848,9 +855,10 @@ export class NetNode extends Node {
 		const io = await resp.json();
 		let html = "";
 		try {
-			html = await (
-				await fetch(`contents/${endpoint}${qs ? `?${qs}` : ""}`)
-			).text();
+			const cresp = await fetch(`contents/${endpoint}${qs ? `?${qs}` : ""}`);
+			// a non-ok body is the server's ERROR TEXT — rendering it as
+			// the node UI (and never offering retry) would be wrong
+			html = cresp.ok ? await cresp.text() : "";
 		} catch {
 			html = ""; // retry button offered in buildContent
 		}
@@ -877,6 +885,9 @@ export class NetNode extends Node {
 					this.contentsHtml = await resp.text();
 					el.textContent = "";
 					el.innerHTML = this.contentsHtml;
+					// wire up the freshly injected [data-param]/[data-matrix]
+					// editors — without this the retried UI is inert
+					this.bindContents(el);
 				}
 			} catch {}
 		});
@@ -895,8 +906,17 @@ export class NetNode extends Node {
 		for (const input of el.querySelectorAll("[data-param]")) {
 			const name = input.dataset.param;
 			if (this.params[name] !== undefined) input.value = this.params[name];
-			input.addEventListener("change", () => {
+			input.addEventListener("change", async () => {
 				this.params[name] = input.value;
+				// a size param on a matrix-bearing node (conv2d h/w) must
+				// resize the stored matrix and re-render the editor —
+				// otherwise the stale base64 matrix 400s every eval with a
+				// server-side reshape error
+				const table = el.querySelector("[data-matrix]");
+				if (table && (name === "h" || name === "w")) {
+					this.resizeMatrix(table);
+					await this.refreshContents(el);
+				}
 				Context.changed();
 			});
 		}
@@ -918,6 +938,45 @@ export class NetNode extends Node {
 				cell.addEventListener("change", reencode);
 			}
 		}
+	}
+
+	/** Crop/zero-pad the base64 f32 matrix param to the current h/w
+	 * params, preserving the overlapping cells. */
+	resizeMatrix(table) {
+		const oh = Number(table.dataset.h);
+		const ow = Number(table.dataset.w);
+		const nh = Number(this.params.h) || oh;
+		const nw = Number(this.params.w) || ow;
+		if (!this.params.matrix || (nh === oh && nw === ow)) return;
+		const bytes = Uint8Array.from(atob(this.params.matrix), (c) =>
+			c.charCodeAt(0),
+		);
+		const m = new Float32Array(bytes.buffer);
+		const out = new Float32Array(nh * nw);
+		for (let i = 0; i < Math.min(oh, nh); i++) {
+			for (let j = 0; j < Math.min(ow, nw); j++) {
+				out[i * nw + j] = m[i * ow + j] || 0;
+			}
+		}
+		this.params.matrix = btoa(
+			String.fromCharCode(...new Uint8Array(out.buffer)),
+		);
+	}
+
+	/** Refetch the server-rendered editor for the CURRENT params and
+	 * re-bind it (the server owns the UI; re-render = refetch). */
+	async refreshContents(el) {
+		try {
+			const qs = new URLSearchParams(this.params).toString();
+			const resp = await fetch(
+				`contents/${this.endpoint}${qs ? `?${qs}` : ""}`,
+			);
+			if (resp.ok) {
+				this.contentsHtml = await resp.text();
+				el.innerHTML = this.contentsHtml;
+				this.bindContents(el);
+			}
+		} catch {}
 	}
 
 	serializeExtra() {

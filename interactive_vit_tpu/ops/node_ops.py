@@ -368,9 +368,18 @@ def _pca_top3(cov: "jnp.ndarray", prec, iters: int = 96,
     is deliberately NOT used: its QDWH lowering on this backend costs
     minutes of compile and an iteration-heavy device loop that dominated
     interactive serving (measured 2026-08-16: the eigh probe blew a 400 s
-    trace budget; this formulation traces in milliseconds). ``k`` extra
-    directions absorb slow convergence of the trailing component; final
-    ordering is by Rayleigh quotient.
+    trace budget; this formulation traces in milliseconds).
+
+    Orthonormalization runs after EVERY power step: deferring it (N
+    unnormalized multiplies per MGS pass) amplifies the eigen-spread to
+    (lambda_1/lambda_k)^N, and past f32's 2^24 the MGS cancellation
+    residual of a trailing column points along PC1 instead of its own
+    direction — measured: a junk column froze at 0.86 alignment with PC1
+    with an inflated Rayleigh quotient. For the same reason the output is
+    columns 0..2 directly (subspace iteration's fixed point assigns
+    column c the c-th eigendirection), not a Rayleigh-quotient re-sort a
+    corrupted trailing column could win. ``k`` extra columns absorb slow
+    convergence and eigenvalue clusters.
     """
     bsz, d, _ = cov.shape
     # deterministic full-rank start: d x k slice of a fixed rotation-ish
@@ -392,20 +401,12 @@ def _pca_top3(cov: "jnp.ndarray", prec, iters: int = 96,
         return jnp.stack(cols, axis=-1)
 
     def body(q, _):
-        # 4 power steps per orthonormalization: same converged subspace,
-        # quarter the serial Gram-Schmidt depth (f32 magnitudes stay in
-        # range over 4 unnormalized multiplies for any viz-scale cov)
-        for _i in range(4):
-            q = jnp.einsum("bde,bek->bdk", cov, q, precision=prec)
+        q = jnp.einsum("bde,bek->bdk", cov, q, precision=prec)
         return orthonormalize(q), None
 
     q = orthonormalize(q)
-    q, _ = jax.lax.scan(body, q, None, length=iters // 4)
-    # Rayleigh quotients order the converged directions
-    cq = jnp.einsum("bde,bek->bdk", cov, q, precision=prec)
-    ray = jnp.sum(q * cq, axis=1)  # [B,k]
-    order = jnp.argsort(-ray, axis=-1)[:, :3]  # top-3, descending
-    return jnp.take_along_axis(q, order[:, None, :], axis=-1)
+    q, _ = jax.lax.scan(body, q, None, length=iters)
+    return q[..., :3]
 
 
 class PcaViewNode(NodeKind):

@@ -244,3 +244,34 @@ def test_viewer_sinks_accept_partial_wiring(ex):
     n = g.add_node("attn_view", {})
     g.add_input(np.zeros((1, 2, 5, 5), np.float32), n, "attn")
     ex.run(g, taps="all")  # no missing-input error
+
+
+def test_pca_view_model_scale_tokens(ex):
+    """Subspace iteration at real model scale (D=384, 196 patches).
+
+    Trained-feature token clouds have a few dominant directions (that is
+    what makes the DINO PCA figure work); iid Gaussian tokens do NOT —
+    their Marchenko-Pastur spectrum has no eigengap, so individual PCs
+    are unrecoverable by any iterative method AND visually meaningless.
+    Test with a planted spectrum (3 strong directions over noise), the
+    regime the node exists for."""
+    rng = np.random.default_rng(7)
+    u = np.linalg.qr(rng.standard_normal((384, 3)))[0]  # planted dirs
+    coef = rng.standard_normal((196, 3)) * np.array([9.0, 6.0, 4.0])
+    x1 = (coef @ u.T + 0.5 * rng.standard_normal((196, 384))) \
+        .astype(np.float32)
+    x = np.concatenate([np.zeros((1, 384), np.float32), x1])[None]
+
+    out = run_one(ex, "pca_view", {"skip": "1"}, {"o": x})["o"]
+    assert out.shape == (1, 3, 14, 14)
+    t = x[0, 1:].astype(np.float64)
+    t = t - t.mean(axis=0, keepdims=True)
+    _, vecs = np.linalg.eigh(t.T @ t / t.shape[0])
+    proj = t @ vecs[:, -3:][:, ::-1]
+    lo, hi = proj.min(axis=0), proj.max(axis=0)
+    ref = (proj - lo) / np.maximum(hi - lo, 1e-8)
+    got = out[0].reshape(3, 196).T
+    for c in range(3):
+        err = min(np.abs(got[:, c] - ref[:, c]).max(),
+                  np.abs(got[:, c] - (1.0 - ref[:, c])).max())
+        assert err < 8e-3, (c, err)

@@ -159,6 +159,7 @@ def block(
     block_impl=None,
     mlp_impl=None,
     want_mean: bool = False,
+    qkv_head_major: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Pre-LN transformer block; optionally taps the attention maps.
 
@@ -177,6 +178,11 @@ def block(
     LN2+fc1+GELU+fc2+residual.
     """
     pmean = None
+    if qkv_head_major and block_impl is not None:
+        # the fused kernels slice q/k/v at [3][H]-layout column blocks;
+        # head-major weights (the mesh TP layout) would be read wrong
+        raise ValueError("qkv_head_major is incompatible with fused block "
+                         "kernels (mesh serving disables them)")
     if block_impl is not None:
         if want_mean:
             x, probs, pmean = block_impl(x, p, cfg.heads, cfg.ln_eps,
@@ -188,6 +194,7 @@ def block(
             L.layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.ln_eps),
             p, cfg.heads, want_attn=want_attn or want_mean,
             attn_impl=attn_impl, n_real=n_real,
+            head_major=qkv_head_major,
         )
         x = x + h
         if want_mean and probs is not None:
@@ -235,6 +242,8 @@ def forward(
     pad_tokens: bool = False,
     block_impl=None,
     mlp_impl=None,
+    qkv_head_major: bool = False,
+    block_wrapper=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward with optional taps.
 
@@ -260,6 +269,27 @@ def forward(
         x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
     nr = n_real if n_pad != n_real else None
 
+    if block_wrapper is not None:
+        # training hook: wrap each block as one (p, x) -> x unit (e.g.
+        # ``jax.checkpoint`` for remat) — THE trunk lives here, so the
+        # remat path cannot drift from the inference path. Taps don't
+        # compose with a single-output wrapper.
+        if want_attn or want_cls_trajectory:
+            raise ValueError("block_wrapper requires taps off")
+
+        def one(p, x):
+            y, _, _ = block(
+                p, x, cfg, attn_impl=attn_impl, n_real=nr,
+                block_impl=block_impl, mlp_impl=mlp_impl,
+                qkv_head_major=qkv_head_major,
+            )
+            return y
+
+        one = block_wrapper(one)
+        for p in params["blocks"]:
+            x = one(p, x)
+        return {"logits": head(params, final_norm(params, x[:, :1], cfg))}
+
     attns: List[jnp.ndarray] = []
     means: List[jnp.ndarray] = []
     cls_traj: List[jnp.ndarray] = [x[:, 0]]
@@ -267,7 +297,7 @@ def forward(
         x, probs, pmean = block(
             p, x, cfg, want_attn=want_attn, attn_impl=attn_impl,
             n_real=nr, block_impl=block_impl, mlp_impl=mlp_impl,
-            want_mean=want_attn,
+            want_mean=want_attn, qkv_head_major=qkv_head_major,
         )
         if want_attn:
             # tap in activation dtype: the softmax ran f32, but emitting
@@ -299,7 +329,7 @@ def forward(
 
 
 def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
-              mlp_impl=None):
+              mlp_impl=None, qkv_head_major: bool = False):
     """The model as an ordered list of named tappable layers.
 
     Each entry is ``(layer_name, extra_out_channels, fn)`` with
@@ -337,6 +367,7 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
                 p, x, cfg, want_attn="attn" in want,
                 attn_impl=attn_impl, block_impl=block_impl,
                 mlp_impl=mlp_impl, want_mean="r" in want,
+                qkv_head_major=qkv_head_major,
             )
             outs = {"o": y}
             if probs is not None and "attn" in want:

@@ -30,6 +30,7 @@ def make_vit_model(
     with_categories: bool = True,
     quantize: bool = False,
     kernels: bool = True,
+    tp_layout: bool = False,
 ) -> JaxModel:
     """Build a registerable ``JaxModel`` for a ViT variant.
 
@@ -55,6 +56,16 @@ def make_vit_model(
         params = vit.init_params(
             jax.random.key(seed), cfg, dtype=dtype or jnp.float32
         )
+    if tp_layout:
+        # mesh TP serving: head-major qkv columns so the "model"-axis
+        # column sharding is head-aligned (parallel/mesh.py docstring);
+        # incompatible with the fused kernels' [3][H] column slicing
+        if kernels:
+            raise ValueError("tp_layout requires kernels=False "
+                             "(mesh serving disables them)")
+        from interactive_vit_tpu.parallel.mesh import permute_qkv_head_major
+
+        params = permute_qkv_head_major(params, cfg.heads)
 
     from interactive_vit_tpu.ops.dispatch import (
         default_block_impl, default_mlp_impl,
@@ -108,7 +119,7 @@ def make_vit_model(
             heads=cfg.heads
         )
     layers = vit.layer_fns(cfg, attn_impl=attn_impl, block_impl=block_impl,
-                           mlp_impl=mlp_impl)
+                           mlp_impl=mlp_impl, qkv_head_major=tp_layout)
     descriptions = {
         "transform": f"Resize+CenterCrop({cfg.img_size})+Normalize",
         "embed": f"PatchEmbed p={cfg.patch} d={cfg.width} + CLS + pos",

@@ -25,14 +25,23 @@ from interactive_vit_tpu.ops.layers import linear, mm_precision
 Params = Dict[str, jnp.ndarray]
 
 
-def qkv_proj(x: jnp.ndarray, p: Params, heads: int
+def qkv_proj(x: jnp.ndarray, p: Params, heads: int, head_major: bool = False
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused QKV projection -> per-head tensors [B, H, N, Dh]."""
+    """Fused QKV projection -> per-head tensors [B, H, N, Dh].
+
+    ``head_major=True``: the weight columns are packed [H][3][Dh]
+    (``parallel/mesh.permute_qkv_head_major`` — the Megatron TP layout,
+    head-aligned under flat column sharding) instead of the torch-
+    compatible [3][H][Dh]."""
     b, n, d = x.shape
     dh = d // heads
     qkv = linear(x, p["qkv_w"], p["qkv_b"])  # dense or weight-only int8
-    qkv = qkv.reshape(b, n, 3, heads, dh)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    if head_major:
+        qkv = qkv.reshape(b, n, heads, 3, dh)
+        q, k, v = (qkv[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    else:
+        qkv = qkv.reshape(b, n, 3, heads, dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
     return q, k, v
 
 
@@ -75,14 +84,17 @@ def mhsa(
     want_attn: bool = False,
     attn_impl=None,
     n_real: Optional[int] = None,
+    head_major: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full MHSA: fused QKV -> attention -> output projection.
 
     ``attn_impl`` lets callers swap in the Pallas flash kernel; it must
     accept (q, k, v, want_attn, n_real=None) and honor the same contract.
+    ``head_major``: qkv weights use the Megatron TP column layout
+    (``qkv_proj`` docstring).
     """
     b, n, d = x.shape
-    q, k, v = qkv_proj(x, p, heads)
+    q, k, v = qkv_proj(x, p, heads, head_major=head_major)
     impl = attn_impl or attention_reference
     out, probs = impl(q, k, v, want_attn, n_real=n_real)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)

@@ -16,8 +16,17 @@ ViT TP layout (the standard Megatron split, expressed declaratively):
     fc2_w  [4D, D]    shard IN dim
     everything else   replicated
 Activations [B, N, D] are sharded on batch over "data"; within a block the
-per-head tensors [B, H, N, Dh] become head-sharded over "model"
-automatically because the weights force it.
+per-head tensors [B, H, N, Dh] become head-sharded over "model" because
+the weights force it — PROVIDED the qkv columns are head-major.
+
+The storage layout (torch-compatible, ``ops/attention.qkv_proj``) packs
+the 3D output dim as [3][H][Dh] (all of Q, then K, then V): a flat shard
+boundary at 3D/p never falls on head boundaries, so sharding it would
+keep numerics correct but make GSPMD reshard the activation at the head
+reshape instead of running head-parallel. ``permute_qkv_head_major``
+re-packs the columns [H][3][Dh] (Megatron's layout) at mesh-setup time;
+``qkv_proj(..., head_major=True)`` consumes it. Every mesh entry point
+(sharded training, mesh serving) applies the pair together.
 """
 
 from __future__ import annotations
@@ -62,8 +71,51 @@ def make_mesh(
         raise ValueError(
             f"mesh {tuple(shape)} needs {need} devices, got {len(devices)}"
         )
-    arr = np.asarray(devices).reshape(shape)
+    # topology-aware assignment: flat enumeration order does NOT guarantee
+    # that axis neighbors (ppermute hops: pipeline stages, ring attention)
+    # are physical ICI neighbors on a real slice. create_device_mesh picks
+    # a layout that makes them so; fall back to reshape for explicit
+    # device lists / backends it doesn't know (CPU meshes don't care).
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(tuple(shape), devices=devices)
+    except Exception:  # noqa: BLE001 — assignment quality only
+        arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, tuple(names))
+
+
+def permute_qkv_head_major(params: Params, heads: int) -> Params:
+    """Re-pack every block's qkv columns [3][H][Dh] -> [H][3][Dh].
+
+    Makes the flat qkv output dim head-major so ``param_spec``'s
+    P(None, "model") column sharding is head-ALIGNED (chip i holds heads
+    [i*H/p, (i+1)*H/p) with their full q,k,v) — the actual Megatron
+    split. Pair with ``ops/attention.qkv_proj(..., head_major=True)``.
+    Dense f32/bf16 params only; apply BEFORE quantization.
+    """
+    import jax.numpy as jnp
+
+    def repack_w(w):
+        d = w.shape[0]
+        dh = d // heads
+        return (w.reshape(d, 3, heads, dh).transpose(0, 2, 1, 3)
+                .reshape(d, 3 * d))
+
+    def repack_b(b):
+        d = b.shape[0] // 3
+        dh = d // heads
+        return (b.reshape(3, heads, dh).transpose(1, 0, 2)
+                .reshape(3 * d))
+
+    out = dict(params)
+    out["blocks"] = [
+        {**blk,
+         "qkv_w": repack_w(jnp.asarray(blk["qkv_w"])),
+         "qkv_b": repack_b(jnp.asarray(blk["qkv_b"]))}
+        for blk in params["blocks"]
+    ]
+    return out
 
 
 def param_spec(path: str) -> P:

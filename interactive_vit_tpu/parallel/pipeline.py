@@ -68,12 +68,10 @@ def _pp_local(stacked_params, x_micro, *, axis: str, n_stages: int,
         if t + 1 < n_micro + n_stages - 1:
             state = jax.lax.ppermute(state, axis, perm)
 
-    # broadcast the last stage's collected outputs to every device
-    outputs = jax.lax.psum(
-        jnp.where(stage == n_stages - 1, outputs, jnp.zeros_like(outputs)),
-        axis,
-    )
-    return outputs
+    # broadcast the last stage's collected outputs to every device:
+    # non-last stages only ever wrote under `is_last`, so their buffers
+    # are still all-zeros and a plain psum IS the broadcast
+    return jax.lax.psum(outputs, axis)
 
 
 def pipeline_apply_stacked(
@@ -97,6 +95,8 @@ def pipeline_apply_stacked(
             f"{n_layers} layers not divisible by {n_stages} stages"
         )
     b = x.shape[0]
+    if n_micro is not None and n_micro < 1:
+        raise ValueError(f"n_micro must be >= 1, got {n_micro}")
     if n_micro is None:
         # serving-friendly default: as many microbatches as divide the
         # batch, capped at the stage count (b == 1 -> degenerate but valid)
@@ -104,15 +104,23 @@ def pipeline_apply_stacked(
     if b % n_micro:
         raise ValueError(f"batch {b} not divisible by {n_micro} microbatches")
 
-    x_micro = x.reshape(n_micro, b // n_micro, *x.shape[1:])
+    mb = b // n_micro
+    x_micro = x.reshape(n_micro, mb, *x.shape[1:])
+    # PP composes with DP: keep the within-microbatch dim sharded over
+    # "data" when it divides — replicating it would all-gather the full
+    # batch onto every chip and run the folded trunk redundantly on each
+    # data row (S x the FLOPs for nothing)
+    mesh_axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    data_ok = "data" in mesh_axes and mb % mesh_axes["data"] == 0
+    x_spec = P(None, "data") if data_ok else P()
     fn = jax.shard_map(
         functools.partial(
             _pp_local, axis=axis, n_stages=n_stages, n_micro=n_micro,
             layer_fn=layer_fn,
         ),
         mesh=mesh,
-        in_specs=(P(axis), P()),   # blocks sharded by stage; input replicated
-        out_specs=P(),
+        in_specs=(P(axis), x_spec),  # blocks sharded by stage
+        out_specs=x_spec,
     )
     y = fn(stacked, x_micro)
     return y.reshape(b, *x.shape[1:])
@@ -133,7 +141,7 @@ def pipeline_apply(
     """
     return pipeline_apply_stacked(
         _stack_blocks(blocks), x, layer_fn, mesh, axis=axis,
-        n_micro=n_micro or mesh.shape[axis], n_layers=len(blocks),
+        n_micro=n_micro, n_layers=len(blocks),
     )
 
 

@@ -91,6 +91,12 @@ def ring_attention(
     """
     n = q.shape[2]
     n_real = n if n_real is None else n_real
+    p = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    if n % p:
+        raise ValueError(
+            f"ring_attention: token count {n} must be divisible by mesh "
+            f"axis {axis!r} (size {p}) — pad and pass n_real"
+        )
     spec = P(None, None, axis, None)
     fn = jax.shard_map(
         functools.partial(
@@ -106,7 +112,6 @@ def ring_attention(
 def _local_ulysses(q, k, v, axis_name: str, n_real: int, want_attn: bool):
     """Per-device body: [B, H, nl, D] token shards -> all-to-all to
     [B, H/p, N, D] head shards -> full local attention -> back."""
-    p = jax.lax.axis_size(axis_name)
 
     def to_heads(x):
         # split heads across devices, gather all tokens
@@ -153,6 +158,17 @@ def ulysses_attention(
     """
     n = q.shape[2]
     n_real = n if n_real is None else n_real
+    p = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    if q.shape[1] % p:
+        raise ValueError(
+            f"ulysses_attention: heads {q.shape[1]} must be divisible by "
+            f"mesh axis {axis!r} (size {p})"
+        )
+    if n % p:
+        raise ValueError(
+            f"ulysses_attention: token count {n} must be divisible by "
+            f"mesh axis {axis!r} (size {p}) — pad and pass n_real"
+        )
     spec = P(None, None, axis, None)
     probs_spec = P(None, axis, None, None)
     body = functools.partial(_local_ulysses, axis_name=axis, n_real=n_real,

@@ -30,60 +30,63 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return nll.mean()
 
 
+def _decay_mask(params):
+    """True where AdamW weight decay applies: matmul weights only.
+
+    The standard ViT recipe excludes LayerNorm scales/biases, all biases,
+    cls_token and pos_emb from decay (decaying LN scales measurably hurts
+    long runs); a leaf is decayed iff it is a rank-2 weight matrix."""
+    import jax
+
+    return jax.tree.map(lambda x: getattr(x, "ndim", 0) == 2, params)
+
+
 def make_optimizer(lr: float = 3e-4, wd: float = 0.05,
                    warmup_steps: int = 0, total_steps: int = 0,
                    clip_norm: float = 0.0):
-    """AdamW, optionally with global-norm clipping and a warmup+cosine
-    schedule (the standard ViT recipe). ``total_steps=0`` -> constant lr;
-    ``clip_norm=0`` -> no clipping. Defaults preserve the bare AdamW the
-    sharded tests pin down."""
+    """AdamW (decay masked to rank-2 weights — LN/biases/embeddings are
+    exempt per the standard ViT recipe), optionally with global-norm
+    clipping and a warmup+cosine schedule. ``total_steps=0`` -> constant
+    lr; ``clip_norm=0`` -> no clipping."""
     sched = lr
     if total_steps:
         sched = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=lr,
             warmup_steps=max(1, warmup_steps),
             decay_steps=total_steps, end_value=lr * 0.01)
-    tx = optax.adamw(sched, weight_decay=wd)
+    tx = optax.adamw(sched, weight_decay=wd, mask=_decay_mask)
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx
 
 
 def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
-            cfg: vit.ViTConfig, attn_impl=None) -> jnp.ndarray:
-    logits = vit.forward(params, images, cfg, attn_impl=attn_impl)["logits"]
+            cfg: vit.ViTConfig, attn_impl=None,
+            block_wrapper=None, qkv_head_major: bool = False) -> jnp.ndarray:
+    logits = vit.forward(params, images, cfg, attn_impl=attn_impl,
+                         block_wrapper=block_wrapper,
+                         qkv_head_major=qkv_head_major)["logits"]
     return cross_entropy(logits, labels)
 
 
 def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
-                    remat: bool = True):
+                    remat: bool = True, qkv_head_major: bool = False):
     """Build a jittable train step (params, opt_state, images, labels) ->
     (params, opt_state, loss).
 
-    ``remat=True`` wraps each block in ``jax.checkpoint`` — trade FLOPs for
-    HBM (rematerialize activations in backward) so big batches fit.
+    ``remat=True`` wraps each block in ``jax.checkpoint`` via
+    ``vit.forward``'s ``block_wrapper`` hook — trade FLOPs for HBM
+    (rematerialize activations in backward) so big batches fit. ONE trunk:
+    the training forward is the inference forward, so they cannot drift.
     """
     optimizer = optimizer or make_optimizer()
+    wrapper = functools.partial(jax.checkpoint) if remat else None
 
     def step(params, opt_state, images, labels):
         def lf(p, im, lb):
-            return loss_fn(p, im, lb, cfg, attn_impl=attn_impl)
-
-        if remat:
-            # checkpoint at block granularity via a rematted forward
-            def lf(p, im, lb, cfg=cfg, attn_impl=attn_impl):  # noqa: ANN001
-                x = vit.embed(p, im, cfg)
-
-                @functools.partial(jax.checkpoint)
-                def run_block(bp, x):
-                    y, _, _ = vit.block(bp, x, cfg, want_attn=False,
-                                     attn_impl=attn_impl)
-                    return y
-
-                for bp in p["blocks"]:
-                    x = run_block(bp, x)
-                x = vit.final_norm(p, x, cfg)
-                return cross_entropy(vit.head(p, x), lb)
+            return loss_fn(p, im, lb, cfg, attn_impl=attn_impl,
+                           block_wrapper=wrapper,
+                           qkv_head_major=qkv_head_major)
 
         loss, grads = jax.value_and_grad(lf)(params, images, labels)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -111,11 +114,19 @@ def setup_sharded(
     """
     optimizer = optimizer or make_optimizer(lr)
     params = vit.init_params(jax.random.key(seed), cfg)
+    # head-major qkv columns whenever TP is active: makes param_spec's
+    # flat column sharding head-ALIGNED (the actual Megatron split) —
+    # the torch layout [3][H][Dh] would force GSPMD to reshard the
+    # activation at the head reshape instead of running head-parallel
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1
+    if tp:
+        params = mesh_lib.permute_qkv_head_major(params, cfg.heads)
     params = mesh_lib.shard_params(params, mesh)
     # optax init builds zeros_like(params) -> inherits the TP shardings
     opt_state = optimizer.init(params)
 
-    step = make_train_step(cfg, optimizer, attn_impl=attn_impl, remat=remat)
+    step = make_train_step(cfg, optimizer, attn_impl=attn_impl, remat=remat,
+                           qkv_head_major=tp)
     bsh = mesh_lib.batch_sharding(mesh)
 
     train_step = jax.jit(
@@ -125,7 +136,8 @@ def setup_sharded(
     )
 
     def infer(params, images):
-        return vit.forward(params, images, cfg, attn_impl=attn_impl)["logits"]
+        return vit.forward(params, images, cfg, attn_impl=attn_impl,
+                           qkv_head_major=tp)["logits"]
 
     infer_fn = jax.jit(infer, in_shardings=(None, bsh))
     return params, opt_state, train_step, infer_fn

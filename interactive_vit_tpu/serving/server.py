@@ -136,10 +136,15 @@ def build_app(
                 logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_vgg16_model(params=params, seed=seed, dtype=dtype)
         else:
+            # with a TP axis, re-pack qkv columns head-major so the mesh
+            # column sharding is head-aligned (parallel/mesh.py)
+            tp = (mesh is not None and
+                  dict(zip(mesh.axis_names,
+                           mesh.devices.shape)).get("model", 1) > 1)
             model = make_vit_model(variant, params=params, seed=seed,
                                    attn_impl=attn_impl,
                                    dtype=dtype, quantize=quantize,
-                                   kernels=mesh is None)
+                                   kernels=mesh is None, tp_layout=tp)
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))

@@ -185,3 +185,36 @@ def test_serving_app_on_mesh(tmp_path):
     assert len(outs) >= 16
     logits = [v for sub in outs.values() for v in sub.values()]
     assert all(np.isfinite(v).all() for v in logits)
+
+
+def test_head_major_tp_layout_matches_baseline():
+    """permute_qkv_head_major + qkv_head_major=True is numerically the
+    same model (the mesh TP column sharding is then head-ALIGNED — the
+    actual Megatron split; parallel/mesh.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.parallel.mesh import permute_qkv_head_major
+
+    cfg = vit.ViTConfig("vit_hm", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=7)
+    params = vit.init_params(jax.random.key(3), cfg)
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (2, 3, 32, 32), dtype=np.float32))
+
+    base = vit.forward(params, x, cfg, want_attn=True)
+    perm = permute_qkv_head_major(params, cfg.heads)
+    got = vit.forward(perm, x, cfg, want_attn=True, qkv_head_major=True)
+
+    np.testing.assert_allclose(np.asarray(got["logits"]),
+                               np.asarray(base["logits"]), atol=1e-5)
+    for a, b in zip(got["attn"], base["attn"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["rollout"]),
+                               np.asarray(base["rollout"]), atol=1e-5)
+
+    # and the guard: head-major weights must not reach the fused kernels
+    with pytest.raises(ValueError):
+        vit.block(perm["blocks"][0], jnp.zeros((1, 5, 64)), cfg,
+                  qkv_head_major=True, block_impl=lambda *a, **k: None)

@@ -38,7 +38,6 @@ class Config:
     # compute
     attn_impl: str = "auto"          # auto | flash | reference
     compute_dtype: str = "bfloat16"  # serving compute dtype
-    pad_tokens: bool = False
     use_jit: bool = True
 
     # observability

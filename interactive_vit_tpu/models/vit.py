@@ -183,6 +183,13 @@ def block(
         # head-major weights (the mesh TP layout) would be read wrong
         raise ValueError("qkv_head_major is incompatible with fused block "
                          "kernels (mesh serving disables them)")
+    if n_real is not None and block_impl is not None:
+        # the fused kernels implement no key masking: padded rows get
+        # nonzero k/v through the LN bias and SILENTLY corrupt every real
+        # row's softmax — refuse rather than return wrong maps/logits
+        raise ValueError("padded-domain execution (n_real) is not "
+                         "supported by the fused block kernels; use the "
+                         "flash/mhsa path (attn_impl) which masks keys")
     if block_impl is not None:
         if want_mean:
             x, probs, pmean = block_impl(x, p, cfg.heads, cfg.ln_eps,

@@ -200,6 +200,12 @@ def fused_attn_block(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # same treatment as the headwise kernel: the default 16M
+            # scoped-vmem limit is conservative (v5e has 128M physical)
+            # and a breach is a deterministic COMPILE failure that kills
+            # the whole program; fits() budgets against this limit with
+            # bb and streamed-block double-buffering modeled
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(x, p["ln1_s"].reshape(1, d), p["ln1_b"].reshape(1, d),
       p["qkv_w"], p["qkv_b"].reshape(1, 3 * d),
@@ -245,12 +251,14 @@ def _headwise_bytes(n: int, d: int, dh: int, hb: int, esize: int,
 def _head_group(dh: int, heads: int, n: int = 0, d: int = 0,
                 esize: int = 2, emit: bool = True,
                 emit_mean: bool = True) -> int:
-    """Heads per program for the packed headwise layout: the LARGEST
-    multiple of Mosaic's 128-lane column granule (128/dh heads) that
-    divides ``heads`` and fits the VMEM budget. Bigger groups cut the
-    sequential group-grid depth (fewer f32-accumulator round-trips) —
-    measured on ViT-L/16@384: hb 2 -> 8 took the maps-on block from 289
-    to 233 us/batch-8. Returns 0 if dh can't pack into 128 lanes."""
+    """Heads per program for the packed headwise layout: the largest
+    POWER-OF-TWO multiple of Mosaic's 128-lane column granule (128/dh
+    heads) that divides ``heads`` and fits the VMEM budget (non-power-of-
+    two groups like hb=6 are not tried — untested block shapes). Bigger
+    groups cut the sequential group-grid depth (fewer f32-accumulator
+    round-trips) — measured on ViT-L/16@384: hb 2 -> 8 took the maps-on
+    block from 289 to 233 us/batch-8. Returns 0 if dh can't pack into
+    128 lanes."""
     base = 128 // dh if (dh <= 128 and 128 % dh == 0) else 0
     if not base or heads % base:
         return 0
@@ -487,14 +495,24 @@ def headwise_attn_block(
 
 
 def fits(n: int, d: int, heads: int, dtype) -> bool:
-    """VMEM feasibility estimate for one ``fused_attn_block`` program."""
+    """VMEM feasibility estimate for one ``fused_attn_block`` program.
+
+    Models what actually compiles: bb=2 images per program, and streamed
+    blocks (acts/scores/taps) double-buffer — the compiler's true stack
+    runs up to ~1.6x the naive working set (CLAUDE.md scoped-vmem notes;
+    the headwise kernel measured 18.77M allocated vs 16.7M estimated).
+    Budget = the 48M ``vmem_limit_bytes`` the pallas_call requests, so a
+    shape this admits cannot hit the deterministic whole-program
+    compile kill a scoped-vmem breach causes."""
     esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
-    weights = d * 3 * d * esize + d * d * esize
-    acts = n * d * esize * 3 + n * 3 * d * esize  # x, ln, y, qkv
+    weights = d * 3 * d * esize + d * d * esize    # VMEM-resident, single
+    acts = n * d * esize * 3 + n * 3 * d * esize   # x, ln, y, qkv
     scores = n * n * 4 * 3                         # s + probs + mean acc f32
     probs_tap = heads * n * n * esize
-    total = weights + acts + scores + probs_tap
-    return total < 12 * 1024 * 1024
+    bb = 2
+    streamed = bb * (acts + scores + probs_tap)
+    total = weights + int(1.6 * streamed)
+    return total < 48 * 1024 * 1024
 
 
 def fits_headwise(n: int, d: int, heads: int, dtype) -> bool:

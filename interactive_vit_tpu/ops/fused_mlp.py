@@ -32,12 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 Params = Dict[str, jnp.ndarray]
 
 
-def _precision(dtype):
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+# single source of the precision policy (layers.precision_for docstring);
+# a private copy here could silently drift from the backend workaround
+from interactive_vit_tpu.ops.layers import precision_for as _precision  # noqa: E402,E501
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref,

@@ -123,6 +123,11 @@ def pack(magic: int, json_utf8: bytes, tensors: List[np.ndarray]) -> bytes:
     out_ref = (ctypes.c_char * size).from_buffer(out)
     written = lib.ivt_pack(out_ref, magic, json_utf8, len(json_utf8),
                            dims_ptrs, dim_cnt, data_ptrs, elem_cnt, n)
+    if written == 0:
+        # message or a block exceeds the u32 wire framing — fail loudly
+        # like the Python encoder's struct.error, never emit wrapped sizes
+        raise ValueError(
+            f"message too large for the wire format (total {size} bytes)")
     assert written == size, (written, size)
     del out_ref  # release the buffer export so the bytearray is usable
     return out  # bytes-like; avoids a 2nd copy of multi-MB messages

@@ -52,7 +52,12 @@ int ivt_scan(const uint8_t* buf, uint64_t len, uint32_t expect_magic,
   if (magic != expect_magic) return -2;
   if (byte_size > len) return -3;
   if (kHeaderSize + json_size > len) return -3;  // json extent in range
-  if (static_cast<int>(block_cnt) > max_blocks) return -5;
+  // UNSIGNED compare: casting block_cnt >= 2^31 to int yields a negative
+  // value that would bypass the guard and let the scan loop write block
+  // metadata past the caller's fixed arrays (heap corruption from
+  // network input)
+  if (max_blocks < 0 ||
+      block_cnt > static_cast<uint32_t>(max_blocks)) return -5;
 
   json_out[0] = kHeaderSize;
   json_out[1] = json_size;
@@ -98,12 +103,20 @@ uint64_t ivt_encoded_size(uint64_t json_size, const uint32_t* dim_cnt,
 // Pack a full message into `out` (caller allocates ivt_encoded_size bytes).
 // dims[i] points at u32[dim_cnt[i]]; data[i] at f32[elem_cnt[i]].
 // Returns bytes written.
+// Returns bytes written, or 0 when the message (or any single block)
+// exceeds the u32 wire size fields — the caller must fall back / error
+// loudly instead of emitting silently wrapped framing (the Python
+// encoder fails with struct.error in the same case).
 uint64_t ivt_pack(uint8_t* out, uint32_t magic, const uint8_t* json,
                   uint64_t json_size, const uint8_t* const* dims,
                   const uint32_t* dim_cnt, const uint8_t* const* data,
                   const uint64_t* elem_cnt, int blocks) {
   const uint64_t total =
       ivt_encoded_size(json_size, dim_cnt, elem_cnt, blocks);
+  if (total > UINT32_MAX || json_size > UINT32_MAX) return 0;
+  for (int i = 0; i < blocks; ++i) {
+    if (8 + 4ull * dim_cnt[i] + 4ull * elem_cnt[i] > UINT32_MAX) return 0;
+  }
   write_u32(out, static_cast<uint32_t>(total));
   write_u32(out + 4, magic);
   write_u32(out + 8, static_cast<uint32_t>(blocks));

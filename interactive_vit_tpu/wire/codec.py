@@ -29,6 +29,7 @@ is the always-available fallback and the behavioural spec).
 from __future__ import annotations
 
 import json
+import math
 import struct
 from typing import Dict, List, Optional
 
@@ -192,7 +193,14 @@ def decode_message(b: bytes, expect_magic: Optional[int] = None):
             raise WireError(f"truncated message: block {i} dims at {off}")
         dims = np.frombuffer(b, dtype="<u4", count=dim_cnt, offset=off)
         off += 4 * dim_cnt
-        elem_cnt = int(np.prod(dims)) if dim_cnt > 0 else 1
+        # exact product in Python ints: np.prod over u32 wraps mod 2^64,
+        # so a crafted dims list (e.g. 65536^4) could pass the extent
+        # check with a forged block_size and leak a reshape ValueError
+        # instead of WireError (the native scanner guards this as -4)
+        elem_cnt = math.prod(int(d) for d in dims) if dim_cnt > 0 else 1
+        if elem_cnt > len(b):
+            raise WireError(
+                f"bad block {i}: {elem_cnt} elements exceeds message size")
         dt = "f32" if dtypes is None or i >= len(dtypes) else dtypes[i]
         data_bytes = (
             _align4(2 * elem_cnt) if dt == "bf16" else 4 * elem_cnt

@@ -152,13 +152,19 @@ def scan_plugins(dirs: List[str], reg: Optional[Registry] = None) -> None:
             path = os.path.join(full_dir, file)
             if not os.path.isfile(path) or not path.endswith(".py"):
                 continue
-            name = os.path.splitext(file)[0]
+            # namespaced module name: a plugin file called queue.py/json.py
+            # must NOT hijack sys.modules['queue'] for the whole process
+            name = "ivt_plugins." + os.path.splitext(file)[0]
             try:
                 spec = importlib.util.spec_from_file_location(name, path)
                 assert spec is not None and spec.loader is not None
                 module = importlib.util.module_from_spec(spec)
                 sys.modules[name] = module
-                spec.loader.exec_module(module)
+                try:
+                    spec.loader.exec_module(module)
+                except Exception:
+                    sys.modules.pop(name, None)  # no half-initialized leftovers
+                    raise
                 for inst in module.instances():
                     inst.register(reg)
             except Exception as err:  # noqa: BLE001 — plugin isolation by design

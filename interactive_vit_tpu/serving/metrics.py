@@ -7,9 +7,10 @@ imgs/sec throughput and p50 per-request latency under concurrent load.
 
 from __future__ import annotations
 
+import collections
 import threading
 import time
-from typing import Dict, List
+from typing import Dict
 
 
 class LatencyHistogram:
@@ -17,14 +18,15 @@ class LatencyHistogram:
 
     def __init__(self, cap: int = 4096):
         self.cap = cap
-        self._vals: List[float] = []
+        # deque(maxlen): O(1) keep-most-recent appends — a list slice per
+        # observation would copy the whole window on every hot-path call
+        # once at capacity
+        self._vals: "collections.deque[float]" = collections.deque(maxlen=cap)
         self._lock = threading.Lock()
 
     def observe(self, seconds: float) -> None:
         with self._lock:
             self._vals.append(seconds)
-            if len(self._vals) > self.cap:
-                self._vals = self._vals[-self.cap :]
 
     def quantile(self, q: float) -> float:
         with self._lock:
@@ -54,7 +56,7 @@ class Metrics:
         self.queue_latency = LatencyHistogram()    # enqueue -> dispatch
         self.encode_latency = LatencyHistogram()   # wire encode only
         self.batch_sizes = LatencyHistogram()
-        self.started = time.time()
+        self.started = time.monotonic()  # clock steps must not corrupt uptime
 
     def inc(self, name: str, by: int = 1) -> None:
         with self._lock:
@@ -63,7 +65,7 @@ class Metrics:
     def snapshot(self) -> Dict:
         with self._lock:
             counters = dict(self.counters)
-        up = time.time() - self.started
+        up = time.monotonic() - self.started
         return {
             "uptime_s": up,
             "counters": counters,

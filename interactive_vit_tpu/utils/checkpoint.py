@@ -41,11 +41,14 @@ def load_params(path: str, like: Optional[Any] = None) -> Any:
     with ocp.StandardCheckpointer() as ckpt:
         if like is None:
             return ckpt.restore(path)
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(
-                x.shape, x.dtype,
-                sharding=getattr(x, "sharding", None),
-            ),
-            like,
-        )
-        return ckpt.restore(path, abstract)
+        def to_abstract(x):
+            # non-array leaves (Python scalars in train states) pass
+            # through as arrays — the contract is "any pytree"
+            if not hasattr(x, "shape"):
+                import numpy as np
+
+                x = np.asarray(x)
+            return jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+
+        return ckpt.restore(path, jax.tree.map(to_abstract, like))

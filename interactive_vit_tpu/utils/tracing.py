@@ -17,7 +17,6 @@ TPU-native replacements:
 from __future__ import annotations
 
 import contextlib
-import time
 from typing import Dict
 
 import jax
@@ -45,15 +44,11 @@ def debug_nans(on: bool = True) -> None:
 
 
 def node_timings(executor, graph) -> Dict[int, float]:
-    """Eager per-node wall-times (seconds). Debug path: unfused, eager."""
-    from interactive_vit_tpu.graph.ir import effective_params
+    """Per-node wall-times (seconds). Debug path: unfused, per-node jit.
 
-    timings: Dict[int, float] = {}
-    for n in graph.order():
-        kind = executor.reg.get_node(n.name)
-        t0 = time.perf_counter()
-        pinout = kind.compute(effective_params(n), n.get_pinin())
-        jax.block_until_ready(list(pinout.pinout.values()))
-        timings[n.index] = time.perf_counter() - t0
-        n.set_pinout(pinout)
-    return timings
+    Delegates to ``Executor.run_timed_eager`` (the ``/debug_eval``
+    engine): per-node jit instead of op-by-op eager (catastrophic through
+    a remote backend), with the "eval error upstream" fault-isolation
+    contract — one failing node doesn't lose every timing."""
+    timings_ms, _, _ = executor.run_timed_eager(graph)
+    return {i: ms / 1e3 for i, ms in timings_ms.items()}

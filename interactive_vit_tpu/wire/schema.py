@@ -32,7 +32,7 @@ import math
 import os
 from typing import Dict, List, Optional
 
-from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.ir import Graph, GraphError
 
 
 def generate_model_graph_json(
@@ -69,7 +69,7 @@ def generate_model_graph_json(
     return obj
 
 
-def graph_from_json(obj: Dict, server_kinds_only: bool = True) -> Graph:
+def graph_from_json(obj: Dict) -> Graph:
     """Build an executable ``Graph`` from a saved graph JSON.
 
     ``net_node`` instances become graph nodes named by their endpoint; other
@@ -92,8 +92,16 @@ def graph_from_json(obj: Dict, server_kinds_only: bool = True) -> Graph:
             }
             g.add_node(kind, params)
     for edge_json in obj["edges"]:
-        src = g.nodes[edge_json["in_port"]["node"]]
-        dst = g.nodes[edge_json["out_port"]["node"]]
+        si = int(edge_json["in_port"]["node"])
+        di = int(edge_json["out_port"]["node"])
+        # explicit range check: a negative index would WRAP via Python
+        # list indexing and silently mis-wire the graph (wrong results
+        # with HTTP 200 instead of a structured error)
+        for idx in (si, di):
+            if not 0 <= idx < len(g.nodes):
+                raise GraphError(f"edge references nonexistent node {idx}")
+        src = g.nodes[si]
+        dst = g.nodes[di]
         g.connect(
             src,
             edge_json["in_port"]["channel"],
@@ -137,8 +145,14 @@ class GraphLibrary:
             return f.read()
 
     def save(self, name: str, obj: Dict) -> None:
-        with open(self._path(name), "w", encoding="utf-8") as f:
+        # atomic: concurrent /load_graph readers (threaded HTTP server)
+        # must never see torn JSON, and a failed dump must not destroy
+        # the previously-valid saved graph
+        path = self._path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(obj, f)
+        os.replace(tmp, path)
 
     def exists(self, name: str) -> bool:
         try:

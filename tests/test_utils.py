@@ -94,3 +94,17 @@ def test_safetensors_roundtrip(tmp_path):
     open(path, "wb").write(raw[:-4])
     with pytest.raises(SafetensorsError):
         load_file(path)
+
+
+def test_load_params_accepts_scalar_leaves(tmp_path):
+    """The 'any pytree' contract: train states carry plain-int steps."""
+    import numpy as np
+
+    from interactive_vit_tpu.utils.checkpoint import load_params, save_params
+
+    tree = {"w": np.arange(4, dtype=np.float32), "step": 7}
+    save_params(str(tmp_path / "ck"), tree)
+    like = {"w": np.zeros(4, np.float32), "step": 0}
+    back = load_params(str(tmp_path / "ck"), like=like)
+    assert int(back["step"]) == 7
+    np.testing.assert_array_equal(np.asarray(back["w"]), tree["w"])

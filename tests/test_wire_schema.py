@@ -84,3 +84,30 @@ def test_request_encode_input_edge_order():
     np.testing.assert_array_equal(
         r2.graph.nodes[0].inputs["b"].tensor, 2 * np.ones((2,), np.float32)
     )
+
+
+def test_negative_edge_index_rejected():
+    """A corrupt saved graph with node -1 must raise a structured error,
+    not wrap via Python list indexing into a silently mis-wired graph."""
+    from interactive_vit_tpu.graph.ir import GraphError
+    from interactive_vit_tpu.wire.schema import graph_from_json
+
+    obj = {
+        "nodes": [{"instance": {"kind": "noise", "dims": [4]}},
+                  {"instance": {"kind": "cos"}}],
+        "edges": [{"in_port": {"node": -1, "channel": "o"},
+                   "out_port": {"node": 1, "channel": "o"}}],
+    }
+    with pytest.raises(GraphError):
+        graph_from_json(obj)
+
+
+def test_save_is_atomic_no_tmp_left(tmp_path):
+    from interactive_vit_tpu.wire.schema import GraphLibrary
+
+    lib = GraphLibrary(str(tmp_path))
+    lib.save("a.json", {"nodes": [], "edges": []})
+    assert lib.load("a.json") == {"nodes": [], "edges": []}
+    import os
+
+    assert not [f for f in os.listdir(str(tmp_path)) if f.endswith(".tmp")]

@@ -166,8 +166,14 @@ def layer_fns(cfg: CLIPVisionConfig, attn_impl=None, block_impl=None):
 
     from interactive_vit_tpu.ops.preprocess_mm import preprocess_mm
 
+    # OpenAI CLIP resizes the shorter side DIRECTLY to img_size (bicubic)
+    # then center-crops — resize_to=img_size reproduces that framing (the
+    # ImageNet default 256->224 recipe would crop away ~12.5% of the
+    # frame CLIP keeps). Interpolation here is antialiased bilinear, a
+    # documented approximation of CLIP's bicubic.
     layers.append(("transform", [], lambda p, ins: {
-        "o": preprocess_mm(ins["o"], cfg.img_size, CLIP_MEAN, CLIP_STD)
+        "o": preprocess_mm(ins["o"], cfg.img_size, CLIP_MEAN, CLIP_STD,
+                           resize_to=cfg.img_size)
     }))
 
     def embed_fn(p, ins):
@@ -180,19 +186,18 @@ def layer_fns(cfg: CLIPVisionConfig, attn_impl=None, block_impl=None):
 
     layers.append(("embed", [], embed_fn))
 
-    def make_block_fn(i):
-        def block_fn(p, ins, want=frozenset()):
-            y, probs = block(p, ins["o"], cfg, want_attn=bool(want),
-                             attn_impl=attn_impl, block_impl=block_impl)
-            outs = {"o": y}
-            if probs is not None:
-                outs["attn"] = probs
-            return outs
-
-        return block_fn
+    def block_fn(p, ins, want=frozenset()):
+        # one shared fn: unlike vit.layer_fns there is no per-index
+        # behavior, the layer identity comes entirely from its captures
+        y, probs = block(p, ins["o"], cfg, want_attn=bool(want),
+                         attn_impl=attn_impl, block_impl=block_impl)
+        outs = {"o": y}
+        if probs is not None:
+            outs["attn"] = probs
+        return outs
 
     for i in range(cfg.depth):
-        layers.append((f"blocks.{i}", ["attn"], make_block_fn(i)))
+        layers.append((f"blocks.{i}", ["attn"], block_fn))
 
     # the embedding-extraction node: the plugin-API generalization proof
     layers.append(("embedding", [], lambda p, ins: {

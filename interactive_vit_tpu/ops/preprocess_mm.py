@@ -21,7 +21,7 @@ numerically interchangeable with ``ops/layers.preprocess`` (parity-tested).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -49,9 +49,16 @@ def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
     return w
 
 
-def _target_dims(h: int, w: int, size: int) -> Tuple[int, int]:
-    """Shorter-side resize target (parity with ``layers.preprocess``)."""
-    resize_to = int(size * 256 / 224)
+def _target_dims(h: int, w: int, size: int,
+                 resize_to: Optional[int] = None) -> Tuple[int, int]:
+    """Shorter-side resize target (parity with ``layers.preprocess``).
+
+    Default ``resize_to`` is the ImageNet eval recipe (resize shorter
+    side to size*256/224, crop ``size``); pass ``resize_to=size`` for
+    recipes that resize the shorter side DIRECTLY to the crop size
+    (OpenAI CLIP) — the crop then only trims the long side."""
+    if resize_to is None:
+        resize_to = int(size * 256 / 224)
     if h < w:
         return resize_to, max(resize_to, int(round(w * resize_to / h)))
     return max(resize_to, int(round(h * resize_to / w))), resize_to
@@ -62,6 +69,7 @@ def preprocess_mm(
     size: int,
     mean=(0.485, 0.456, 0.406),
     std=(0.229, 0.224, 0.225),
+    resize_to: Optional[int] = None,
 ) -> jnp.ndarray:
     """resize -> center crop -> normalize via two MXU matmuls.
 
@@ -71,7 +79,7 @@ def preprocess_mm(
     if squeeze:
         images = images[None]
     b, c, h, w = images.shape
-    nh, nw = _target_dims(h, w, size)
+    nh, nw = _target_dims(h, w, size, resize_to)
 
     rh = resize_matrix(h, nh)
     rw = resize_matrix(w, nw)

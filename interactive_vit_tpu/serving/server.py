@@ -38,7 +38,7 @@ def enable_compilation_cache(cache_dir: str = "/tmp/ivt_jit_cache") -> None:
         logger.warning("compilation cache unavailable: %s", e)
 
 
-def load_model_params(variant: str, path: str, layout: str = "torchvision"):
+def load_model_params(variant: str, path: str, layout: str = "auto"):
     """Load real weights for ``variant`` from any supported checkpoint form:
     an orbax directory (our native format, written by tools/convert), a
     ``.safetensors`` file (torch-free), or a torch ``.pth``. File formats go
@@ -65,7 +65,7 @@ def build_app(
     mesh_spec: str = "",
     compute_timeout_s: float = 120.0,
     ckpts=None,
-    ckpt_layout: str = "torchvision",
+    ckpt_layout: str = "auto",
 ) -> App:
     reg = registry()
     register_builtin(reg)
@@ -148,6 +148,15 @@ def build_app(
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))
+    unused = set(ckpts) - set(models)
+    if unused:
+        # a typo'd --ckpt key would otherwise serve RANDOM-INIT weights
+        # with no hint — garbage classifications that look like a model
+        # bug instead of a flag mistake
+        raise ValueError(
+            f"--ckpt given for models not being served: {sorted(unused)} "
+            f"(serving {sorted(models)})"
+        )
     return app
 
 
@@ -218,7 +227,7 @@ def main() -> None:
                         help="serve MODEL with real weights from PATH (an "
                              "orbax dir from tools/convert, a .safetensors "
                              "file, or a torch .pth); repeatable")
-    parser.add_argument("--ckpt-layout", default="torchvision",
+    parser.add_argument("--ckpt-layout", default="auto",
                         choices=["torchvision", "timm", "openai"],
                         help="state-dict naming of file checkpoints")
     parser.add_argument("--mesh", default="",

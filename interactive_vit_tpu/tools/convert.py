@@ -28,7 +28,13 @@ def load_state_dict(path: str):
         return load_file(path)
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except RuntimeError:
+        # TorchScript archive (how OpenAI distributes CLIP): torch.load
+        # refuses weights_only=True on these; torch.jit.load is the
+        # proper API and yields the ScriptModule whose state_dict we want
+        obj = torch.jit.load(path, map_location="cpu")
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     if "state_dict" in obj and isinstance(obj["state_dict"], dict):
@@ -40,7 +46,28 @@ def load_state_dict(path: str):
 load_torch_state_dict = load_state_dict
 
 
+VALID_LAYOUTS = {
+    "vgg16": {"torchvision"},
+    "clip_b32": {"openai"},
+    # every ViT variant accepts either framework naming
+    "_vit": {"torchvision", "timm"},
+}
+
+
 def convert(model: str, layout: str, sd) -> object:
+    allowed = VALID_LAYOUTS.get(model, VALID_LAYOUTS["_vit"])
+    if layout == "auto":
+        layout = sorted(allowed)[-1]  # single-layout models; ViT->tv
+        if model not in VALID_LAYOUTS:
+            layout = "torchvision"
+    if layout not in allowed:
+        # an explicit wrong layout must error with the right hint, not
+        # fall through to a mismatched converter's KeyError (or silently
+        # convert with a different naming than asked)
+        raise ValueError(
+            f"layout {layout!r} is not valid for {model} "
+            f"(expected one of {sorted(allowed)}, or 'auto')"
+        )
     if model == "vgg16":
         from interactive_vit_tpu.models import vgg
 

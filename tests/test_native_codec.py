@@ -98,3 +98,50 @@ def test_fuzz_parity_with_python(lib):
         assert o1 == o2
         for a, b in zip(t1, t2):
             np.testing.assert_array_equal(a, b)
+
+
+def test_scan_rejects_huge_block_cnt(lib):
+    """block_cnt >= 2^31 must hit the max-blocks guard, not bypass it via
+    a signed cast and scribble block metadata past the fixed arrays
+    (remotely triggerable heap corruption — fixed 2026-08-17)."""
+    import ctypes
+    import struct
+
+    hdr = struct.pack("<IIII", 16, codec.REQUEST_MAGIC, 0xFFFFFFFF, 0)
+    buf = hdr + b"\x00" * 64
+    n = 1
+    json_out = (ctypes.c_uint64 * 2)()
+    dims_off = (ctypes.c_uint64 * n)()
+    dim_cnt = (ctypes.c_uint32 * n)()
+    data_off = (ctypes.c_uint64 * n)()
+    elem_cnt = (ctypes.c_uint64 * n)()
+    rc = lib.ivt_scan(buf, len(buf), codec.REQUEST_MAGIC, json_out,
+                      dims_off, dim_cnt, data_off, elem_cnt, n)
+    assert rc == -5  # too many blocks — NOT a scan past the arrays
+
+    # and through the decode path: clean WireError, native or fallback
+    with pytest.raises(codec.WireError):
+        codec.decode_message(buf, expect_magic=codec.REQUEST_MAGIC)
+
+
+def test_decode_rejects_overflowing_dims_product():
+    """A dims list whose product wraps 2^64 (e.g. 65536^4) must raise
+    WireError in the PYTHON fallback too, not leak a reshape ValueError
+    (the native scanner already guards this as -4)."""
+    import struct
+
+    dims = [65536] * 4  # product == 2^64 -> wraps to 0 in u64
+    block = struct.pack("<II", 8 + 16, 4) + struct.pack("<4I", *dims)
+    body = b"{}" + b"\x00" * 2 + block
+    raw = struct.pack("<IIII", 16 + len(body), codec.REQUEST_MAGIC, 1, 2) + body
+
+    saved = codec._native
+    try:
+        codec._native = None  # force the pure-python path
+        with pytest.raises(codec.WireError):
+            codec.decode_message(raw, expect_magic=codec.REQUEST_MAGIC)
+    finally:
+        codec._native = saved
+    # native path agrees
+    with pytest.raises(codec.WireError):
+        codec.decode_message(raw, expect_magic=codec.REQUEST_MAGIC)

@@ -278,7 +278,15 @@ def main() -> None:
         ckpt_layout=args.ckpt_layout,
     )
     if args.warmup:
-        warmup(app, [m for m in args.models.split(",") if m])
+        # warm every power-of-two micro-batch bucket up to --max-batch:
+        # the batcher groups concurrent requests into those buckets, so a
+        # first concurrent burst would otherwise pay a cold compile per
+        # bucket mid-traffic (the persistent cache makes this one-time)
+        buckets = [1]
+        while buckets[-1] * 2 <= args.max_batch:
+            buckets.append(buckets[-1] * 2)
+        warmup(app, [m for m in args.models.split(",") if m],
+               batch_sizes=tuple(buckets))
     app.serve(args.host, args.port)
 
 

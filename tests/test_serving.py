@@ -569,3 +569,17 @@ def test_dense_feature_nodes_over_http(served):
     assert out[0]["o"].shape == (1, 3, 3, 3)
     assert out[1]["o"].shape == (1, 3, 3, 3)
     assert out[1]["o"][0, 0, 1, 2] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_warmup_compiles_every_bucket():
+    """--warmup pre-compiles the single program AND each power-of-two
+    vmapped bucket so a first concurrent burst never pays a cold compile
+    mid-traffic."""
+    from interactive_vit_tpu.serving.server import build_app, warmup
+
+    app = build_app(models=("vit_t16",))
+    try:
+        warmup(app, ["vit_t16"], batch_sizes=(1, 2, 4))
+        assert app.executor.cache_info()["entries"] >= 3
+    finally:
+        app.batcher.stop()

@@ -266,6 +266,18 @@ class Executor:
             bucket = -(-bucket // nd) * nd
         return bucket
 
+    def _sig_param_filter(self, n):
+        """Drop each kind's dynamic params from the signature: their
+        values ride as runtime captures (NodeKind.dynamic_params), so an
+        interactive edit re-keys the cached program, no recompile."""
+        try:
+            dyn = self.reg.get_node(n.name).dynamic_params()
+        except KeyError:
+            return n.params
+        if not dyn:
+            return n.params
+        return {k: v for k, v in n.params.items() if k not in dyn}
+
     def _program_sig(self, graph: Graph, tap_set,
                      batch: Optional[int] = None) -> str:
         """THE cache signature — single source for run / run_stacked /
@@ -275,7 +287,33 @@ class Executor:
         extra = [_tap_key(tap_set), self.use_jit]
         if batch is not None and batch > 1:
             extra += ["stacked", self._stacked_bucket(batch)]
-        return graph.signature(extra=extra)
+        return graph.signature(extra=extra,
+                               param_filter=self._sig_param_filter)
+
+    def _refresh_dynamic_caps(self, graph: Graph, caps_arg):
+        """Cache-hit path: rebuild captures for nodes with dynamic params
+        so edited values reach the cached program (the signature excluded
+        them on purpose). Returns caps_arg, copied only when needed."""
+        changed = {}
+        for n in graph.nodes:
+            try:
+                kind = self.reg.get_node(n.name)
+            except KeyError:
+                continue
+            if not kind.dynamic_params():
+                continue
+            caps = kind.captures(n.params)
+            if caps is not None:
+                changed[str(n.index)] = caps
+        if not changed:
+            return caps_arg
+        if self.mesh is not None:
+            # place only the refreshed (tiny) entries — NOT the cached
+            # model weights, which are already mesh-resident
+            changed = self._place_captures(changed)
+        fresh = dict(caps_arg)
+        fresh.update(changed)
+        return fresh
 
     def is_compiled(self, graph: Graph, taps: TapSpec,
                     batch: Optional[int] = None) -> bool:
@@ -558,6 +596,7 @@ class Executor:
         hit = self._cache_get(sig)
         if hit is not None:
             fn, out_keys, caps_arg = hit
+            caps_arg = self._refresh_dynamic_caps(graph, caps_arg)
             stats.cache_hit = True
             stats.stage_s = time.perf_counter() - t0
         else:
@@ -661,6 +700,9 @@ class Executor:
         hit = self._cache_get(sig)
         if hit is not None:
             fn, out_keys, caps_arg = hit
+            # all graphs in a stack share the FULL signature (batcher
+            # groups on it), so g0's dynamic values speak for the group
+            caps_arg = self._refresh_dynamic_caps(g0, caps_arg)
             stats.cache_hit = True
         else:
             staged, out_keys, caps_arg = self._stage(g0, tap_set)

@@ -241,15 +241,20 @@ class Graph:
             raise GraphError("graph contains a cycle")
         return res
 
-    def signature(self, extra: Iterable[Any] = ()) -> str:
+    def signature(self, extra: Iterable[Any] = (),
+                  param_filter=None) -> str:
         """Canonical key for compile caching.
 
         Captures topology + node kinds + params + input shapes/dtypes; two
         graphs with equal signatures stage to identical XLA programs.
+        ``param_filter(node) -> dict`` selects which params participate —
+        the executor drops each kind's ``dynamic_params`` (their values
+        ride as runtime captures, so they don't change the program).
         """
+        pf = param_filter or (lambda n: n.params)
         desc = {
             "nodes": [
-                {"name": n.name, "params": sorted(n.params.items())}
+                {"name": n.name, "params": sorted(pf(n).items())}
                 for n in self.nodes
             ],
             "edges": sorted(

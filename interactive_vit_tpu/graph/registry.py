@@ -79,6 +79,16 @@ class NodeKind:
         """Large arrays (weights) to pass as jit args; None for stateless ops."""
         return None
 
+    def dynamic_params(self) -> frozenset:
+        """Param names whose VALUES ride as runtime captures, not trace
+        constants: they are excluded from the compile-cache signature and
+        refreshed from the graph on every run, so interactively editing
+        them (cos A/b, noise seed, the conv matrix, patch_sim's query)
+        re-keys the cached program instead of recompiling the whole
+        graph. A kind declaring these MUST deliver the values via
+        ``captures()`` with a stable structure/shape/dtype."""
+        return frozenset()
+
     def compute(self, params: Dict[str, str], inputs: Pinout) -> Pinout:
         """Eager evaluation — default implementation calls ``fn``."""
         caps = self.captures(params)

@@ -84,9 +84,17 @@ class CosNode(NodeKind):
     def io(self, params):
         return {"ins": ["o"], "outs": ["o"]}
 
-    def fn(self, params):
+    def dynamic_params(self):
+        return frozenset({"A", "b"})
+
+    def captures(self, params):
         a, b = self.decode_params(params)
-        return lambda ins: {"o": jnp.cos(a * ins["o"] + b)}
+        return {"A": np.float32(a), "b": np.float32(b)}
+
+    def fn(self, params):
+        return lambda ins, caps: {
+            "o": jnp.cos(caps["A"] * ins["o"] + caps["b"])
+        }
 
 
 class BinOpNode(NodeKind):
@@ -192,10 +200,17 @@ class ConstNode(NodeKind):
     def io(self, params):
         return {"ins": [], "outs": ["o"]}
 
+    def dynamic_params(self):
+        return frozenset({"value"})
+
+    def captures(self, params):
+        return {"value": np.float32(float(_jparam(params, "value", 0.0)))}
+
     def fn(self, params):
-        value = float(_jparam(params, "value", 0.0))
         dims = [int(d) for d in _jparam(params, "dims", [1])]
-        return lambda ins: {"o": jnp.full(dims, value, dtype=jnp.float32)}
+        return lambda ins, caps: {
+            "o": jnp.full(dims, caps["value"], dtype=jnp.float32)
+        }
 
 
 class NoiseNode(NodeKind):
@@ -204,7 +219,8 @@ class NoiseNode(NodeKind):
     The reference used ``Math.random()`` host-side; here it is a pure
     ``jax.random`` op keyed by a ``seed`` param, so the node stays traceable
     and deterministic per compile. Re-randomizing = bumping the seed param
-    (which re-keys, not recompiles: seed folds in as a constant).
+    — a DYNAMIC param delivered as a runtime capture, so it re-keys the
+    cached program without recompiling (dims changes do recompile).
     """
 
     def __init__(self) -> None:
@@ -223,11 +239,17 @@ class NoiseNode(NodeKind):
     def io(self, params):
         return {"ins": [], "outs": ["o"]}
 
+    def dynamic_params(self):
+        return frozenset({"seed"})
+
+    def captures(self, params):
+        return {"seed": np.uint32(int(float(params.get("seed", 0))))}
+
     def fn(self, params):
         dims = [int(d) for d in _jparam(params, "dims", [1])]
-        seed = int(float(params.get("seed", 0)))
-        return lambda ins: {
-            "o": jax.random.uniform(jax.random.key(seed), dims, dtype=jnp.float32)
+        return lambda ins, caps: {
+            "o": jax.random.uniform(jax.random.key(caps["seed"]), dims,
+                                    dtype=jnp.float32)
         }
 
 
@@ -278,10 +300,18 @@ class Conv2dNode(NodeKind):
             m[h // 2, w // 2] = 1.0
         return m
 
-    def fn(self, params):
-        m = jnp.asarray(self._matrix(params))
+    def dynamic_params(self):
+        # matrix edits are the hottest interactive gesture (drag a cell):
+        # the values ride as a runtime capture, so each edit re-keys the
+        # cached program; only h/w changes (shape!) recompile
+        return frozenset({"matrix"})
 
-        def run(ins):
+    def captures(self, params):
+        return {"m": np.asarray(self._matrix(params))}
+
+    def fn(self, params):
+        def run(ins, caps):
+            m = caps["m"]
             x = ins["o"]
             squeeze = x.ndim == 2
             if squeeze:
@@ -290,13 +320,17 @@ class Conv2dNode(NodeKind):
             # treat channels as batch, single in/out feature.
             lhs = x[:, None, :, :]  # [C,1,H,W]
             rhs = m[None, None, :, :]  # [1,1,kh,kw]
+            from interactive_vit_tpu.ops.layers import mm_precision
+
             y = jax.lax.conv_general_dilated(
                 lhs,
                 rhs,
                 window_strides=(1, 1),
                 padding="VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                precision=jax.lax.Precision.HIGHEST,
+                # single-source precision policy (CLAUDE.md trap #4):
+                # HIGHEST only for f32 inputs, native DEFAULT for bf16
+                precision=mm_precision(lhs, rhs),
                 preferred_element_type=jnp.float32,
             )[:, 0]
             return {"o": y[0] if squeeze else y}
@@ -326,10 +360,11 @@ class ResizeNode(NodeKind):
 
         def run(ins):
             x = ins["o"]
-            c = x.shape[0]
-            return {
-                "o": jax.image.resize(x, (c, dims[0], dims[1]), method="bilinear")
-            }
+            # resize the trailing two (spatial) dims whatever the rank:
+            # CHW from the reference contract, and batched [B,C,H,W] maps
+            # from pca_view/patch_sim wire in directly
+            shape = (*x.shape[:-2], dims[0], dims[1])
+            return {"o": jax.image.resize(x, shape, method="bilinear")}
 
         return run
 
@@ -347,6 +382,10 @@ def _token_grid(x, skip: int):
     if x.ndim != 3:
         raise ValueError(
             f"expected token sequence [B,N,D] or [N,D], got shape {x.shape}"
+        )
+    if not 0 <= skip < x.shape[1]:
+        raise ValueError(
+            f"skip={skip} out of range for {x.shape[1]} tokens"
         )
     p = x.shape[1] - skip
     g = int(round(p ** 0.5))
@@ -471,9 +510,10 @@ class PatchSimNode(NodeKind):
     token instead — the "what is the image about" saliency view. Output
     "o": [B,3,g,g] grayscale (similarity rescaled from [-1,1] to [0,1],
     replicated to 3 channels so ``img_view``/``resize`` consume it
-    directly). Editing row/col re-keys constants only — same program
-    signature, so scrubbing the query across the grid stays interactive
-    (no recompile).
+    directly). ``row``/``col`` are DYNAMIC params (runtime captures, out
+    of the compile signature), so scrubbing the query across the grid
+    re-keys the cached program — no recompile; ``skip`` changes shapes
+    and does recompile.
     """
 
     def __init__(self) -> None:
@@ -485,21 +525,29 @@ class PatchSimNode(NodeKind):
         skip = int(float(params.get("skip", 1)))
         return ("<p>token cosine-similarity heatmap</p>"
                 + _num_input("row", row, step="1",
-                             title="query row (-1 = CLS)")
+                             title="query row (-1 = token 0/CLS)")
                 + " " + _num_input("col", col, step="1",
-                                   title="query col (-1 = CLS)")
+                                   title="query col (-1 = token 0/CLS)")
                 + " " + _num_input("skip", skip, step="1",
                                    title="tokens to skip (CLS)"))
 
     def io(self, params):
         return {"ins": ["o"], "outs": ["o"]}
 
+    def dynamic_params(self):
+        # scrubbing the query across the grid is THE interaction; row/col
+        # ride as runtime captures so each scrub re-keys the cached
+        # program — no recompile (skip changes shapes and does recompile)
+        return frozenset({"row", "col"})
+
+    def captures(self, params):
+        return {"row": np.int32(int(float(params.get("row", -1)))),
+                "col": np.int32(int(float(params.get("col", -1))))}
+
     def fn(self, params):
-        row = int(float(params.get("row", -1)))
-        col = int(float(params.get("col", -1)))
         skip = int(float(params.get("skip", 1)))
 
-        def run(ins):
+        def run(ins, caps):
             from interactive_vit_tpu.ops.layers import mm_precision
 
             x = ins["o"]
@@ -507,11 +555,15 @@ class PatchSimNode(NodeKind):
                 x = x[None]
             t, g = _token_grid(x, skip)
             b = t.shape[0]
-            if row < 0 or col < 0:
-                q = x[:, 0].astype(jnp.float32)  # CLS query
-            else:
-                idx = min(row, g - 1) * g + min(col, g - 1)
-                q = t[:, idx]
+            row, col = caps["row"], caps["col"]
+            # traced query select: patch (row, col), clamped to the grid;
+            # either negative -> token 0 (the CLS token when skip>=1; with
+            # skip=0 this is patch (0,0) — the contents label says so)
+            idx = (jnp.clip(row, 0, g - 1) * g + jnp.clip(col, 0, g - 1))
+            q_patch = jnp.take(t, idx, axis=1).astype(jnp.float32)
+            q_tok0 = x[:, 0].astype(jnp.float32)
+            use_tok0 = jnp.logical_or(row < 0, col < 0)
+            q = jnp.where(use_tok0, q_tok0, q_patch)
             qn = q / jnp.maximum(
                 jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
             tn = t / jnp.maximum(
@@ -577,9 +629,11 @@ class ImgViewNode(NodeKind):
     optional_inputs = True
 
 
-def register_builtin(reg: Registry) -> None:
-    """Register all built-in node kinds."""
-    for kind in [
+def instances():
+    """Plugin-contract entry point (``context.py:170-171``) — THE single
+    list of built-in kinds; ``register_builtin`` iterates it so the two
+    registration paths cannot diverge."""
+    return [
         CosNode(),
         BinOpNode(),
         SliceNode(),
@@ -599,27 +653,10 @@ def register_builtin(reg: Registry) -> None:
         # them evaluate fully server-side and the taps ship to the client
         IdentityNode("attn_view", ["attn", "r"], [], optional=True),
         IdentityNode("overlay", ["o", "r"], [], optional=True),
-    ]:
-        kind.register(reg)
-
-
-def instances():
-    """Plugin-contract entry point (``context.py:170-171``)."""
-    return [
-        CosNode(),
-        BinOpNode(),
-        SliceNode(),
-        ShuffleNode(),
-        ConstNode(),
-        NoiseNode(),
-        Conv2dNode(),
-        ResizeNode(),
-        PcaViewNode(),
-        PatchSimNode(),
-        IdentityNode("img_src", ["o"], ["o"]),
-        ImgViewNode(),
-        IdentityNode("multi_view", ["o"], []),
-        IdentityNode("category", ["o"], []),
-        IdentityNode("attn_view", ["attn", "r"], [], optional=True),
-        IdentityNode("overlay", ["o", "r"], [], optional=True),
     ]
+
+
+def register_builtin(reg: Registry) -> None:
+    """Register all built-in node kinds."""
+    for kind in instances():
+        kind.register(reg)

@@ -92,7 +92,13 @@ class MicroBatcher:
                     self._thread = None
 
     def submit(self, graph: Graph, taps: TapSpec = "all") -> Future:
-        """Enqueue one eval; returns a Future of {node: {ch: array}}."""
+        """Enqueue one eval; returns a Future of {node: {ch: array}}.
+
+        Grouping uses the FULL graph signature (dynamic params included):
+        requests differing only in e.g. a noise seed don't share a
+        vmapped batch — each still hits the executor's compiled-program
+        cache (which excludes dynamic params), they just run as separate
+        groups. Stacking them would need per-request capture batching."""
         # normalize one-shot iterables ONCE: sorted() below would exhaust
         # a generator and store an empty tap set on the item (the program
         # would compile with zero outputs and silently return {})

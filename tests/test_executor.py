@@ -320,3 +320,99 @@ def test_descriptions_isolates_broken_kind():
     assert "error" in out["broken_io"]
     assert "error" in out["missing"]
     app.batcher.stop()
+
+
+def test_dynamic_params_rekey_without_recompile():
+    """Interactive edits of dynamic params (cos A/b, noise seed, const
+    value, conv2d matrix, patch_sim query) hit the cached program AND
+    deliver the new values (they ride as runtime captures, outside the
+    compile signature)."""
+    import base64
+
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+
+    def cos_graph(a):
+        g = Graph()
+        n = g.add_node("cos", {"A": str(a)})
+        g.add_input(np.ones((4,), np.float32), n, "o")
+        return g
+
+    out1 = ex.run(cos_graph(1.0), taps="all")
+    assert not ex.last_stats.cache_hit
+    out2 = ex.run(cos_graph(2.0), taps="all")
+    assert ex.last_stats.cache_hit  # same program, new capture
+    np.testing.assert_allclose(np.asarray(out1[0]["o"]), np.cos(np.ones(4)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2[0]["o"]),
+                               np.cos(2 * np.ones(4)), rtol=1e-6)
+
+    # noise: seed bump re-keys (different values), dims change recompiles
+    def noise_graph(seed, dims="[8]"):
+        g = Graph()
+        g.add_node("noise", {"seed": str(seed), "dims": dims})
+        return g
+
+    n1 = np.asarray(ex.run(noise_graph(0), taps="all")[0]["o"])
+    n2 = np.asarray(ex.run(noise_graph(1), taps="all")[0]["o"])
+    assert ex.last_stats.cache_hit
+    assert not np.array_equal(n1, n2)
+    ex.run(noise_graph(1, dims="[9]"), taps="all")
+    assert not ex.last_stats.cache_hit  # shape change = new program
+
+    # conv2d: matrix edit re-keys
+    def conv_graph(mat):
+        g = Graph()
+        n = g.add_node("conv2d", {
+            "h": "3", "w": "3",
+            "matrix": base64.b64encode(
+                np.asarray(mat, "<f4").tobytes()).decode(),
+        })
+        g.add_input(np.ones((1, 6, 6), np.float32), n, "o")
+        return g
+
+    ident = np.zeros((3, 3)); ident[1, 1] = 1.0
+    box = np.full((3, 3), 1 / 9)
+    c1 = np.asarray(ex.run(conv_graph(ident), taps="all")[0]["o"])
+    c2 = np.asarray(ex.run(conv_graph(box), taps="all")[0]["o"])
+    assert ex.last_stats.cache_hit
+    np.testing.assert_allclose(c1, np.ones((1, 4, 4)), atol=1e-6)
+    np.testing.assert_allclose(c2, np.ones((1, 4, 4)), atol=1e-5)
+
+    # patch_sim: query scrub re-keys; self-similarity lands on the query
+    def sim_graph(row, col):
+        g = Graph()
+        n = g.add_node("patch_sim", {"row": str(row), "col": str(col)})
+        g.add_input(np.random.default_rng(0).standard_normal(
+            (1, 17, 16)).astype(np.float32), n, "o")
+        return g
+
+    s1 = np.asarray(ex.run(sim_graph(0, 0), taps="all")[0]["o"])
+    s2 = np.asarray(ex.run(sim_graph(2, 3), taps="all")[0]["o"])
+    assert ex.last_stats.cache_hit
+    assert s1[0, 0, 0, 0] == pytest.approx(1.0, abs=1e-5)
+    assert s2[0, 0, 2, 3] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_dynamic_params_refresh_in_stacked_runs():
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+
+    def graphs(a, k=3):
+        out = []
+        for i in range(k):
+            g = Graph()
+            n = g.add_node("cos", {"A": str(a)})
+            g.add_input(np.full((4,), float(i), np.float32), n, "o")
+            out.append(g)
+        return out
+
+    r1 = ex.run_stacked(graphs(1.0), taps="all")
+    r2 = ex.run_stacked(graphs(3.0), taps="all")
+    assert ex.last_stats.cache_hit
+    np.testing.assert_allclose(np.asarray(r2[1][0]["o"]),
+                               np.cos(3.0 * np.ones(4)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1[1][0]["o"]),
+                               np.cos(1.0 * np.ones(4)), rtol=1e-6)

@@ -188,6 +188,9 @@ class Executor:
         self._input_cache: "OrderedDict[tuple, Any]" = OrderedDict()
         self._input_cache_bytes = 0
         self.input_cache_budget = 256 * 1024 * 1024
+        # (node name, dynamic param values) -> placed captures: cache-hit
+        # refresh must not pay a device transfer for UNCHANGED values
+        self._dyn_cap_cache: Dict[tuple, Any] = {}
         self.last_stats = ExecStats()
         # node-index lists of the chains folded into pipeline schedules by
         # the most recent _stage (diagnostics + tests)
@@ -300,17 +303,35 @@ class Executor:
                 kind = self.reg.get_node(n.name)
             except KeyError:
                 continue
-            if not kind.dynamic_params():
+            dyn = kind.dynamic_params()
+            if not dyn:
                 continue
-            caps = kind.captures(n.params)
-            if caps is not None:
-                changed[str(n.index)] = caps
+            if str(n.index) not in caps_arg:
+                # PP folding popped this node's captures into a __pp stack
+                # (executor folding never folds dynamic kinds, but a plugin
+                # kind could declare both) — re-inserting the key would
+                # corrupt the AOT executable's argument structure
+                continue
+            key = (n.name,
+                   tuple(sorted((k, n.params.get(k)) for k in dyn)))
+            hit = self._dyn_cap_cache.get(key)
+            if hit is None:
+                try:
+                    hit = kind.captures(n.params)
+                except Exception as err:  # noqa: BLE001 — attribution
+                    raise NodeError(n.index, n.name, str(err)) from err
+                if self.mesh is not None:
+                    # place ONCE per distinct value, memoized: a blocking
+                    # device_put per cache-hit request would add a tunnel
+                    # RTT to the hot path (CLAUDE.md serving notes)
+                    hit = self._place_captures({"x": hit})["x"]
+                self._dyn_cap_cache[key] = hit
+                while len(self._dyn_cap_cache) > 256:
+                    self._dyn_cap_cache.pop(
+                        next(iter(self._dyn_cap_cache)))
+            changed[str(n.index)] = hit
         if not changed:
             return caps_arg
-        if self.mesh is not None:
-            # place only the refreshed (tiny) entries — NOT the cached
-            # model weights, which are already mesh-resident
-            changed = self._place_captures(changed)
         fresh = dict(caps_arg)
         fresh.update(changed)
         return fresh
@@ -406,6 +427,10 @@ class Executor:
             return (
                 getattr(kind, "fold_group", None) is not None
                 and captures.get(n.index) is not None
+                # dynamic-param kinds can't fold: the stacked __pp capture
+                # is never refreshed on cache hits, so edits would be
+                # silently dropped
+                and not kind.dynamic_params()
                 and set(n.inputs.keys()) <= {"o"}
                 and n.index not in extra_tapped
                 and not extra_consumed
@@ -468,9 +493,14 @@ class Executor:
         node_kinds = {n.index: reg.get_node(n.name) for n in graph.nodes}
         # Captured pytrees (model weights) become jit ARGUMENTS, so they stay
         # device-resident buffers instead of being baked into the HLO.
-        captures = {
-            n.index: node_kinds[n.index].captures(n.params) for n in graph.nodes
-        }
+        captures = {}
+        for n in graph.nodes:
+            try:
+                captures[n.index] = node_kinds[n.index].captures(n.params)
+            except Exception as err:  # noqa: BLE001 — attribution contract:
+                # a bad param decode (e.g. conv2d h edited while the old
+                # matrix is still 3x3) must name its node, not surface raw
+                raise NodeError(n.index, n.name, str(err)) from err
         caps_arg = {
             str(i): c for i, c in captures.items() if c is not None
         }

@@ -92,9 +92,16 @@ class CosNode(NodeKind):
         return {"A": np.float32(a), "b": np.float32(b)}
 
     def fn(self, params):
-        return lambda ins, caps: {
-            "o": jnp.cos(caps["A"] * ins["o"] + caps["b"])
-        }
+        def run(ins, caps):
+            x = ins["o"]
+            # cast the traced scalars to the stream dtype: strong-typed
+            # f32 captures would promote a bf16 stream to f32 (doubling
+            # tap bytes), where the old python-float constants were weak
+            a = caps["A"].astype(x.dtype)
+            b = caps["b"].astype(x.dtype)
+            return {"o": jnp.cos(a * x + b)}
+
+        return run
 
 
 class BinOpNode(NodeKind):
@@ -243,7 +250,10 @@ class NoiseNode(NodeKind):
         return frozenset({"seed"})
 
     def captures(self, params):
-        return {"seed": np.uint32(int(float(params.get("seed", 0))))}
+        # mask into u32 range: the UI's number input reaches -1 with one
+        # down-click, and np.uint32(-1) raises on NumPy 2
+        seed = int(float(params.get("seed", 0))) & 0xFFFFFFFF
+        return {"seed": np.uint32(seed)}
 
     def fn(self, params):
         dims = [int(d) for d in _jparam(params, "dims", [1])]

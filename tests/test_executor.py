@@ -416,3 +416,42 @@ def test_dynamic_params_refresh_in_stacked_runs():
                                np.cos(3.0 * np.ones(4)), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(r1[1][0]["o"]),
                                np.cos(1.0 * np.ones(4)), rtol=1e-6)
+
+
+def test_dynamic_param_edge_cases():
+    """Negative noise seed works (UI down-click reaches -1); a bad param
+    decode in captures() carries node attribution; bf16 streams keep
+    their dtype through cos."""
+    import base64
+
+    import jax.numpy as jnp
+
+    from interactive_vit_tpu.graph.executor import NodeError
+
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+
+    g = Graph()
+    g.add_node("noise", {"seed": "-1", "dims": "[4]"})
+    out = ex.run(g, taps="all")
+    assert np.asarray(out[0]["o"]).shape == (4,)
+
+    # conv2d h bumped while the matrix is still 3x3: attributed error
+    g2 = Graph()
+    n = g2.add_node("conv2d", {
+        "h": "5", "w": "3",
+        "matrix": base64.b64encode(
+            np.zeros(9, "<f4").tobytes()).decode(),
+    })
+    g2.add_input(np.ones((1, 8, 8), np.float32), n, "o")
+    with pytest.raises(NodeError) as ei:
+        ex.run(g2, taps="all")
+    assert "node 0" in str(ei.value)
+
+    # bf16 stream stays bf16 through cos (weak-typed-constant parity)
+    g3 = Graph()
+    n3 = g3.add_node("cos", {"A": "2.0"})
+    g3.add_input(jnp.ones((4,), jnp.bfloat16), n3, "o")
+    out3 = ex.run(g3, taps="all", to_host=False)
+    assert out3[0]["o"].dtype == jnp.bfloat16

@@ -109,8 +109,15 @@ class Registry:
         self.nodes: Dict[str, NodeKind] = {}
 
     def register(self, node: NodeKind) -> None:
-        logger.info("registered node kind: %s", node.get_name())
-        self.nodes[node.get_name()] = node
+        name = node.get_name()
+        if name in self.nodes and self.nodes[name] is not node:
+            # loud, because silent replacement has teeth: a plugin scan
+            # ordered after explicit model registration would swap a
+            # checkpoint-loaded kind for a random-init one
+            logger.warning("node kind %r replaced (was %r)", name,
+                           type(self.nodes[name]).__name__)
+        logger.info("registered node kind: %s", name)
+        self.nodes[name] = node
 
     def get_node(self, name: str) -> NodeKind:
         if name not in self.nodes:

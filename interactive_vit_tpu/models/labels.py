@@ -36,9 +36,12 @@ def imagenet_labels() -> Optional[List[str]]:
 
 def class_names(num_classes: int) -> List[str]:
     """Labels for a classifier head: the real ImageNet names when the head
-    is 1000-way, positional placeholders otherwise."""
+    is 1000-way, positional placeholders otherwise. Returns a fresh list
+    — the underlying label table is cached process-wide, and handing out
+    the cached object would let one caller's mutation corrupt every
+    model's category sink."""
     if num_classes == 1000:
         labels = imagenet_labels()
         if labels is not None:
-            return labels
+            return list(labels)
     return [f"class_{i:03d}" for i in range(num_classes)]

@@ -36,4 +36,12 @@ def make_vgg16_model(params: Optional[Any] = None, seed: int = 0,
 
 
 def instances():
+    """Plugin-contract entry point.
+
+    NOTE: allocates a full random-init VGG16 (~550 MB f32) — scan-time
+    registration mirrors the reference (it downloaded weights at import,
+    ``static/models/vgg16.py:11-14``), but the serving boot registers
+    vgg16 explicitly from config with real params; only point
+    ``--plugin-dirs`` here when you want the random-init model, and never
+    AFTER explicit registration (Registry.register warns on replace)."""
     return [make_vgg16_model()]

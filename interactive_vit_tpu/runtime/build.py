@@ -20,19 +20,30 @@ def is_stale() -> bool:
     if not os.path.exists(SO_PATH):
         return True
     so_mtime = os.path.getmtime(SO_PATH)
-    return any(
-        os.path.getmtime(os.path.join(HERE, s)) > so_mtime for s in SOURCES
-    )
+    try:
+        return any(
+            os.path.getmtime(os.path.join(HERE, s)) > so_mtime
+            for s in SOURCES
+        )
+    except OSError:
+        # sources stripped from the install (wheel without .cpp): the
+        # shipped .so is all there is — use it rather than disabling the
+        # native tier
+        return False
 
 
 def build(verbose: bool = False) -> str:
+    # compile to a temp path and os.replace: concurrent builders (server +
+    # tests after a source edit) must never dlopen a half-written .so
+    tmp = SO_PATH + f".tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-march=native", "-o", SO_PATH,
+        "-march=native", "-o", tmp,
     ] + [os.path.join(HERE, s) for s in SOURCES]
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:
         raise RuntimeError(f"native build failed:\n{res.stderr}")
+    os.replace(tmp, SO_PATH)
     if verbose:
         print(f"built {SO_PATH}")
     return SO_PATH

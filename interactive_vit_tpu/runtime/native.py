@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -71,22 +72,44 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+class _ScanScratch(threading.local):
+    """Per-thread reusable output arrays for ``scan``.
+
+    Allocating+zeroing five MAX_BLOCKS-entry ctypes arrays (~1.8 MB) per
+    call would sit on the per-request decode hot path; thread-local (the
+    ThreadingHTTPServer decodes concurrently) scratch amortizes it to one
+    allocation per serving thread."""
+
+    def __init__(self) -> None:
+        n = MAX_BLOCKS
+        self.json_out = (ctypes.c_uint64 * 2)()
+        self.dims_off = (ctypes.c_uint64 * n)()
+        self.dim_cnt = (ctypes.c_uint32 * n)()
+        self.data_off = (ctypes.c_uint64 * n)()
+        self.elem_cnt = (ctypes.c_uint64 * n)()
+
+
+_scratch = _ScanScratch()
+
+
 def scan(buf: bytes, expect_magic: int
          ) -> Tuple[Tuple[int, int], List[Tuple[int, int, int, int]]]:
     """Native block scan: returns ((json_off, json_size),
     [(dims_off, dim_cnt, data_off, elem_cnt)...]). Raises ValueError."""
     lib = get_lib()
     assert lib is not None
-    if not isinstance(buf, bytes):  # bytearray/memoryview: zero-copy wrap
-        buf = (ctypes.c_char * len(buf)).from_buffer(
-            buf if isinstance(buf, bytearray) else bytearray(buf)
-        )
+    if isinstance(buf, bytearray):
+        buf = (ctypes.c_char * len(buf)).from_buffer(buf)  # zero-copy
+    elif not isinstance(buf, bytes):
+        # memoryview / other buffer: materialize once (a read-only view
+        # can't be wrapped writable; offsets returned index the same
+        # content either way)
+        buf = bytes(buf)
+    s = _scratch
+    json_out = s.json_out
+    dims_off, dim_cnt = s.dims_off, s.dim_cnt
+    data_off, elem_cnt = s.data_off, s.elem_cnt
     n = MAX_BLOCKS
-    json_out = (ctypes.c_uint64 * 2)()
-    dims_off = (ctypes.c_uint64 * n)()
-    dim_cnt = (ctypes.c_uint32 * n)()
-    data_off = (ctypes.c_uint64 * n)()
-    elem_cnt = (ctypes.c_uint64 * n)()
     rc = lib.ivt_scan(buf, len(buf), expect_magic, json_out, dims_off,
                       dim_cnt, data_off, elem_cnt, n)
     if rc < 0:

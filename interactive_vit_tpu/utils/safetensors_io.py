@@ -37,6 +37,9 @@ _DTYPES = {
     "I32": np.int32,
     "I16": np.int16,
     "I8": np.int8,
+    "U64": np.uint64,
+    "U32": np.uint32,
+    "U16": np.uint16,
     "U8": np.uint8,
     "BOOL": np.bool_,
 }
@@ -75,25 +78,39 @@ def load_file(path: str) -> Dict[str, np.ndarray]:
     for name, meta in header.items():
         if name == "__metadata__":
             continue
-        tag, shape = meta["dtype"], tuple(meta["shape"])
-        start, end = meta["data_offsets"]
-        if buf_off + end > len(raw) or start > end:
-            raise SafetensorsError(f"{path}: tensor {name!r} out of range")
-        chunk = raw[buf_off + start : buf_off + end]
-        if tag == "BF16":
-            bits = np.frombuffer(chunk, dtype="<u2")
-            arr = _bf16_bits_to_f32(bits)
-        elif tag in _DTYPES:
-            arr = np.frombuffer(chunk, dtype=np.dtype(_DTYPES[tag]).newbyteorder("<"))
-        else:
-            raise SafetensorsError(f"{path}: unsupported dtype {tag!r}")
-        n = int(np.prod(shape)) if shape else 1
-        if arr.size != n:
+        # every malformed-metadata shape (missing keys, non-int offsets,
+        # chunk not a multiple of itemsize, negative dims) must surface as
+        # SafetensorsError — callers catch it to report "malformed file"
+        try:
+            tag, shape = meta["dtype"], tuple(meta["shape"])
+            start, end = (int(meta["data_offsets"][0]),
+                          int(meta["data_offsets"][1]))
+            if (start < 0 or end < start or buf_off + end > len(raw)
+                    or any(int(d) < 0 for d in shape)):
+                raise SafetensorsError(
+                    f"{path}: tensor {name!r} out of range")
+            chunk = raw[buf_off + start : buf_off + end]
+            if tag == "BF16":
+                bits = np.frombuffer(chunk, dtype="<u2")
+                arr = _bf16_bits_to_f32(bits)
+            elif tag in _DTYPES:
+                arr = np.frombuffer(
+                    chunk, dtype=np.dtype(_DTYPES[tag]).newbyteorder("<"))
+            else:
+                raise SafetensorsError(
+                    f"{path}: unsupported dtype {tag!r}")
+            n = int(np.prod(shape)) if shape else 1
+            if arr.size != n:
+                raise SafetensorsError(
+                    f"{path}: tensor {name!r} has {arr.size} elems, "
+                    f"shape {shape} needs {n}"
+                )
+            out[name] = arr.reshape(shape)
+        except SafetensorsError:
+            raise
+        except Exception as err:  # noqa: BLE001 — contract: one error type
             raise SafetensorsError(
-                f"{path}: tensor {name!r} has {arr.size} elems, "
-                f"shape {shape} needs {n}"
-            )
-        out[name] = arr.reshape(shape)
+                f"{path}: malformed entry {name!r}: {err}") from err
     return out
 
 

@@ -108,3 +108,14 @@ def test_load_params_accepts_scalar_leaves(tmp_path):
     back = load_params(str(tmp_path / "ck"), like=like)
     assert int(back["step"]) == 7
     np.testing.assert_array_equal(np.asarray(back["w"]), tree["w"])
+
+
+def test_class_names_returns_fresh_list():
+    """Mutating a returned label list must not corrupt the process-wide
+    cache (it feeds every model's category sink)."""
+    from interactive_vit_tpu.models.labels import class_names
+
+    a = class_names(1000)
+    original = a[0]
+    a[0] = "MUTATED"
+    assert class_names(1000)[0] == original

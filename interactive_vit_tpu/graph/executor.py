@@ -246,9 +246,14 @@ class Executor:
         nbatch = self.mesh.shape["data"]
 
         def put(x):
-            x = jnp.asarray(x)
-            if batched and x.shape[0] % nbatch == 0:
-                return jax.device_put(x, NamedSharding(self.mesh, P("data")))
+            # Host numpy goes STRAIGHT to _device_input: a jnp.asarray
+            # here would device_put to the default device only for
+            # _device_input's np.asarray to pull it back to host to hash
+            # — an upload + download per request even on cache hits
+            # (~39 ms tunnel RTT each way, CLAUDE.md).
+            if batched and np.shape(x)[0] % nbatch == 0:
+                return jax.device_put(
+                    jnp.asarray(x), NamedSharding(self.mesh, P("data")))
             return self._device_input(x, NamedSharding(self.mesh, P()))
 
         return tuple(put(x) for x in inputs)

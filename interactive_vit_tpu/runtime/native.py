@@ -142,6 +142,11 @@ def pack(magic: int, json_utf8: bytes, tensors: List[np.ndarray]) -> bytes:
             ctypes.POINTER(ctypes.c_void_p),
         ).contents.value = t.ctypes.data
     size = lib.ivt_encoded_size(len(json_utf8), dim_cnt, elem_cnt, n)
+    if size > 0xFFFFFFFF:
+        # ivt_pack would reject this anyway, but only AFTER we allocated
+        # a >4 GB bytearray below — check the u32 framing limit first
+        raise ValueError(
+            f"message too large for the wire format (total {size} bytes)")
     out = bytearray(size)
     out_ref = (ctypes.c_char * size).from_buffer(out)
     written = lib.ivt_pack(out_ref, magic, json_utf8, len(json_utf8),

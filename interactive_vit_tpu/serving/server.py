@@ -228,8 +228,9 @@ def main() -> None:
                              "orbax dir from tools/convert, a .safetensors "
                              "file, or a torch .pth); repeatable")
     parser.add_argument("--ckpt-layout", default="auto",
-                        choices=["torchvision", "timm", "openai"],
-                        help="state-dict naming of file checkpoints")
+                        choices=["auto", "torchvision", "timm", "openai"],
+                        help="state-dict naming of file checkpoints "
+                             "('auto' sniffs key prefixes)")
     parser.add_argument("--mesh", default="",
                         help="multi-chip serving mesh, e.g. 'data=4,model=2'"
                              " (add 'stage=N' for pipeline-parallel serving"

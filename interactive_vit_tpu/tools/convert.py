@@ -54,12 +54,26 @@ VALID_LAYOUTS = {
 }
 
 
+def _sniff_vit_layout(sd) -> str:
+    """Detect timm vs torchvision ViT naming from state-dict key prefixes.
+
+    timm ViTs (incl. DINO releases) use ``blocks.N.`` / ``patch_embed.``;
+    torchvision uses ``encoder.layers.`` / ``conv_proj``. Defaults to
+    torchvision when neither family's markers are present (the error
+    surfaces in the converter with the full key list)."""
+    keys = sd.keys()
+    if any(k.startswith(("blocks.", "patch_embed.")) for k in keys):
+        return "timm"
+    return "torchvision"
+
+
 def convert(model: str, layout: str, sd) -> object:
     allowed = VALID_LAYOUTS.get(model, VALID_LAYOUTS["_vit"])
     if layout == "auto":
-        layout = sorted(allowed)[-1]  # single-layout models; ViT->tv
-        if model not in VALID_LAYOUTS:
-            layout = "torchvision"
+        if model in VALID_LAYOUTS:
+            layout = sorted(allowed)[-1]  # single-layout models
+        else:
+            layout = _sniff_vit_layout(sd)  # ViT: tv vs timm by keys
     if layout not in allowed:
         # an explicit wrong layout must error with the right hint, not
         # fall through to a mismatched converter's KeyError (or silently
@@ -88,8 +102,8 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", required=True,
                         help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|vgg16")
-    parser.add_argument("--layout", default="torchvision",
-                        choices=["torchvision", "timm", "openai"])
+    parser.add_argument("--layout", default="auto",
+                        choices=["auto", "torchvision", "timm", "openai"])
     parser.add_argument("--input", required=True,
                         help="checkpoint path (.pth via torch, or "
                              ".safetensors torch-free)")

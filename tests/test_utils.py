@@ -119,3 +119,17 @@ def test_class_names_returns_fresh_list():
     original = a[0]
     a[0] = "MUTATED"
     assert class_names(1000)[0] == original
+
+
+def test_ckpt_layout_auto_sniffs_timm_vs_torchvision():
+    """'auto' must route timm-named state dicts (DINO releases) to the timm
+    converter instead of crashing in the torchvision one (ADVICE r2)."""
+    from interactive_vit_tpu.tools.convert import _sniff_vit_layout
+
+    timm_sd = {"cls_token": None, "blocks.0.attn.qkv.weight": None,
+               "patch_embed.proj.weight": None}
+    tv_sd = {"class_token": None, "conv_proj.weight": None,
+             "encoder.layers.encoder_layer_0.self_attention.in_proj_weight":
+                 None}
+    assert _sniff_vit_layout(timm_sd) == "timm"
+    assert _sniff_vit_layout(tv_sd) == "torchvision"

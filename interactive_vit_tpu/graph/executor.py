@@ -341,6 +341,57 @@ class Executor:
         fresh.update(changed)
         return fresh
 
+    def group_sig(self, graph: Graph, extra=()) -> str:
+        """Batching signature: dynamic params EXCLUDED (their values stack
+        as per-request captures in ``run_stacked``), so concurrent requests
+        differing only in a dynamic edit (conv matrix, noise seed, cos A/b)
+        share one vmapped batch (SURVEY §7 "micro-batching heterogeneous
+        graphs")."""
+        return graph.signature(extra=list(extra),
+                               param_filter=self._sig_param_filter)
+
+    def _dyn_cap_keys(self, graph: Graph, caps_arg) -> frozenset:
+        """caps_arg keys owned by dynamic-param node kinds (the keys whose
+        values vary per request inside a stacked batch)."""
+        keys = set()
+        for n in graph.nodes:
+            try:
+                kind = self.reg.get_node(n.name)
+            except KeyError:
+                continue
+            if kind.dynamic_params() and str(n.index) in caps_arg:
+                keys.add(str(n.index))
+        return frozenset(keys)
+
+    def _stacked_dyn_caps(self, graphs, bucket: int, dyn_keys):
+        """Per-request dynamic captures stacked on a leading batch axis.
+
+        Bucket padding replicates request 0 (matching the padded inputs).
+        Dynamic captures are contract-bound to a stable structure/shape/
+        dtype (registry.NodeKind.dynamic_params), so stacking across a
+        same-program-signature group is always well-formed."""
+        idxs = list(range(len(graphs))) + [0] * (bucket - len(graphs))
+        by_index = [
+            {str(n.index): n for n in g.nodes} for g in graphs
+        ]
+        out = {}
+        for key in sorted(dyn_keys):
+            per = []
+            for gi in idxs:
+                n = by_index[gi][key]
+                try:
+                    per.append(self.reg.get_node(n.name).captures(n.params))
+                except Exception as err:  # noqa: BLE001 — attribution
+                    raise NodeError(n.index, n.name, str(err)) from err
+            out[key] = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per)
+        if self.mesh is not None and out:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # replicated: tiny per-request values consumed inside vmap
+            out = jax.device_put(out, NamedSharding(self.mesh, P()))
+        return out
+
     def is_compiled(self, graph: Graph, taps: TapSpec,
                     batch: Optional[int] = None) -> bool:
         """True if (graph, taps, batch-bucket) has a cached program — the
@@ -694,18 +745,22 @@ class Executor:
         """Run K structurally-identical graphs as ONE vmapped TPU program.
 
         The serving micro-batcher's engine (BASELINE config 5): concurrent
-        interactive requests that share a graph signature differ only in
-        input *values*, so ``jax.vmap`` over the staged program is sound for
-        any pure graph — including nodes that ignore the batch (const/noise
-        broadcast via out_axes=0). Batch size is bucketed to powers of two
+        interactive requests that share a PROGRAM signature differ only in
+        input values and dynamic-param values (noise seed, conv matrix,
+        cos A/b) — inputs stack on axis 0, dynamic captures stack as
+        per-request capture rows (vmap ``in_axes`` 0), everything else
+        (weights) broadcasts. Batch size is bucketed to powers of two
         (padding by repeating the first request) to bound compile count.
         """
         assert graphs, "empty batch"
         g0 = graphs[0]
         self.validate(g0)
-        sig0 = g0.signature()
+        # PROGRAM signature (dynamic params excluded): graphs differing
+        # only in dynamic values (noise seed, conv matrix, cos A/b) batch
+        # together — their values stack as per-request captures below
+        psig0 = self.group_sig(g0)
         for g in graphs[1:]:
-            if g.signature() != sig0:
+            if self.group_sig(g) != psig0:
                 raise ValueError("run_stacked: mixed graph signatures")
 
         tap_set = resolve_taps(g0, taps, self.reg)
@@ -735,14 +790,27 @@ class Executor:
         hit = self._cache_get(sig)
         if hit is not None:
             fn, out_keys, caps_arg = hit
-            # all graphs in a stack share the FULL signature (batcher
-            # groups on it), so g0's dynamic values speak for the group
-            caps_arg = self._refresh_dynamic_caps(g0, caps_arg)
+            # per-request dynamic values: rebuild the stacked captures for
+            # THIS group (the cached ones belong to the group that compiled
+            # the program)
+            dyn_keys = self._dyn_cap_keys(g0, caps_arg)
+            if dyn_keys:
+                caps_arg = dict(caps_arg)
+                caps_arg.update(
+                    self._stacked_dyn_caps(graphs, bucket, dyn_keys))
             stats.cache_hit = True
         else:
             staged, out_keys, caps_arg = self._stage(g0, tap_set)
+            dyn_keys = self._dyn_cap_keys(g0, caps_arg)
             caps_arg = self._place_captures(caps_arg)
-            vmapped = jax.vmap(staged, in_axes=(0, None), out_axes=0)
+            if dyn_keys:
+                caps_arg = dict(caps_arg)
+                caps_arg.update(
+                    self._stacked_dyn_caps(graphs, bucket, dyn_keys))
+            # dynamic captures carry a leading batch axis (per-request
+            # values); everything else (weights) broadcasts
+            caps_axes = {k: (0 if k in dyn_keys else None) for k in caps_arg}
+            vmapped = jax.vmap(staged, in_axes=(0, caps_axes), out_axes=0)
             if not self.use_jit:
                 fn = vmapped
             else:

@@ -6,8 +6,9 @@ concurrent interactive sessions that serializes everything. This batcher
 (BASELINE config 5) instead:
 
 * queues incoming (graph, taps) requests;
-* groups consecutive requests by graph *signature* (topology + params +
-  input shapes + tap set — only same-signature graphs can share a program);
+* groups consecutive requests by the executor's *program signature*
+  (topology + static params + input shapes + tap set; dynamic param
+  values are excluded — they stack as per-request captures);
 * executes a group as ONE vmapped XLA program (``Executor.run_stacked``);
 * resolves per-request futures with their slice of the results.
 
@@ -94,18 +95,19 @@ class MicroBatcher:
     def submit(self, graph: Graph, taps: TapSpec = "all") -> Future:
         """Enqueue one eval; returns a Future of {node: {ch: array}}.
 
-        Grouping uses the FULL graph signature (dynamic params included):
-        requests differing only in e.g. a noise seed don't share a
-        vmapped batch — each still hits the executor's compiled-program
-        cache (which excludes dynamic params), they just run as separate
-        groups. Stacking them would need per-request capture batching."""
+        Grouping uses the executor's PROGRAM signature (dynamic params
+        excluded): requests differing only in e.g. a noise seed or an
+        edited conv matrix share one vmapped batch — ``run_stacked``
+        stacks their dynamic captures per request (SURVEY §7
+        "micro-batching heterogeneous graphs")."""
         # normalize one-shot iterables ONCE: sorted() below would exhaust
         # a generator and store an empty tap set on the item (the program
         # would compile with zero outputs and silently return {})
         if not isinstance(taps, str):
             taps = frozenset(taps)
         tap_key = taps if isinstance(taps, str) else str(sorted(taps))
-        item = _Item(graph, taps, graph.signature(extra=[tap_key]))
+        item = _Item(graph, taps, self.executor.group_sig(
+            graph, extra=[tap_key]))
         with self._lock:
             self._start_locked()
             self._q.put(item)

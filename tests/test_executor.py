@@ -455,3 +455,78 @@ def test_dynamic_param_edge_cases():
     g3.add_input(jnp.ones((4,), jnp.bfloat16), n3, "o")
     out3 = ex.run(g3, taps="all", to_host=False)
     assert out3[0]["o"].dtype == jnp.bfloat16
+
+
+def test_stacked_batches_mixed_dynamic_values():
+    """Requests differing ONLY in dynamic params share one vmapped batch:
+    run_stacked stacks their captures per request (VERDICT r2 #5), so
+    each request gets ITS OWN conv matrix / cos A / noise seed."""
+    import base64
+
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+
+    # cos: three different A values in one stack
+    def cos_graph(a, x):
+        g = Graph()
+        n = g.add_node("cos", {"A": str(a)})
+        g.add_input(x, n, "o")
+        return g
+
+    xs = [np.full((4,), float(i + 1), np.float32) for i in range(3)]
+    a_vals = [0.5, 1.0, 2.0]
+    res = ex.run_stacked(
+        [cos_graph(a, x) for a, x in zip(a_vals, xs)], taps="all")
+    assert not ex.last_stats.cache_hit
+    for i, (a, x) in enumerate(zip(a_vals, xs)):
+        np.testing.assert_allclose(np.asarray(res[i][0]["o"]),
+                                   np.cos(a * x), rtol=1e-6)
+
+    # cache hit on a NEW set of values: per-request captures refresh
+    a2 = [3.0, 4.0, 5.0]
+    res2 = ex.run_stacked(
+        [cos_graph(a, x) for a, x in zip(a2, xs)], taps="all")
+    assert ex.last_stats.cache_hit
+    for i, (a, x) in enumerate(zip(a2, xs)):
+        np.testing.assert_allclose(np.asarray(res2[i][0]["o"]),
+                                   np.cos(a * x), rtol=1e-6)
+
+    # conv2d: per-request matrices (identity vs box blur)
+    def conv_graph(mat):
+        g = Graph()
+        n = g.add_node("conv2d", {
+            "h": "3", "w": "3",
+            "matrix": base64.b64encode(
+                np.asarray(mat, "<f4").tobytes()).decode(),
+        })
+        g.add_input(np.ones((1, 6, 6), np.float32), n, "o")
+        return g
+
+    ident = np.zeros((3, 3), np.float32); ident[1, 1] = 1.0
+    box = np.full((3, 3), 1 / 9, np.float32)
+    cres = ex.run_stacked([conv_graph(ident), conv_graph(box)], taps="all")
+    np.testing.assert_allclose(
+        np.asarray(cres[0][0]["o"]), np.ones((1, 4, 4)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cres[1][0]["o"]), np.ones((1, 4, 4)), atol=1e-5)
+
+    # mixed STATIC params still refuse to stack
+    def noise_graph(dims):
+        g = Graph()
+        g.add_node("noise", {"seed": "0", "dims": dims})
+        return g
+
+    with pytest.raises(ValueError, match="mixed graph signatures"):
+        ex.run_stacked([noise_graph("[4]"), noise_graph("[8]")], taps="all")
+
+    # mixed noise SEEDS stack; each row gets its own stream
+    def seed_graph(s):
+        g = Graph()
+        g.add_node("noise", {"seed": str(s), "dims": "[8]"})
+        return g
+
+    nres = ex.run_stacked([seed_graph(0), seed_graph(1)], taps="all")
+    n0 = np.asarray(nres[0][0]["o"])
+    n1 = np.asarray(nres[1][0]["o"])
+    assert n0.shape == (8,) and not np.array_equal(n0, n1)

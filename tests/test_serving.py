@@ -583,3 +583,36 @@ def test_warmup_compiles_every_bucket():
         assert app.executor.cache_info()["entries"] >= 3
     finally:
         app.batcher.stop()
+
+
+def test_concurrent_dynamic_variant_requests_get_batched(served):
+    """Concurrent sessions with DIFFERENT dynamic values (distinct cos A
+    per client) share a vmapped batch: the batcher groups on the program
+    signature and run_stacked stacks per-request captures (VERDICT r2
+    #5). Each client still gets its own A."""
+    app, base = served
+    x = np.linspace(0, 1, 32).astype(np.float32)
+    # warm the stacked bucket so the group path is compiled
+    app.executor.run_stacked(
+        [make_cos_graph(x, a=str(a)) for a in (9.0,) * 8], taps="all")
+    before = app.metrics.snapshot()["counters"].get("batches", 0)
+    a_vals = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
+    results = [None] * len(a_vals)
+
+    def worker(i):
+        raw = _post(base + "/compute",
+                    Request.encode(make_cos_graph(x, a=str(a_vals[i]))))
+        results[i] = Response.decode(raw)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(a_vals))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for i, a in enumerate(a_vals):
+        np.testing.assert_allclose(results[i][0]["o"], np.cos(a * x),
+                                   rtol=1e-5)
+    batches = app.metrics.snapshot()["counters"]["batches"] - before
+    assert batches < len(a_vals), "dynamic variants did not share a batch"

@@ -218,3 +218,26 @@ def test_head_major_tp_layout_matches_baseline():
     with pytest.raises(ValueError):
         vit.block(perm["blocks"][0], jnp.zeros((1, 5, 64)), cfg,
                   qkv_head_major=True, block_impl=lambda *a, **k: None)
+
+
+def test_mesh_stacked_mixed_dynamic_values(setup):
+    """Mixed dynamic values stack under a (data, model) mesh too: the
+    stacked captures place replicated; GSPMD shards the batch axis."""
+    from interactive_vit_tpu.graph.ir import Graph
+
+    reg, _lib = setup
+    mesh = make_mesh({"data": 4, "model": 2})
+    ex = Executor(reg=reg, mesh=mesh)
+
+    def cos_graph(a):
+        g = Graph()
+        n = g.add_node("cos", {"A": str(a)})
+        g.add_input(np.linspace(0, 1, 8).astype(np.float32), n, "o")
+        return g
+
+    a_vals = [0.5, 1.5, 2.5, 3.5]
+    res = ex.run_stacked([cos_graph(a) for a in a_vals], taps="all")
+    x = np.linspace(0, 1, 8)
+    for i, a in enumerate(a_vals):
+        np.testing.assert_allclose(np.asarray(res[i][0]["o"]),
+                                   np.cos(a * x), rtol=1e-5)

@@ -41,7 +41,16 @@ def main() -> None:
         help="negotiated response block dtype (bf16 halves tap bytes on "
              "the wire; docs/wire_protocol.md extension)",
     )
+    parser.add_argument(
+        "--distinct-dynamic", action="store_true",
+        help="give every client its own patch_sim (row, col) query "
+             "(requires --taps features): proves dynamic-param variants "
+             "share vmapped batches (mean_batch stays > 1)",
+    )
     args = parser.parse_args()
+    if args.distinct_dynamic and args.taps != "features":
+        parser.error("--distinct-dynamic requires --taps features "
+                     "(patch_sim is the dynamic-param node)")
 
     import numpy as np
 
@@ -93,10 +102,19 @@ def main() -> None:
             {"node": norm_i + 1, "channel": "o"},  # head embedding
         ]
 
-    def make_request(seed: int) -> bytes:
+    def make_request(seed: int, cid: int = 0) -> bytes:
         img = np.random.default_rng(seed).random((3, 224, 224),
                                                  dtype=np.float32)
-        return encode_message(REQUEST_MAGIC, graph_json, [img])
+        gj = graph_json
+        if args.distinct_dynamic:
+            # per-client patch_sim query: same PROGRAM signature, distinct
+            # dynamic values — run_stacked stacks them per request
+            import copy
+
+            gj = copy.deepcopy(graph_json)
+            gj["nodes"][sim_i]["params"]["row"] = str(1 + cid % 13)
+            gj["nodes"][sim_i]["params"]["col"] = str(1 + (cid * 5) % 13)
+        return encode_message(REQUEST_MAGIC, gj, [img])
 
     # Warm every compile-cache entry the run will hit: the single-request
     # program plus one vmapped program per power-of-two batch bucket.
@@ -137,7 +155,7 @@ def main() -> None:
     def client(cid: int) -> None:
         i = 0
         while time.perf_counter() < stop_at:
-            body = make_request(cid * 100003 + i)
+            body = make_request(cid * 100003 + i, cid)
             t0 = time.perf_counter()
             try:
                 raw = urllib.request.urlopen(
@@ -197,7 +215,11 @@ def main() -> None:
         file=sys.stderr,
     )
     # "interactive under load": BASELINE fixes no number; report p50 with
-    # vs_baseline = fraction of a 200ms interactive budget used (lower=better)
+    # vs_baseline = fraction of a 200ms interactive budget used (lower=better).
+    # server_compute_p50_ms is THE regression gate (VERDICT r2 #6): wall p50
+    # tracks tunnel phase (167->206ms same-code re-measures, CLAUDE.md), so
+    # only the tunnel-independent compute number can prove a code regression.
+    # ROADMAP tracks its threshold per (model, taps) config.
     print(json.dumps({
         "metric": f"p50 per-request latency, {args.clients} concurrent "
                   f"interactive sessions ({args.model} full-chain eval, "
@@ -205,6 +227,9 @@ def main() -> None:
         "value": round(p50, 1),
         "unit": "ms",
         "vs_baseline": round(p50 / 200.0, 4),
+        "server_compute_p50_ms": round(snap["compute_p50_ms"], 2),
+        "mean_batch_size": round(snap["mean_batch_size"], 2),
+        "rate_rps": round(rps, 1),
     }))
 
 

@@ -169,11 +169,12 @@ def layer_fns(cfg: CLIPVisionConfig, attn_impl=None, block_impl=None):
     # OpenAI CLIP resizes the shorter side DIRECTLY to img_size (bicubic)
     # then center-crops — resize_to=img_size reproduces that framing (the
     # ImageNet default 256->224 recipe would crop away ~12.5% of the
-    # frame CLIP keeps). Interpolation here is antialiased bilinear, a
-    # documented approximation of CLIP's bicubic.
+    # frame CLIP keeps). method="bicubic" is the PIL-exact Keys a=-0.5
+    # kernel in matmul form (parity-tested vs PIL and torch antialiased
+    # bicubic in tests/test_clip.py).
     layers.append(("transform", [], lambda p, ins: {
         "o": preprocess_mm(ins["o"], cfg.img_size, CLIP_MEAN, CLIP_STD,
-                           resize_to=cfg.img_size)
+                           resize_to=cfg.img_size, method="bicubic")
     }))
 
     def embed_fn(p, ins):

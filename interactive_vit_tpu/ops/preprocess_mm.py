@@ -29,20 +29,46 @@ import numpy as np
 from interactive_vit_tpu.ops.layers import mm_precision
 
 
+def _triangle(t: float) -> float:
+    t = abs(t)
+    return 1.0 - t if t < 1.0 else 0.0
+
+
+def _cubic(t: float, a: float = -0.5) -> float:
+    """Keys cubic kernel, a=-0.5: the PIL/CLIP bicubic (and torch's
+    antialiased bicubic). Support 2."""
+    t = abs(t)
+    if t < 1.0:
+        return (a + 2.0) * t * t * t - (a + 3.0) * t * t + 1.0
+    if t < 2.0:
+        return a * (t * t * t - 5.0 * t * t + 8.0 * t - 4.0)
+    return 0.0
+
+
+_KERNELS = {"bilinear": (_triangle, 1.0), "bicubic": (_cubic, 2.0)}
+
+
 @functools.lru_cache(maxsize=64)
-def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """[out_size, in_size] antialiased-bilinear resampling matrix."""
+def resize_matrix(in_size: int, out_size: int,
+                  method: str = "bilinear") -> np.ndarray:
+    """[out_size, in_size] antialiased resampling matrix.
+
+    Half-pixel centers; the kernel dilates by the scale factor when
+    downsampling (= antialiasing, PIL semantics) and rows renormalize —
+    so "bilinear" matches ``jax.image.resize(..., "bilinear")`` /
+    torchvision's antialiased bilinear, and "bicubic" matches PIL's
+    BICUBIC (Keys a=-0.5) = the exact OpenAI CLIP eval resize."""
+    kernel, base_support = _KERNELS[method]
     scale = in_size / out_size
-    support = max(1.0, scale)  # triangle kernel dilated when downsampling
+    fscale = max(1.0, scale)  # kernel dilation when downsampling
+    support = base_support * fscale
     w = np.zeros((out_size, in_size), dtype=np.float32)
     for i in range(out_size):
         center = (i + 0.5) * scale - 0.5
         lo = int(np.floor(center - support))
         hi = int(np.ceil(center + support))
         for j in range(max(0, lo), min(in_size, hi + 1)):
-            t = abs(j - center) / support
-            if t < 1.0:
-                w[i, j] = 1.0 - t
+            w[i, j] = kernel((j - center) / fscale)
         s = w[i].sum()
         if s > 0:
             w[i] /= s
@@ -70,10 +96,13 @@ def preprocess_mm(
     mean=(0.485, 0.456, 0.406),
     std=(0.229, 0.224, 0.225),
     resize_to: Optional[int] = None,
+    method: str = "bilinear",
 ) -> jnp.ndarray:
     """resize -> center crop -> normalize via two MXU matmuls.
 
     [B, C, H, W] or [C, H, W] in [0, 1] -> [..., C, size, size].
+    ``method="bicubic"`` selects the PIL-exact Keys a=-0.5 kernel
+    (OpenAI CLIP's eval transform).
     """
     squeeze = images.ndim == 3
     if squeeze:
@@ -81,8 +110,8 @@ def preprocess_mm(
     b, c, h, w = images.shape
     nh, nw = _target_dims(h, w, size, resize_to)
 
-    rh = resize_matrix(h, nh)
-    rw = resize_matrix(w, nw)
+    rh = resize_matrix(h, nh, method)
+    rw = resize_matrix(w, nw, method)
     # fold the center crop into the resampling matrices: keep only the
     # output rows/cols inside the crop window
     top, left = (nh - size) // 2, (nw - size) // 2

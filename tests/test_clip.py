@@ -168,3 +168,72 @@ def test_embedding_node_path(both):
     emb = np.asarray(out[last]["o"])
     assert emb.shape == (1, CFG.embed_dim)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), [1.0], atol=1e-5)
+
+
+def test_bicubic_resize_matrix_matches_torch_antialiased():
+    """The matmul-form bicubic (Keys a=-0.5, antialiased) is EXACT vs
+    torch's antialiased bicubic on downsampling — the CLIP eval case
+    (photos larger than n_px). VERDICT r2 #7."""
+    from interactive_vit_tpu.ops.preprocess_mm import resize_matrix
+
+    rng = np.random.default_rng(0)
+    for (h, w), out in [((50, 40), 24), ((224, 224), 64), ((97, 131), 32)]:
+        x = rng.random((1, 3, h, w)).astype(np.float32)
+        rh = resize_matrix(h, out, "bicubic")
+        rw = resize_matrix(w, out, "bicubic")
+        ours = np.einsum("sh,bchw->bcsw", rh, x)
+        ours = np.einsum("bcsw,tw->bcst", ours, rw)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(out, out), mode="bicubic",
+            antialias=True).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_bicubic_resize_matrix_matches_pil():
+    """PIL.Image BICUBIC is THE CLIP oracle (the reference transform
+    operates on PIL images); per-channel float-mode PIL resize must match
+    the matrix form, up- and downsampling."""
+    from PIL import Image
+
+    from interactive_vit_tpu.ops.preprocess_mm import resize_matrix
+
+    rng = np.random.default_rng(1)
+    for (h, w), (oh, ow) in [((50, 40), (24, 24)), ((16, 16), (40, 40)),
+                             ((64, 48), (48, 64))]:
+        x = rng.random((h, w)).astype(np.float32)
+        rh = resize_matrix(h, oh, "bicubic")
+        rw = resize_matrix(w, ow, "bicubic")
+        ours = rh @ x @ rw.T
+        ref = np.asarray(
+            Image.fromarray(x, mode="F").resize((ow, oh), Image.BICUBIC))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_clip_transform_node_is_exact_vs_torch_pipeline():
+    """The served clip transform node (shorter-side bicubic resize ->
+    center crop -> normalize) against an independently-composed torch
+    oracle of OpenAI CLIP's framing, <=1e-4 end to end."""
+    from interactive_vit_tpu.ops.preprocess_mm import preprocess_mm
+    from interactive_vit_tpu.models.clip import CLIP_MEAN, CLIP_STD
+
+    n_px = 32
+    rng = np.random.default_rng(2)
+    for h, w in [(48, 72), (72, 48), (55, 55)]:
+        img = rng.random((1, 3, h, w)).astype(np.float32)
+        ours = np.asarray(preprocess_mm(
+            jnp.asarray(img), n_px, CLIP_MEAN, CLIP_STD,
+            resize_to=n_px, method="bicubic"))
+
+        t = torch.from_numpy(img)
+        if h < w:
+            nh, nw = n_px, max(n_px, int(round(w * n_px / h)))
+        else:
+            nh, nw = max(n_px, int(round(h * n_px / w))), n_px
+        t = torch.nn.functional.interpolate(
+            t, size=(nh, nw), mode="bicubic", antialias=True)
+        top, left = (nh - n_px) // 2, (nw - n_px) // 2
+        t = t[:, :, top:top + n_px, left:left + n_px]
+        mean = torch.tensor(CLIP_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(CLIP_STD).view(1, 3, 1, 1)
+        ref = ((t - mean) / std).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-4)

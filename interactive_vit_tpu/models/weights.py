@@ -174,3 +174,58 @@ def from_timm(sd: Dict[str, Any], cfg: ViTConfig, dtype=jnp.float32) -> Params:
             }
         )
     return params
+
+
+# -- native flat layout -------------------------------------------------------
+# The framework's OWN safetensors naming: pytree paths joined with "/"
+# ("blocks/0/qkv_w", "patch_embed/w", ...). This is what tools/train.py
+# exports and what serving's --ckpt auto-detects (keys containing "/"),
+# so a model trained here round-trips to serving with zero torch anywhere.
+
+
+def to_native_flat(params) -> Dict[str, np.ndarray]:
+    """Flatten a params pytree to {path: array} with "/"-joined keys."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(f"{prefix}/{i}" if prefix else str(i), v)
+        else:
+            out[prefix] = np.asarray(node)
+
+    walk("", params)
+    return out
+
+
+def from_native_flat(sd: Dict[str, Any]):
+    """Rebuild the pytree from "/"-joined keys (ints -> list positions).
+
+    Inverse of ``to_native_flat`` up to empty containers: an empty dict
+    leaf (a num_classes=0 ViT "head") flattens to nothing, so model
+    converters re-insert their known-optional empties (see
+    ``tools/convert.convert``'s native branch)."""
+    root: Dict[str, Any] = {}
+    for key, val in sd.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"native key conflict at {key!r}")
+        node[parts[-1]] = np.asarray(val)
+
+    def densify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            idx = sorted(node, key=int)
+            if [int(k) for k in idx] != list(range(len(idx))):
+                raise ValueError("native list keys are not contiguous")
+            return [densify(node[k]) for k in idx]
+        return {k: densify(v) for k, v in node.items()}
+
+    return densify(root)

@@ -118,6 +118,38 @@ def permute_qkv_head_major(params: Params, heads: int) -> Params:
     return out
 
 
+def unpermute_qkv_head_major(params: Params, heads: int) -> Params:
+    """Inverse of ``permute_qkv_head_major``: [H][3][Dh] -> [3][H][Dh].
+
+    Checkpoint exports must pass through this when training ran with TP:
+    the on-disk canonical layout is the torch-style [3][H][Dh] packing
+    (what every converter emits and the single-chip forward expects) —
+    saving the training layout would silently mis-wire attention heads
+    when the checkpoint is later served without TP."""
+    import jax.numpy as jnp
+
+    def unpack_w(w):
+        d = w.shape[0]
+        dh = d // heads
+        return (w.reshape(d, heads, 3, dh).transpose(0, 2, 1, 3)
+                .reshape(d, 3 * d))
+
+    def unpack_b(b):
+        d = b.shape[0] // 3
+        dh = d // heads
+        return (b.reshape(heads, 3, dh).transpose(1, 0, 2)
+                .reshape(3 * d))
+
+    out = dict(params)
+    out["blocks"] = [
+        {**blk,
+         "qkv_w": unpack_w(jnp.asarray(blk["qkv_w"])),
+         "qkv_b": unpack_b(jnp.asarray(blk["qkv_b"]))}
+        for blk in params["blocks"]
+    ]
+    return out
+
+
 def param_spec(path: str) -> P:
     """PartitionSpec for a ViT param, keyed by its pytree path leaf name.
 

@@ -47,21 +47,24 @@ load_torch_state_dict = load_state_dict
 
 
 VALID_LAYOUTS = {
-    "vgg16": {"torchvision"},
-    "clip_b32": {"openai"},
-    # every ViT variant accepts either framework naming
-    "_vit": {"torchvision", "timm"},
+    "vgg16": {"torchvision", "native"},
+    "clip_b32": {"openai", "native"},
+    # every ViT variant accepts either framework naming, or our own
+    "_vit": {"torchvision", "timm", "native"},
 }
 
 
 def _sniff_vit_layout(sd) -> str:
-    """Detect timm vs torchvision ViT naming from state-dict key prefixes.
+    """Detect the state-dict naming from key shapes.
 
-    timm ViTs (incl. DINO releases) use ``blocks.N.`` / ``patch_embed.``;
-    torchvision uses ``encoder.layers.`` / ``conv_proj``. Defaults to
-    torchvision when neither family's markers are present (the error
-    surfaces in the converter with the full key list)."""
+    Our native export uses "/"-joined pytree paths; timm ViTs (incl. DINO
+    releases) use ``blocks.N.`` / ``patch_embed.``; torchvision uses
+    ``encoder.layers.`` / ``conv_proj``. Defaults to torchvision when no
+    family's markers are present (the error surfaces in the converter
+    with the full key list)."""
     keys = sd.keys()
+    if any("/" in k for k in keys):
+        return "native"
     if any(k.startswith(("blocks.", "patch_embed.")) for k in keys):
         return "timm"
     return "torchvision"
@@ -70,8 +73,10 @@ def _sniff_vit_layout(sd) -> str:
 def convert(model: str, layout: str, sd) -> object:
     allowed = VALID_LAYOUTS.get(model, VALID_LAYOUTS["_vit"])
     if layout == "auto":
-        if model in VALID_LAYOUTS:
-            layout = sorted(allowed)[-1]  # single-layout models
+        if any("/" in k for k in sd.keys()):
+            layout = "native"  # our own export naming, any model
+        elif model in VALID_LAYOUTS:
+            layout = sorted(allowed - {"native"})[-1]  # single torch layout
         else:
             layout = _sniff_vit_layout(sd)  # ViT: tv vs timm by keys
     if layout not in allowed:
@@ -82,6 +87,17 @@ def convert(model: str, layout: str, sd) -> object:
             f"layout {layout!r} is not valid for {model} "
             f"(expected one of {sorted(allowed)}, or 'auto')"
         )
+    if layout == "native":
+        from interactive_vit_tpu.models.weights import from_native_flat
+
+        params = from_native_flat(sd)
+        if model not in ("vgg16", "clip_b32"):
+            # empty containers don't survive flattening: restore the
+            # optional classifier head ({} = feature extractor) and an
+            # (impossible in practice) depth-0 trunk
+            params.setdefault("head", {})
+            params.setdefault("blocks", [])
+        return params
     if model == "vgg16":
         from interactive_vit_tpu.models import vgg
 
@@ -103,7 +119,8 @@ def main() -> None:
     parser.add_argument("--model", required=True,
                         help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|vgg16")
     parser.add_argument("--layout", default="auto",
-                        choices=["auto", "torchvision", "timm", "openai"])
+                        choices=["auto", "torchvision", "timm", "openai",
+                                 "native"])
     parser.add_argument("--input", required=True,
                         help="checkpoint path (.pth via torch, or "
                              ".safetensors torch-free)")

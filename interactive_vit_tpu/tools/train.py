@@ -35,6 +35,36 @@ def synthetic_batch(rng, batch: int, img: int, classes: int):
     return images, labels
 
 
+def pattern_set(seed: int, n: int, img: int, classes: int,
+                distinct: int = 64):
+    """A FIXED labeled set of class-conditional sinusoid patterns.
+
+    The memorization oracle's data (VERDICT r2 #4): each class gets a
+    distinct separable 2-D grating + per-image noise, so a ViT can reach
+    ~100% top-1 on the set in a few hundred steps — which proves the
+    whole train -> export -> convert -> serve -> wire path classifies,
+    with zero egress. Labels span ``min(classes, distinct)`` classes of
+    the model's label space."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    distinct = min(classes, distinct)
+    labels = np.concatenate([np.arange(distinct),
+                             rng.integers(0, distinct, size=(max(0, n - distinct),))])[:n]
+    yy, xx = np.meshgrid(np.arange(img), np.arange(img), indexing="ij")
+    images = np.empty((n, 3, img, img), np.float32)
+    for i, lab in enumerate(labels):
+        lab = int(lab)
+        fx = 1 + (lab * 7) % 13
+        fy = 1 + (lab * 11) % 13
+        base = (np.sin(2 * np.pi * fx * xx / img + lab)
+                * np.cos(2 * np.pi * fy * yy / img))
+        chan = 0.5 + 0.5 * np.eye(3, dtype=np.float32)[lab % 3]
+        images[i] = base[None] * chan[:, None, None]
+        images[i] += rng.normal(size=(3, img, img)).astype(np.float32) * 0.05
+    return images, labels.astype(np.int64)
+
+
 def save_state(path: str, params, opt_state, step: int) -> None:
     """Train-state checkpoint: params + optimizer state + step counter,
     one orbax tree (all plain pytrees of arrays)."""
@@ -102,6 +132,17 @@ def main(argv=None) -> None:
     parser.add_argument("--eval-every", type=int, default=0,
                         help="top-1 accuracy on a held-out synthetic batch "
                              "every N steps")
+    parser.add_argument("--memorize", type=int, default=0,
+                        help="train on a FIXED set of N patterned images "
+                             "(the end-to-end accuracy oracle) instead of "
+                             "streaming synthetic batches; eval runs on "
+                             "the whole set")
+    parser.add_argument("--distinct-classes", type=int, default=64,
+                        help="distinct labels in the --memorize set")
+    parser.add_argument("--export-safetensors", default=None,
+                        help="also write final params as a .safetensors "
+                             "file in the native '/' naming (servable via "
+                             "--ckpt, auto-detected layout)")
     parser.add_argument("--log-every", type=int, default=10)
     args = parser.parse_args(argv)
 
@@ -147,14 +188,24 @@ def main(argv=None) -> None:
             logger.info("resumed from %s at step %d", state_dir, start_step)
 
         rng = np.random.default_rng(args.seed + start_step)
-        eval_images, eval_labels = synthetic_batch(
-            np.random.default_rng(10_007), args.batch, cfg.img_size,
-            cfg.num_classes)
+        if args.memorize:
+            mem_images, mem_labels = pattern_set(
+                args.seed, args.memorize, cfg.img_size, cfg.num_classes,
+                args.distinct_classes)
+            eval_images, eval_labels = mem_images, mem_labels
+        else:
+            eval_images, eval_labels = synthetic_batch(
+                np.random.default_rng(10_007), args.batch, cfg.img_size,
+                cfg.num_classes)
         t0 = time.perf_counter()
         for step in range(start_step, args.steps):
-            images, labels = synthetic_batch(
-                rng, args.batch, cfg.img_size, cfg.num_classes
-            )
+            if args.memorize:
+                idx = rng.integers(0, args.memorize, size=(args.batch,))
+                images, labels = mem_images[idx], mem_labels[idx]
+            else:
+                images, labels = synthetic_batch(
+                    rng, args.batch, cfg.img_size, cfg.num_classes
+                )
             params, opt_state, loss = step_fn(
                 params, opt_state, jnp.asarray(images), jnp.asarray(labels)
             )
@@ -175,13 +226,32 @@ def main(argv=None) -> None:
                 save_state(state_dir, params, opt_state, step + 1)
                 logger.info("saved train state at step %d", step + 1)
 
+    # Canonical export layout: training with TP runs head-major qkv
+    # ([H][3][Dh] columns) — exported weights must return to the
+    # torch-style [3][H][Dh] packing the single-chip forward (and every
+    # converter) expects. Train-STATE checkpoints (--resume) stay in the
+    # training layout on purpose: resume re-enters the same TP setup.
+    export_params = params
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1
+    if tp:
+        export_params = mesh_lib.unpermute_qkv_head_major(params, cfg.heads)
+
     if args.output:
         from interactive_vit_tpu.utils.checkpoint import save_params
 
-        save_params(os.path.join(args.output, "params"), params)
+        save_params(os.path.join(args.output, "params"), export_params)
         if state_dir:
             save_state(state_dir, params, opt_state, args.steps)
         logger.info("saved checkpoint to %s", args.output)
+    if args.export_safetensors:
+        import jax
+
+        from interactive_vit_tpu.models.weights import to_native_flat
+        from interactive_vit_tpu.utils.safetensors_io import save_file
+
+        save_file(to_native_flat(jax.device_get(export_params)),
+                  args.export_safetensors)
+        logger.info("exported %s", args.export_safetensors)
 
 
 if __name__ == "__main__":

@@ -133,3 +133,42 @@ def test_ckpt_layout_auto_sniffs_timm_vs_torchvision():
                  None}
     assert _sniff_vit_layout(timm_sd) == "timm"
     assert _sniff_vit_layout(tv_sd) == "torchvision"
+
+
+def test_native_flat_roundtrip():
+    """to_native_flat/from_native_flat invert each other on a ViT tree
+    (lists resurface as lists, nesting preserved)."""
+    import jax
+
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.weights import (
+        from_native_flat, to_native_flat,
+    )
+
+    cfg = vit.ViTConfig("t", img_size=32, patch=16, width=32, depth=2,
+                        heads=2, num_classes=5)
+    params = jax.device_get(vit.init_params(jax.random.key(0), cfg))
+    flat = to_native_flat(params)
+    assert "blocks/0/qkv_w" in flat and "patch_embed/w" in flat
+    back = from_native_flat(flat)
+    assert isinstance(back["blocks"], list) and len(back["blocks"]) == 2
+    jax.tree.map(np.testing.assert_array_equal, params, back)
+
+
+def test_qkv_head_major_unpermute_inverts():
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.parallel.mesh import (
+        permute_qkv_head_major, unpermute_qkv_head_major,
+    )
+    import jax
+
+    cfg = vit.ViTConfig("t", img_size=32, patch=16, width=32, depth=2,
+                        heads=4, num_classes=5)
+    params = vit.init_params(jax.random.key(1), cfg)
+    back = unpermute_qkv_head_major(
+        permute_qkv_head_major(params, cfg.heads), cfg.heads)
+    for orig, rt in zip(params["blocks"], back["blocks"]):
+        np.testing.assert_array_equal(np.asarray(orig["qkv_w"]),
+                                      np.asarray(rt["qkv_w"]))
+        np.testing.assert_array_equal(np.asarray(orig["qkv_b"]),
+                                      np.asarray(rt["qkv_b"]))

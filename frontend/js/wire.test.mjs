@@ -119,3 +119,66 @@ test("bad magic and truncation are rejected", () => {
 	const short = buf.slice(0, buf.byteLength - 2);
 	assert.throws(() => decodeMessage(short, REQUEST_MAGIC), /truncated/);
 });
+
+// ---- per-node-kind contract fixtures (tests/fixtures/node_fixtures.json) ----
+// Every client node kind has a pinned tuple {saved graph, client request
+// bytes, expected outputs, response bytes f32+bf16}. The JS side of the
+// contract: the JS ENCODER must reproduce the committed request bytes from
+// the request JSON (they were generated with JSON.stringify-compatible
+// compact separators — byte parity is exact), and the JS decoder must route
+// the committed responses to the expected (node, channel) values.
+
+const nodeFixtures = JSON.parse(
+	readFileSync(join(FIXTURES, "node_fixtures.json"), "utf-8"),
+);
+
+function b64bytes(b64) {
+	const bin = atob(b64);
+	const out = new Uint8Array(bin.length);
+	for (let i = 0; i < bin.length; i++) out[i] = bin.charCodeAt(i);
+	return out.buffer;
+}
+
+for (const [kind, fx] of Object.entries(nodeFixtures)) {
+	if (fx.no_request) continue;
+	test(`node contract: ${kind} request bytes reproduce via JS encoder`, () => {
+		const committed = new Uint8Array(b64bytes(fx.request_b64));
+		const { json, tensors } = decodeMessage(
+			b64bytes(fx.request_b64),
+			REQUEST_MAGIC,
+		);
+		assert.deepEqual(json, fx.request_json);
+		const ours = new Uint8Array(
+			encodeMessage(fx.request_json, tensors, REQUEST_MAGIC),
+		);
+		assert.deepEqual(ours, committed);
+	});
+
+	test(`node contract: ${kind} responses route to expected outputs`, () => {
+		for (const key of ["response_b64", "response_bf16_b64"]) {
+			const { json, tensors } = decodeMessage(
+				b64bytes(fx[key]),
+				RESPONSE_MAGIC,
+			);
+			const atol = key.includes("bf16") ? 5e-2 : 5e-5;
+			const seen = new Set();
+			json.forEach((route, i) => {
+				const k = `${route.node}/${route.channel}`;
+				seen.add(k);
+				const exp = nodeFixtures[kind].expected[k];
+				assert.ok(exp, `unexpected route ${k} in ${kind}`);
+				assert.deepEqual(tensors[i].dims, exp.dims);
+				const got = tensors[i].data;
+				assert.equal(got.length, exp.values.length);
+				for (let j = 0; j < got.length; j++) {
+					const tol = atol + Math.abs(exp.values[j]) * (key.includes("bf16") ? 2e-2 : 0);
+					assert.ok(
+						Math.abs(got[j] - exp.values[j]) <= tol,
+						`${kind} ${k}[${j}]: ${got[j]} vs ${exp.values[j]}`,
+					);
+				}
+			});
+			assert.equal(seen.size, Object.keys(fx.expected).length);
+		}
+	});
+}

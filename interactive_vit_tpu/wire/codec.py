@@ -84,6 +84,7 @@ def _bf16_to_f32(chunk: bytes, elem_cnt: int) -> np.ndarray:
 def encode_message(
     magic: int, json_obj, tensors: List[np.ndarray],
     dtypes: Optional[List[str]] = None,
+    compact: bool = False,
 ) -> bytes:
     """Encode a JSON header + tensors into one wire message.
 
@@ -91,8 +92,14 @@ def encode_message(
     halves a block's bytes; it is only emitted when the peer opted in via
     the request's ``resp_dtype`` field, and the response JSON tags each
     non-f32 entry with ``"dtype"`` so decoders stay self-describing. f32 is
-    the reference-compatible default (``message.py:89-127``)."""
-    json_utf8 = json.dumps(json_obj).encode("utf-8")
+    the reference-compatible default (``message.py:89-127``).
+
+    ``compact=True`` emits the JSON with JS ``JSON.stringify`` separators
+    (no spaces) — byte-identical to what ``frontend/js/wire.js:23``
+    produces. Decoders on both sides accept either form; the per-node
+    contract fixtures pin the client layout with this flag."""
+    seps = (",", ":") if compact else None
+    json_utf8 = json.dumps(json_obj, separators=seps).encode("utf-8")
     all_f32 = dtypes is None or all(d == "f32" for d in dtypes)
     if _native is not None and all_f32:
         arrs = [np.asarray(t, dtype=np.float32) for t in tensors]

@@ -95,13 +95,55 @@ export class Node {
 	/** Called after eval with (channel) => tensor for this node's outputs. */
 	onOutputs(read) {}
 
-	setStatus(text, isError = false) {
+	/**
+	 * @param {string} text compact status label
+	 * @param {boolean} isError
+	 * @param {string | null} detail full text shown in a hover tooltip
+	 *   pinned to the status element (reference graph.js:498-514 shows
+	 *   "Error!" inline and the full server error on hover, hover.js:4-36)
+	 */
+	setStatus(text, isError = false, detail = null) {
 		if (this.statusEl) {
 			this.statusEl.textContent = text;
 			this.statusEl.classList.toggle("error", isError);
+			statusHover.bind(this.statusEl, detail);
 		}
 	}
 }
+
+/** Singleton floating tooltip for status details (reference hover.js). */
+const statusHover = {
+	div: null,
+	// per-element detail text; mouseenter reads the CURRENT value so a
+	// re-eval that clears the error also kills a stale tooltip
+	details: new WeakMap(),
+	ensure() {
+		if (this.div) return;
+		this.div = document.createElement("div");
+		this.div.className = "hover-detail";
+		this.div.style.visibility = "hidden";
+		document.body.append(this.div);
+	},
+	bind(el, detail) {
+		this.ensure();
+		const first = !this.details.has(el);
+		this.details.set(el, detail);
+		if (detail == null) this.div.style.visibility = "hidden";
+		if (!first) return;
+		el.addEventListener("mouseenter", () => {
+			const text = this.details.get(el);
+			if (text == null) return;
+			this.div.textContent = text;
+			const rect = el.getBoundingClientRect();
+			this.div.style.left = `${rect.left}px`;
+			this.div.style.top = `${rect.bottom}px`;
+			this.div.style.visibility = "visible";
+		});
+		el.addEventListener("mouseleave", () => {
+			this.div.style.visibility = "hidden";
+		});
+	},
+};
 
 export class Context {
 	static nodes = [];
@@ -402,10 +444,32 @@ export class Context {
 			for (const n of Context.nodes) n.setStatus("");
 			if (m) {
 				const bad = reqNodes[Number(m[1])];
-				bad?.setStatus(msg, true);
-				for (const n of reqNodes) if (n !== bad) n.setStatus("upstream?", false);
+				// reference parity (graph.js:498-514 + hover.js): compact
+				// "Error!" at the failing node with the FULL server error
+				// text on hover; only DOWNSTREAM nodes get the "eval
+				// error upstream" label (run_eager's propagation
+				// semantics) — siblings/ancestors keep their state
+				bad?.setStatus("Error!", true, msg);
+				const downstream = new Set();
+				if (bad) {
+					const queue = [bad];
+					while (queue.length) {
+						const cur = queue.pop();
+						for (const e of Context.edges) {
+							if (e.src.node === cur && !downstream.has(e.dst.node)) {
+								downstream.add(e.dst.node);
+								queue.push(e.dst.node);
+							}
+						}
+					}
+				}
+				for (const n of reqNodes) {
+					if (n !== bad && downstream.has(n)) {
+						n.setStatus("eval error upstream", false);
+					}
+				}
 			} else {
-				for (const n of reqNodes) n.setStatus("error", true);
+				for (const n of reqNodes) n.setStatus("Error!", true, msg);
 			}
 			console.error("eval failed:", msg);
 		}

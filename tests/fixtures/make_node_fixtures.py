@@ -293,6 +293,22 @@ def scenarios():
                       "edges": [_edge(0, "o", 1, "o")]},
             "sources": {},
         },
+        # the error-attribution contract (VERDICT r2 #8): a failing node
+        # must produce "node <i> (<name>): ..." naming ITS wire index; the
+        # client parses that to pin the full text on the node (hover) and
+        # labels only DOWNSTREAM nodes "eval error upstream"
+        "error_contract": {
+            "saved": {"nodes": [_node("img_src"),
+                                _node("conv2d", matrix=_conv_b64(ident),
+                                      w=3, h=5),  # 5x3 decl, 3x3 matrix
+                                _node("cos", A="1.0", b="0.0"),
+                                _node("img_view")],
+                      "edges": [_edge(0, "o", 1, "o"),
+                                _edge(1, "o", 2, "o"),
+                                _edge(2, "o", 3, "o")]},
+            "sources": {0: _img(15)},
+            "error": True,
+        },
     }
 
 
@@ -322,6 +338,23 @@ def build():
             sc["saved"], sc["sources"])
         entry["request_b64"] = base64.b64encode(raw).decode()
         entry["request_json"] = req_json
+
+        if sc.get("error"):
+            from interactive_vit_tpu.graph.executor import NodeError
+
+            req = Request()
+            req.decode(raw)
+            try:
+                ex.run(req.graph, taps=req.taps or "primary")
+                raise AssertionError(f"{name}: expected NodeError")
+            except NodeError as err:
+                entry["error"] = {
+                    "node_index": err.node_index,
+                    "node_name": err.node_name,
+                    "text": str(err),
+                }
+            out[name] = entry
+            continue
 
         req = Request()
         req.decode(raw)

@@ -76,12 +76,40 @@ def test_client_sim_reproduces_request_bytes(name):
     assert req_json == fx["request_json"]
 
 
+def test_error_contract_attribution_and_propagation(ex):
+    """The failing-node contract the client UI parses (VERDICT r2 #8):
+    the server error names the failing node's WIRE index and kind in the
+    exact "node <i> (<name>): ..." form (frontend/js/graph.js matches
+    /node (\\d+)/ to pin the full text on that node's hover), and the
+    eager path labels only DOWNSTREAM nodes "eval error upstream"."""
+    from interactive_vit_tpu.graph.executor import NodeError
+
+    fx = NODE_FIXTURES["error_contract"]
+    req = Request()
+    req.decode(base64.b64decode(fx["request_b64"]))
+    with pytest.raises(NodeError) as exc:
+        ex.run(req.graph, taps=req.taps or "primary")
+    err = exc.value
+    assert err.node_index == fx["error"]["node_index"]
+    assert err.node_name == fx["error"]["node_name"]
+    assert str(err) == fx["error"]["text"]
+    assert str(err).startswith(f"node {err.node_index} ({err.node_name}):")
+
+    # downstream-only propagation (the client mirrors run_eager semantics)
+    outputs, errors = ex.run_eager(req.graph)
+    bad = fx["error"]["node_index"]
+    assert bad in errors and errors[bad] != "eval error upstream"
+    downstream = [i for i, msg in errors.items()
+                  if msg == "eval error upstream"]
+    assert downstream == [bad + 1]  # cos is downstream of conv2d
+
+
 @pytest.mark.parametrize("name", ALL_KINDS)
 def test_server_evaluates_fixture_request(ex, name):
     """Decode committed client bytes -> executor -> pinned outputs."""
     fx = NODE_FIXTURES[name]
-    if fx.get("no_request"):
-        pytest.skip("no-request scenario (client-local)")
+    if fx.get("no_request") or fx.get("error"):
+        pytest.skip("no-request / error-contract scenario")
     req = Request()
     req.decode(base64.b64decode(fx["request_b64"]))
     taps = req.taps if req.taps else "primary"
@@ -102,8 +130,8 @@ def test_response_codec_reproduces_fixture_bytes(name):
     """Response.encode of the pinned outputs is byte-stable, f32 + bf16
     (what the JS decoder will be pointed at)."""
     fx = NODE_FIXTURES[name]
-    if fx.get("no_request"):
-        pytest.skip("no-request scenario (client-local)")
+    if fx.get("no_request") or fx.get("error"):
+        pytest.skip("no-request / error-contract scenario")
     # decode the committed response, re-encode: must be identity
     for key, dtype in [("response_b64", "f32"), ("response_bf16_b64", "bf16")]:
         committed = base64.b64decode(fx[key])

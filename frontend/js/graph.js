@@ -4,11 +4,13 @@
 // (/root/reference/main/static/main/graph.js): draggable node boxes with
 // click-to-wire ports, cycle-checked edges, dirty-set scheduled evaluation,
 // JSON (de)serialization in the reference schema. One deliberate
-// architecture change (the reference's own roadmap, todo.md:13): there is
-// NO client compute runtime — the whole graph ships to the TPU server as
-// one /compute request and every viewer reads its tensor from the response.
+// architecture change (the reference's own roadmap, todo.md:13): model
+// compute ships to the TPU server as one /compute request — but cheap
+// viewer-local ops whose whole ancestry is client-held evaluate HERE via
+// localops.js (zero round trip, the reference gpu.js capability).
 
 import { compute } from "./wire.js";
+import { LOCAL_KINDS, LocalFallback, evalLocal } from "./localops.js";
 
 let nextId = 1;
 
@@ -353,12 +355,102 @@ export class Context {
 		return ready;
 	}
 
+	/** Nodes evaluable client-side this pass: kind has a local impl, the
+	 * whole input ancestry is client-held (sources with tensors or other
+	 * local nodes), and NO descendant needs the server (a local op
+	 * feeding a model node must be computed server-side anyway). */
+	static localSet(ready) {
+		const capable = new Map();
+		const isCapable = (n) => {
+			if (capable.has(n)) return capable.get(n);
+			capable.set(n, false); // cycle guard
+			let ok;
+			if (n.isSource()) {
+				ok = n.sourceTensor() !== null;
+			} else if (n.isViewer() || !LOCAL_KINDS.has(n.kind) || !ready.get(n)) {
+				ok = false;
+			} else {
+				ok = n.ins.every((p) => {
+					const e = Context.edges.find((x) => x.dst === p);
+					// unwired optional input: fine, localops reports if needed
+					return !e || isCapable(e.src.node);
+				});
+			}
+			capable.set(n, ok);
+			return ok;
+		};
+		for (const n of Context.nodes) isCapable(n);
+
+		// a capable node with any server-needing descendant stays server-side
+		const feedsServer = new Map();
+		const check = (n) => {
+			if (feedsServer.has(n)) return feedsServer.get(n);
+			feedsServer.set(n, false); // cycle guard
+			let hit = false;
+			for (const e of Context.edges) {
+				if (e.src.node !== n) continue;
+				const m = e.dst.node;
+				if (m.isViewer()) continue;
+				const mLocal = capable.get(m) && !m.isSource();
+				if (!mLocal || check(m)) {
+					hit = true;
+					break;
+				}
+			}
+			feedsServer.set(n, hit);
+			return hit;
+		};
+		const out = new Set();
+		for (const n of Context.nodes) {
+			if (!n.isSource() && !n.isViewer() && capable.get(n) && !check(n)) {
+				out.add(n);
+			}
+		}
+		return out;
+	}
+
 	static async evaluate() {
 		const epoch = ++Context.evalEpoch;
-		// server request: every READY non-source non-viewer node
 		const ready = Context.readySet();
+
+		// zero-round-trip pass: evaluate viewer-local cheap ops here
+		const localSet = Context.localSet(ready);
+		const localResults = new Map(); // node -> Map(ch -> tensor)
+		const evalOne = (n) => {
+			const got = localResults.get(n);
+			if (got) return got;
+			const res = evalLocal(
+				n.kind,
+				{ kind: n.kind, ...n.serializeExtra() },
+				(ch) => {
+					const e = Context.edges.find(
+						(x) => x.dst.node === n && x.dst.channel === ch,
+					);
+					if (!e) return null;
+					const src = e.src.node;
+					if (src.isSource()) return src.sourceTensor();
+					return evalOne(src)?.get(e.src.channel) ?? null;
+				},
+			);
+			localResults.set(n, res);
+			return res;
+		};
+		try {
+			for (const n of localSet) evalOne(n);
+		} catch (err) {
+			// any local miss (broadcast binop, odd ranks): fall back to the
+			// server for the WHOLE pass — rare, and correctness beats the
+			// saved round trip
+			if (!(err instanceof LocalFallback)) throw err;
+			localSet.clear();
+			localResults.clear();
+		}
+		Context.localResults = localResults;
+
+		// server request: every READY non-source non-viewer non-local node
 		const reqNodes = Context.nodes.filter(
-			(n) => !n.isSource() && !n.isViewer() && ready.get(n),
+			(n) =>
+				!n.isSource() && !n.isViewer() && ready.get(n) && !localSet.has(n),
 		);
 		const index = new Map(reqNodes.map((n, i) => [n, i]));
 		const nodesJson = reqNodes.map((n) => n.wireSpec());
@@ -405,7 +497,9 @@ export class Context {
 		}
 
 		for (const n of Context.nodes) {
-			if (!n.isSource() && !n.isViewer() && !ready.get(n)) {
+			if (localSet.has(n)) {
+				n.setStatus("ok (local)");
+			} else if (!n.isSource() && !n.isViewer() && !ready.get(n)) {
 				n.setStatus("awaiting inputs");
 			} else {
 				n.setStatus(reqNodes.length ? "…" : "");
@@ -478,6 +572,8 @@ export class Context {
 	static routeResults(outputs, index, epoch) {
 		const read = (node, ch) => {
 			if (node.isSource()) return node.sourceTensor();
+			const local = Context.localResults?.get(node);
+			if (local) return local.get(ch) ?? null;
 			const i = index.get(node);
 			return i === undefined ? null : (outputs.get(`${i}/${ch}`) ?? null);
 		};

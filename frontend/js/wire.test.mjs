@@ -182,3 +182,81 @@ for (const [kind, fx] of Object.entries(nodeFixtures)) {
 		}
 	});
 }
+
+// ---- client-local evaluator vs the pinned server outputs -------------------
+// localops.js must produce the SAME values the server computed for every
+// local-capable kind (the zero-round-trip contract): rebuild each scenario
+// from its saved graph, feed the request fixture's tensors as img_src
+// outputs, and compare against the fixture's expected values.
+
+import { LOCAL_KINDS, evalLocal } from "./localops.js";
+
+const SOURCES = new Set(["img_src"]);
+const VIEWERS = new Set([
+	"img_view", "multi_view", "category", "attn_view", "overlay",
+]);
+
+for (const [name, fx] of Object.entries(nodeFixtures)) {
+	if (fx.no_request || fx.error) continue;
+	const insts = fx.saved.nodes.map((n) => n.instance);
+	const computeKinds = insts.filter(
+		(i) => !SOURCES.has(i.kind) && !VIEWERS.has(i.kind),
+	);
+	if (!computeKinds.length || !computeKinds.every((i) => LOCAL_KINDS.has(i.kind))) {
+		continue; // scenario needs the server (net_node, noise, ...)
+	}
+	test(`local eval: ${name} matches the server's pinned outputs`, () => {
+		const { tensors } = decodeMessage(b64bytes(fx.request_b64), REQUEST_MAGIC);
+		// request tensors are deduped in edge order; replay the same walk
+		// to map source node index -> tensor (make_node_fixtures.py)
+		const srcTensor = new Map();
+		let ti = 0;
+		for (const e of fx.saved.edges) {
+			const si = e.in_port.node;
+			const di = e.out_port.node;
+			if (VIEWERS.has(insts[di].kind)) continue;
+			if (SOURCES.has(insts[si].kind) && !srcTensor.has(si)) {
+				srcTensor.set(si, tensors[ti++]);
+			}
+		}
+		const results = new Map(); // node idx -> Map(ch -> tensor)
+		const readFor = (idx) => (ch) => {
+			const e = fx.saved.edges.find(
+				(x) => x.out_port.node === idx && x.out_port.channel === ch,
+			);
+			if (!e) return null;
+			const si = e.in_port.node;
+			if (SOURCES.has(insts[si].kind)) return srcTensor.get(si) ?? null;
+			return results.get(si)?.get(e.in_port.channel) ?? null;
+		};
+		const evalIdx = (idx) => {
+			if (results.has(idx)) return;
+			// inputs first (saved graphs here are topologically ordered)
+			results.set(idx, evalLocal(insts[idx].kind, insts[idx], readFor(idx)));
+		};
+		// wire-node indices: non-source non-viewer in node order (the
+		// fixture's expected keys use these)
+		const wireIndex = new Map();
+		insts.forEach((inst, i) => {
+			if (!SOURCES.has(inst.kind) && !VIEWERS.has(inst.kind)) {
+				wireIndex.set(i, wireIndex.size);
+			}
+		});
+		for (const i of wireIndex.keys()) evalIdx(i);
+		for (const [key, exp] of Object.entries(fx.expected)) {
+			const [wi, ch] = key.split("/");
+			const nodeIdx = [...wireIndex.entries()].find(
+				([, w]) => w === Number(wi),
+			)[0];
+			const got = results.get(nodeIdx).get(ch);
+			assert.ok(got, `${name}: no local output ${key}`);
+			assert.deepEqual(got.dims, exp.dims);
+			for (let j = 0; j < exp.values.length; j++) {
+				assert.ok(
+					Math.abs(got.data[j] - exp.values[j]) <= 5e-5 + Math.abs(exp.values[j]) * 1e-5,
+					`${name} ${key}[${j}]: ${got.data[j]} vs ${exp.values[j]}`,
+				);
+			}
+		}
+	});
+}

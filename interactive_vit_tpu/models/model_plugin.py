@@ -17,6 +17,7 @@ superset — clients that only wire "o" see exactly the old behavior.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -78,7 +79,20 @@ class LayerNodeKind(NodeKind):
         return {"r"} if "r" in self._extra else frozenset()
 
     def contents(self, params):
-        return f"<p>{self.get_name()}</p> <p>{self.model.describe(self.layer_name)}</p>"
+        html = (f"<p>{self.get_name()}</p> "
+                f"<p>{self.model.describe(self.layer_name)}</p>")
+        if "attn" in self._extra:
+            # selective head taps (VERDICT r2 #3): a JSON head list limits
+            # the emitted attention maps to those heads ([B,|sel|,N,N]);
+            # empty = all heads. NetNode binds data-param inputs.
+            import html as _html
+
+            cur = params.get("attn_heads", "")
+            html += (f"<label>tap heads <input data-param=\"attn_heads\" "
+                     f"type=\"text\" size=\"8\" "
+                     f"value=\"{_html.escape(cur)}\" "
+                     f"placeholder=\"all, e.g. [0,5]\"></label>")
+        return html
 
     def captures(self, params):
         caps = self.model.layer_params(self.layer_name)
@@ -93,19 +107,33 @@ class LayerNodeKind(NodeKind):
 
         if self.captures(params) is None:
             def run_stateless(ins):
-                outs = f({}, ins, **self._kw(want))
+                outs = f({}, ins, **self._kw(want, params))
                 return self._filter(outs, want)
             return run_stateless
 
         def run(ins, caps):
-            outs = f(caps, ins, **self._kw(want))
+            outs = f(caps, ins, **self._kw(want, params))
             return self._filter(outs, want)
 
         return run
 
-    def _kw(self, want: frozenset) -> Dict[str, Any]:
+    @functools.cached_property
+    def _takes_node_params(self) -> bool:
+        """Layer fns opting into node params (e.g. attn_heads) declare a
+        ``node_params`` keyword; detected once per kind."""
+        import inspect
+
+        try:
+            return "node_params" in inspect.signature(self._fn).parameters
+        except (TypeError, ValueError):
+            return False
+
+    def _kw(self, want: frozenset, params=None) -> Dict[str, Any]:
         # layers with extra taps accept the wanted-extras set; plain don't
-        return {"want": want} if self._extra else {}
+        kw: Dict[str, Any] = {"want": want} if self._extra else {}
+        if params is not None and self._takes_node_params:
+            kw["node_params"] = params
+        return kw
 
     def _filter(self, outs: Dict[str, Any], want: frozenset) -> Dict[str, Any]:
         return {ch: v for ch, v in outs.items()

@@ -160,6 +160,7 @@ def block(
     mlp_impl=None,
     want_mean: bool = False,
     qkv_head_major: bool = False,
+    attn_heads=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Pre-LN transformer block; optionally taps the attention maps.
 
@@ -167,6 +168,11 @@ def block(
     [B,N,N] head-meaned maps (the rollout's input) when ``want_mean`` —
     the fused kernels emit the mean in-kernel so rollout never re-reads
     the per-head tensor from HBM.
+
+    ``attn_heads``: optional static head subset for the probs tap — the
+    emitted maps become [B, len(attn_heads), N, N] (ascending head order),
+    and the fused kernels skip the non-selected heads' HBM writes
+    entirely (a UI viewing 2 of 16 heads stores 8x less; VERDICT r2 #3).
 
     ``n_real``: set when x's token dim is padded (padded-domain execution);
     attention masks keys beyond it, everything else is row-local.
@@ -190,12 +196,19 @@ def block(
         raise ValueError("padded-domain execution (n_real) is not "
                          "supported by the fused block kernels; use the "
                          "flash/mhsa path (attn_impl) which masks keys")
+    sel = (tuple(sorted(set(int(h) for h in attn_heads)))
+           if attn_heads is not None else None)
+    if sel is not None and any(h < 0 or h >= cfg.heads for h in sel):
+        raise ValueError(
+            f"attn_heads {sorted(sel)} out of range for {cfg.heads} heads")
     if block_impl is not None:
+        kw = {"attn_heads": sel} if sel is not None else {}
         if want_mean:
             x, probs, pmean = block_impl(x, p, cfg.heads, cfg.ln_eps,
-                                         want_attn, want_mean=True)
+                                         want_attn, want_mean=True, **kw)
         else:
-            x, probs = block_impl(x, p, cfg.heads, cfg.ln_eps, want_attn)
+            x, probs = block_impl(x, p, cfg.heads, cfg.ln_eps, want_attn,
+                                  **kw)
     else:
         h, probs = attn_ops.mhsa(
             L.layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.ln_eps),
@@ -214,6 +227,10 @@ def block(
             pmean = probs.astype(jnp.float32).mean(axis=1).astype(probs.dtype)
         if not want_attn:
             probs = None
+        elif sel is not None and probs is not None:
+            # XLA path: the full probs existed transiently anyway; only
+            # the selected heads persist as the tap
+            probs = probs[:, list(sel), :, :]
     if mlp_impl is not None:
         x = mlp_impl(x, p, cfg.ln_eps)
     else:
@@ -368,13 +385,23 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
     layers.append(("embed", [], embed_fn))
 
     def make_block_fn(i):
-        def block_fn(p, ins, want=frozenset()):
+        def block_fn(p, ins, want=frozenset(), node_params=None):
             x = ins["o"]
+            # attn_heads: JSON list of head indices to tap ("[0,5]") — a
+            # STATIC param (shape-changing, so it participates in the
+            # compile signature; selecting heads recompiles, scrubbing
+            # values does not). Empty/absent = all heads.
+            sel = None
+            if node_params and node_params.get("attn_heads"):
+                import json as _json
+
+                sel = tuple(int(h) for h in
+                            _json.loads(node_params["attn_heads"]))
             y, probs, pmean = block(
                 p, x, cfg, want_attn="attn" in want,
                 attn_impl=attn_impl, block_impl=block_impl,
                 mlp_impl=mlp_impl, want_mean="r" in want,
-                qkv_head_major=qkv_head_major,
+                qkv_head_major=qkv_head_major, attn_heads=sel,
             )
             outs = {"o": y}
             if probs is not None and "attn" in want:

@@ -65,9 +65,15 @@ def _row_softmax(s, fast: bool):
 
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             projb_ref, y_ref, *taps, heads: int, eps: float,
-            prec, emit: bool, emit_mean: bool, fast: bool, bb: int):
+            prec, emit: bool, emit_mean: bool, fast: bool, bb: int,
+            emit_heads=None):
     probs_ref = taps[0] if emit else None
     mean_ref = taps[1 if emit else 0] if emit_mean else None
+    # selective per-head tap emission (VERDICT r2 #3): emit_heads is a
+    # STATIC tuple of head indices -> tap row; the head loop below is a
+    # static unroll, so non-selected heads skip the HBM write entirely
+    tap_row = ({h: i for i, h in enumerate(emit_heads)}
+               if emit_heads is not None else None)
     # bb images per program (measured ~4.5% on v5e at bb=2: per-program
     # fixed cost amortizes and image i+1's score dots overlap image i's
     # VPU softmax tail). Merging the bb images' LN/QKV/proj into single
@@ -105,11 +111,12 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
                 preferred_element_type=jnp.float32, precision=prec,
             ) * scale  # [N, N] f32, VMEM-resident
             p, r = _row_softmax(s, fast)
-            if emit or emit_mean:
+            emit_this = emit and (tap_row is None or h in tap_row)
+            if emit_this or emit_mean:
                 probs = p * r  # one multiply instead of a division pass
                 pb = probs.astype(x.dtype)  # cast once; tap + dot reuse it
-                if emit:
-                    probs_ref[b, h] = pb
+                if emit_this:
+                    probs_ref[b, h if tap_row is None else tap_row[h]] = pb
                 if emit_mean:
                     msum = probs if msum is None else msum + probs
                 outs.append(
@@ -145,6 +152,7 @@ def fused_attn_block(
     want_attn: bool = False,
     want_mean: bool = False,
     fast_softmax: bool = True,
+    attn_heads: Optional[Tuple[int, ...]] = None,
 ):
     """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None).
 
@@ -153,14 +161,26 @@ def fused_attn_block(
     rollout's input) so consumers never touch the full per-head tensor.
     ``fast_softmax`` (default): clamp-guarded no-max-subtract softmax with
     deferred normalization (see ``_row_softmax``).
+    ``attn_heads``: static head subset for the probs tap — the emitted
+    maps are [B, len(attn_heads), N, N] in that order, and non-selected
+    heads never write their N x N block to HBM (a UI viewing 2 of 16
+    heads stores 8x less tap memory; VERDICT r2 #3).
     """
     b, n, d = x.shape
+    emit_heads = None
+    if want_attn and attn_heads is not None:
+        emit_heads = tuple(sorted(set(int(h) for h in attn_heads)))
+        if any(h < 0 or h >= heads for h in emit_heads):
+            raise ValueError(f"attn_heads {attn_heads} out of range "
+                             f"for {heads} heads")
+    n_emit = heads if emit_heads is None else len(emit_heads)
     # two images per program when the batch divides (measured ~4.5% on
     # v5e; VMEM stays within budget — weights are shared across the loop)
     bb = 2 if b % 2 == 0 and b > 1 else 1
     kernel = functools.partial(
         _kernel, heads=heads, eps=eps, prec=_precision(x.dtype),
         emit=want_attn, emit_mean=want_mean, fast=fast_softmax, bb=bb,
+        emit_heads=emit_heads,
     )
 
     in_specs = [
@@ -177,9 +197,9 @@ def fused_attn_block(
         pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ]
     if want_attn:
-        out_shape.append(jax.ShapeDtypeStruct((b, heads, n, n), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((b, n_emit, n, n), x.dtype))
         out_specs.append(
-            pl.BlockSpec((bb, heads, n, n), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, n_emit, n, n), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     if want_mean:
@@ -383,20 +403,42 @@ def headwise_attn_block(
     want_attn: bool = False,
     want_mean: bool = False,
     fast_softmax: bool = True,
+    attn_heads: Optional[Tuple[int, ...]] = None,
 ):
     """Fused attention branch for models too big for ``fused_attn_block``.
 
     LN + QKV run in XLA (they are plain fused matmuls there); the kernel
     grid is (B, heads/hb): per-head attention with optional per-head map
     emission and projection accumulation. Same contract as
-    ``fused_attn_block``.
-    """
+    ``fused_attn_block``, including ``attn_heads`` selective tap emission
+    — here the subset maps are recomputed in XLA from the qkv this
+    function already produced (one [N,N] dot + softmax per selected head;
+    the kernel grid runs maps-off, so non-selected heads never write
+    N x N HBM blocks — the ViT-L/16@384 batch-32 un-OOM path)."""
     from interactive_vit_tpu.ops import layers as L
 
     b, n, d = x.shape
     dh = d // heads
     ln = L.layer_norm(x, p["ln1_s"], p["ln1_b"], eps)
     qkv = L.linear(ln, p["qkv_w"], p["qkv_b"])  # [B, N, 3D], untransposed
+
+    sel_probs = None
+    if want_attn and attn_heads is not None:
+        sel = tuple(sorted(set(int(h) for h in attn_heads)))
+        if any(h < 0 or h >= heads for h in sel):
+            raise ValueError(f"attn_heads {attn_heads} out of range "
+                             f"for {heads} heads")
+        prec = _precision(x.dtype)
+        maps = []
+        for h in sel:
+            q = qkv[:, :, h * dh:(h + 1) * dh]
+            k = qkv[:, :, d + h * dh: d + (h + 1) * dh]
+            s = jnp.einsum("bnd,bmd->bnm", q, k,
+                           preferred_element_type=jnp.float32,
+                           precision=prec) * (dh ** -0.5)
+            maps.append(jax.nn.softmax(s, axis=-1).astype(x.dtype))
+        sel_probs = jnp.stack(maps, axis=1)  # [B, |sel|, N, N]
+        want_attn = False  # the kernel itself runs maps-off
 
     # head packing: Mosaic column blocks must be 128-divisible, so ride
     # hb = k*128/dh heads per program straight off the untransposed QKV —
@@ -488,7 +530,7 @@ def headwise_attn_block(
         ),
     )(x, *qkv_args, projw, p["proj_b"].reshape(1, d))
     y = results[0]
-    probs = results[1] if want_attn else None
+    probs = results[1] if want_attn else sel_probs
     if want_mean:
         return y, probs, results[-1]
     return y, probs

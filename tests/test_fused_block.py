@@ -162,3 +162,75 @@ def test_headwise_no_probs():
     assert probs is None
     ref, _ = fb.fused_attn_block(x, p, CFG.heads, CFG.ln_eps)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_selective_head_taps_all_impls():
+    """attn_heads=[1,3] emits exactly those heads' maps [B,2,N,N], equal
+    to the corresponding slices of the full tap, on all three impls
+    (fused kernel static-emission, headwise XLA-recompute, XLA slice) —
+    and y is unchanged (VERDICT r2 #3)."""
+    params = vit.init_params(jax.random.key(3), CFG)
+    p = params["blocks"][0]
+    x = jnp.asarray(
+        np.random.default_rng(3).random((2, CFG.tokens, CFG.width),
+                                        np.float32)
+    )
+    ref_y, ref_probs, ref_mean = vit.block(p, x, CFG, want_attn=True,
+                                           want_mean=True)
+    sel = (1, 3)
+    for impl in (None, fb.fused_attn_block, fb.headwise_attn_block):
+        y, probs, mean = vit.block(p, x, CFG, want_attn=True,
+                                   want_mean=True, block_impl=impl,
+                                   attn_heads=sel)
+        assert probs.shape == (2, 2, CFG.tokens, CFG.tokens), impl
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                   atol=1e-5, err_msg=str(impl))
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(ref_probs)[:, list(sel)],
+            atol=1e-5, err_msg=str(impl))
+        # the rollout mean still averages ALL heads, not just the tapped
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                                   atol=1e-5, err_msg=str(impl))
+
+    with pytest.raises(ValueError, match="out of range"):
+        vit.block(p, x, CFG, want_attn=True, attn_heads=(0, 99))
+
+
+def test_selective_head_taps_via_node_param():
+    """The attn_heads NODE param flows through the plugin tier: a block
+    node with attn_heads="[0,2]" serves [B,2,N,N] on its attn channel,
+    and editing the list recompiles (static param, in the signature)."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.wire.schema import GraphLibrary
+
+    vit.VARIANTS["vit_fb"] = CFG
+    reg = Registry()
+    try:
+        import tempfile
+
+        lib = GraphLibrary(tempfile.mkdtemp())
+        make_vit_model("vit_fb", kernels=False).register(reg, lib)
+        ex = Executor(reg)
+
+        def graph(heads_param):
+            g = Graph()
+            n0 = g.add_node("vit_fb:embed")
+            params = {"attn_heads": heads_param} if heads_param else {}
+            n1 = g.add_node("vit_fb:blocks.0", params)
+            g.connect(n0, "o", n1, "o")
+            g.add_input(np.random.default_rng(0).random(
+                (3, 32, 32)).astype(np.float32), n0, "o")
+            return g
+
+        full = ex.run(graph(None), taps=[(1, "attn")])
+        sel = ex.run(graph("[0,2]"), taps=[(1, "attn")])
+        assert not ex.last_stats.cache_hit  # static param -> new program
+        a_full = np.asarray(full[1]["attn"])
+        a_sel = np.asarray(sel[1]["attn"])
+        assert a_sel.shape[1] == 2 and a_full.shape[1] == CFG.heads
+        np.testing.assert_allclose(a_sel, a_full[:, [0, 2]], atol=1e-5)
+    finally:
+        del vit.VARIANTS["vit_fb"]

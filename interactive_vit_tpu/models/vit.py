@@ -268,6 +268,7 @@ def forward(
     mlp_impl=None,
     qkv_head_major: bool = False,
     block_wrapper=None,
+    attn_heads=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward with optional taps.
 
@@ -275,6 +276,11 @@ def forward(
       "attn":     [L,B,H,N,N] per-layer attention maps
       "rollout":  [B,N,N] attention rollout (config 2 visualization)
       "cls":      [L+1,B,D] CLS-token trajectory through the blocks
+
+    ``attn_heads``: static head subset for the attention taps — each
+    layer's map becomes [B, len(attn_heads), N, N]; the rollout still
+    averages ALL heads (it feeds on the in-kernel head-mean). An EMPTY
+    tuple means rollout-only: no per-head probs are materialized at all.
 
     ``pad_tokens``: run the trunk in a PADDED TOKEN DOMAIN — pad the
     sequence once after embedding to a multiple of 128 and keep it padded
@@ -317,17 +323,20 @@ def forward(
     attns: List[jnp.ndarray] = []
     means: List[jnp.ndarray] = []
     cls_traj: List[jnp.ndarray] = [x[:, 0]]
+    want_probs = want_attn and (attn_heads is None or len(attn_heads) > 0)
     for p in params["blocks"]:
         x, probs, pmean = block(
-            p, x, cfg, want_attn=want_attn, attn_impl=attn_impl,
+            p, x, cfg, want_attn=want_probs, attn_impl=attn_impl,
             n_real=nr, block_impl=block_impl, mlp_impl=mlp_impl,
             want_mean=want_attn, qkv_head_major=qkv_head_major,
+            attn_heads=attn_heads if want_probs else None,
         )
-        if want_attn:
+        if want_probs:
             # tap in activation dtype: the softmax ran f32, but emitting
             # f32 maps doubles the dominant HBM write traffic (L*B*H*N^2);
             # slice real rows/cols here (padded rows are garbage)
             attns.append(probs[..., :n_real, :n_real].astype(x.dtype))
+        if want_attn:
             means.append(pmean[..., :n_real, :n_real])
         if want_cls_trajectory:
             cls_traj.append(x[:, 0])
@@ -338,9 +347,11 @@ def forward(
         "logits": head(params, final_norm(params, x[:, :1], cfg))
     }
     if want_attn:
-        # tuple, NOT stacked: stacking copies L*B*H*N^2 bytes for nothing
-        # (callers wanting one array can jnp.stack; taps ship per-layer)
-        out["attn"] = tuple(attns)
+        if want_probs:
+            # tuple, NOT stacked: stacking copies L*B*H*N^2 bytes for
+            # nothing (callers wanting one array can jnp.stack; taps ship
+            # per-layer)
+            out["attn"] = tuple(attns)
         # rollout from the in-kernel head-means: never re-reads the
         # [L,B,H,N,N] probs from HBM (measured ~2.3 ms/batch-32 on ViT-B)
         out["rollout"] = attn_ops.attention_rollout(means)

@@ -1,0 +1,132 @@
+"""Round-3: un-OOM ViT-L/16@384 maps-on at batch 32 (VERDICT r2 #3).
+
+The round-2 state: maps-on batch 32 HBM-OOMs (8.2 GB of bf16
+[24,B,16,577,577] taps); maps-on 361-371 imgs/s @ batch 16. This script
+measures, on the real chip:
+
+  1. maps-on batch 16/24/32 FULL taps (with device memory stats, and
+     with/without row-major tap pinning at 32 — the pinned relayout
+     doubles peak tap memory if XLA can't fuse it);
+  2. maps-on batch 32 with SELECTIVE taps (attn_heads=[0,5] — the
+     "UI views 2 of 16 heads" product case, 8x less tap memory);
+  3. rollout-only (head-mean taps, no per-head probs) batch 32.
+
+Emits JSONL to /tmp/r3_vitl.jsonl.
+"""
+
+import time
+
+import numpy as np
+
+from _harness import make_emit, setup_jax
+
+emit = make_emit("/tmp/r3_vitl.jsonl")
+jax = setup_jax()
+
+import jax.numpy as jnp  # noqa: E402
+
+from interactive_vit_tpu.models import vit  # noqa: E402
+from interactive_vit_tpu.ops.dispatch import (  # noqa: E402
+    default_attn_impl, default_block_impl,
+)
+from interactive_vit_tpu.ops.layouts import row_major_out_shardings  # noqa: E402
+
+emit(stage="start", devices=str(jax.devices()))
+
+cfg = vit.VARIANTS["vit_l16"]
+dtype = jnp.bfloat16
+params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
+attn_impl = default_attn_impl("auto")
+block_impl = default_block_impl("auto", dtype=dtype, n=cfg.tokens,
+                                d=cfg.width, heads=cfg.heads)
+emit(stage="impl", block_impl=getattr(block_impl, "__name__", None))
+
+
+def mem_stats():
+    try:
+        s = jax.local_devices()[0].memory_stats()
+        return {k: s.get(k) for k in
+                ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")}
+    except Exception as e:  # noqa: BLE001
+        return {"err": repr(e)[:120]}
+
+
+def run_case(tag, batch, want_attn, attn_heads=None, pin=True, iters=6):
+    try:
+        def fn(params, images):
+            out = vit.forward(params, images, cfg, want_attn=want_attn,
+                              attn_impl=attn_impl, block_impl=block_impl,
+                              attn_heads=attn_heads)
+            if want_attn:
+                return out["logits"], out["attn"], out["rollout"]
+            return out["logits"]
+
+        images = jnp.asarray(
+            np.random.default_rng(0).random(
+                (batch, 3, cfg.img_size, cfg.img_size), dtype=np.float32),
+            dtype=dtype)
+        if pin:
+            sh = row_major_out_shardings(fn, params, images)
+            jitted = (jax.jit(fn, out_shardings=sh) if sh is not None
+                      else jax.jit(fn))
+        else:
+            jitted = jax.jit(fn)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jitted(params, images))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jitted(params, images)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        emit(stage="case", tag=tag, batch=batch, maps=want_attn,
+             heads=attn_heads, pin=pin,
+             ips=round(batch * iters / dt, 1),
+             ms_per_batch=round(dt / iters * 1e3, 2),
+             compile_s=round(compile_s, 1), mem=mem_stats())
+    except Exception as e:  # noqa: BLE001
+        emit(stage="error", tag=tag, batch=batch, maps=want_attn,
+             heads=attn_heads, pin=pin, err=repr(e)[:600],
+             mem=mem_stats())
+
+
+# 1. full maps-on ladder (is batch-32 OOM still real? where exactly?)
+for b in (16, 24, 32):
+    run_case("full_maps", b, True)
+# pinning off at 32: tap relayout copies double peak memory if unfused
+run_case("full_maps_nopin", 32, True, pin=False)
+
+# 2. selective taps: the product case (2 of 16 heads, all 24 layers)
+run_case("sel2_maps", 32, True, attn_heads=(0, 5))
+run_case("sel2_maps", 48, True, attn_heads=(0, 5))
+
+# 3. rollout-only (no per-head taps at all): the interactive default
+def rollout_fn(params, images):
+    out = vit.forward(params, images, cfg, want_attn=True,
+                      attn_impl=attn_impl, block_impl=block_impl,
+                      attn_heads=())
+    return out["logits"], out["rollout"]
+
+
+for b in (32, 48):
+    try:
+        images = jnp.asarray(
+            np.random.default_rng(0).random(
+                (b, 3, cfg.img_size, cfg.img_size), dtype=np.float32),
+            dtype=dtype)
+        sh = row_major_out_shardings(rollout_fn, params, images)
+        jitted = (jax.jit(rollout_fn, out_shardings=sh) if sh is not None
+                  else jax.jit(rollout_fn))
+        jax.block_until_ready(jitted(params, images))
+        t0 = time.perf_counter()
+        for _ in range(6):
+            out = jitted(params, images)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        emit(stage="case", tag="rollout_only", batch=b, maps="rollout",
+             ips=round(b * 6 / dt, 1), ms_per_batch=round(dt / 6 * 1e3, 2),
+             mem=mem_stats())
+    except Exception as e:  # noqa: BLE001
+        emit(stage="error", tag="rollout_only", batch=b, err=repr(e)[:600])
+
+emit(stage="done")

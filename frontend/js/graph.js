@@ -438,10 +438,14 @@ export class Context {
 		try {
 			for (const n of localSet) evalOne(n);
 		} catch (err) {
-			// any local miss (broadcast binop, odd ranks): fall back to the
-			// server for the WHOLE pass — rare, and correctness beats the
-			// saved round trip
-			if (!(err instanceof LocalFallback)) throw err;
+			// ANY local failure (broadcast binop, odd ranks, malformed
+			// params): fall back to the server for the WHOLE pass — the
+			// server returns attributed per-node errors, and correctness
+			// beats the saved round trip. A non-LocalFallback here is a
+			// localops bug, worth a console line but never a dead eval.
+			if (!(err instanceof LocalFallback)) {
+				console.error("local eval bug, falling back to server:", err);
+			}
 			localSet.clear();
 			localResults.clear();
 		}
@@ -533,9 +537,16 @@ export class Context {
 		} catch (err) {
 			if (epoch !== Context.evalEpoch) return;
 			const msg = String(err.message || err);
+			// locally-computed branches stay alive through a server
+			// failure: route their tensors to their viewers and keep
+			// their "ok (local)" status — the zero-round-trip feature
+			// matters MOST when the tunnel is flaky
+			Context.routeResults(new Map(), index, epoch);
 			// per-node error attribution: "node <i> (<name>): ..."
 			const m = msg.match(/node (\d+)/);
-			for (const n of Context.nodes) n.setStatus("");
+			for (const n of Context.nodes) {
+				if (!localSet.has(n)) n.setStatus("");
+			}
 			if (m) {
 				const bad = reqNodes[Number(m[1])];
 				// reference parity (graph.js:498-514 + hover.js): compact

@@ -136,10 +136,16 @@ function conv2dOp(inst, x) {
 	const w = Number(inst.w ?? 3) | 0;
 	let m;
 	if (inst.matrix) {
-		const raw = atob(inst.matrix);
-		const bytes = new Uint8Array(raw.length);
-		for (let i = 0; i < raw.length; i++) bytes[i] = raw.charCodeAt(i);
-		m = new Float32Array(bytes.buffer);
+		try {
+			// bad base64 / non-multiple-of-4 byte length throw here; the
+			// server path returns the attributed per-node error instead
+			const raw = atob(inst.matrix);
+			const bytes = new Uint8Array(raw.length);
+			for (let i = 0; i < raw.length; i++) bytes[i] = raw.charCodeAt(i);
+			m = new Float32Array(bytes.buffer);
+		} catch (e) {
+			throw new LocalFallback(`bad conv matrix encoding: ${e}`);
+		}
 		if (m.length !== h * w) {
 			throw new LocalFallback(`matrix has ${m.length} cells, spec ${h}x${w}`);
 		}

@@ -191,6 +191,12 @@ class Executor:
         # (node name, dynamic param values) -> placed captures: cache-hit
         # refresh must not pay a device transfer for UNCHANGED values
         self._dyn_cap_cache: Dict[tuple, Any] = {}
+        # (node key, per-row value keys) -> placed STACKED captures: the
+        # batcher's steady state re-dispatches groups with identical
+        # dynamic values every few ms — rebuilding + re-uploading the
+        # stack each time would add a tunnel transfer per group (CLAUDE.md
+        # serving notes: don't add per-request transfers)
+        self._stacked_dyn_cache: "OrderedDict[tuple, Any]" = OrderedDict()
         self.last_stats = ExecStats()
         # node-index lists of the chains folded into pipeline schedules by
         # the most recent _stage (diagnostics + tests)
@@ -376,20 +382,39 @@ class Executor:
         ]
         out = {}
         for key in sorted(dyn_keys):
+            rows = [by_index[gi][key] for gi in idxs]
+            kind = self.reg.get_node(rows[0].name)
+            dyn = kind.dynamic_params()
+            # content-addressed: the batcher's steady state re-dispatches
+            # identical value stacks every few ms — a cache hit must cost
+            # zero host work and zero device transfers
+            cache_key = (key, tuple(
+                (n.name, tuple(sorted((k, n.params.get(k)) for k in dyn)))
+                for n in rows
+            ))
+            hit = self._stacked_dyn_cache.get(cache_key)
+            if hit is not None:
+                self._stacked_dyn_cache.move_to_end(cache_key)
+                out[key] = hit
+                continue
             per = []
-            for gi in idxs:
-                n = by_index[gi][key]
+            for n in rows:
                 try:
                     per.append(self.reg.get_node(n.name).captures(n.params))
                 except Exception as err:  # noqa: BLE001 — attribution
                     raise NodeError(n.index, n.name, str(err)) from err
-            out[key] = jax.tree.map(
+            stacked = jax.tree.map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per)
-        if self.mesh is not None and out:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            # replicated: tiny per-request values consumed inside vmap
-            out = jax.device_put(out, NamedSharding(self.mesh, P()))
+                # replicated: tiny per-request values consumed inside vmap
+                stacked = jax.device_put(
+                    stacked, NamedSharding(self.mesh, P()))
+            self._stacked_dyn_cache[cache_key] = stacked
+            while len(self._stacked_dyn_cache) > 128:
+                self._stacked_dyn_cache.popitem(last=False)
+            out[key] = stacked
         return out
 
     def is_compiled(self, graph: Graph, taps: TapSpec,

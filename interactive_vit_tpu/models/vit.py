@@ -406,8 +406,11 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
             if node_params and node_params.get("attn_heads"):
                 import json as _json
 
-                sel = tuple(int(h) for h in
-                            _json.loads(node_params["attn_heads"]))
+                parsed = _json.loads(node_params["attn_heads"])
+                # "[]" (and "") mean ALL heads, as the UI placeholder
+                # documents — an empty selection would otherwise build a
+                # zero-size Pallas output block, a fatal compile error
+                sel = tuple(int(h) for h in parsed) if parsed else None
             y, probs, pmean = block(
                 p, x, cfg, want_attn="attn" in want,
                 attn_impl=attn_impl, block_impl=block_impl,

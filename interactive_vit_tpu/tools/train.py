@@ -65,6 +65,31 @@ def pattern_set(seed: int, n: int, img: int, classes: int,
     return images, labels.astype(np.int64)
 
 
+def evaluate(infer_fn, params, images, labels, batch: int) -> float:
+    """Top-1 over a set, in training-batch-size chunks.
+
+    ``infer_fn`` was jitted with data-sharded in_shardings, so each chunk
+    must keep the TRAINING batch size (which provably divides the mesh
+    "data" axis — training ran with it); an arbitrary set size fed whole
+    would fail pjit's divisibility check and compile a fresh program per
+    set size. The last chunk pads by repetition and slices."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    hits = 0
+    n = len(labels)
+    for lo in range(0, n, batch):
+        chunk = images[lo:lo + batch]
+        k = len(chunk)
+        if k < batch:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[:1], batch - k, axis=0)])
+        logits = np.asarray(infer_fn(params, jnp.asarray(chunk)))[:k]
+        hits += int((logits.argmax(-1) == labels[lo:lo + k]).sum())
+    return hits / n
+
+
 def save_state(path: str, params, opt_state, step: int) -> None:
     """Train-state checkpoint: params + optimizer state + step counter,
     one orbax tree (all plain pytrees of arrays)."""
@@ -217,9 +242,8 @@ def main(argv=None) -> None:
                     (step - start_step + 1) * args.batch / dt,
                 )
             if args.eval_every and (step + 1) % args.eval_every == 0:
-                logits = infer_fn(params, jnp.asarray(eval_images))
-                acc = float((np.asarray(logits).argmax(-1)
-                             == eval_labels).mean())
+                acc = evaluate(infer_fn, params, eval_images, eval_labels,
+                               args.batch)
                 logger.info("step %4d  eval top-1 %.3f", step, acc)
             if (args.save_every and state_dir
                     and (step + 1) % args.save_every == 0):

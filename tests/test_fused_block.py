@@ -232,5 +232,10 @@ def test_selective_head_taps_via_node_param():
         a_sel = np.asarray(sel[1]["attn"])
         assert a_sel.shape[1] == 2 and a_full.shape[1] == CFG.heads
         np.testing.assert_allclose(a_sel, a_full[:, [0, 2]], atol=1e-5)
+
+        # "[]" means ALL heads (the UI placeholder contract), never a
+        # zero-head tap (a zero-size Pallas block is a fatal compile)
+        empty = ex.run(graph("[]"), taps=[(1, "attn")])
+        assert np.asarray(empty[1]["attn"]).shape[1] == CFG.heads
     finally:
         del vit.VARIANTS["vit_fb"]

@@ -157,3 +157,24 @@ def test_int8_weight_only_preserves_prediction():
     assert (np.argmax(q_logits, -1) == np.argmax(f32_logits, -1)).all()
     # per-channel int8 on ViT weights: logits within a few 1e-2 of f32
     np.testing.assert_allclose(q_logits, f32_logits, atol=0.05)
+
+
+def test_timm_checkpoint_to_logits():
+    """The timm-layout path (DINO checkpoint family): torch-free
+    safetensors read -> layout AUTO-detection -> weights.from_timm ->
+    forward; logits match the independent torch timm-style oracle
+    (fused-qkv Linear + Conv2d patch embed run through torch itself, so
+    the conv flattening order and every transpose are pinned) <= 1e-4."""
+    from interactive_vit_tpu.tools.convert import convert, load_state_dict
+
+    golden = np.load(os.path.join(FIXTURES, "vit_golden_timm.npz"))
+    sd = load_state_dict(os.path.join(FIXTURES,
+                                      "vit_golden_timm.safetensors"))
+    vit.VARIANTS["vit_golden"] = VIT_CFG
+    try:
+        params = convert("vit_golden", "auto", sd)  # sniffs timm keys
+    finally:
+        del vit.VARIANTS["vit_golden"]
+    out = vit.forward(params, jnp.asarray(golden["input"]), VIT_CFG)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), golden["logits"], atol=1e-4)

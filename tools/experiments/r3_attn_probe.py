@@ -33,21 +33,22 @@ emit(stage="start", devices=str(jax.devices()))
 
 
 def timed_trace(tag, fns_args, iters=200):
-    """Profile a dict of name -> (fn, args) with device events."""
-    tdir = f"/tmp/r3_traces/{tag}"
-    compiled = {}
+    """Profile each name -> (fn, args) in its OWN trace dir (trace_agg
+    aggregates by hlo_category, so mixing shapes in one trace loses the
+    per-shape attribution — learned from the first run of this probe)."""
     for name, (fn, args) in fns_args.items():
         j = jax.jit(fn)
         jax.block_until_ready(j(*args))
-        compiled[name] = (j, args)
-    jax.profiler.start_trace(tdir)
-    for name, (j, args) in compiled.items():
-        with jax.profiler.TraceAnnotation(name):
-            for _ in range(iters):
-                o = j(*args)
-            jax.block_until_ready(o)
-    jax.profiler.stop_trace()
-    emit(stage=tag, report=report(tdir, top=16))
+        tdir = f"/tmp/r3_traces/{tag}__{name}"
+        jax.profiler.start_trace(tdir)
+        for _ in range(iters):
+            o = j(*args)
+        jax.block_until_ready(o)
+        jax.profiler.stop_trace()
+        r = report(tdir, top=6)
+        emit(stage=tag, case=name, iters=iters,
+             us_per_iter=round(r.get("total_device_us", 0) / iters, 3),
+             report=r)
 
 
 # ---- 1. score-dot shape ladder --------------------------------------------

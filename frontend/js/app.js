@@ -5,6 +5,7 @@
 import { Context, node_move } from "./graph.js";
 import { NetNode, registerAll } from "./nodes.js";
 import { Workspace } from "./workspace.js";
+import { modalInput } from "./modal.js";
 
 let evalTimer = null;
 
@@ -57,7 +58,7 @@ async function initToolbar() {
 	};
 	btn("Save", saveGraph);
 	btn("Save to server", async () => {
-		const name = prompt("graph name");
+		const name = await modalInput("graph name");
 		if (!name) return;
 		const resp = await fetch(`save_graph/${name}`, {
 			method: "POST",
@@ -129,7 +130,8 @@ async function initTools() {
 	// spawn any served model layer by endpoint name (full model chains come
 	// from the graph library dropdown)
 	Workspace.registerTool("layer…", async (x, y) => {
-		const endpoint = prompt("server node endpoint (e.g. vit_t16:blocks.0)");
+		const endpoint = await modalInput(
+			"server node endpoint", "e.g. vit_t16:blocks.0");
 		if (!endpoint) return;
 		try {
 			const node = Context.addNodeInstance(await NetNode.create(endpoint));

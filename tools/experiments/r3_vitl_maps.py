@@ -14,11 +14,33 @@ measures, on the real chip:
 Emits JSONL to /tmp/r3_vitl.jsonl.
 """
 
+import sys
 import time
 
 import numpy as np
 
 from _harness import make_emit, setup_jax
+
+# Per-case SUBPROCESS isolation: a RESOURCE_EXHAUSTED on this remote
+# backend poisons every subsequent allocation in the process (observed
+# twice 2026-08-17: after full_maps@32 OOMed, even a 0.5 GB rollout-only
+# case OOMed; in a fresh process it runs). Parent mode spawns one child
+# per case; child mode runs exactly one.
+if len(sys.argv) == 1:
+    import subprocess
+
+    cases = [
+        "full_maps:16", "full_maps:24",
+        "rollout_only:32", "rollout_only:48",
+        "sel2_maps:32", "sel2_maps:48",
+        "full_maps:32", "full_maps_nopin:32",  # riskiest LAST
+    ]
+    for c in cases:
+        subprocess.run([sys.executable, __file__, c], timeout=900,
+                       check=False)
+    sys.exit(0)
+
+ONLY = sys.argv[1]
 
 emit = make_emit("/tmp/r3_vitl.jsonl")
 jax = setup_jax()
@@ -57,6 +79,8 @@ def run_case(tag, batch, want_attn, attn_heads=None, pin=True, iters=6):
             out = vit.forward(params, images, cfg, want_attn=want_attn,
                               attn_impl=attn_impl, block_impl=block_impl,
                               attn_heads=attn_heads)
+            if want_attn and attn_heads == ():
+                return out["logits"], out["rollout"]  # rollout-only mode
             if want_attn:
                 return out["logits"], out["attn"], out["rollout"]
             return out["logits"]
@@ -90,43 +114,15 @@ def run_case(tag, batch, want_attn, attn_heads=None, pin=True, iters=6):
              mem=mem_stats())
 
 
-# 1. full maps-on ladder (is batch-32 OOM still real? where exactly?)
-for b in (16, 24, 32):
+tag, b = ONLY.split(":")
+b = int(b)
+if tag == "full_maps":
     run_case("full_maps", b, True)
-# pinning off at 32: tap relayout copies double peak memory if unfused
-run_case("full_maps_nopin", 32, True, pin=False)
-
-# 2. selective taps: the product case (2 of 16 heads, all 24 layers)
-run_case("sel2_maps", 32, True, attn_heads=(0, 5))
-run_case("sel2_maps", 48, True, attn_heads=(0, 5))
-
-# 3. rollout-only (no per-head taps at all): the interactive default
-def rollout_fn(params, images):
-    out = vit.forward(params, images, cfg, want_attn=True,
-                      attn_impl=attn_impl, block_impl=block_impl,
-                      attn_heads=())
-    return out["logits"], out["rollout"]
-
-
-for b in (32, 48):
-    try:
-        images = jnp.asarray(
-            np.random.default_rng(0).random(
-                (b, 3, cfg.img_size, cfg.img_size), dtype=np.float32),
-            dtype=dtype)
-        sh = row_major_out_shardings(rollout_fn, params, images)
-        jitted = (jax.jit(rollout_fn, out_shardings=sh) if sh is not None
-                  else jax.jit(rollout_fn))
-        jax.block_until_ready(jitted(params, images))
-        t0 = time.perf_counter()
-        for _ in range(6):
-            out = jitted(params, images)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        emit(stage="case", tag="rollout_only", batch=b, maps="rollout",
-             ips=round(b * 6 / dt, 1), ms_per_batch=round(dt / 6 * 1e3, 2),
-             mem=mem_stats())
-    except Exception as e:  # noqa: BLE001
-        emit(stage="error", tag="rollout_only", batch=b, err=repr(e)[:600])
-
-emit(stage="done")
+elif tag == "full_maps_nopin":
+    run_case("full_maps_nopin", b, True, pin=False)
+elif tag == "sel2_maps":
+    run_case("sel2_maps", b, True, attn_heads=(0, 5))
+elif tag == "rollout_only":
+    run_case("rollout_only", b, True, attn_heads=())
+else:
+    raise SystemExit(f"unknown case {ONLY}")

@@ -101,7 +101,11 @@ def run_case(tag, batch, want_attn, attn_heads=None, pin=True, iters=6):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = jitted(params, images)
-        jax.block_until_ready(out)
+        # device_get, not block_until_ready: on this backend
+        # block_until_ready can return before the device executes
+        # (CLAUDE.md trap #8 — a 42944 imgs/s ViT-L reading); fetching a
+        # small leaf of the LAST dispatch forces the whole in-order queue
+        jax.device_get(jax.tree.leaves(out)[0])
         dt = time.perf_counter() - t0
         emit(stage="case", tag=tag, batch=batch, maps=want_attn,
              heads=attn_heads, pin=pin,

@@ -40,7 +40,15 @@ if len(sys.argv) == 1:
                        check=False)
     sys.exit(0)
 
-ONLY = sys.argv[1]
+if sys.argv[1] == "--single":
+    # ONE process, ONE tunnel setup (per-case subprocesses each pay the
+    # setup lottery — a bad phase starved 6 of 8 cases); the only
+    # OOM-risky case (full maps @32) runs LAST so its poisoning effect
+    # has nothing left to kill.
+    ONLY = ["full_maps:16", "rollout_only:32", "sel2_maps:32",
+            "rollout_only:48", "sel2_maps:48", "full_maps:32"]
+else:
+    ONLY = [sys.argv[1]]
 
 emit = make_emit("/tmp/r3_vitl.jsonl")
 jax = setup_jax()
@@ -118,15 +126,16 @@ def run_case(tag, batch, want_attn, attn_heads=None, pin=True, iters=6):
              mem=mem_stats())
 
 
-tag, b = ONLY.split(":")
-b = int(b)
-if tag == "full_maps":
-    run_case("full_maps", b, True)
-elif tag == "full_maps_nopin":
-    run_case("full_maps_nopin", b, True, pin=False)
-elif tag == "sel2_maps":
-    run_case("sel2_maps", b, True, attn_heads=(0, 5))
-elif tag == "rollout_only":
-    run_case("rollout_only", b, True, attn_heads=())
-else:
-    raise SystemExit(f"unknown case {ONLY}")
+for case in ONLY:
+    tag, b = case.split(":")
+    b = int(b)
+    if tag == "full_maps":
+        run_case("full_maps", b, True)
+    elif tag == "full_maps_nopin":
+        run_case("full_maps_nopin", b, True, pin=False)
+    elif tag == "sel2_maps":
+        run_case("sel2_maps", b, True, attn_heads=(0, 5))
+    elif tag == "rollout_only":
+        run_case("rollout_only", b, True, attn_heads=())
+    else:
+        raise SystemExit(f"unknown case {case}")

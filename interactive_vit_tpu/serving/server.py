@@ -135,6 +135,14 @@ def build_app(
             if quantize:
                 logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_vgg16_model(params=params, seed=seed, dtype=dtype)
+        elif variant == "resnet50":
+            from interactive_vit_tpu.models.resnet_plugin import (
+                make_resnet50_model,
+            )
+
+            if quantize:
+                logger.warning("int8 not wired for %s; serving bf16", variant)
+            model = make_resnet50_model(params=params, seed=seed, dtype=dtype)
         else:
             # with a TP axis, re-pack qkv columns head-major so the mesh
             # column sharding is head-aligned (parallel/mesh.py)

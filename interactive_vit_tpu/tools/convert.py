@@ -48,6 +48,7 @@ load_torch_state_dict = load_state_dict
 
 VALID_LAYOUTS = {
     "vgg16": {"torchvision", "native"},
+    "resnet50": {"torchvision", "native"},
     "clip_b32": {"openai", "native"},
     # every ViT variant accepts either framework naming, or our own
     "_vit": {"torchvision", "timm", "native"},
@@ -91,10 +92,10 @@ def convert(model: str, layout: str, sd) -> object:
         from interactive_vit_tpu.models.weights import from_native_flat
 
         params = from_native_flat(sd)
-        if model not in ("vgg16", "clip_b32"):
-            # empty containers don't survive flattening: restore the
-            # optional classifier head ({} = feature extractor) and an
-            # (impossible in practice) depth-0 trunk
+        if model not in ("vgg16", "clip_b32", "resnet50"):
+            # ViT only — empty containers don't survive flattening:
+            # restore the optional classifier head ({} = feature
+            # extractor) and an (impossible in practice) depth-0 trunk
             params.setdefault("head", {})
             params.setdefault("blocks", [])
         return params
@@ -102,6 +103,10 @@ def convert(model: str, layout: str, sd) -> object:
         from interactive_vit_tpu.models import vgg
 
         return vgg.from_torchvision(sd)
+    if model == "resnet50":
+        from interactive_vit_tpu.models import resnet
+
+        return resnet.from_torchvision(sd)
     if model == "clip_b32":
         from interactive_vit_tpu.models import clip
 

@@ -12,7 +12,7 @@ import os
 import subprocess
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SOURCES = ["wirecodec.cpp"]
+SOURCES = ["wirecodec.cpp", "dataloader.cpp"]
 SO_PATH = os.path.join(HERE, "_ivt_native.so")
 
 

@@ -168,6 +168,11 @@ def main(argv=None) -> None:
                         help="also write final params as a .safetensors "
                              "file in the native '/' naming (servable via "
                              "--ckpt, auto-detected layout)")
+    parser.add_argument("--data", default=None, metavar="PREFIX",
+                        help="train on {PREFIX}_images.npy/_labels.npy via "
+                             "the native prefetching loader (data/loader.py)"
+                             " instead of synthetic batches; augments with "
+                             "deterministic horizontal flips")
     parser.add_argument("--log-every", type=int, default=10)
     args = parser.parse_args(argv)
 
@@ -213,7 +218,17 @@ def main(argv=None) -> None:
             logger.info("resumed from %s at step %d", state_dir, start_step)
 
         rng = np.random.default_rng(args.seed + start_step)
-        if args.memorize:
+        loader = None
+        if args.data:
+            from interactive_vit_tpu.data.loader import Loader
+
+            loader = Loader(args.data + "_images.npy",
+                            args.data + "_labels.npy", args.batch,
+                            seed=args.seed, flip=True)
+            logger.info("data loader: %d samples, %s backend",
+                        loader.n, "native" if loader.native else "numpy")
+            eval_images, eval_labels = next(loader)[:2]
+        elif args.memorize:
             mem_images, mem_labels = pattern_set(
                 args.seed, args.memorize, cfg.img_size, cfg.num_classes,
                 args.distinct_classes)
@@ -224,7 +239,9 @@ def main(argv=None) -> None:
                 cfg.num_classes)
         t0 = time.perf_counter()
         for step in range(start_step, args.steps):
-            if args.memorize:
+            if loader is not None:
+                images, labels, _epoch = next(loader)
+            elif args.memorize:
                 idx = rng.integers(0, args.memorize, size=(args.batch,))
                 images, labels = mem_images[idx], mem_labels[idx]
             else:
@@ -249,6 +266,8 @@ def main(argv=None) -> None:
                     and (step + 1) % args.save_every == 0):
                 save_state(state_dir, params, opt_state, step + 1)
                 logger.info("saved train state at step %d", step + 1)
+        if loader is not None:
+            loader.close()
 
     # Canonical export layout: training with TP runs head-major qkv
     # ([H][3][Dh] columns) — exported weights must return to the

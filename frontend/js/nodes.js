@@ -254,24 +254,60 @@ export class CategoryNode extends Node {
 }
 
 export class AttnViewNode extends Node {
-	constructor() {
+	constructor(inst) {
 		super("attn_view", "attention");
 		this.addInput("attn");
 		this.addInput("r"); // accepts a rollout map [B,N,N] too
-		this.head = 0;
-		this.query = 0; // 0 = CLS
+		this.head = inst?.head ?? 0;
+		this.query = inst?.query ?? 0; // 0 = CLS
+		// selective mode: push attn_heads=[head] onto the upstream block
+		// node so ONLY the viewed head's map ships (and is stored) —
+		// at ViT-L/16@384 that's 8 GB -> 0.5 GB of tap memory
+		this.selective = inst?.selective ?? false;
+	}
+
+	serializeExtra() {
+		return { head: this.head, query: this.query,
+			selective: this.selective };
+	}
+
+	/** Write the selective-head param onto the upstream net_node feeding
+	 * our "attn" input and re-evaluate (the param is static: the server
+	 * recompiles once per head set, then scrubbing stays cached). */
+	syncUpstream() {
+		const e = Context.edges.find(
+			(x) => x.dst.node === this && x.dst.channel === "attn",
+		);
+		const src = e?.src.node;
+		if (!src || src.kind !== "net_node" || !src.params) return;
+		const want = this.selective ? JSON.stringify([this.head | 0]) : "";
+		if ((src.params.attn_heads || "") === want) return;
+		if (want) src.params.attn_heads = want;
+		else delete src.params.attn_heads;
+		Context.changed();
 	}
 
 	buildContent(el) {
-		const h = labeledInput("head", "0", (v) => {
+		const h = labeledInput("head", String(this.head), (v) => {
 			this.head = Number(v) | 0;
+			if (this.selective) this.syncUpstream();
 			this.redraw();
 		}, 3);
 		this.headInput = h.input;
-		const q = labeledInput("query tok", "0", (v) => {
+		const q = labeledInput("query tok", String(this.query), (v) => {
 			this.query = Number(v) | 0;
 			this.redraw();
 		}, 4);
+		const sel = document.createElement("label");
+		const cb = document.createElement("input");
+		cb.type = "checkbox";
+		cb.checked = this.selective;
+		cb.addEventListener("change", () => {
+			this.selective = cb.checked;
+			this.syncUpstream();
+		});
+		sel.append(cb, document.createTextNode(" ship only this head"));
+		sel.title = "tap just the viewed head server-side (attn_heads)";
 		// head grid: every head at once, click one to select it
 		this.headGrid = document.createElement("div");
 		this.headGrid.className = "multiview-grid";
@@ -279,7 +315,8 @@ export class AttnViewNode extends Node {
 		this.canvas = document.createElement("canvas");
 		this.full = document.createElement("canvas");
 		this.full.title = "full N x N map";
-		el.append(h.wrap, q.wrap, this.headGrid, this.canvas, this.full);
+		el.append(h.wrap, q.wrap, sel, this.headGrid, this.canvas,
+			this.full);
 	}
 
 	isViewer() {
@@ -333,6 +370,9 @@ export class AttnViewNode extends Node {
 				Math.max(32, 160 / cols),
 			);
 			thumb.addEventListener("click", () => {
+				// selective mode ships ONE head: the grid is local space
+				// (always index 0), so clicks don't move the GLOBAL head
+				if (this.selective) return;
 				this.head = hi;
 				if (this.headInput) this.headInput.value = String(hi);
 				this.redraw();

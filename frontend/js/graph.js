@@ -192,6 +192,9 @@ export class Context {
 		Context.nodes = Context.nodes.filter((n) => n !== node);
 		Context.selection.delete(node);
 		node.el?.remove();
+		// lifecycle hook: nodes holding state on OTHER nodes (attn_view's
+		// selective-tap param on its upstream block) release it here
+		node.onRemoved?.();
 		Context.changed();
 	}
 

@@ -273,18 +273,43 @@ export class AttnViewNode extends Node {
 
 	/** Write the selective-head param onto the upstream net_node feeding
 	 * our "attn" input and re-evaluate (the param is static: the server
-	 * recompiles once per head set, then scrubbing stays cached). */
-	syncUpstream() {
+	 * recompiles once per head set, then scrubbing stays cached).
+	 * Called from user gestures AND from onInputs/onRemoved, so rewiring
+	 * an edge moves the param to the new block and clears the old one. */
+	syncUpstream(clearOnly = false) {
 		const e = Context.edges.find(
 			(x) => x.dst.node === this && x.dst.channel === "attn",
 		);
-		const src = e?.src.node;
-		if (!src || src.kind !== "net_node" || !src.params) return;
-		const want = this.selective ? JSON.stringify([this.head | 0]) : "";
-		if ((src.params.attn_heads || "") === want) return;
-		if (want) src.params.attn_heads = want;
-		else delete src.params.attn_heads;
-		Context.changed();
+		const src = clearOnly ? null : e?.src.node;
+		let changed = false;
+		// a rewired/removed previous target must not keep a stale 1-head
+		// tap that every OTHER viewer of that block then suffers
+		if (this._syncTarget && this._syncTarget !== src
+			&& this._syncTarget.params?.attn_heads !== undefined) {
+			delete this._syncTarget.params.attn_heads;
+			changed = true;
+		}
+		this._syncTarget = null;
+		if (src && src.kind === "net_node" && src.params) {
+			// clamp to the last seen head count: an out-of-range index
+			// would fail the whole server eval instead of rendering
+			let head = Math.max(0, this.head | 0);
+			if (this.numHeads) head = Math.min(head, this.numHeads - 1);
+			const want = this.selective ? JSON.stringify([head]) : "";
+			if ((src.params.attn_heads || "") !== want) {
+				if (want) src.params.attn_heads = want;
+				else delete src.params.attn_heads;
+				changed = true;
+			}
+			if (this.selective) this._syncTarget = src;
+		}
+		if (changed) Context.changed();
+	}
+
+	/** Node deletion hook (graph.js removeNode): release the upstream
+	 * block's selective-tap param. */
+	onRemoved() {
+		this.syncUpstream(true);
 	}
 
 	buildContent(el) {
@@ -332,7 +357,15 @@ export class AttnViewNode extends Node {
 				: r; // [B,N,N] renders as H=B "heads" (first sample = head 0)
 		} else {
 			this.t = read("attn");
+			// remember the model's TRUE head count from a full tap: the
+			// selective clamp and grid-local mapping need it
+			if (this.t?.dims.length === 4 && !this.selective) {
+				this.numHeads = this.t.dims[1];
+			}
 		}
+		// wiring changed since the last eval (e.g. selective enabled
+		// while unwired, then connected): push the param now
+		this.syncUpstream();
 		this.buildGrid(); // thumbnails only change with the tensor
 		this.redraw();
 	}

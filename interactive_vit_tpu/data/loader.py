@@ -54,13 +54,9 @@ def _splitmix64(x: int) -> int:
 
 def _epoch_perm(n: int, seed: int, epoch: int) -> np.ndarray:
     """The C++ loader's Fisher-Yates over mt19937_64(seed+epoch),
-    replicated exactly (the cross-tier determinism contract)."""
-    import random
-
-    # mt19937_64's raw stream is what the C++ uses; python's random
-    # module is mt19937-32 — not the same. Reproduce via numpy? numpy's
-    # Generator(MT19937) is 32-bit too. Implement the 64-bit variant
-    # directly (tiny: the standard mt19937_64 parameters).
+    replicated exactly (the cross-tier determinism contract; python's
+    random / numpy's MT19937 are the 32-bit variant, so the 64-bit
+    engine is implemented below)."""
     perm = np.arange(n, dtype=np.uint64)
     rng = _MT19937_64(seed + epoch)
     for i in range(n, 1, -1):
@@ -136,6 +132,11 @@ class Loader:
     def __init__(self, images_path: str, labels_path: str, batch: int,
                  seed: int = 0, flip: bool = False, threads: int = 2,
                  depth: int = 4, backend: str = "auto"):
+        if backend not in ("auto", "native", "python"):
+            # a typo'd backend silently selecting the slow fallback would
+            # read as a mysterious training-throughput regression
+            raise ValueError(f"unknown backend {backend!r} "
+                             "(auto | native | python)")
         ishape, idtype, ioff = _npy_meta(images_path)
         lshape, ldtype, loff = _npy_meta(labels_path)
         if len(ishape) != 4 or idtype != np.float32:

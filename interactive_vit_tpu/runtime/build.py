@@ -38,7 +38,10 @@ def build(verbose: bool = False) -> str:
     tmp = SO_PATH + f".tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-march=native", "-o", tmp,
+        # -pthread: dataloader.cpp uses std::thread/condition_variable;
+        # without it, hosts with glibc < 2.34 fail dlopen or throw
+        # std::system_error on the first thread construction
+        "-march=native", "-pthread", "-o", tmp,
     ] + [os.path.join(HERE, s) for s in SOURCES]
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:

@@ -214,10 +214,14 @@ void* ivt_loader_open(const char* images_path, uint64_t images_offset,
     if (depth < 2) depth = 2;
     // in-flight tickets must span at most TWO epochs: the permutation
     // cache holds exactly two (parity-keyed), and a third concurrent
-    // epoch would regenerate a vector another worker is reading
-    if (L->batches_per_epoch >= 2 && depth > L->batches_per_epoch) {
-        depth = static_cast<uint32_t>(L->batches_per_epoch);
+    // epoch would regenerate a vector another worker is reading (a
+    // window of size bpe+1 crosses at most one epoch boundary; the old
+    // bpe>=2 guard left bpe==1 racy — reproduced as 24/200 divergent
+    // batches, review r3)
+    if (depth > L->batches_per_epoch + 1) {
+        depth = static_cast<uint32_t>(L->batches_per_epoch + 1);
     }
+    if (depth < 2) depth = 2;
     if (threads < 1) threads = 1;
     if (threads > depth) threads = depth;
     L->slots.resize(depth);

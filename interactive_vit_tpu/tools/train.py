@@ -227,7 +227,15 @@ def main(argv=None) -> None:
                             seed=args.seed, flip=True)
             logger.info("data loader: %d samples, %s backend",
                         loader.n, "native" if loader.native else "numpy")
+            # NOTE: a smoke metric over the TRAINING stream (these
+            # samples re-enter training after epoch 0) — a genuinely
+            # held-out eval needs a separate --data prefix
             eval_images, eval_labels = next(loader)[:2]
+            # resume reproducibility: skip the batches the original run
+            # already consumed so the resumed stream continues where the
+            # uninterrupted run would be
+            for _ in range(start_step):
+                next(loader)
         elif args.memorize:
             mem_images, mem_labels = pattern_set(
                 args.seed, args.memorize, cfg.img_size, cfg.num_classes,
@@ -261,7 +269,9 @@ def main(argv=None) -> None:
             if args.eval_every and (step + 1) % args.eval_every == 0:
                 acc = evaluate(infer_fn, params, eval_images, eval_labels,
                                args.batch)
-                logger.info("step %4d  eval top-1 %.3f", step, acc)
+                label = ("train-stream top-1" if loader is not None
+                         else "eval top-1")
+                logger.info("step %4d  %s %.3f", step, label, acc)
             if (args.save_every and state_dir
                     and (step + 1) % args.save_every == 0):
                 save_state(state_dir, params, opt_state, step + 1)

@@ -130,3 +130,37 @@ def test_train_cli_with_data_loader(dataset, tmp_path):
         ])
     finally:
         del vit.VARIANTS["vit_dl"]
+
+
+def test_tiny_dataset_single_batch_epochs(dataset, tmp_path):
+    """batches_per_epoch == 1 (batch <= n < 2*batch): the in-flight
+    window spans many epochs — previously a perm-cache data race that
+    produced divergent streams (review r3, reproduced at 24/200
+    batches); the depth clamp must keep native == python here."""
+    rng = np.random.default_rng(7)
+    images = rng.random((63, 3, 4, 4)).astype(np.float32)
+    labels = rng.integers(0, 5, 63).astype(np.int64)
+    prefix = str(tmp_path / "tiny")
+    save_dataset(prefix, images, labels)
+    nat = Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=32,
+                 seed=11, flip=True, threads=4, depth=8, backend="auto")
+    if not nat.native:
+        pytest.skip("native loader not built")
+    py = Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=32,
+                seed=11, flip=True, backend="python")
+    try:
+        for i in range(200):
+            ai, al, ae = next(nat)
+            bi, bl, be = next(py)
+            assert ae == be == i
+            np.testing.assert_array_equal(al, bl, err_msg=f"batch {i}")
+            np.testing.assert_array_equal(ai, bi, err_msg=f"batch {i}")
+    finally:
+        nat.close()
+
+
+def test_unknown_backend_raises(dataset):
+    prefix, _i, _l = dataset
+    with pytest.raises(ValueError, match="unknown backend"):
+        Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=4,
+               backend="natvie")

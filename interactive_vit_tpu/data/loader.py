@@ -118,6 +118,12 @@ def _get_native():
     lib.ivt_loader_next.restype = ctypes.c_int64
     lib.ivt_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p]
+    lib.ivt_loader_borrow.restype = ctypes.c_int64
+    lib.ivt_loader_borrow.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))]
+    lib.ivt_loader_release.restype = None
+    lib.ivt_loader_release.argtypes = [ctypes.c_void_p]
     lib.ivt_loader_close.restype = None
     lib.ivt_loader_close.argtypes = [ctypes.c_void_p]
     return lib
@@ -131,7 +137,13 @@ class Loader:
 
     def __init__(self, images_path: str, labels_path: str, batch: int,
                  seed: int = 0, flip: bool = False, threads: int = 2,
-                 depth: int = 4, backend: str = "auto"):
+                 depth: int = 4, backend: str = "auto",
+                 borrow: bool = False):
+        """``borrow=True`` (native only): batches VIEW the prefetch slot
+        with zero copies — each next() invalidates the PREVIOUS batch's
+        arrays, so consume (device_put) before iterating again. The
+        train loop does; general callers should keep the copying
+        default."""
         if backend not in ("auto", "native", "python"):
             # a typo'd backend silently selecting the slow fallback would
             # read as a mysterious training-throughput regression
@@ -154,6 +166,8 @@ class Loader:
         self.seed = seed
         self.flip = flip
         self.batches_per_epoch = self.n // batch
+        self.borrow = borrow
+        self._borrowed = False
         self._handle = None
         self._lib = None
         if backend in ("auto", "native"):
@@ -182,6 +196,19 @@ class Loader:
 
     def __next__(self):
         if self._handle is not None:
+            if self.borrow:
+                if self._borrowed:
+                    self._lib.ivt_loader_release(self._handle)
+                    self._borrowed = False
+                ip = ctypes.POINTER(ctypes.c_float)()
+                lp = ctypes.POINTER(ctypes.c_int64)()
+                epoch = self._lib.ivt_loader_borrow(
+                    self._handle, ctypes.byref(ip), ctypes.byref(lp))
+                self._borrowed = True
+                images = np.ctypeslib.as_array(
+                    ip, (self.batch, self.c, self.h, self.w))
+                labels = np.ctypeslib.as_array(lp, (self.batch,))
+                return images, labels, int(epoch)
             images = np.empty((self.batch, self.c, self.h, self.w),
                               np.float32)
             labels = np.empty((self.batch,), np.int64)
@@ -207,6 +234,9 @@ class Loader:
 
     def close(self) -> None:
         if self._handle is not None:
+            if self._borrowed:
+                self._lib.ivt_loader_release(self._handle)
+                self._borrowed = False
             self._lib.ivt_loader_close(self._handle)
             self._handle = None
 

@@ -257,6 +257,40 @@ int64_t ivt_loader_next(void* handle, float* out_images,
     return static_cast<int64_t>(want / L->batches_per_epoch);
 }
 
+// Zero-copy variant: lends pointers INTO the ready slot (valid until
+// ivt_loader_release). Saves the 77 MB/batch consumer memcpy — the
+// host-bandwidth-bound case; the caller (train loop) device_puts the
+// borrowed buffer and releases before the next borrow.
+int64_t ivt_loader_borrow(void* handle, const float** images,
+                          const int64_t** labels) {
+    auto* L = static_cast<Loader*>(handle);
+    uint64_t want = L->consumed;
+    Slot& slot = L->slots[want % L->slots.size()];
+    {
+        std::unique_lock<std::mutex> lk(L->mu);
+        L->cv_ready.wait(lk, [&] {
+            return slot.ready && slot.seq == want;
+        });
+    }
+    *images = slot.images.data();
+    *labels = slot.labels.data();
+    return static_cast<int64_t>(want / L->batches_per_epoch);
+}
+
+// Releases the slot lent by the LAST ivt_loader_borrow.
+void ivt_loader_release(void* handle) {
+    auto* L = static_cast<Loader*>(handle);
+    uint64_t want = L->consumed;
+    Slot& slot = L->slots[want % L->slots.size()];
+    {
+        std::lock_guard<std::mutex> lk(L->mu);
+        if (!slot.ready || slot.seq != want) return;  // nothing borrowed
+        slot.ready = false;
+        L->consumed = want + 1;
+    }
+    L->cv_free.notify_all();
+}
+
 void ivt_loader_close(void* handle) {
     auto* L = static_cast<Loader*>(handle);
     {

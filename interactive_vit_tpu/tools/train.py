@@ -222,15 +222,20 @@ def main(argv=None) -> None:
         if args.data:
             from interactive_vit_tpu.data.loader import Loader
 
+            # borrow=True: batches view the prefetch ring (zero host
+            # copies); the step consumes them via jnp.asarray before the
+            # next iteration, which is exactly the borrow contract
             loader = Loader(args.data + "_images.npy",
                             args.data + "_labels.npy", args.batch,
-                            seed=args.seed, flip=True)
+                            seed=args.seed, flip=True, borrow=True)
             logger.info("data loader: %d samples, %s backend",
                         loader.n, "native" if loader.native else "numpy")
             # NOTE: a smoke metric over the TRAINING stream (these
             # samples re-enter training after epoch 0) — a genuinely
-            # held-out eval needs a separate --data prefix
-            eval_images, eval_labels = next(loader)[:2]
+            # held-out eval needs a separate --data prefix. np.array:
+            # borrowed views die at the next batch.
+            ev = next(loader)
+            eval_images, eval_labels = np.array(ev[0]), np.array(ev[1])
             # resume reproducibility: skip the batches the original run
             # already consumed so the resumed stream continues where the
             # uninterrupted run would be

@@ -164,3 +164,32 @@ def test_unknown_backend_raises(dataset):
     with pytest.raises(ValueError, match="unknown backend"):
         Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=4,
                backend="natvie")
+
+
+def test_borrow_mode_stream_matches_and_invalidates(dataset):
+    """borrow=True lends slot views (zero-copy): values match the python
+    stream, and the previous batch's buffer is recycled after next()."""
+    prefix, _i, _l = dataset
+    nat = Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=8,
+                 seed=5, flip=True, borrow=True, backend="auto")
+    if not nat.native:
+        pytest.skip("native loader not built")
+    py = Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=8,
+                seed=5, flip=True, backend="python")
+    try:
+        prev = None
+        for i in range(8):
+            ai, al, ae = next(nat)
+            bi, bl, be = next(py)
+            assert ae == be
+            np.testing.assert_array_equal(np.array(ai), bi)
+            np.testing.assert_array_equal(np.array(al), bl)
+            prev = (ai, np.array(ai))
+        # the borrowed view from the LAST batch goes stale after another
+        # next() cycles the ring past its slot (depth=4 slots)
+        stale_view, snapshot = prev
+        for _ in range(4):
+            next(nat)
+        assert not np.array_equal(np.asarray(stale_view), snapshot)
+    finally:
+        nat.close()

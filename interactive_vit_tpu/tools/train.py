@@ -90,15 +90,23 @@ def evaluate(infer_fn, params, images, labels, batch: int) -> float:
     return hits / n
 
 
-def save_state(path: str, params, opt_state, step: int) -> None:
+def save_state(path: str, params, opt_state, step: int,
+               saver=None) -> None:
     """Train-state checkpoint: params + optimizer state + step counter,
-    one orbax tree (all plain pytrees of arrays)."""
+    one orbax tree (all plain pytrees of arrays). Pass an
+    ``utils.checkpoint.AsyncSaver`` to overlap the write with the next
+    interval's steps (mid-run checkpoints); the final save stays
+    blocking."""
     import jax.numpy as jnp
 
     from interactive_vit_tpu.utils.checkpoint import save_params
 
-    save_params(path, {"params": params, "opt_state": opt_state,
-                       "step": jnp.asarray(step)})
+    tree = {"params": params, "opt_state": opt_state,
+            "step": jnp.asarray(step)}
+    if saver is not None:
+        saver.save(path, tree)
+    else:
+        save_params(path, tree)
 
 
 def load_state(path: str, mesh, like_params, like_opt_state):
@@ -219,6 +227,7 @@ def main(argv=None) -> None:
 
         rng = np.random.default_rng(args.seed + start_step)
         loader = None
+        saver = None  # lazy AsyncSaver for mid-run checkpoints
         if args.data:
             from interactive_vit_tpu.data.loader import Loader
 
@@ -279,10 +288,19 @@ def main(argv=None) -> None:
                 logger.info("step %4d  %s %.3f", step, label, acc)
             if (args.save_every and state_dir
                     and (step + 1) % args.save_every == 0):
-                save_state(state_dir, params, opt_state, step + 1)
-                logger.info("saved train state at step %d", step + 1)
+                if saver is None:
+                    from interactive_vit_tpu.utils.checkpoint import (
+                        AsyncSaver,
+                    )
+
+                    saver = AsyncSaver()
+                save_state(state_dir, params, opt_state, step + 1,
+                           saver=saver)
+                logger.info("async-saving train state at step %d", step + 1)
         if loader is not None:
             loader.close()
+        if saver is not None:
+            saver.close()  # drain the in-flight write before final save
 
     # Canonical export layout: training with TP runs head-major qkv
     # ([H][3][Dh] columns) — exported weights must return to the

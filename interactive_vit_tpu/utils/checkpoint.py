@@ -52,3 +52,39 @@ def load_params(path: str, like: Optional[Any] = None) -> Any:
                 x.shape, x.dtype, sharding=getattr(x, "sharding", None))
 
         return ckpt.restore(path, jax.tree.map(to_abstract, like))
+
+
+class AsyncSaver:
+    """Non-blocking checkpointing for training loops.
+
+    ``save()`` snapshots the pytree's device buffers and writes in a
+    background thread via orbax's AsyncCheckpointer, so the train step
+    for the NEXT interval overlaps the disk write (a blocking
+    ViT-B-class state save costs hundreds of ms of step time every
+    --save-every interval). At most one save is in flight: a new save
+    first waits out the previous one (orbax requires it, and it bounds
+    dirty state to one interval on a slow disk)."""
+
+    def __init__(self) -> None:
+        import orbax.checkpoint as ocp
+
+        self._ckpt = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, tree: Any) -> None:
+        self._ckpt.wait_until_finished()
+        self._ckpt.save(os.path.abspath(path), args=_standard_args(tree),
+                        force=True)
+
+    def wait(self) -> None:
+        self._ckpt.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckpt.wait_until_finished()
+        self._ckpt.close()
+
+
+def _standard_args(tree: Any):
+    import orbax.checkpoint as ocp
+
+    return ocp.args.StandardSave(tree)

@@ -178,8 +178,8 @@ export class MultiViewNode extends Node {
 
 	onInputs(read) {
 		const t = read("o");
+		if (!t) return; // transient failed eval: keep the last render
 		this.grid.textContent = "";
-		if (!t) return;
 		let c;
 		let h;
 		let w;
@@ -228,8 +228,8 @@ export class CategoryNode extends Node {
 
 	onInputs(read) {
 		const t = read("o");
+		if (!t) return; // transient failed eval: keep the last render
 		this.list.textContent = "";
-		if (!t) return;
 		// [C] or [B,C]: rank over ONE batch element's class axis — flat
 		// ranking over a [B>1,C] buffer would mix batch elements and
 		// produce out-of-range class indices
@@ -264,18 +264,27 @@ export class AttnViewNode extends Node {
 		// node so ONLY the viewed head's map ships (and is stored) —
 		// at ViT-L/16@384 that's 8 GB -> 0.5 GB of tap memory
 		this.selective = inst?.selective ?? false;
+		this.numHeads = inst?.numHeads ?? 0;
 	}
 
 	serializeExtra() {
+		// numHeads persists so a RELOADED selective viewer can still
+		// clamp (it can't re-learn the true head count while only one
+		// head ships)
 		return { head: this.head, query: this.query,
-			selective: this.selective };
+			selective: this.selective, numHeads: this.numHeads };
 	}
 
 	/** Write the selective-head param onto the upstream net_node feeding
 	 * our "attn" input and re-evaluate (the param is static: the server
 	 * recompiles once per head set, then scrubbing stays cached).
-	 * Called from user gestures AND from onInputs/onRemoved, so rewiring
-	 * an edge moves the param to the new block and clears the old one. */
+	 *
+	 * Called from USER GESTURES ONLY (checkbox, head edit while
+	 * selective) and from onRemoved — never from onInputs: an every-eval
+	 * sync made two viewers of one block fight over the param in an
+	 * endless eval loop, and a non-selective viewer clobbered values the
+	 * user typed into the block's own "tap heads" field. This viewer
+	 * only ever deletes a param IT set (``_syncTarget`` ownership). */
 	syncUpstream(clearOnly = false) {
 		const e = Context.edges.find(
 			(x) => x.dst.node === this && x.dst.channel === "attn",
@@ -289,19 +298,24 @@ export class AttnViewNode extends Node {
 			delete this._syncTarget.params.attn_heads;
 			changed = true;
 		}
+		if (this._syncTarget && !this.selective
+			&& this._syncTarget.params?.attn_heads !== undefined) {
+			delete this._syncTarget.params.attn_heads;
+			changed = true;
+		}
 		this._syncTarget = null;
-		if (src && src.kind === "net_node" && src.params) {
+		if (src && src.kind === "net_node" && src.params
+			&& this.selective) {
 			// clamp to the last seen head count: an out-of-range index
 			// would fail the whole server eval instead of rendering
 			let head = Math.max(0, this.head | 0);
 			if (this.numHeads) head = Math.min(head, this.numHeads - 1);
-			const want = this.selective ? JSON.stringify([head]) : "";
+			const want = JSON.stringify([head]);
 			if ((src.params.attn_heads || "") !== want) {
-				if (want) src.params.attn_heads = want;
-				else delete src.params.attn_heads;
+				src.params.attn_heads = want;
 				changed = true;
 			}
-			if (this.selective) this._syncTarget = src;
+			this._syncTarget = src;
 		}
 		if (changed) Context.changed();
 	}
@@ -351,21 +365,23 @@ export class AttnViewNode extends Node {
 	onInputs(read) {
 		// a wired rollout map [B,N,N] / [N,N] wins over raw attention
 		const r = read("r");
+		let t;
 		if (r) {
-			this.t = r.dims.length === 2
+			t = r.dims.length === 2
 				? { dims: [1, ...r.dims], data: r.data }
 				: r; // [B,N,N] renders as H=B "heads" (first sample = head 0)
 		} else {
-			this.t = read("attn");
+			t = read("attn");
 			// remember the model's TRUE head count from a full tap: the
 			// selective clamp and grid-local mapping need it
-			if (this.t?.dims.length === 4 && !this.selective) {
-				this.numHeads = this.t.dims[1];
+			if (t?.dims.length === 4 && !this.selective) {
+				this.numHeads = t.dims[1];
 			}
 		}
-		// wiring changed since the last eval (e.g. selective enabled
-		// while unwired, then connected): push the param now
-		this.syncUpstream();
+		// a transient failed eval routes null: keep the last render
+		// instead of blanking every thumbnail on a tunnel blip
+		if (!t && this.t) return;
+		this.t = t;
 		this.buildGrid(); // thumbnails only change with the tensor
 		this.redraw();
 	}

@@ -323,8 +323,7 @@ class Executor:
                 # kind could declare both) — re-inserting the key would
                 # corrupt the AOT executable's argument structure
                 continue
-            key = (n.name,
-                   tuple(sorted((k, n.params.get(k)) for k in dyn)))
+            key = self._dyn_value_key(n, dyn)
             hit = self._dyn_cap_cache.get(key)
             if hit is None:
                 try:
@@ -356,6 +355,14 @@ class Executor:
         return graph.signature(extra=list(extra),
                                param_filter=self._sig_param_filter)
 
+    @staticmethod
+    def _dyn_value_key(n, dyn) -> tuple:
+        """Content key for one node's dynamic-param VALUES — the single
+        definition both the single-run refresh cache and the stacked
+        capture cache share (drift between them silently re-uploads on
+        every hit)."""
+        return (n.name, tuple(sorted((k, n.params.get(k)) for k in dyn)))
+
     def _dyn_cap_keys(self, graph: Graph, caps_arg) -> frozenset:
         """caps_arg keys owned by dynamic-param node kinds (the keys whose
         values vary per request inside a stacked batch)."""
@@ -377,20 +384,22 @@ class Executor:
         dtype (registry.NodeKind.dynamic_params), so stacking across a
         same-program-signature group is always well-formed."""
         idxs = list(range(len(graphs))) + [0] * (bucket - len(graphs))
-        by_index = [
-            {str(n.index): n for n in g.nodes} for g in graphs
-        ]
+        # POSITIONAL node lookup: group membership only guarantees equal
+        # program signatures, and node INDICES of edge-less nodes don't
+        # participate in the signature — g0's caps key maps to a list
+        # position, and every graph's same-position node is the row
+        g0_pos = {str(n.index): i for i, n in enumerate(graphs[0].nodes)}
         out = {}
         for key in sorted(dyn_keys):
-            rows = [by_index[gi][key] for gi in idxs]
+            pos = g0_pos[key]
+            rows = [graphs[gi].nodes[pos] for gi in idxs]
             kind = self.reg.get_node(rows[0].name)
             dyn = kind.dynamic_params()
             # content-addressed: the batcher's steady state re-dispatches
             # identical value stacks every few ms — a cache hit must cost
             # zero host work and zero device transfers
             cache_key = (key, tuple(
-                (n.name, tuple(sorted((k, n.params.get(k)) for k in dyn)))
-                for n in rows
+                self._dyn_value_key(n, dyn) for n in rows
             ))
             hit = self._stacked_dyn_cache.get(cache_key)
             if hit is not None:

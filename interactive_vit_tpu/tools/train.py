@@ -183,6 +183,9 @@ def main(argv=None) -> None:
                              "deterministic horizontal flips")
     parser.add_argument("--log-every", type=int, default=10)
     args = parser.parse_args(argv)
+    if args.data and args.memorize:
+        parser.error("--data and --memorize are mutually exclusive "
+                     "(the loader stream would silently win)")
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -263,6 +266,15 @@ def main(argv=None) -> None:
         for step in range(start_step, args.steps):
             if loader is not None:
                 images, labels, _epoch = next(loader)
+                # borrow contract: the slot is recycled at the NEXT
+                # next(), but jnp.asarray's host->device copy is ASYNC —
+                # place and BLOCK here so a prefetch worker can't
+                # overwrite bytes an in-flight transfer is still reading
+                images = jnp.asarray(images)
+                labels = jnp.asarray(labels)
+                import jax as _jax
+
+                _jax.block_until_ready((images, labels))
             elif args.memorize:
                 idx = rng.integers(0, args.memorize, size=(args.batch,))
                 images, labels = mem_images[idx], mem_labels[idx]

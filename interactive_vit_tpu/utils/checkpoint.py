@@ -73,6 +73,12 @@ class AsyncSaver:
 
     def save(self, path: str, tree: Any) -> None:
         self._ckpt.wait_until_finished()
+        # D2H in THIS thread: orbax's background thread would otherwise
+        # materialize the device shards itself, and cross-thread
+        # device->host transfers deadlock on this backend (CLAUDE.md
+        # trap #5). The host snapshot also decouples the write from
+        # donated-buffer reuse by the next train step.
+        tree = jax.device_get(tree)
         self._ckpt.save(os.path.abspath(path), args=_standard_args(tree),
                         force=True)
 

@@ -241,3 +241,34 @@ def test_mesh_stacked_mixed_dynamic_values(setup):
     for i, a in enumerate(a_vals):
         np.testing.assert_allclose(np.asarray(res[i][0]["o"]),
                                    np.cos(a * x), rtol=1e-5)
+
+
+def test_mesh_selective_head_taps(setup):
+    """attn_heads works through the mesh executor (GSPMD XLA path): the
+    served tap shrinks to the selected heads and matches the full tap's
+    slices."""
+    from interactive_vit_tpu.wire.schema import graph_from_json
+
+    reg, lib = setup
+    mesh = make_mesh({"data": 4, "model": 2})
+    ex = Executor(reg=reg, mesh=mesh)
+
+    def graph(heads_param):
+        g = graph_from_json(lib.load("vit_mesh.json"))
+        img = np.random.default_rng(0).random((3, 32, 32)).astype(
+            np.float32)
+        g.add_input(img, g.nodes[0], "o")
+        # find the first block node and set the param
+        for n in g.nodes:
+            if n.name.endswith(":blocks.0"):
+                if heads_param:
+                    n.params["attn_heads"] = heads_param
+                return g, n.index
+        raise AssertionError("no block node")
+
+    g_full, bi = graph(None)
+    full = np.asarray(ex.run(g_full, taps=[(bi, "attn")])[bi]["attn"])
+    g_sel, bi = graph("[1,3]")
+    sel = np.asarray(ex.run(g_sel, taps=[(bi, "attn")])[bi]["attn"])
+    assert sel.shape[1] == 2 and full.shape[1] == CFG.heads
+    np.testing.assert_allclose(sel, full[:, [1, 3]], atol=1e-5)

@@ -115,9 +115,10 @@ async function initTools() {
 	]) {
 		Workspace.registerTool(kind, spawn(kind));
 	}
-	// dense-feature visualization nodes evaluate server-side (pure net
-	// nodes): PCA-to-RGB and token-similarity heatmap (DINO-style views)
-	for (const endpoint of ["pca_view", "patch_sim"]) {
+	// server-side-only nodes (pure net nodes): PCA-to-RGB and
+	// token-similarity heatmap (DINO-style views), zero-shot similarity
+	// join (CLIP image x text embeddings)
+	for (const endpoint of ["pca_view", "patch_sim", "similarity"]) {
 		Workspace.registerTool(endpoint, async (x, y) => {
 			try {
 				const node = Context.addNodeInstance(await NetNode.create(endpoint));

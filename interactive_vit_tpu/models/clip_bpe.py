@@ -52,7 +52,7 @@ def bytes_to_unicode() -> Dict[int, str]:
     regex splitter).
     """
     keep = (list(range(ord("!"), ord("~") + 1))
-            + list(range(0xA1, 0xAC)) + list(range(0xAE, 0x100)))
+            + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100)))
     table = {b: chr(b) for b in keep}
     bump = 0
     for b in range(256):
@@ -70,8 +70,9 @@ def load_merges(path: str, limit: Optional[int] = None) -> List[Tuple[str, str]]
     """Read a ranked merges file (``a b`` per line; gzip or plain text).
 
     The published CLIP file has a version header line and trailing junk;
-    mirror its slice [1 : 49152-256-2+1] when ``limit`` is None and the file
-    carries the standard header.
+    mirror its slice [1 : 49152-256-2+1] (48894 merges after the header)
+    when ``limit`` is None and the file carries the standard header, so
+    vocab_size lands exactly at the published 49408.
     """
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt", encoding="utf-8") as f:
@@ -79,7 +80,7 @@ def load_merges(path: str, limit: Optional[int] = None) -> List[Tuple[str, str]]
     if lines and (lines[0].startswith("#")
                   or lines[0].strip().count(" ") != 1):
         lines = lines[1:]  # version header
-    stop = limit if limit is not None else 49152 - 256 - 2 + 1
+    stop = limit if limit is not None else 49152 - 256 - 2
     merges = []
     for ln in lines[:stop]:
         parts = ln.split()

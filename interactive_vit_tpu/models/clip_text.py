@@ -94,30 +94,16 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """softmax(qk^T/sqrt(dh) + causal mask) v, inputs [B,H,N,Dh].
 
-    f32 softmax; the mask is additive -inf strictly above the diagonal,
-    matching torch ``nn.MultiheadAttention(attn_mask=...)`` semantics so
-    the torch-oracle parity test is exact. CLIP attends causally over the
-    full padded context (zero-pad positions included); positions at or
-    before each row never see the padding, so the pooled eot features are
-    padding-independent by construction.
+    Delegates to ``ops.attention.attention_reference(causal=True)`` so the
+    precision discipline (HIGHEST f32 dots, f32 softmax) lives in one
+    place. CLIP attends causally over the full padded context (zero-pad
+    positions included); positions at or before each row never see the
+    padding, so the pooled eot features are padding-independent by
+    construction.
     """
-    dh = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-    logits = jnp.einsum(
-        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32,
-        precision=L.mm_precision(q, k),
-    ) * scale
-    n = q.shape[2]
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, n), 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, n), 3)
-    logits = jnp.where(col <= row, logits, -0.7 * jnp.finfo(jnp.float32).max)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(
-        "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
-        precision=L.mm_precision(v, v),
-    ).astype(v.dtype)
-    return out, (probs if want_attn else None)
+    from interactive_vit_tpu.ops.attention import attention_reference
+
+    return attention_reference(q, k, v, want_attn=want_attn, causal=True)
 
 
 def block(p: Params, x: jnp.ndarray, cfg: CLIPTextConfig,

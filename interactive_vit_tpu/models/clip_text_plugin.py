@@ -94,22 +94,12 @@ class TextJaxModel(JaxModel):
         super().__init__(*args, **kw)
         self.text_cfg = text_cfg
 
-    def _kind_cls(self, layer_name: str):
+    def _kind_cls(self, layer_name: str) -> type:
         if layer_name == "embed":
             return _PromptNode
         if layer_name == "embedding":
             return _PoolNode
         return LayerNodeKind
-
-    def register(self, reg, graph_lib=None) -> None:
-        if graph_lib is not None and not graph_lib.exists(self.name + ".json"):
-            try:
-                graph_lib.save(self.name + ".json", self.generate_graph_json())
-                logger.info("generated graph %s.json", self.name)
-            except Exception as e:  # noqa: BLE001 — parity: log and continue
-                logger.error("could not generate graph %s: %s", self.name, e)
-        for lname, extra, fn in self.layers:
-            self._kind_cls(lname)(self, lname, extra, fn).register(reg)
 
     def generate_graph_json(self) -> Dict:
         obj = super().generate_graph_json()
@@ -183,24 +173,33 @@ def generate_zeroshot_graph_json(prompts: Optional[List[str]] = None) -> Dict:
         edges.append({"in_port": {"node": src, "channel": ch_out},
                       "out_port": {"node": dst, "channel": ch_in}})
 
+    # derive both chains from the models' own layer lists (layer_fns is
+    # the single source of the node-name sequence; a renamed/added layer
+    # shows up here without a silent skip)
+    from interactive_vit_tpu.models import clip as clip_vision
+
+    vnames = [lname for lname, _, _ in clip_vision.layer_fns(vcfg)]
+    tnames = [lname for lname, _, _ in clip_text.layer_fns(tcfg)]
+
     img = add({"kind": "img_src"}, 0, 0)
-    prev = net(f"{vcfg.name}:transform", 200, 0)
-    chain(img, prev)
-    for i, lname in enumerate(
-            ["embed"] + [f"blocks.{j}" for j in range(vcfg.depth)]
-            + ["embedding"]):
-        n = net(f"{vcfg.name}:{lname}", 400 + (i % 5) * 200, (i // 5) * 160)
+    prev = img
+    for i, lname in enumerate(vnames):
+        n = net(f"{vcfg.name}:{lname}", 200 + (i % 6) * 200, (i // 6) * 160)
         chain(prev, n)
         prev = n
     img_emb = prev
 
-    t_embed = net(f"{tcfg.name}:embed", 0, 700, prompts=json.dumps(prompts))
-    prev = t_embed
-    for i, lname in enumerate([f"blocks.{j}" for j in range(tcfg.depth)]
-                              + ["embedding"]):
-        n = net(f"{tcfg.name}:{lname}", 200 + (i % 5) * 200,
-                700 + (i // 5) * 160)
-        chain(prev, n)
+    t_embed = None
+    prev = None
+    for i, lname in enumerate(tnames):
+        params = ({"prompts": json.dumps(prompts)} if lname == "embed"
+                  else {})
+        n = net(f"{tcfg.name}:{lname}", (i % 6) * 200,
+                700 + (i // 6) * 160, **params)
+        if prev is not None:
+            chain(prev, n)
+        if lname == "embed":
+            t_embed = n
         prev = n
     txt_emb = prev
     chain(t_embed, txt_emb, ch_out="eot", ch_in="eot")

@@ -204,6 +204,11 @@ class JaxModel:
             )
         return obj
 
+    def _kind_cls(self, layer_name: str) -> type:
+        """Node-kind class for ``layer_name``; subclass hook (the text
+        model swaps in prompt/pool kinds without re-implementing register)."""
+        return LayerNodeKind
+
     def register(self, reg: Registry,
                  graph_lib: Optional[GraphLibrary] = None) -> None:
         if graph_lib is not None and not graph_lib.exists(self.name + ".json"):
@@ -213,5 +218,6 @@ class JaxModel:
             except Exception as e:  # noqa: BLE001 — parity: log and continue
                 logger.error("could not generate graph %s: %s", self.name, e)
         for lname, extra, fn in self.layers:
-            LayerNodeKind(self, lname, extra, fn,
-                          fold_group=self.fold_groups.get(lname)).register(reg)
+            self._kind_cls(lname)(
+                self, lname, extra, fn,
+                fold_group=self.fold_groups.get(lname)).register(reg)

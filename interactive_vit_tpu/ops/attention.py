@@ -51,6 +51,7 @@ def attention_reference(
     v: jnp.ndarray,
     want_attn: bool = False,
     n_real: Optional[int] = None,
+    causal: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """softmax(q k^T / sqrt(dh)) v with f32 softmax, inputs [B, H, N, Dh].
 
@@ -58,6 +59,9 @@ def attention_reference(
     padded to a lane multiple end-to-end — see ``vit.forward``), keys beyond
     ``n_real`` are masked out; padded query rows produce uniform garbage the
     caller never reads.
+
+    ``causal``: additive -inf strictly above the diagonal (the CLIP text
+    tower), matching torch ``nn.MultiheadAttention(attn_mask=...)``.
     """
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
@@ -65,9 +69,14 @@ def attention_reference(
         "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32,
         precision=mm_precision(q, k),
     ) * scale
+    neg = -0.7 * jnp.finfo(jnp.float32).max
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
+        logits = jnp.where(col <= row, logits, neg)
     if n_real is not None and n_real < q.shape[2]:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
-        logits = jnp.where(col < n_real, logits, -0.7 * jnp.finfo(jnp.float32).max)
+        logits = jnp.where(col < n_real, logits, neg)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,

@@ -86,6 +86,44 @@ def test_load_merges(tmp_path):
     assert load_merges(str(p)) == [("h", "e"), ("he", "l")]
 
 
+def test_byte_table_matches_published_construction():
+    """Pin the GPT-2/CLIP byte table exactly (0xA1-0xAC both kept: the
+    published construction is ``range(ord('¡'), ord('¬')+1)``)."""
+    from interactive_vit_tpu.models.clip_bpe import bytes_to_unicode
+
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), 0x100)))
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(0x100 + n)
+            n += 1
+    expected = dict(zip(bs, (chr(c) for c in cs)))
+    assert bytes_to_unicode() == expected
+    assert n == 68  # exactly 68 displaced bytes
+    assert bytes_to_unicode()[0xAC] == "¬"
+
+
+def test_full_merges_file_yields_published_vocab_size(tmp_path):
+    """A full-size merges file (header + >=48894 rules + junk) must slice
+    to exactly 48894 merges so vocab_size == 49408 and eot_id == 49407 —
+    in range for a real checkpoint's 49408-row token embedding."""
+    from interactive_vit_tpu.models.clip_bpe import load_merges
+
+    syms = [f"a{i}" for i in range(49000)]
+    lines = ["#version: 0.2"] + [f"{s} b" for s in syms] + ["trailing junk"]
+    p = tmp_path / "big_merges.txt"
+    p.write_text("\n".join(lines) + "\n")
+    merges = load_merges(str(p))
+    assert len(merges) == 49152 - 256 - 2  # 48894
+    t = ClipTokenizer(merges=merges)
+    assert t.vocab_size == 49408
+    assert t.eot_id == 49407 and t.sot_id == 49406
+
+
 # -- torch oracle ------------------------------------------------------------
 
 

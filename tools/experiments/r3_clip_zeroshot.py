@@ -42,7 +42,6 @@ emit(stage="models", wall_s=round(time.time() - t0, 1))
 gobj = generate_zeroshot_graph_json()
 sim = next(i for i, nd in enumerate(gobj["nodes"])
            if nd["instance"].get("endpoint") == "similarity")
-txt_emb = sim - 1  # text embedding node precedes similarity in the builder
 ex = Executor(reg)
 rng = np.random.default_rng(0)
 
@@ -68,8 +67,6 @@ for batch in (1, 8, 32):
 
 # text tower alone: the prompt-edit path (recompile per prompt-set edit —
 # measure both the retrace cost and the cached re-eval)
-from interactive_vit_tpu.models.clip_text_plugin import make_clip_text_model  # noqa: F811,E402
-
 tm = make_clip_text_model(dtype=jnp.bfloat16)
 tobj = tm.generate_graph_json()
 for n_prompts in (4, 16, 64):

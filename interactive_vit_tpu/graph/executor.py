@@ -32,6 +32,7 @@ Tap sets
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Any, Dict, Iterable, List, Optional, Set, Tuple, Union
 
@@ -178,8 +179,12 @@ class Executor:
         # the servers pass attn/block impls accordingly (XLA path; the
         # shard_map'd ring/Ulysses impls are the long-sequence option).
         self.mesh = mesh
-        # signature -> (compiled fn, output keys, captures) — LRU-ordered
+        # signature -> (compiled fn, output keys, captures) — LRU-ordered.
+        # Guarded by _cache_lock: the speculative tap warmer (precompile)
+        # inserts entries from a background thread while the serving
+        # worker reads/inserts on its own thread.
         self._cache: "OrderedDict[str, Tuple[Any, List, Dict]]" = OrderedDict()
+        self._cache_lock = threading.Lock()
         # content-addressed device-resident input cache: interactive graph
         # edits re-evaluate with the SAME image, and on a tunneled chip one
         # 600 KB device_put costs ~39 ms (measured) — more than the whole
@@ -265,10 +270,11 @@ class Executor:
         return tuple(put(x) for x in inputs)
 
     def _cache_get(self, sig: str):
-        hit = self._cache.get(sig)
-        if hit is not None:
-            self._cache.move_to_end(sig)
-        return hit
+        with self._cache_lock:
+            hit = self._cache.get(sig)
+            if hit is not None:
+                self._cache.move_to_end(sig)
+            return hit
 
     def _stacked_bucket(self, k: int) -> int:
         """Power-of-two batch bucket, rounded up to the mesh "data" axis
@@ -432,13 +438,53 @@ class Executor:
         batcher asks before pipelining a dispatch behind finished results
         (a cold compile would stall them for seconds)."""
         tap_set = resolve_taps(graph, taps, self.reg)
-        return self._program_sig(graph, tap_set, batch) in self._cache
+        with self._cache_lock:
+            return self._program_sig(graph, tap_set, batch) in self._cache
+
+    def precompile(self, graph: Graph, taps: TapSpec = "primary") -> bool:
+        """Compile ``(graph, taps)`` into the program cache WITHOUT executing.
+
+        The speculative tap warmer's entry point (serving/speculate.py):
+        inputs are lowered as ``jax.ShapeDtypeStruct``s, so no device
+        transfer and no device execution happens — only staging + AOT
+        compilation. Safe to call from a background thread concurrently
+        with ``run()``: the program cache is lock-guarded, jit compilation
+        is thread-safe, and no device arrays are produced (the backend's
+        cross-thread transfer hazard — CLAUDE.md trap #5 — never arises).
+
+        Mesh mode is refused: capture placement does ``device_put``s,
+        which must stay on the serving worker thread on this backend.
+
+        Returns True if a new program was compiled, False if it was
+        already cached (or jit/mesh mode makes precompilation moot).
+        """
+        if not self.use_jit or self.mesh is not None:
+            return False
+        self.validate(graph)
+        tap_set = resolve_taps(graph, taps, self.reg)
+        sig = self._program_sig(graph, tap_set)
+        with self._cache_lock:
+            if sig in self._cache:
+                return False
+        staged, out_keys, caps_arg = self._stage(graph, tap_set)
+
+        def spec(t):
+            dt = (t.dtype if hasattr(t, "dtype")
+                  else np.asarray(t).dtype)
+            return jax.ShapeDtypeStruct(tuple(np.shape(t)), dt)
+
+        inputs = tuple(spec(e.tensor) for _, _, e in graph.input_edges())
+        fn = _jit(staged, inputs, caps_arg, mesh=None, batched=False)
+        fn = fn.lower(inputs, caps_arg).compile()
+        self._cache_put(sig, (fn, out_keys, caps_arg))
+        return True
 
     def _cache_put(self, sig: str, entry) -> None:
-        self._cache[sig] = entry
-        self._cache.move_to_end(sig)
-        while len(self._cache) > self.max_cache_entries:
-            self._cache.popitem(last=False)
+        with self._cache_lock:
+            self._cache[sig] = entry
+            self._cache.move_to_end(sig)
+            while len(self._cache) > self.max_cache_entries:
+                self._cache.popitem(last=False)
 
     # -- validation -----------------------------------------------------------
     def validate(self, graph: Graph) -> None:

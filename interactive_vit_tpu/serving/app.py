@@ -73,6 +73,7 @@ class App:
         use_jit: bool = True,
         mesh=None,
         compute_timeout_s: float = 120.0,
+        speculate: bool = True,
     ):
         self.compute_timeout_s = compute_timeout_s
         self.reg = reg or registry()
@@ -84,6 +85,18 @@ class App:
         )
         self.graphs = GraphLibrary(graphs_dir)
         self.frontend_dir = frontend_dir and os.path.abspath(frontend_dir)
+        # speculative tap warmer: precompiles sibling-block re-targets of
+        # viewer taps so layer-scrubbing never pays a cold compile
+        # (serving/speculate.py); inactive in mesh / no-jit modes
+        self.speculator = None
+        if speculate and use_jit and mesh is None:
+            from interactive_vit_tpu.serving.speculate import TapSpeculator
+
+            self.speculator = TapSpeculator(
+                self.executor,
+                idle=lambda: (self.batcher._q.empty()
+                              and not self.batcher._backlog),
+            )
 
     # -- endpoint implementations (transport-independent) ---------------------
     def compute(self, body: bytes) -> bytes:
@@ -111,6 +124,9 @@ class App:
                 f"compute exceeded {self.compute_timeout_s}s "
                 "(device wedged or overloaded)"
             ) from None
+        if self.speculator is not None:
+            self.metrics.inc("speculative_jobs",
+                             self.speculator.observe(req.graph, taps))
         t_enc = time.perf_counter()
         raw = WireResponse(outputs).encode(dtype=req.resp_dtype)
         self.metrics.encode_latency.observe(time.perf_counter() - t_enc)
@@ -330,6 +346,8 @@ class App:
     def serve(self, host: str = "127.0.0.1", port: int = 8000,
               background: bool = False) -> ThreadingHTTPServer:
         self.batcher.start()
+        if self.speculator is not None:
+            self.speculator.start()
         httpd = ThreadingHTTPServer((host, port), self.make_handler())
         if background:
             t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -66,6 +66,7 @@ def build_app(
     compute_timeout_s: float = 120.0,
     ckpts=None,
     ckpt_layout: str = "auto",
+    speculate: bool = True,
 ) -> App:
     reg = registry()
     register_builtin(reg)
@@ -95,6 +96,7 @@ def build_app(
         max_wait_ms=max_wait_ms,
         mesh=mesh,
         compute_timeout_s=compute_timeout_s,
+        speculate=speculate,
     )
 
     from interactive_vit_tpu.models.clip_plugin import make_clip_model
@@ -275,6 +277,11 @@ def main() -> None:
                              "'default' uses whatever JAX selects")
     parser.add_argument("--jit-cache", default="/tmp/ivt_jit_cache",
                         help="persistent compilation cache dir ('' = off)")
+    parser.add_argument("--no-speculate", action="store_true",
+                        help="disable the speculative tap warmer (the "
+                             "background thread that precompiles "
+                             "sibling-block re-targets of viewer taps so "
+                             "layer scrubbing never stalls on a compile)")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile each model's full-chain program "
                              "at boot (first request then runs at steady "
@@ -308,6 +315,7 @@ def main() -> None:
         compute_timeout_s=args.compute_timeout_s,
         ckpts=dict(kv.split("=", 1) for kv in args.ckpt),
         ckpt_layout=args.ckpt_layout,
+        speculate=not args.no_speculate,
     )
     if args.warmup:
         # warm every power-of-two micro-batch bucket up to --max-batch:

@@ -1,0 +1,270 @@
+"""Speculative tap precompilation: hide the per-layer recompile stall.
+
+The product's core interaction is splicing a viewer onto ANY intermediate
+edge (reference ``main/static/main/graph.js:352-392`` port wiring +
+``net_node.js`` subgraph RPC). In the staged-executor design every
+distinct (topology, tap set) is its own XLA program, so the FIRST time a
+user drags an attention viewer onto ``blocks.k`` they pay a cold compile
+(5-8 s on the tunneled v5e; SURVEY §7 "tappability vs fusion tension").
+
+Scrubbing through layers — the canonical way to explore a transformer —
+pays that stall once per layer. This module removes it: when a request
+graph arrives whose viewer consumes an *extra* output channel (attention
+maps, rollout) of a ``<model>:blocks.<k>`` node, a background thread
+precompiles the SAME topology re-targeted at every sibling block
+``blocks.<j>``. By the time the user drags the wire to the next layer,
+the program is warm (both in the executor's program cache and in the
+persistent XLA compile cache, so the win survives restarts).
+
+Design constraints honored:
+
+- ``Executor.precompile`` lowers inputs as ``ShapeDtypeStruct``s — the
+  speculation thread never touches device arrays, so the backend's
+  cross-thread transfer hazard (CLAUDE.md trap #5) never arises, and a
+  speculative compile never steals device time from live requests
+  (compilation happens in the remote compile helper, execution doesn't
+  happen at all).
+- Jobs are deduplicated by program signature and processed LIFO (the
+  most recently observed interaction pattern is the most likely next
+  edit); the queue is bounded.
+- An ``idle`` callback gates job starts: while live requests are queued
+  the warmer waits, so speculative compiles don't contend with a real
+  cold compile inside the compile helper.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+import threading
+import time
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from interactive_vit_tpu.graph.executor import Executor, TapSpec
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.registry import Registry
+
+logger = logging.getLogger(__name__)
+
+_BLOCK_RE = re.compile(r"^(?P<prefix>.+[:.]blocks\.)(?P<idx>\d+)$")
+
+
+def _shape_only(t) -> jax.ShapeDtypeStruct:
+    dt = t.dtype if hasattr(t, "dtype") else np.asarray(t).dtype
+    return jax.ShapeDtypeStruct(tuple(np.shape(t)), dt)
+
+
+def _clone_shape_graph(g: Graph) -> Graph:
+    """Structural clone with ShapeDtypeStruct inputs (no tensor bytes).
+
+    Edge insertion order differs from the original's wire order; that is
+    fine — ``Graph.signature`` sorts edges, so the clone signature-matches
+    the original exactly.
+    """
+    c = Graph()
+    for n in g.nodes:
+        c.add_node(n.name, dict(n.params))
+    for n in g.nodes:
+        for ch, e in n.inputs.items():
+            if e.src is None:
+                c.add_input(_shape_only(e.tensor), c.nodes[n.index], ch)
+            else:
+                c.connect(c.nodes[e.src.node.index], e.src.channel,
+                          c.nodes[n.index], ch)
+    return c
+
+
+def tap_variants(
+    graph: Graph, taps: TapSpec, reg: Registry,
+) -> List[Tuple[Graph, TapSpec]]:
+    """Sibling-block re-targets of every consumed/tapped extra channel.
+
+    For each edge (or explicit tap entry) reading an extra output channel
+    ``ch`` of a ``...blocks.<k>`` node, yield one (graph, taps) variant
+    per sibling ``...blocks.<j>`` (same name prefix, ``ch`` among its
+    outputs) with that edge/tap moved to the sibling — exactly the graph
+    the client ships when the user drags the viewer wire one layer over.
+    """
+    # (node_index, channel) pairs currently feeding a consumer or tap
+    reads: List[Tuple[int, str]] = []
+    explicit = (set() if isinstance(taps, str)
+                else {(int(i), c) for i, c in taps})
+    siblings: dict = {}  # prefix -> [node_index...]
+    for n in graph.nodes:
+        m = _BLOCK_RE.match(n.name)
+        if not m:
+            continue
+        siblings.setdefault(m.group("prefix"), []).append(n.index)
+        try:
+            kind = reg.get_node(n.name)
+        except KeyError:
+            continue
+        for ch in kind.extra_outs(n.params):
+            consumed = any(e.dst is not None
+                           for e in n.outputs.get(ch, []))
+            if consumed or (n.index, ch) in explicit:
+                reads.append((n.index, ch))
+
+    out: List[Tuple[Graph, TapSpec]] = []
+    for src_idx, ch in reads:
+        m = _BLOCK_RE.match(graph.nodes[src_idx].name)
+        prefix = m.group("prefix")
+        src_blk = int(m.group("idx"))
+
+        def _dist(node_idx: int) -> int:
+            return abs(int(_BLOCK_RE.match(
+                graph.nodes[node_idx].name).group("idx")) - src_blk)
+
+        # farthest-first: the consumer pops the LIFO stack, so the
+        # NEAREST sibling (the user's most likely next scrub target)
+        # compiles first
+        for j in sorted(siblings.get(prefix, []), key=_dist, reverse=True):
+            if j == src_idx:
+                continue
+            try:
+                if ch not in reg.get_node(
+                        graph.nodes[j].name).io(
+                            graph.nodes[j].params)["outs"]:
+                    continue
+            except Exception:  # noqa: BLE001 — skip unknowable siblings
+                continue
+            v = _clone_shape_graph(graph)
+            # move every consumer of (src_idx, ch) onto (j, ch)
+            moved = False
+            for e in list(v.nodes[src_idx].outputs.get(ch, [])):
+                if e.dst is not None:
+                    v.connect(v.nodes[j], ch, e.dst.node, e.dst.channel)
+                    moved = True
+            vtaps: TapSpec = taps
+            if (src_idx, ch) in explicit:
+                vtaps = frozenset(
+                    (explicit - {(src_idx, ch)}) | {(j, ch)})
+                moved = True
+            if moved:
+                out.append((v, vtaps))
+    return out
+
+
+class TapSpeculator:
+    """Background warmer: observes request graphs, precompiles siblings."""
+
+    def __init__(self, executor: Executor,
+                 idle: Optional[Callable[[], bool]] = None,
+                 max_queue: int = 64, idle_grace_s: float = 0.25):
+        self.executor = executor
+        self.idle = idle or (lambda: True)
+        self.max_queue = max_queue
+        self.idle_grace_s = idle_grace_s
+        self._jobs: List[Tuple[str, Graph, TapSpec]] = []  # LIFO stack
+        self._queued: set = set()
+        self._done: set = set()
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.compiled = 0  # diagnostics / tests
+
+    # -- producer side (HTTP handler threads) --------------------------------
+    def observe(self, graph: Graph, taps: TapSpec) -> int:
+        """Queue sibling-variant compiles for one request; returns the
+        number of NEW jobs enqueued. Never raises (speculation must not
+        fail a live request)."""
+        if self.executor.mesh is not None or not self.executor.use_jit:
+            return 0
+        try:
+            variants = tap_variants(graph, taps, self.executor.reg)
+        except Exception:  # noqa: BLE001 — malformed graphs just don't warm
+            return 0
+        added = 0
+        with self._lock:
+            for v, vtaps in variants:
+                try:
+                    from interactive_vit_tpu.graph.executor import (
+                        resolve_taps,
+                    )
+
+                    sig = self.executor._program_sig(
+                        v, resolve_taps(v, vtaps, self.executor.reg))
+                except Exception:  # noqa: BLE001
+                    continue
+                if sig in self._queued or sig in self._done:
+                    continue
+                self._jobs.append((sig, v, vtaps))
+                self._queued.add(sig)
+                added += 1
+            del self._jobs[: max(0, len(self._jobs) - self.max_queue)]
+        if added:
+            self._wake.set()
+        return added
+
+    # -- lifecycle ------------------------------------------------------------
+    def start(self) -> None:
+        if self._thread is None or not self._thread.is_alive():
+            self._stop.clear()
+            self._thread = threading.Thread(
+                target=self._loop, daemon=True, name="tap-speculator")
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def drain(self, timeout_s: float = 300.0) -> int:
+        """Synchronously run all queued jobs on the CALLING thread (tests
+        and boot-time warmup; the background thread stays untouched)."""
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < timeout_s:
+            job = self._pop()
+            if job is None:
+                break
+            n += self._compile(job)
+        return n
+
+    # -- worker ----------------------------------------------------------------
+    def _pop(self):
+        with self._lock:
+            if not self._jobs:
+                return None
+            job = self._jobs.pop()  # LIFO: newest observation first
+            self._queued.discard(job[0])
+            return job
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self._wake.wait(timeout=1.0)
+            if self._stop.is_set():
+                return
+            # idle gate: wait for a quiet window so a speculative compile
+            # doesn't contend with a live cold compile in the helper
+            if not self.idle():
+                time.sleep(self.idle_grace_s)
+                continue
+            job = self._pop()
+            if job is None:
+                self._wake.clear()
+                continue
+            self._compile(job)
+
+    def _compile(self, job) -> int:
+        sig, graph, taps = job
+        try:
+            t0 = time.perf_counter()
+            fresh = self.executor.precompile(graph, taps)
+            self._done.add(sig)
+            if len(self._done) > 4096:
+                self._done.clear()
+            if fresh:
+                self.compiled += 1
+                logger.info("speculatively compiled %s... in %.1fs",
+                            sig[:12], time.perf_counter() - t0)
+                return 1
+        except Exception as err:  # noqa: BLE001 — speculation is best-effort
+            logger.debug("speculative compile failed: %s", err)
+            self._done.add(sig)
+        return 0

@@ -1,0 +1,180 @@
+"""Speculative tap precompilation (serving/speculate.py).
+
+The product's per-layer recompile stall: every (topology, tap set) is its
+own staged XLA program, so dragging an attention viewer from blocks.k to
+blocks.j pays a cold compile per layer (SURVEY §7 "tappability vs fusion
+tension"). The speculator precompiles the sibling re-targets in the
+background; these tests pin that the precompiled program is the EXACT one
+the re-targeted request needs (signature match, cache hit, identical
+numerics) and that precompilation never executes or touches device input
+state.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from interactive_vit_tpu.graph.executor import Executor, resolve_taps
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.models import vit
+from interactive_vit_tpu.models.vit_plugin import make_vit_model
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.serving.speculate import TapSpeculator, tap_variants
+
+CFG = vit.ViTConfig("vit_spec", img_size=32, patch=16, width=64,
+                    depth=3, heads=4, num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = vit.init_params(jax.random.key(0), CFG)
+    vit.VARIANTS["vit_spec"] = CFG
+    model = make_vit_model("vit_spec", params=params)
+    reg = Registry()
+    register_builtin(reg)
+    model.register(reg)
+    return model, reg
+
+
+def make_graph(model, block: int, img=None):
+    """Model chain + attn_view wired to blocks.<block>:attn."""
+    g = Graph()
+    nodes = {}
+    prev = None
+    for lname in model.list_node_names():
+        n = g.add_node(lname)
+        nodes[lname] = n
+        if prev is not None:
+            g.connect(prev, "o", n, "o")
+        prev = n
+    viewer = g.add_node("attn_view")
+    g.connect(nodes[f"{model.name}:blocks.{block}"], "attn",
+              viewer, "attn")
+    if img is None:
+        img = np.zeros((3, 32, 32), np.float32)
+    g.add_input(img, g.nodes[0], "o")
+    return g
+
+
+def test_tap_variants_cover_all_siblings(setup):
+    model, reg = setup
+    g = make_graph(model, 0)
+    variants = tap_variants(g, "primary", reg)
+    assert len(variants) == CFG.depth - 1  # one per sibling block
+    # each variant's signature equals the real re-targeted request's
+    ex = Executor(reg)
+    real_sigs = {
+        ex._program_sig(gk, resolve_taps(gk, "primary", reg))
+        for gk in (make_graph(model, k) for k in range(1, CFG.depth))
+    }
+    var_sigs = {
+        ex._program_sig(v, resolve_taps(v, vt, reg))
+        for v, vt in variants
+    }
+    assert var_sigs == real_sigs
+    # farthest sibling first: the warmer pops LIFO, so the nearest
+    # (likeliest next scrub target) compiles first
+    def viewer_src_block(g):
+        viewer = g.nodes[-1]
+        return int(viewer.inputs["attn"].src.node.name.rsplit(".", 1)[1])
+    assert [viewer_src_block(v) for v, _ in variants] == [2, 1]
+
+
+def test_tap_variants_respect_explicit_tap_sets(setup):
+    model, reg = setup
+    # no viewer node: the client asked for an explicit (block 0, attn) tap
+    g = Graph()
+    prev = None
+    nodes = []
+    for lname in model.list_node_names():
+        n = g.add_node(lname)
+        nodes.append(n)
+        if prev is not None:
+            g.connect(prev, "o", n, "o")
+        prev = n
+    g.add_input(np.zeros((3, 32, 32), np.float32), g.nodes[0], "o")
+    b0 = next(n.index for n in g.nodes
+              if n.name == f"{model.name}:blocks.0")
+    b1 = next(n.index for n in g.nodes
+              if n.name == f"{model.name}:blocks.1")
+    taps = frozenset({(b0, "attn"), (g.nodes[-1].index, "o")})
+    variants = tap_variants(g, taps, reg)
+    assert len(variants) == CFG.depth - 1
+    moved = {vt for _, vt in variants}
+    assert frozenset({(b1, "attn"), (g.nodes[-1].index, "o")}) in moved
+
+
+def test_precompile_seeds_cache_without_executing(setup):
+    model, reg = setup
+    ex = Executor(reg)
+    g = make_graph(model, 1)
+    assert ex.precompile(g, "primary") is True
+    assert ex.precompile(g, "primary") is False  # second call: cached
+    # the precompiled program serves the REAL request as a cache hit
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 32, 32), dtype=np.float32)
+    out = ex.run(make_graph(model, 1, img), taps="primary")
+    assert ex.last_stats.cache_hit is True
+    assert ex.last_stats.compile_s == 0.0
+    # numerics identical to an un-speculated executor
+    ref = Executor(reg).run(make_graph(model, 1, img), taps="primary")
+    b1 = next(n.index for n in make_graph(model, 1).nodes
+              if n.name == f"{model.name}:blocks.1")
+    np.testing.assert_array_equal(out[b1]["attn"], ref[b1]["attn"])
+
+
+def test_speculator_end_to_end_layer_scrub(setup):
+    model, reg = setup
+    ex = Executor(reg)
+    spec = TapSpeculator(ex)
+    rng = np.random.default_rng(1)
+    img = rng.random((3, 32, 32), dtype=np.float32)
+
+    g0 = make_graph(model, 0, img)
+    ex.run(g0, taps="primary")  # the user's first tap (cold, real)
+    added = spec.observe(g0, "primary")
+    assert added == CFG.depth - 1
+    assert spec.observe(g0, "primary") == 0  # dedup: nothing re-queued
+    assert spec.drain() == CFG.depth - 1
+    assert spec.compiled == CFG.depth - 1
+
+    # the user drags the viewer to each sibling layer: every request is
+    # now a cache hit (zero compile stall)
+    for k in range(1, CFG.depth):
+        out = ex.run(make_graph(model, k, img), taps="primary")
+        assert ex.last_stats.cache_hit is True, f"block {k} missed"
+        bk = next(n.index for n in make_graph(model, k).nodes
+                  if n.name == f"{model.name}:blocks.{k}")
+        assert out[bk]["attn"].shape[-2:] == (5, 5)  # 4 patches + cls
+
+
+def test_speculator_background_thread(setup):
+    model, reg = setup
+    ex = Executor(reg)
+    done = threading.Event()
+    spec = TapSpeculator(ex, idle=lambda: True)
+    spec.start()
+    try:
+        g = make_graph(model, 0)
+        spec.observe(g, "primary")
+        for _ in range(600):  # up to 60s for 2 tiny compiles
+            if spec.compiled == CFG.depth - 1:
+                done.set()
+                break
+            threading.Event().wait(0.1)
+        assert done.is_set()
+        assert ex.is_compiled(make_graph(model, 1), "primary")
+    finally:
+        spec.stop()
+
+
+def test_speculator_inactive_on_mesh_or_nojit(setup):
+    model, reg = setup
+    g = make_graph(model, 0)
+    ex = Executor(reg, use_jit=False)
+    assert TapSpeculator(ex).observe(g, "primary") == 0
+    assert ex.precompile(g, "primary") is False

@@ -131,20 +131,19 @@ def tap_variants(
                     continue
             except Exception:  # noqa: BLE001 — skip unknowable siblings
                 continue
-            v = _clone_shape_graph(graph)
-            # move every consumer of (src_idx, ch) onto (j, ch)
-            moved = False
-            for e in list(v.nodes[src_idx].outputs.get(ch, [])):
-                if e.dst is not None:
-                    v.connect(v.nodes[j], ch, e.dst.node, e.dst.channel)
-                    moved = True
-            vtaps: TapSpec = taps
+            # one variant per consumer edge: a user drag moves ONE wire,
+            # so each variant re-targets exactly one consumer
+            consumers = [e for e in graph.nodes[src_idx].outputs.get(ch, [])
+                         if e.dst is not None]
+            for e in consumers:
+                v = _clone_shape_graph(graph)
+                v.connect(v.nodes[j], ch,
+                          v.nodes[e.dst.node.index], e.dst.channel)
+                out.append((v, taps))
             if (src_idx, ch) in explicit:
-                vtaps = frozenset(
-                    (explicit - {(src_idx, ch)}) | {(j, ch)})
-                moved = True
-            if moved:
-                out.append((v, vtaps))
+                v = _clone_shape_graph(graph)
+                out.append((v, frozenset(
+                    (explicit - {(src_idx, ch)}) | {(j, ch)})))
     return out
 
 

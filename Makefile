@@ -14,7 +14,7 @@ bench-serving:
 
 serve:
 	python -m interactive_vit_tpu.serving.server --port 8000 \
-	    --models vit_t16,vit_b16,clip_b32,vgg16,resnet50 --dtype bfloat16
+	    --models vit_t16,vit_b16,clip_b32,vgg16,resnet50,vit_moe_s16 --dtype bfloat16
 
 native:
 	python -m interactive_vit_tpu.runtime.build

@@ -164,6 +164,13 @@ def param_spec(path: str) -> P:
         parent = param_spec(path[: path.rfind("/")])
         # scale is per-OUTPUT-channel: sharded iff the weight's out dim is
         return P(parent[1]) if len(parent) == 2 else P()
+    if path.endswith("exp_fc1_w") or path.endswith("exp_fc2_w"):
+        # EP: experts shard over "model" — the dispatch einsum's [E,C,D]
+        # buffers inherit the E-sharding and GSPMD inserts the token
+        # all-to-all over ICI (models/moe.py)
+        return P("model", None, None)
+    if path.endswith("exp_fc1_b") or path.endswith("exp_fc2_b"):
+        return P("model", None)
     if path.endswith("qkv_w") or path.endswith("fc1_w"):
         return P(None, "model")          # shard output features
     if path.endswith("qkv_b") or path.endswith("fc1_b"):

@@ -92,10 +92,13 @@ class App:
         if speculate and use_jit and mesh is None:
             from interactive_vit_tpu.serving.speculate import TapSpeculator
 
+            # quiet-period gate: an actively-scrubbing user pauses the
+            # warmer completely (a speculative compile in flight would
+            # queue the user's own cold compile behind it — measured
+            # 6.7s -> 24s compounding on-chip without this)
             self.speculator = TapSpeculator(
                 self.executor,
-                idle=lambda: (self.batcher._q.empty()
-                              and not self.batcher._backlog),
+                idle=lambda: self.batcher.quiet_for(1.5),
             )
 
     # -- endpoint implementations (transport-independent) ---------------------

@@ -154,6 +154,13 @@ def build_app(
             if quantize:
                 logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_resnet50_model(params=params, seed=seed, dtype=dtype)
+        elif variant.startswith("vit_moe"):
+            from interactive_vit_tpu.models.moe_plugin import make_moe_model
+
+            if quantize:
+                logger.warning("int8 not wired for %s; serving bf16", variant)
+            model = make_moe_model(variant, params=params, seed=seed,
+                                   dtype=dtype, attn_impl=attn_impl)
         else:
             # with a TP axis, re-pack qkv columns head-major so the mesh
             # column sharding is head-aligned (parallel/mesh.py)

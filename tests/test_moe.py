@@ -1,0 +1,191 @@
+"""MoE-ViT / EP tests: routing semantics, graph surface, mesh sharding.
+
+The EP family (models/moe.py) closes the last parallelism axis of
+SURVEY §2.3 with an implementation instead of a documented non-goal:
+Switch-style top-1 routed MLP as dense dispatch/combine einsums, experts
+sharded over the mesh "model" axis via GSPMD. These tests pin the
+routing semantics against a per-token python loop, the tappable node
+surface (including the "experts" router tap), and GSPMD equivalence of
+the EP-sharded program on the 8-virtual-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from interactive_vit_tpu.graph.executor import Executor
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.models import moe
+from interactive_vit_tpu.models.moe_plugin import make_moe_model
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.parallel import mesh as mesh_lib
+
+CFG = moe.MoEViTConfig("moe_test", img_size=32, patch=16, width=64,
+                       depth=2, heads=4, num_classes=10, n_experts=4,
+                       capacity_factor=4.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = moe.init_params(jax.random.key(0), CFG)
+    moe.VARIANTS["moe_test"] = CFG
+    model = make_moe_model("moe_test", params=params,
+                           with_categories=False)
+    reg = Registry()
+    register_builtin(reg)
+    model.register(reg)
+    return params, model, reg
+
+
+# -- routing semantics --------------------------------------------------------
+
+
+def test_moe_mlp_matches_reference_loop(setup):
+    params, _, _ = setup
+    h = jnp.asarray(np.random.default_rng(1).standard_normal((2, 7, 64)),
+                    jnp.float32)
+    y, gates, aux = moe.moe_mlp(h, params["blocks"][1], CFG)
+    yref = moe.moe_mlp_reference(h, params["blocks"][1], CFG)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gates.sum(-1)), 1.0, atol=1e-5)
+    assert float(aux) >= 1.0 - 1e-5  # Switch aux lower bound (balanced=1)
+
+
+def test_capacity_overflow_drops_tokens(setup):
+    params, _, _ = setup
+    tight = moe.MoEViTConfig("moe_tight", img_size=32, patch=16, width=64,
+                             depth=2, heads=4, num_classes=10, n_experts=4,
+                             capacity_factor=0.5)
+    h = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8, 64)),
+                    jnp.float32)
+    y = moe.moe_mlp(h, params["blocks"][1], tight)[0]
+    yref = moe.moe_mlp_reference(h, params["blocks"][1], tight)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yref), atol=1e-5)
+    dropped = int((np.abs(np.asarray(y)).sum(-1) == 0).sum())
+    assert dropped > 0  # overflow actually happened at f=0.5
+
+
+def test_forward_aux_and_attn(setup):
+    params, _, _ = setup
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (2, 3, 32, 32), dtype=np.float32))
+    out = moe.forward(params, x, CFG, want_attn=True, want_aux=True)
+    assert out["logits"].shape == (2, 10)
+    assert len(out["attn"]) == CFG.depth
+    assert np.isfinite(float(out["aux"]))
+
+
+# -- graph surface ------------------------------------------------------------
+
+
+def make_graph(model, img, experts_block=None):
+    """Chain WITHOUT transform (feed pre-sized images so the head output
+    is comparable to the monolithic forward, which takes raw pixels)."""
+    g = Graph()
+    prev, nodes = None, {}
+    for ln in model.list_node_names():
+        if ln.endswith(":transform"):
+            continue
+        n = g.add_node(ln)
+        nodes[ln] = n
+        if prev is not None:
+            g.connect(prev, "o", n, "o")
+        prev = n
+    if experts_block is not None:
+        viewer = g.add_node("multi_view")
+        g.connect(nodes[f"{model.name}:blocks.{experts_block}"],
+                  "experts", viewer, "o")
+    g.add_input(img, g.nodes[0], "o")
+    return g
+
+
+def test_experts_channel_taps_through_executor(setup):
+    params, model, reg = setup
+    img = np.random.default_rng(0).random((3, 32, 32), dtype=np.float32)
+    ex = Executor(reg)
+    g = make_graph(model, img, experts_block=1)
+    b1 = next(n.index for n in g.nodes
+              if n.name == f"{model.name}:blocks.1")
+    out = ex.run(g, taps="primary")
+    gates = np.asarray(out[b1]["experts"], dtype=np.float32)
+    # render-ready layout: per-expert heatmaps over the 2x2 patch grid
+    grid = CFG.img_size // CFG.patch
+    assert gates.shape == (1, CFG.n_experts, grid, grid)
+    np.testing.assert_allclose(gates.sum(1), 1.0, atol=2e-2)  # bf16 tap
+    # graph chain output == monolithic forward
+    head = g.nodes[len(model.list_node_names()) - 2].index
+    mono = moe.forward(params, jnp.asarray(img[None]), CFG)["logits"]
+    np.testing.assert_allclose(np.asarray(out[head]["o"]),
+                               np.asarray(mono), atol=1e-4)
+
+
+def test_dense_blocks_do_not_expose_experts(setup):
+    _, model, reg = setup
+    # blocks.0 is dense (moe_every=2): no "experts" channel in its io
+    io = reg.get_node(f"{model.name}:blocks.0").io({})
+    assert "experts" not in io["outs"]
+    io1 = reg.get_node(f"{model.name}:blocks.1").io({})
+    assert "experts" in io1["outs"]
+
+
+# -- EP sharding (GSPMD over the virtual mesh) --------------------------------
+
+
+def test_ep_sharded_forward_matches_unsharded(setup):
+    params, _, _ = setup
+    mesh = mesh_lib.make_mesh({"data": 2, "model": 4}, jax.devices()[:8])
+    x = jnp.asarray(np.random.default_rng(3).random(
+        (4, 3, 32, 32), dtype=np.float32))
+    want = moe.forward(params, x, CFG)["logits"]
+
+    with mesh:
+        sp = mesh_lib.shard_params(params, mesh)
+        # expert weights must actually shard over "model" (EP), 4-way
+        exp_w = sp["blocks"][1]["exp_fc1_w"]
+        assert exp_w.sharding.spec == P("model", None, None)
+        assert len({d.id for s in exp_w.addressable_shards
+                    for d in [s.device]}) == 8
+        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh))
+        got = jax.jit(
+            lambda p, i: moe.forward(p, i, CFG)["logits"])(sp, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+
+def test_ep_train_step_decreases_loss(setup):
+    """DP x EP training with the Switch aux loss in the objective."""
+    import optax
+
+    params, _, _ = setup
+    mesh = mesh_lib.make_mesh({"data": 2, "model": 4}, jax.devices()[:8])
+    opt = optax.adamw(1e-3)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((8, 3, 32, 32), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, size=(8,)))
+
+    def loss_fn(p, imgs, labs):
+        out = moe.forward(p, imgs, CFG, want_aux=True)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            out["logits"], labs).mean()
+        return ce + 0.01 * out["aux"]
+
+    @jax.jit
+    def step(p, o, imgs, labs):
+        loss, grads = jax.value_and_grad(loss_fn)(p, imgs, labs)
+        upd, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, upd), o, loss
+
+    with mesh:
+        p = mesh_lib.shard_params(params, mesh)
+        imgs = jax.device_put(images, mesh_lib.batch_sharding(mesh))
+        o = opt.init(p)
+        losses = []
+        for _ in range(5):
+            p, o, loss = step(p, o, imgs, labels)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert all(np.isfinite(losses))

@@ -172,6 +172,29 @@ def test_speculator_background_thread(setup):
         spec.stop()
 
 
+def test_batcher_quiet_gate():
+    """quiet_for: False right after a submit, True after the window."""
+    import time
+
+    from interactive_vit_tpu.ops.node_ops import register_builtin as rb
+    from interactive_vit_tpu.serving.batcher import MicroBatcher
+
+    reg = Registry()
+    rb(reg)
+    b = MicroBatcher(Executor(reg), max_wait_ms=1.0)
+    try:
+        g = Graph()
+        n = g.add_node("cos", {"A": "1.0"})
+        g.add_input(np.ones(4, np.float32), n, "o")
+        b.submit(g, taps="all").result(timeout=60)
+        assert b.quiet_for(5.0) is False  # just submitted
+        time.sleep(0.3)
+        assert b.quiet_for(0.2) is True
+        assert b.quiet_for(60.0) is False
+    finally:
+        b.stop()
+
+
 def test_speculator_inactive_on_mesh_or_nojit(setup):
     model, reg = setup
     g = make_graph(model, 0)

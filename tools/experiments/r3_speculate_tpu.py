@@ -11,9 +11,12 @@ compilation-cache dir (so no run warms the other and re-runs stay
 honest):
 
 1. control: speculation off — scrub blocks 0..11, every request cold;
-2. speculative: first tap block 0 (cold), dwell a few seconds (a user
-   looks at the map), then scrub 1..11 at full speed, then a second
-   pass (everything should be warm).
+2. speculative browsing pace: dwell between scrubs (a user looks at each
+   map) — the warmer should stay ahead, every scrub warm;
+3. speculative fast scrub: no dwell — the quiet-period gate must pause
+   the warmer so scrub latency tracks the control (first measured run
+   WITHOUT the gate: real cold compiles queued behind in-flight
+   speculative ones, 6.7s -> 24s compounding).
 
 Emits JSONL to /tmp/r3_speculate.jsonl.
 """
@@ -70,8 +73,8 @@ def run(tag: str, speculate: bool, dwell_s: float):
         app.compute(Request.encode(make_graph(0)))
         emit(stage=tag, block=0, s=round(time.perf_counter() - t0, 2),
              phase="first")
-        time.sleep(dwell_s)
         for blk in range(1, 12):
+            time.sleep(dwell_s)
             t0 = time.perf_counter()
             app.compute(Request.encode(make_graph(blk)))
             emit(stage=tag, block=blk,
@@ -93,5 +96,6 @@ def run(tag: str, speculate: bool, dwell_s: float):
 
 
 run("control_no_speculation", speculate=False, dwell_s=0.0)
-run("speculative", speculate=True, dwell_s=8.0)
+run("speculative_browsing", speculate=True, dwell_s=8.0)
+run("speculative_fast_scrub", speculate=True, dwell_s=0.0)
 emit(stage="done")

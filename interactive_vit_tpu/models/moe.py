@@ -231,18 +231,39 @@ def block(p: Params, x: jnp.ndarray, cfg: MoEViTConfig, i: int,
 
 def forward(params: Params, images: jnp.ndarray, cfg: MoEViTConfig,
             want_attn: bool = False, want_aux: bool = False,
-            attn_impl=None) -> Dict[str, Any]:
-    """Monolithic forward (training / bench path)."""
+            attn_impl=None, block_wrapper=None,
+            qkv_head_major: bool = False) -> Dict[str, Any]:
+    """Monolithic forward (training / bench path).
+
+    ``block_wrapper`` (e.g. ``jax.checkpoint``): wraps each block for
+    rematerialization, same contract as ``vit.forward``; requires taps
+    off (wrapped blocks return only the flowing activation + aux).
+    """
     x = vit.embed(params, images, cfg)
     attns, aux_sum = [], 0.0
-    for i in range(cfg.depth):
-        x, probs, _, moe_out = block(
-            params["blocks"][i], x, cfg, i, want_attn=want_attn,
-            attn_impl=attn_impl)
+    if block_wrapper is not None:
         if want_attn:
-            attns.append(probs)
-        if moe_out is not None:
-            aux_sum = aux_sum + moe_out[1]
+            raise ValueError("block_wrapper requires taps off")
+
+        for i in range(cfg.depth):
+            def one(p, x, i=i):
+                y, _, _, moe_out = block(
+                    p, x, cfg, i, attn_impl=attn_impl,
+                    qkv_head_major=qkv_head_major)
+                return y, (moe_out[1] if moe_out is not None
+                           else jnp.float32(0))
+
+            x, aux = block_wrapper(one)(params["blocks"][i], x)
+            aux_sum = aux_sum + aux
+    else:
+        for i in range(cfg.depth):
+            x, probs, _, moe_out = block(
+                params["blocks"][i], x, cfg, i, want_attn=want_attn,
+                attn_impl=attn_impl, qkv_head_major=qkv_head_major)
+            if want_attn:
+                attns.append(probs)
+            if moe_out is not None:
+                aux_sum = aux_sum + moe_out[1]
     x = vit.final_norm(params, x, cfg)
     out: Dict[str, Any] = {"logits": vit.head(params, x)}
     if want_attn:

@@ -35,10 +35,18 @@ def _decay_mask(params):
 
     The standard ViT recipe excludes LayerNorm scales/biases, all biases,
     cls_token and pos_emb from decay (decaying LN scales measurably hurts
-    long runs); a leaf is decayed iff it is a rank-2 weight matrix."""
+    long runs); a leaf is decayed iff it is a rank-2 weight matrix — plus
+    the MoE expert matmuls, which are rank-3 [E, d_in, d_out] (the E dim
+    is a batch of weight matrices, not an embedding table)."""
     import jax
 
-    return jax.tree.map(lambda x: getattr(x, "ndim", 0) == 2, params)
+    def decayed(path, x):
+        if getattr(x, "ndim", 0) == 2:
+            return True
+        return (getattr(x, "ndim", 0) == 3
+                and "exp_fc" in jax.tree_util.keystr(path))
+
+    return jax.tree_util.tree_map_with_path(decayed, params)
 
 
 def make_optimizer(lr: float = 3e-4, wd: float = 0.05,
@@ -60,9 +68,26 @@ def make_optimizer(lr: float = 3e-4, wd: float = 0.05,
     return tx
 
 
+MOE_AUX_WEIGHT = 0.01  # Switch load-balance loss coefficient
+
+
+def model_family(cfg: vit.ViTConfig):
+    """The module implementing ``cfg``'s forward/init (vit or moe)."""
+    from interactive_vit_tpu.models import moe
+
+    return moe if isinstance(cfg, moe.MoEViTConfig) else vit
+
+
 def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
             cfg: vit.ViTConfig, attn_impl=None,
             block_wrapper=None, qkv_head_major: bool = False) -> jnp.ndarray:
+    fam = model_family(cfg)
+    if fam is not vit:
+        out = fam.forward(params, images, cfg, attn_impl=attn_impl,
+                          block_wrapper=block_wrapper,
+                          qkv_head_major=qkv_head_major, want_aux=True)
+        return (cross_entropy(out["logits"], labels)
+                + MOE_AUX_WEIGHT * out["aux"])
     logits = vit.forward(params, images, cfg, attn_impl=attn_impl,
                          block_wrapper=block_wrapper,
                          qkv_head_major=qkv_head_major)["logits"]
@@ -113,7 +138,7 @@ def setup_sharded(
     a configured one (schedule/clipping via ``make_optimizer``).
     """
     optimizer = optimizer or make_optimizer(lr)
-    params = vit.init_params(jax.random.key(seed), cfg)
+    params = model_family(cfg).init_params(jax.random.key(seed), cfg)
     # head-major qkv columns whenever TP is active: makes param_spec's
     # flat column sharding head-ALIGNED (the actual Megatron split) —
     # the torch layout [3][H][Dh] would force GSPMD to reshard the
@@ -135,8 +160,10 @@ def setup_sharded(
         donate_argnums=(0, 1),
     )
 
+    fam = model_family(cfg)
+
     def infer(params, images):
-        return vit.forward(params, images, cfg, attn_impl=attn_impl,
+        return fam.forward(params, images, cfg, attn_impl=attn_impl,
                            qkv_head_major=tp)["logits"]
 
     infer_fn = jax.jit(infer, in_shardings=(None, bsh))

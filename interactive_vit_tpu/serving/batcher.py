@@ -59,12 +59,19 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self.metrics = metrics or Metrics()
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
-        # wall time of the newest submit: consumers (the speculative tap
-        # warmer) gate background compiles on a QUIET PERIOD, not just an
-        # instantaneously-empty queue — an actively-scrubbing user would
-        # otherwise interleave real cold compiles behind speculative ones
-        # (measured on-chip: 6.7s -> 24s compounding)
-        self.last_submit_t = 0.0
+        # wall time of the newest submit OR result delivery, plus an
+        # in-flight group counter: consumers (the speculative tap warmer)
+        # gate background compiles on a QUIET PERIOD — an actively-
+        # scrubbing user would otherwise interleave real cold compiles
+        # behind speculative ones (measured on-chip: 6.7s -> 24s
+        # compounding). Submit time alone is NOT enough (a 6s compile
+        # makes the last submit "old" the moment its result lands), and
+        # neither is activity time alone: a dispatched group leaves the
+        # queue, so mid-compile the queue looks empty — the warmer then
+        # races the real compile (measured: duplicate concurrent compiles
+        # of the same program). Hence the explicit in-flight count.
+        self.last_activity_t = 0.0
+        self.inflight = 0
         # other-signature items deferred while collecting a group; consumed
         # FIRST next cycle (FIFO), so a minority signature can't be starved
         # by a steady majority stream. Worker-thread-only, no lock needed.
@@ -116,15 +123,17 @@ class MicroBatcher:
             graph, extra=[tap_key]))
         with self._lock:
             self._start_locked()
-            self.last_submit_t = time.perf_counter()
+            self.last_activity_t = time.perf_counter()
             self._q.put(item)
         return item.future
 
     def quiet_for(self, seconds: float) -> bool:
-        """True when no submit arrived for ``seconds`` and nothing is
-        queued — the speculative warmer's idle gate."""
-        return (self._q.empty() and not self._backlog
-                and time.perf_counter() - self.last_submit_t >= seconds)
+        """True when nothing is queued, nothing is in flight, and no
+        submit/result happened for ``seconds`` — the speculative
+        warmer's idle gate."""
+        return (self.inflight == 0 and self._q.empty()
+                and not self._backlog
+                and time.perf_counter() - self.last_activity_t >= seconds)
 
     # -- worker ----------------------------------------------------------------
     def _collect_group(self, first: _Item) -> List[_Item]:
@@ -227,6 +236,8 @@ class MicroBatcher:
         """Launch a group on the device; returns the in-flight handle or
         None if staging/dispatch failed (futures already failed)."""
         t0 = time.perf_counter()
+        self.last_activity_t = t0
+        self.inflight += 1
         for it in group:
             self.metrics.queue_latency.observe(t0 - it.enqueued)
         try:
@@ -241,6 +252,8 @@ class MicroBatcher:
         except Exception as err:  # noqa: BLE001 — fail the whole group
             logger.exception("batch dispatch failed")
             self.metrics.inc("batch_errors")
+            self.inflight -= 1
+            self.last_activity_t = time.perf_counter()
             for it in group:
                 if not it.future.done():
                     it.future.set_exception(err)
@@ -249,6 +262,8 @@ class MicroBatcher:
     def _materialize(self, pending) -> None:
         if pending is None:
             return
+        self.inflight -= 1
+        self.last_activity_t = time.perf_counter()
         group, flat, t0 = pending
         try:
             import jax

@@ -196,7 +196,12 @@ def main(argv=None) -> None:
     from interactive_vit_tpu.parallel import mesh as mesh_lib
     from interactive_vit_tpu.parallel import train as train_lib
 
-    cfg = vit.VARIANTS[args.variant]
+    if args.variant in vit.VARIANTS:
+        cfg = vit.VARIANTS[args.variant]
+    else:
+        from interactive_vit_tpu.models import moe
+
+        cfg = moe.VARIANTS[args.variant]
     if args.mesh == "data=all":
         axis_sizes = None
     else:

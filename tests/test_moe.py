@@ -156,6 +156,32 @@ def test_ep_sharded_forward_matches_unsharded(setup):
                                atol=2e-4)
 
 
+def test_trainer_integration_moe(setup):
+    """setup_sharded routes MoE configs through moe.forward + aux loss,
+    with remat and the head-major TP repack, end to end."""
+    from interactive_vit_tpu.parallel import train as train_lib
+
+    mesh = mesh_lib.make_mesh({"data": 4, "model": 2}, jax.devices()[:8])
+    with mesh:
+        params, opt_state, step, infer = train_lib.setup_sharded(
+            CFG, mesh, seed=0, lr=1e-3)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.random((8, 3, 32, 32), dtype=np.float32))
+        labels = jnp.asarray(rng.integers(0, 10, size=(8,)))
+        losses = []
+        for _ in range(5):
+            params, opt_state, loss = step(params, opt_state, images,
+                                           labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        logits = np.asarray(infer(params, images))
+        assert logits.shape == (8, 10) and np.isfinite(logits).all()
+    # expert weights decay (rank-3 matmuls), pos_emb does not
+    mask = train_lib._decay_mask(moe.init_params(jax.random.key(0), CFG))
+    assert mask["blocks"][1]["exp_fc1_w"] is True
+    assert mask["pos_emb"] is False
+
+
 def test_ep_train_step_decreases_loss(setup):
     """DP x EP training with the Switch aux loss in the objective."""
     import optax

@@ -195,6 +195,41 @@ def test_batcher_quiet_gate():
         b.stop()
 
 
+def test_quiet_gate_blocks_during_inflight_compile():
+    """A dispatched group leaves the queue, so mid-compile the queue
+    looks empty — quiet_for must still be False (the warmer would
+    otherwise race the real compile; observed on-chip as duplicate
+    concurrent compiles and 2-4x scrub latency)."""
+    import time
+
+    from interactive_vit_tpu.serving.batcher import MicroBatcher
+
+    class SlowExec:
+        mesh = None
+
+        def group_sig(self, g, extra=()):
+            return "sig"
+
+        def is_compiled(self, g, t, b=None):
+            return False
+
+        def run(self, g, t, defer=False):
+            time.sleep(1.2)  # a "cold compile"
+            return {"0/o": np.zeros(1)}
+
+    b = MicroBatcher(SlowExec(), max_wait_ms=1.0)
+    try:
+        fut = b.submit(Graph(), taps="all")
+        time.sleep(0.6)  # mid-"compile": queue empty, group in flight
+        assert b.inflight == 1
+        assert b.quiet_for(0.01) is False
+        fut.result(timeout=30)
+        time.sleep(0.3)
+        assert b.quiet_for(0.2) is True
+    finally:
+        b.stop()
+
+
 def test_speculator_inactive_on_mesh_or_nojit(setup):
     model, reg = setup
     g = make_graph(model, 0)

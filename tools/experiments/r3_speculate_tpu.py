@@ -39,9 +39,15 @@ from interactive_vit_tpu.graph.ir import Graph  # noqa: E402
 from interactive_vit_tpu.serving.server import build_app  # noqa: E402
 from interactive_vit_tpu.wire.codec import Request  # noqa: E402
 
-NAMES = (["vit_b16:transform", "vit_b16:embed"]
-         + [f"vit_b16:blocks.{i}" for i in range(12)]
-         + ["vit_b16:norm", "vit_b16:head"])
+import os
+
+# vit_b16 is the flagship measurement; IVT_SPEC_MODEL=vit_t16 swaps in
+# the tiny model for gate-behavior validation when the tunnel is in a
+# minutes-per-compile phase (the warmer/gate logic is model-independent)
+MODEL = os.environ.get("IVT_SPEC_MODEL", "vit_b16")
+NAMES = ([f"{MODEL}:transform", f"{MODEL}:embed"]
+         + [f"{MODEL}:blocks.{i}" for i in range(12)]
+         + [f"{MODEL}:norm", f"{MODEL}:head"])
 RNG = np.random.default_rng(0)
 IMG = RNG.random((3, 224, 224), dtype=np.float32)
 
@@ -56,14 +62,14 @@ def make_graph(block: int) -> Graph:
             g.connect(prev, "o", n, "o")
         prev = n
     viewer = g.add_node("attn_view")
-    g.connect(nodes[f"vit_b16:blocks.{block}"], "attn", viewer, "attn")
+    g.connect(nodes[f"{MODEL}:blocks.{block}"], "attn", viewer, "attn")
     g.add_input(IMG, g.nodes[0], "o")
     return g
 
 
 def run(tag: str, speculate: bool, dwell_s: float):
     jax.config.update("jax_compilation_cache_dir", tempfile.mkdtemp())
-    app = build_app(models=["vit_b16"], dtype_name="bfloat16",
+    app = build_app(models=[MODEL], dtype_name="bfloat16",
                     speculate=speculate)
     app.batcher.start()
     if app.speculator is not None:
@@ -95,7 +101,17 @@ def run(tag: str, speculate: bool, dwell_s: float):
         app.batcher.stop()
 
 
-run("control_no_speculation", speculate=False, dwell_s=0.0)
-run("speculative_browsing", speculate=True, dwell_s=8.0)
-run("speculative_fast_scrub", speculate=True, dwell_s=0.0)
-emit(stage="done")
+RUNS = {
+    "control": ("control_no_speculation", False, 0.0),
+    "browsing": ("speculative_browsing", True, 8.0),
+    "fast": ("speculative_fast_scrub", True, 0.0),
+}
+
+if __name__ == "__main__":
+    import sys
+
+    picked = sys.argv[1:] or list(RUNS)
+    for name in picked:
+        tag, spec, dwell = RUNS[name]
+        run(tag, speculate=spec, dwell_s=dwell)
+    emit(stage="done")

@@ -151,18 +151,24 @@ def moe_mlp(x: jnp.ndarray, p: Params, cfg: MoEViTConfig,
                            ).astype(x.dtype)
     h = jnp.einsum("ecd,edm->ecm", expert_in, p["exp_fc1_w"],
                    preferred_element_type=jnp.float32,
-                   precision=L.mm_precision(expert_in)
+                   precision=L.mm_precision(expert_in, p["exp_fc1_w"])
                    ) + p["exp_fc1_b"][:, None, :]
     h = L.gelu(h.astype(x.dtype))
     out = jnp.einsum("ecm,emd->ecd", h, p["exp_fc2_w"],
                      preferred_element_type=jnp.float32,
-                     precision=L.mm_precision(h)
+                     precision=L.mm_precision(h, p["exp_fc2_w"])
                      ) + p["exp_fc2_b"][:, None, :]
     y = jnp.einsum("sec,ecd->sd", combine.astype(jnp.float32),
                    out.astype(jnp.float32),
                    precision=L.mm_precision(combine)).astype(x.dtype)
-    # Switch load-balance loss: E * sum_e f_e * P_e
-    frac = jnp.mean(dispatch.sum(axis=2), axis=0)    # [E] routed fraction
+    # Switch load-balance loss: E * sum_e f_e * P_e, with f_e the RAW
+    # routing fraction (pre-capacity-drop): computing it from the kept
+    # dispatch mask would cap f_hot at C/S ~ capacity_factor/E exactly
+    # when an expert is overloaded — plateauing the corrective gradient
+    # in the collapsed regime the loss exists to prevent
+    assign = jax.nn.one_hot(jnp.argmax(gates, axis=-1), cfg.n_experts,
+                            dtype=jnp.float32)
+    frac = jnp.mean(assign, axis=0)                  # [E] routed fraction
     prob = jnp.mean(gates, axis=0)                   # [E] mean gate prob
     aux = cfg.n_experts * jnp.sum(frac * prob)
     return y.reshape(bsz, n, d), gates.reshape(bsz, n, -1), aux
@@ -289,20 +295,24 @@ def layer_fns(cfg: MoEViTConfig, attn_impl=None):
     def make_block_fn(i):
         def block_fn(p, ins, want=frozenset(), node_params=None):
             x = ins["o"]
+            sel = vit.parse_attn_heads(node_params)
+            if sel is not None and any(
+                    h < 0 or h >= cfg.heads for h in sel):
+                raise ValueError(f"attn_heads {sorted(sel)} out of range "
+                                 f"for {cfg.heads} heads")
             y, probs, pmean, moe_out = block(
                 p, x, cfg, i, want_attn="attn" in want,
                 want_mean="r" in want, attn_impl=attn_impl)
             outs = {"o": y}
             if probs is not None and "attn" in want:
+                # XLA path: full probs existed transiently; only the
+                # selected heads persist as the tap (same contract as
+                # the vit family's attn_heads control)
+                if sel is not None:
+                    probs = probs[:, list(sorted(set(sel))), :, :]
                 outs["attn"] = probs
             if "r" in want:
-                b, n = x.shape[0], x.shape[1]
-                r_in = ins.get("r")
-                if r_in is None:
-                    r_in = jnp.broadcast_to(
-                        jnp.eye(n, dtype=jnp.float32), (b, n, n))
-                outs["r"] = attn_ops.rollout_step(
-                    pmean, r_in).astype(x.dtype)
+                outs["r"] = vit.rollout_carry(pmean, ins, x)
             if moe_out is not None and "experts" in want:
                 # render-ready: per-EXPERT gate heatmaps over the patch
                 # grid [B, E, gh, gw] (CLS dropped) — the stock

@@ -363,6 +363,37 @@ def forward(
 # -- graph-node decomposition ---------------------------------------------------
 
 
+def parse_attn_heads(node_params) -> Optional[Tuple[int, ...]]:
+    """attn_heads node param -> head tuple, or None for ALL heads.
+
+    A STATIC param (shape-changing, so it participates in the compile
+    signature; selecting heads recompiles, scrubbing values does not).
+    "[]" (and "") mean ALL heads, as the UI placeholder documents — an
+    empty selection would otherwise build a zero-size Pallas output
+    block, a fatal compile error. Shared by every transformer family's
+    block nodes (vit, moe) so the UI control behaves identically.
+    """
+    if node_params and node_params.get("attn_heads"):
+        import json as _json
+
+        parsed = _json.loads(node_params["attn_heads"])
+        return tuple(int(h) for h in parsed) if parsed else None
+    return None
+
+
+def rollout_carry(pmean: jnp.ndarray, ins, x: jnp.ndarray) -> jnp.ndarray:
+    """The "r" channel: rollout flows along the chain — r_out =
+    step(head_mean, r_in); an unwired r input means "this is the first
+    tapped block" (identity rollout). Feeds on the in-kernel head-mean,
+    so an "r"-only tap never materializes the [B,H,N,N] probs at all.
+    Shared by every transformer family's block nodes."""
+    b, n = x.shape[0], x.shape[1]
+    r_in = ins.get("r")
+    if r_in is None:
+        r_in = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (b, n, n))
+    return attn_ops.rollout_step(pmean, r_in).astype(x.dtype)
+
+
 def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
               mlp_impl=None, qkv_head_major: bool = False):
     """The model as an ordered list of named tappable layers.
@@ -398,19 +429,7 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
     def make_block_fn(i):
         def block_fn(p, ins, want=frozenset(), node_params=None):
             x = ins["o"]
-            # attn_heads: JSON list of head indices to tap ("[0,5]") — a
-            # STATIC param (shape-changing, so it participates in the
-            # compile signature; selecting heads recompiles, scrubbing
-            # values does not). Empty/absent = all heads.
-            sel = None
-            if node_params and node_params.get("attn_heads"):
-                import json as _json
-
-                parsed = _json.loads(node_params["attn_heads"])
-                # "[]" (and "") mean ALL heads, as the UI placeholder
-                # documents — an empty selection would otherwise build a
-                # zero-size Pallas output block, a fatal compile error
-                sel = tuple(int(h) for h in parsed) if parsed else None
+            sel = parse_attn_heads(node_params)
             y, probs, pmean = block(
                 p, x, cfg, want_attn="attn" in want,
                 attn_impl=attn_impl, block_impl=block_impl,
@@ -421,17 +440,7 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
             if probs is not None and "attn" in want:
                 outs["attn"] = probs
             if "r" in want:
-                # rollout flows along the chain: r_out = step(attn, r_in);
-                # an unwired r input means "this is the first tapped block".
-                # Feeds on the in-kernel head-mean — an "r"-only tap never
-                # materializes the [B,H,N,N] probs at all
-                b, n = x.shape[0], x.shape[1]
-                r_in = ins.get("r")
-                if r_in is None:
-                    r_in = jnp.broadcast_to(
-                        jnp.eye(n, dtype=jnp.float32), (b, n, n)
-                    )
-                outs["r"] = attn_ops.rollout_step(pmean, r_in).astype(x.dtype)
+                outs["r"] = rollout_carry(pmean, ins, x)
             if "cls" in want:
                 # CLS-token trajectory tap: [B, D] after this block
                 outs["cls"] = y[:, 0]

@@ -41,10 +41,12 @@ def _decay_mask(params):
     import jax
 
     def decayed(path, x):
-        if getattr(x, "ndim", 0) == 2:
-            return True
-        return (getattr(x, "ndim", 0) == 3
-                and "exp_fc" in jax.tree_util.keystr(path))
+        nd = getattr(x, "ndim", 0)
+        if "exp_fc" in jax.tree_util.keystr(path):
+            # expert weights are rank-3 [E, d_in, d_out]; expert BIASES
+            # are rank-2 [E, d] but still biases — exempt like all biases
+            return nd == 3
+        return nd == 2
 
     return jax.tree_util.tree_map_with_path(decayed, params)
 

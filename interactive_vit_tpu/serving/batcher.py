@@ -262,8 +262,6 @@ class MicroBatcher:
     def _materialize(self, pending) -> None:
         if pending is None:
             return
-        self.inflight -= 1
-        self.last_activity_t = time.perf_counter()
         group, flat, t0 = pending
         try:
             import jax
@@ -288,3 +286,9 @@ class MicroBatcher:
             for it in group:
                 if not it.future.done():
                     it.future.set_exception(err)
+        finally:
+            # only AFTER the device_get + future resolution: a multi-MB
+            # maps tap over the tunnel can take >1.5s to transfer, and
+            # decrementing at entry would open the quiet gate mid-request
+            self.inflight -= 1
+            self.last_activity_t = time.perf_counter()

@@ -132,9 +132,17 @@ def tap_variants(
             except Exception:  # noqa: BLE001 — skip unknowable siblings
                 continue
             # one variant per consumer edge: a user drag moves ONE wire,
-            # so each variant re-targets exactly one consumer
-            consumers = [e for e in graph.nodes[src_idx].outputs.get(ch, [])
-                         if e.dst is not None]
+            # so each variant re-targets exactly one consumer. Edges into
+            # a SIBLING block are not viewer taps but chain carries (the
+            # rollout's blocks.i r -> blocks.i+1 r wiring): re-targeting
+            # them is no user gesture and a depth-d rollout chain would
+            # otherwise explode into O(d^2) junk compiles
+            consumers = [
+                e for e in graph.nodes[src_idx].outputs.get(ch, [])
+                if e.dst is not None and not (
+                    (m2 := _BLOCK_RE.match(e.dst.node.name))
+                    and m2.group("prefix") == prefix)
+            ]
             for e in consumers:
                 v = _clone_shape_graph(graph)
                 v.connect(v.nodes[j], ch,
@@ -194,7 +202,15 @@ class TapSpeculator:
                 self._jobs.append((sig, v, vtaps))
                 self._queued.add(sig)
                 added += 1
-            del self._jobs[: max(0, len(self._jobs) - self.max_queue)]
+            # bound the queue, dropping OLDEST first — and release their
+            # sigs so a later observation can re-enqueue them (keeping
+            # them in _queued would permanently blacklist the variants)
+            overflow = self._jobs[: max(0, len(self._jobs)
+                                        - self.max_queue)]
+            if overflow:
+                del self._jobs[: len(overflow)]
+                self._queued.difference_update(s for s, _, _ in overflow)
+                added = max(0, added - len(overflow))
         if added:
             self._wake.set()
         return added

@@ -69,6 +69,44 @@ def test_capacity_overflow_drops_tokens(setup):
     assert dropped > 0  # overflow actually happened at f=0.5
 
 
+def test_aux_loss_sees_raw_routing_not_capacity_capped(setup):
+    """The Switch f_e must be the PRE-drop routing fraction: a collapsed
+    router must be penalized identically whether capacity drops tokens
+    or not (post-drop f_hot would cap at capacity_factor/E exactly in
+    the collapsed regime the loss exists to correct)."""
+    params = dict(setup[0]["blocks"][1])
+    # bias the router so every token argmaxes expert 0
+    params["router_w"] = jnp.zeros_like(
+        params["router_w"]).at[:, 0].set(5.0)
+    h = jnp.asarray(np.abs(
+        np.random.default_rng(3).standard_normal((1, 8, 64))),
+        jnp.float32) * 0.01
+    loose = moe.MoEViTConfig("l", img_size=32, patch=16, width=64,
+                             depth=2, heads=4, n_experts=4,
+                             capacity_factor=8.0)
+    tight = moe.MoEViTConfig("t", img_size=32, patch=16, width=64,
+                             depth=2, heads=4, n_experts=4,
+                             capacity_factor=0.5)
+    aux_loose = float(moe.moe_mlp(h, params, loose)[2])
+    aux_tight = float(moe.moe_mlp(h, params, tight)[2])
+    np.testing.assert_allclose(aux_tight, aux_loose, rtol=1e-6)
+    assert aux_loose > 3.0  # collapsed routing: aux ~ E * 1 * P_hot
+
+
+def test_moe_block_respects_attn_heads_param(setup):
+    """The UI's 'tap heads' control must subset the MoE family's maps
+    exactly like the vit family's."""
+    _, model, reg = setup
+    img = np.random.default_rng(1).random((3, 32, 32), dtype=np.float32)
+    ex = Executor(reg)
+    g = make_graph(model, img)
+    b1 = next(n.index for n in g.nodes
+              if n.name == f"{model.name}:blocks.1")
+    g.nodes[b1].params["attn_heads"] = "[1,3]"
+    out = ex.run(g, taps={(b1, "attn")})
+    assert out[b1]["attn"].shape[1] == 2  # 2 of 4 heads
+
+
 def test_forward_aux_and_attn(setup):
     params, _, _ = setup
     x = jnp.asarray(np.random.default_rng(0).random(
@@ -176,9 +214,12 @@ def test_trainer_integration_moe(setup):
         assert losses[-1] < losses[0], losses
         logits = np.asarray(infer(params, images))
         assert logits.shape == (8, 10) and np.isfinite(logits).all()
-    # expert weights decay (rank-3 matmuls), pos_emb does not
+    # expert weights decay (rank-3 matmuls); expert BIASES (rank-2
+    # [E,d], still biases) and pos_emb do not
     mask = train_lib._decay_mask(moe.init_params(jax.random.key(0), CFG))
     assert mask["blocks"][1]["exp_fc1_w"] is True
+    assert mask["blocks"][1]["exp_fc1_b"] is False
+    assert mask["blocks"][1]["exp_fc2_b"] is False
     assert mask["pos_emb"] is False
 
 

@@ -172,6 +172,48 @@ def test_speculator_background_thread(setup):
         spec.stop()
 
 
+def test_rollout_carry_edges_are_not_retarget_candidates(setup):
+    """Block-to-block r carries (blocks.i r -> blocks.i+1 r) are chain
+    wiring, not viewer taps: a depth-d rollout chain must yield one
+    variant set for the single VIEWER edge, not O(d^2) junk."""
+    model, reg = setup
+    g = Graph()
+    nodes = {}
+    prev = None
+    for lname in model.list_node_names():
+        n = g.add_node(lname)
+        nodes[lname] = n
+        if prev is not None:
+            g.connect(prev, "o", n, "o")
+        prev = n
+    blocks = [nodes[f"{model.name}:blocks.{k}"] for k in range(CFG.depth)]
+    for a, b in zip(blocks, blocks[1:]):  # the rollout carry chain
+        g.connect(a, "r", b, "r")
+    viewer = g.add_node("attn_view")
+    g.connect(blocks[-1], "r", viewer, "r")
+    g.add_input(np.zeros((3, 32, 32), np.float32), g.nodes[0], "o")
+    variants = tap_variants(g, "primary", reg)
+    # only the viewer edge re-targets: one variant per sibling block
+    assert len(variants) == CFG.depth - 1
+
+
+def test_queue_trim_releases_sigs(setup):
+    """Overflow-trimmed jobs must leave _queued so a later observation
+    can re-enqueue them (a retained sig permanently blacklists the
+    variant from ever being precompiled)."""
+    model, reg = setup
+    ex = Executor(reg)
+    spec = TapSpeculator(ex, max_queue=1)
+    g = make_graph(model, 0)
+    added = spec.observe(g, "primary")
+    assert added == 1  # 2 variants generated, 1 trimmed
+    assert len(spec._jobs) == 1 and len(spec._queued) == 1
+    spec._jobs.clear()
+    spec._queued.clear()
+    # the trimmed variant is re-enqueueable, not blacklisted
+    assert spec.observe(g, "primary") == 1
+
+
 def test_batcher_quiet_gate():
     """quiet_for: False right after a submit, True after the window."""
     import time

@@ -65,6 +65,8 @@ class MoEViTConfig(vit.ViTConfig):
         return i % self.moe_every == (self.moe_every - 1)
 
     def capacity(self, n_tokens: int) -> int:
+        """Expert buffer slots PER IMAGE (``n_tokens`` = tokens per
+        routing group, i.e. per batch element — see ``route``)."""
         return max(1, math.ceil(
             self.capacity_factor * n_tokens / self.n_experts))
 
@@ -107,30 +109,38 @@ def init_params(key: jax.Array, cfg: MoEViTConfig,
 # -- the routed MLP ------------------------------------------------------------
 
 
-def route(x2d: jnp.ndarray, router_w, cfg: MoEViTConfig):
-    """Top-1 capacity routing. ``x2d`` [S, D] (already LN'ed).
+def route(x: jnp.ndarray, router_w, cfg: MoEViTConfig):
+    """Top-1 capacity routing, PER IMAGE. ``x`` [B, N, D] (already LN'ed).
 
-    Returns ``(dispatch [S,E,C], combine [S,E,C], gates [S,E] f32)``:
-    dispatch is the 0/1 token->slot assignment, combine = dispatch
-    weighted by the token's gate prob.
+    Returns ``(dispatch [B,N,E,C], combine [B,N,E,C], gates [B,N,E]
+    f32)``: dispatch is the 0/1 token->slot assignment, combine =
+    dispatch weighted by the token's gate prob.
+
+    Routing groups = batch elements (the GShard/V-MoE convention), with
+    capacity ``C = ceil(f * N / E)`` per image. This is a PERFORMANCE
+    contract, not just semantics: a flattened [S=B*N] formulation makes
+    the dispatch one-hot [S, E, C] with C ∝ S, so the dispatch/combine
+    einsums cost O(S²·D·f) — measured on v5e as 11.5x step time for 4x
+    batch (r3_moe_bench round 1). Per-image grouping keeps every shape
+    linear in batch, and the batch dim stays the DP shard axis.
     """
-    s = x2d.shape[0]
-    e, c = cfg.n_experts, cfg.capacity(s)
-    logits = jnp.einsum("sd,de->se", x2d, router_w,
+    n = x.shape[1]
+    e, c = cfg.n_experts, cfg.capacity(n)
+    logits = jnp.einsum("bnd,de->bne", x, router_w,
                         preferred_element_type=jnp.float32,
-                        precision=L.mm_precision(x2d, router_w))
-    gates = jax.nn.softmax(logits, axis=-1)          # [S, E] f32
-    expert = jnp.argmax(gates, axis=-1)              # [S]
+                        precision=L.mm_precision(x, router_w))
+    gates = jax.nn.softmax(logits, axis=-1)          # [B, N, E] f32
+    expert = jnp.argmax(gates, axis=-1)              # [B, N]
     onehot = jax.nn.one_hot(expert, e, dtype=jnp.float32)
     # position of each token within its expert's buffer (token order —
     # earlier tokens win capacity, the Switch convention)
-    pos = jnp.cumsum(onehot, axis=0) * onehot        # [S, E], 1-based
+    pos = jnp.cumsum(onehot, axis=1) * onehot        # [B, N, E], 1-based
     kept = onehot * (pos <= c)                       # overflow drops
     slot = jax.nn.one_hot(((pos - 1.0) * onehot).astype(jnp.int32), c,
-                          dtype=jnp.float32)         # [S, E, C]
-    dispatch = kept[:, :, None] * slot               # [S, E, C]
-    top_gate = jnp.sum(gates * kept, axis=-1)        # [S] (0 if dropped)
-    combine = dispatch * top_gate[:, None, None]
+                          dtype=jnp.float32)         # [B, N, E, C]
+    dispatch = kept[..., None] * slot                # [B, N, E, C]
+    top_gate = jnp.sum(gates * kept, axis=-1)        # [B, N] (0 dropped)
+    combine = dispatch * top_gate[..., None, None]
     return dispatch, combine, gates
 
 
@@ -141,24 +151,22 @@ def moe_mlp(x: jnp.ndarray, p: Params, cfg: MoEViTConfig,
     Returns ``(y [B,N,D], gates [B,N,E] f32, aux scalar f32)``. Dropped
     tokens contribute 0 (caller's residual passes them through).
     """
-    bsz, n, d = x.shape
-    x2d = x.reshape(bsz * n, d)
-    dispatch, combine, gates = route(x2d, p["router_w"], cfg)
+    dispatch, combine, gates = route(x, p["router_w"], cfg)
     dd = dispatch.astype(x.dtype)
-    expert_in = jnp.einsum("sec,sd->ecd", dd, x2d,
+    expert_in = jnp.einsum("bnec,bnd->becd", dd, x,
                            preferred_element_type=jnp.float32,
-                           precision=L.mm_precision(dd, x2d)
+                           precision=L.mm_precision(dd, x)
                            ).astype(x.dtype)
-    h = jnp.einsum("ecd,edm->ecm", expert_in, p["exp_fc1_w"],
+    h = jnp.einsum("becd,edm->becm", expert_in, p["exp_fc1_w"],
                    preferred_element_type=jnp.float32,
                    precision=L.mm_precision(expert_in, p["exp_fc1_w"])
-                   ) + p["exp_fc1_b"][:, None, :]
+                   ) + p["exp_fc1_b"][None, :, None, :]
     h = L.gelu(h.astype(x.dtype))
-    out = jnp.einsum("ecm,emd->ecd", h, p["exp_fc2_w"],
+    out = jnp.einsum("becm,emd->becd", h, p["exp_fc2_w"],
                      preferred_element_type=jnp.float32,
                      precision=L.mm_precision(h, p["exp_fc2_w"])
-                     ) + p["exp_fc2_b"][:, None, :]
-    y = jnp.einsum("sec,ecd->sd", combine.astype(jnp.float32),
+                     ) + p["exp_fc2_b"][None, :, None, :]
+    y = jnp.einsum("bnec,becd->bnd", combine.astype(jnp.float32),
                    out.astype(jnp.float32),
                    precision=L.mm_precision(combine)).astype(x.dtype)
     # Switch load-balance loss: E * sum_e f_e * P_e, with f_e the RAW
@@ -168,39 +176,43 @@ def moe_mlp(x: jnp.ndarray, p: Params, cfg: MoEViTConfig,
     # in the collapsed regime the loss exists to prevent
     assign = jax.nn.one_hot(jnp.argmax(gates, axis=-1), cfg.n_experts,
                             dtype=jnp.float32)
-    frac = jnp.mean(assign, axis=0)                  # [E] routed fraction
-    prob = jnp.mean(gates, axis=0)                   # [E] mean gate prob
+    frac = jnp.mean(assign, axis=(0, 1))             # [E] routed fraction
+    prob = jnp.mean(gates, axis=(0, 1))              # [E] mean gate prob
     aux = cfg.n_experts * jnp.sum(frac * prob)
-    return y.reshape(bsz, n, d), gates.reshape(bsz, n, -1), aux
+    return y, gates, aux
 
 
 def moe_mlp_reference(x: jnp.ndarray, p: Params,
                       cfg: MoEViTConfig) -> jnp.ndarray:
-    """Semantic ground truth: per-token python loop (tests only)."""
+    """Semantic ground truth: per-token python loop (tests only).
+
+    Capacity is PER IMAGE (routing groups = batch elements), matching
+    ``route``'s contract."""
     import numpy as np
 
     bsz, n, d = x.shape
-    xf = np.asarray(x.reshape(bsz * n, d), dtype=np.float32)
+    xf = np.asarray(x, dtype=np.float32)
     rw = np.asarray(p["router_w"], dtype=np.float32)
-    logits = xf @ rw
-    gates = np.exp(logits - logits.max(-1, keepdims=True))
-    gates /= gates.sum(-1, keepdims=True)
-    expert = gates.argmax(-1)
-    c = cfg.capacity(bsz * n)
-    counts = np.zeros(cfg.n_experts, dtype=int)
+    c = cfg.capacity(n)
     y = np.zeros_like(xf)
-    for s_i in range(xf.shape[0]):
-        e_i = int(expert[s_i])
-        if counts[e_i] >= c:
-            continue  # dropped: residual passthrough
-        counts[e_i] += 1
-        h = xf[s_i] @ np.asarray(p["exp_fc1_w"][e_i], np.float32)
-        h += np.asarray(p["exp_fc1_b"][e_i], np.float32)
-        h = np.asarray(L.gelu(jnp.asarray(h, x.dtype)), np.float32)
-        o = h @ np.asarray(p["exp_fc2_w"][e_i], np.float32)
-        o += np.asarray(p["exp_fc2_b"][e_i], np.float32)
-        y[s_i] = gates[s_i, e_i] * o
-    return jnp.asarray(y.reshape(bsz, n, d), x.dtype)
+    for b_i in range(bsz):
+        logits = xf[b_i] @ rw
+        gates = np.exp(logits - logits.max(-1, keepdims=True))
+        gates /= gates.sum(-1, keepdims=True)
+        expert = gates.argmax(-1)
+        counts = np.zeros(cfg.n_experts, dtype=int)
+        for t in range(n):
+            e_i = int(expert[t])
+            if counts[e_i] >= c:
+                continue  # dropped: residual passthrough
+            counts[e_i] += 1
+            h = xf[b_i, t] @ np.asarray(p["exp_fc1_w"][e_i], np.float32)
+            h += np.asarray(p["exp_fc1_b"][e_i], np.float32)
+            h = np.asarray(L.gelu(jnp.asarray(h, x.dtype)), np.float32)
+            o = h @ np.asarray(p["exp_fc2_w"][e_i], np.float32)
+            o += np.asarray(p["exp_fc2_b"][e_i], np.float32)
+            y[b_i, t] = gates[t, e_i] * o
+    return jnp.asarray(y, x.dtype)
 
 
 # -- block / forward -----------------------------------------------------------

@@ -170,6 +170,31 @@ def test_dense_blocks_do_not_expose_experts(setup):
     assert "experts" in io1["outs"]
 
 
+def test_moe_safetensors_roundtrip(setup, tmp_path):
+    """MoE params (incl. rank-3 expert weights) survive the native "/"
+    safetensors export -> convert('auto') load, byte-exact — the
+    train -> serve checkpoint path for the family."""
+    from interactive_vit_tpu.models.weights import to_native_flat
+    from interactive_vit_tpu.tools.convert import convert
+    from interactive_vit_tpu.utils.safetensors_io import (
+        load_file, save_file,
+    )
+
+    params = setup[0]
+    path = str(tmp_path / "moe.safetensors")
+    save_file({k: np.asarray(v) for k, v in
+               to_native_flat(params).items()}, path)
+    back = convert("moe_test", "auto", load_file(path))
+    flat_a = to_native_flat(params)
+    flat_b = to_native_flat(back)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
+    assert np.asarray(back["blocks"][1]["exp_fc1_w"]).shape == (
+        CFG.n_experts, CFG.width, CFG.mlp_dim)
+
+
 # -- EP sharding (GSPMD over the virtual mesh) --------------------------------
 
 

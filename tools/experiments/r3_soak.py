@@ -28,7 +28,8 @@ from interactive_vit_tpu.wire.codec import (  # noqa: E402
 )
 
 DURATION_S = 420.0
-app = build_app(models=("vit_t16", "dino_s16", "vgg16", "resnet50"),
+app = build_app(models=("vit_t16", "dino_s16", "vgg16", "resnet50",
+                        "vit_moe_s16"),
                 graphs_dir="/tmp/soak_graphs", dtype_name="bfloat16",
                 max_batch=8, max_wait_ms=5.0)
 httpd = app.serve("127.0.0.1", 0, background=True)
@@ -74,9 +75,24 @@ def dino_features(req, seed=0):
                    {"node": sim_i, "channel": "o"}]
 
 
+def moe_scrub(req, seed=0):
+    """Tap a ROTATING block's attention (and the MoE router on odd
+    blocks): each distinct block is its own program signature, so this
+    client exercises the speculative tap warmer + compile-cache LRU
+    under sustained mixed load (round-3 features)."""
+    blk = seed % 12
+    nodes = req["nodes"]
+    bi = next(i for i, n in enumerate(nodes)
+              if n["endpoint"].endswith(f":blocks.{blk}"))
+    req["taps"].append({"node": bi, "channel": "attn"})
+    if blk % 2 == 1:
+        req["taps"].append({"node": bi, "channel": "experts"})
+
+
 CLIENTS = [
     ("vit_t16", lambda i: chain_request("vit_t16", None, seed=i)),
-    ("vit_t16", lambda i: chain_request("vit_t16", None, seed=i)),
+    ("moe_scrub", lambda i: chain_request(
+        "vit_moe_s16", None, extra=lambda r: moe_scrub(r, i), seed=i)),
     ("dino_feat", lambda i: chain_request(
         "dino_s16", None, extra=lambda r: dino_features(r, i), seed=i)),
     ("dino_feat", lambda i: chain_request(

@@ -92,3 +92,63 @@ def test_trained_model_classifies_over_the_wire(trained_ckpt):
     finally:
         httpd.shutdown()
         app.batcher.stop()
+
+
+def test_moe_trains_and_classifies_over_the_wire(tmp_path):
+    """Same oracle for the MoE family: ivt-train routes vit_moe configs
+    through moe.forward with the Switch aux loss, exports rank-3 expert
+    weights through the native safetensors path, and the served model
+    classifies the memorized set through the full wire stack."""
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.models import moe
+    from interactive_vit_tpu.serving.server import build_app
+    from interactive_vit_tpu.tools import train as train_tool
+    from interactive_vit_tpu.tools.train import pattern_set
+    from interactive_vit_tpu.wire.codec import Request, Response
+
+    cfg = moe.MoEViTConfig("vit_moe_oracle", img_size=32, patch=16,
+                           width=64, depth=2, heads=4, num_classes=10,
+                           n_experts=4, capacity_factor=2.0)
+    moe.VARIANTS["vit_moe_oracle"] = cfg
+    path = str(tmp_path / "vit_moe_oracle.safetensors")
+    try:
+        train_tool.main([
+            "--variant", "vit_moe_oracle", "--steps", "200",
+            "--batch", "16", "--lr", "1e-3", "--memorize", str(N_SET),
+            "--distinct-classes", str(N_CLASSES), "--log-every", "100",
+            "--export-safetensors", path,
+        ])
+        app = build_app(models=("vit_moe_oracle",), graphs_dir=None,
+                        ckpts={"vit_moe_oracle": path}, max_wait_ms=5.0)
+        httpd = app.serve("127.0.0.1", 0, background=True)
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            images, labels = pattern_set(0, N_SET, cfg.img_size,
+                                         N_CLASSES, N_CLASSES)
+            chain = ["vit_moe_oracle:embed", "vit_moe_oracle:blocks.0",
+                     "vit_moe_oracle:blocks.1", "vit_moe_oracle:norm",
+                     "vit_moe_oracle:head"]
+            correct = 0
+            for i in range(0, N_SET, 2):
+                g = Graph()
+                nodes = [g.add_node(name) for name in chain]
+                for a, b in zip(nodes, nodes[1:]):
+                    g.connect(a, "o", b, "o")
+                g.add_input(images[i], nodes[0], "o")
+                req = urllib.request.Request(
+                    base + "/compute", data=Request.encode(g),
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    outs = Response.decode(r.read())
+                logits = [v for sub in outs.values()
+                          for v in sub.values()
+                          if v.shape == (1, N_CLASSES)]
+                correct += int(np.asarray(logits[-1]).argmax()) == int(
+                    labels[i])
+            acc = correct / len(range(0, N_SET, 2))
+            assert acc > 0.9, f"served MoE top-1 {acc:.2f} <= 0.9"
+        finally:
+            httpd.shutdown()
+            app.batcher.stop()
+    finally:
+        del moe.VARIANTS["vit_moe_oracle"]

@@ -441,7 +441,8 @@ class Executor:
         with self._cache_lock:
             return self._program_sig(graph, tap_set, batch) in self._cache
 
-    def precompile(self, graph: Graph, taps: TapSpec = "primary") -> bool:
+    def precompile(self, graph: Graph, taps: TapSpec = "primary",
+                   batch: Optional[int] = None) -> bool:
         """Compile ``(graph, taps)`` into the program cache WITHOUT executing.
 
         The speculative tap warmer's entry point (serving/speculate.py):
@@ -451,6 +452,14 @@ class Executor:
         with ``run()``: the program cache is lock-guarded, jit compilation
         is thread-safe, and no device arrays are produced (the backend's
         cross-thread transfer hazard — CLAUDE.md trap #5 — never arises).
+
+        ``batch`` > 1 precompiles the VMAPPED bucket program
+        ``run_stacked`` would build for a ``batch``-request group (bucket
+        rounding included), so a burst of concurrent same-signature
+        sessions doesn't cold-compile mid-traffic. Dynamic-capture slots
+        are stored as ShapeDtypeStructs — safe because ``run_stacked``'s
+        cache-hit path rebuilds ALL dynamic capture rows for the actual
+        group before calling the program.
 
         Mesh mode is refused: capture placement does ``device_put``s,
         which must stay on the serving worker thread on this backend.
@@ -462,20 +471,35 @@ class Executor:
             return False
         self.validate(graph)
         tap_set = resolve_taps(graph, taps, self.reg)
-        sig = self._program_sig(graph, tap_set)
+        sig = self._program_sig(graph, tap_set, batch=batch)
         with self._cache_lock:
             if sig in self._cache:
                 return False
         staged, out_keys, caps_arg = self._stage(graph, tap_set)
 
-        def spec(t):
+        def spec(t, lead=()):
             dt = (t.dtype if hasattr(t, "dtype")
                   else np.asarray(t).dtype)
-            return jax.ShapeDtypeStruct(tuple(np.shape(t)), dt)
+            return jax.ShapeDtypeStruct(tuple(lead) + tuple(np.shape(t)),
+                                        dt)
 
         inputs = tuple(spec(e.tensor) for _, _, e in graph.input_edges())
-        fn = _jit(staged, inputs, caps_arg, mesh=None, batched=False)
-        fn = fn.lower(inputs, caps_arg).compile()
+        if batch is None or batch <= 1:
+            fn = _jit(staged, inputs, caps_arg, mesh=None, batched=False)
+            fn = fn.lower(inputs, caps_arg).compile()
+        else:
+            bucket = self._stacked_bucket(batch)
+            dyn_keys = self._dyn_cap_keys(graph, caps_arg)
+            caps_arg = dict(caps_arg)
+            for dk in dyn_keys:
+                caps_arg[dk] = jax.tree.map(
+                    lambda x: spec(x, lead=(bucket,)), caps_arg[dk])
+            caps_axes = {k: (0 if k in dyn_keys else None)
+                         for k in caps_arg}
+            stacked = tuple(spec(s, lead=(bucket,)) for s in inputs)
+            vmapped = jax.vmap(staged, in_axes=(0, caps_axes), out_axes=0)
+            fn = _jit(vmapped, stacked, caps_arg, mesh=None, batched=True)
+            fn = fn.lower(stacked, caps_arg).compile()
         self._cache_put(sig, (fn, out_keys, caps_arg))
         return True
 

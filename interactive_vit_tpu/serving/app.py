@@ -74,6 +74,7 @@ class App:
         mesh=None,
         compute_timeout_s: float = 120.0,
         speculate: bool = True,
+        speculate_buckets=(1,),
     ):
         self.compute_timeout_s = compute_timeout_s
         self.reg = reg or registry()
@@ -99,6 +100,7 @@ class App:
             self.speculator = TapSpeculator(
                 self.executor,
                 idle=lambda: self.batcher.quiet_for(1.5),
+                buckets=speculate_buckets,
             )
 
     # -- endpoint implementations (transport-independent) ---------------------

@@ -67,6 +67,7 @@ def build_app(
     ckpts=None,
     ckpt_layout: str = "auto",
     speculate: bool = True,
+    speculate_buckets=(1,),
 ) -> App:
     reg = registry()
     register_builtin(reg)
@@ -97,6 +98,7 @@ def build_app(
         mesh=mesh,
         compute_timeout_s=compute_timeout_s,
         speculate=speculate,
+        speculate_buckets=speculate_buckets,
     )
 
     from interactive_vit_tpu.models.clip_plugin import make_clip_model
@@ -284,6 +286,12 @@ def main() -> None:
                              "'default' uses whatever JAX selects")
     parser.add_argument("--jit-cache", default="/tmp/ivt_jit_cache",
                         help="persistent compilation cache dir ('' = off)")
+    parser.add_argument("--speculate-buckets", default="1",
+                        help="comma-separated micro-batch buckets the "
+                             "tap warmer precompiles per variant (e.g. "
+                             "'1,4,8' when concurrent same-graph "
+                             "sessions are expected; default single-"
+                             "request programs only)")
     parser.add_argument("--no-speculate", action="store_true",
                         help="disable the speculative tap warmer (the "
                              "background thread that precompiles "
@@ -323,6 +331,8 @@ def main() -> None:
         ckpts=dict(kv.split("=", 1) for kv in args.ckpt),
         ckpt_layout=args.ckpt_layout,
         speculate=not args.no_speculate,
+        speculate_buckets=tuple(
+            int(b) for b in args.speculate_buckets.split(",") if b),
     )
     if args.warmup:
         # warm every power-of-two micro-batch bucket up to --max-batch:

@@ -160,12 +160,20 @@ class TapSpeculator:
 
     def __init__(self, executor: Executor,
                  idle: Optional[Callable[[], bool]] = None,
-                 max_queue: int = 64, idle_grace_s: float = 0.25):
+                 max_queue: int = 64, idle_grace_s: float = 0.25,
+                 buckets: Tuple[int, ...] = (1,)):
         self.executor = executor
         self.idle = idle or (lambda: True)
         self.max_queue = max_queue
         self.idle_grace_s = idle_grace_s
-        self._jobs: List[Tuple[str, Graph, TapSpec]] = []  # LIFO stack
+        # micro-batch buckets to precompile per variant: (1,) = the
+        # single-request program only; add 2/4/8 when concurrent
+        # same-graph sessions are expected (a burst otherwise
+        # cold-compiles each vmapped bucket mid-traffic). Buckets > 1
+        # also warm the OBSERVED graph itself, not just its variants.
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        # (sig, graph, taps, bucket) jobs, LIFO stack
+        self._jobs: List[Tuple[str, Graph, TapSpec, int]] = []
         self._queued: set = set()
         self._done: set = set()
         self._lock = threading.Lock()
@@ -185,21 +193,32 @@ class TapSpeculator:
             variants = tap_variants(graph, taps, self.executor.reg)
         except Exception:  # noqa: BLE001 — malformed graphs just don't warm
             return 0
+        # larger buckets warm the observed graph itself too: the burst
+        # case is "several users tapping the SAME thing concurrently".
+        # LIFO pop order = reverse of this list: single-request variant
+        # programs first (the likeliest next need), then bucket
+        # programs, then the observed graph's own buckets
+        candidates = [(graph, taps, b)
+                      for b in sorted(self.buckets, reverse=True) if b > 1]
+        candidates += [(v, vt, b)
+                       for b in sorted(self.buckets, reverse=True)
+                       for v, vt in variants]
         added = 0
         with self._lock:
-            for v, vtaps in variants:
+            for v, vtaps, bkt in candidates:
                 try:
                     from interactive_vit_tpu.graph.executor import (
                         resolve_taps,
                     )
 
                     sig = self.executor._program_sig(
-                        v, resolve_taps(v, vtaps, self.executor.reg))
+                        v, resolve_taps(v, vtaps, self.executor.reg),
+                        batch=(bkt if bkt > 1 else None))
                 except Exception:  # noqa: BLE001
                     continue
                 if sig in self._queued or sig in self._done:
                     continue
-                self._jobs.append((sig, v, vtaps))
+                self._jobs.append((sig, v, vtaps, bkt))
                 self._queued.add(sig)
                 added += 1
             # bound the queue, dropping OLDEST first — and release their
@@ -209,7 +228,7 @@ class TapSpeculator:
                                         - self.max_queue)]
             if overflow:
                 del self._jobs[: len(overflow)]
-                self._queued.difference_update(s for s, _, _ in overflow)
+                self._queued.difference_update(j[0] for j in overflow)
                 added = max(0, added - len(overflow))
         if added:
             self._wake.set()
@@ -267,10 +286,11 @@ class TapSpeculator:
             self._compile(job)
 
     def _compile(self, job) -> int:
-        sig, graph, taps = job
+        sig, graph, taps, bkt = job
         try:
             t0 = time.perf_counter()
-            fresh = self.executor.precompile(graph, taps)
+            fresh = self.executor.precompile(
+                graph, taps, batch=(bkt if bkt > 1 else None))
             self._done.add(sig)
             if len(self._done) > 4096:
                 self._done.clear()

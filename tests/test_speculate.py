@@ -172,6 +172,53 @@ def test_speculator_background_thread(setup):
         spec.stop()
 
 
+def test_precompile_stacked_bucket_serves_run_stacked(setup):
+    """precompile(batch=k) builds the exact vmapped bucket program
+    run_stacked needs — including dynamic-capture slots, which the
+    cache-hit path rebuilds per group (the stored ShapeDtypeStructs
+    never execute)."""
+    reg = Registry()
+    from interactive_vit_tpu.ops.node_ops import register_builtin as rb
+
+    rb(reg)
+    ex = Executor(reg)
+
+    def cos_graph(a):
+        g = Graph()
+        n = g.add_node("cos", {"A": a})
+        g.add_input(np.linspace(0, 1, 8, dtype=np.float32), n, "o")
+        return g
+
+    assert ex.precompile(cos_graph("1.0"), "all", batch=3) is True
+    assert ex.is_compiled(cos_graph("1.0"), "all", batch=3)
+    # cos A is a DYNAMIC param: different values share the program and
+    # their capture rows must come from the group, not the cache entry
+    outs = ex.run_stacked([cos_graph("2.0"), cos_graph("5.0"),
+                           cos_graph("2.0")], taps="all")
+    assert ex.last_stats.cache_hit is True
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    np.testing.assert_allclose(outs[0][0]["o"], np.cos(2.0 * x),
+                               rtol=1e-5)
+    np.testing.assert_allclose(outs[1][0]["o"], np.cos(5.0 * x),
+                               rtol=1e-5)
+
+
+def test_speculator_buckets_cover_variants_and_original(setup):
+    model, reg = setup
+    ex = Executor(reg)
+    spec = TapSpeculator(ex, buckets=(1, 2))
+    g = make_graph(model, 0)
+    added = spec.observe(g, "primary")
+    # (depth-1) variants x 2 buckets + the observed graph at bucket 2
+    assert added == (CFG.depth - 1) * 2 + 1
+    assert spec.drain() == added
+    # bucket-2 program for the ORIGINAL tap is warm: a 2-user burst on
+    # the same viewer never cold-compiles
+    assert ex.is_compiled(make_graph(model, 0), "primary", batch=2)
+    assert ex.is_compiled(make_graph(model, 1), "primary", batch=2)
+    assert ex.is_compiled(make_graph(model, 1), "primary")
+
+
 def test_rollout_carry_edges_are_not_retarget_candidates(setup):
     """Block-to-block r carries (blocks.i r -> blocks.i+1 r) are chain
     wiring, not viewer taps: a depth-d rollout chain must yield one

@@ -39,13 +39,16 @@ def trained_ckpt(tmp_path_factory):
     del vit.VARIANTS["vit_oracle"]
 
 
-def test_trained_model_classifies_over_the_wire(trained_ckpt):
+def test_trained_model_classifies_over_the_wire(trained_ckpt, tmp_path):
     from interactive_vit_tpu.graph.ir import Graph
     from interactive_vit_tpu.serving.server import build_app
     from interactive_vit_tpu.tools.train import pattern_set
     from interactive_vit_tpu.wire.codec import Request, Response
 
-    app = build_app(models=("vit_oracle",), graphs_dir=None,
+    # explicit tmp graphs dir: graphs_dir=None falls back to the repo's
+    # static/graphs and registration would write the generated JSON there
+    app = build_app(models=("vit_oracle",),
+                    graphs_dir=str(tmp_path / "graphs"),
                     ckpts={"vit_oracle": trained_ckpt}, max_wait_ms=5.0)
     httpd = app.serve("127.0.0.1", 0, background=True)
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -118,7 +121,11 @@ def test_moe_trains_and_classifies_over_the_wire(tmp_path):
             "--distinct-classes", str(N_CLASSES), "--log-every", "100",
             "--export-safetensors", path,
         ])
-        app = build_app(models=("vit_moe_oracle",), graphs_dir=None,
+        # explicit tmp graphs dir: graphs_dir=None falls back to the
+        # repo's static/graphs, and registration would write this test
+        # model's generated graph JSON into the tree
+        app = build_app(models=("vit_moe_oracle",),
+                        graphs_dir=str(tmp_path / "graphs"),
                         ckpts={"vit_moe_oracle": path}, max_wait_ms=5.0)
         httpd = app.serve("127.0.0.1", 0, background=True)
         base = f"http://127.0.0.1:{httpd.server_address[1]}"

@@ -8,17 +8,19 @@ shard over the mesh "model" axis, written entirely as static-shape
 einsums so XLA/GSPMD lowers the token dispatch/combine to MXU matmuls +
 ICI collectives — no gather/scatter, no dynamic shapes, no host routing.
 
-Routing (Switch Transformer, top-1, capacity-factor dropping):
+Routing (Switch Transformer, top-1, capacity-factor dropping, grouped
+PER IMAGE — see ``route`` for why per-image grouping is a performance
+contract, not a detail):
 
-- router logits ``x @ router_w`` -> softmax gates [S, E] (f32);
+- router logits ``x @ router_w`` -> softmax gates [B, N, E] (f32);
 - each token goes to its argmax expert; tokens beyond an expert's
-  capacity ``C = ceil(f * S / E)`` are DROPPED (residual passthrough) —
-  the standard Switch overflow semantics;
-- dispatch is a one-hot [S, E, C] mask, so ``expert_in = einsum('sec,sd
-  ->ecd')`` and the combine is its transpose weighted by the gate — both
-  are big dense matmuls, the canonical GShard/Switch formulation;
-- experts run as ONE batched MLP over the leading E dim ([E,C,D] x
-  [E,D,M]) — MXU-batched, and the E dim is what EP shards.
+  per-image capacity ``C = ceil(f * N / E)`` are DROPPED (residual
+  passthrough) — the standard Switch overflow semantics;
+- dispatch is a one-hot [B, N, E, C] mask, so ``expert_in =
+  einsum('bnec,bnd->becd')`` and the combine is its transpose weighted
+  by the gate — dense matmuls, the canonical GShard/Switch formulation;
+- experts run as ONE batched MLP over the E dim ([B,E,C,D] x [E,D,M])
+  — MXU-batched, and the E dim is what EP shards.
 
 EP = ``param_spec`` maps ``exp_*`` weights to ``P("model", ...)``: with
 experts sharded over "model" the dispatch einsum's [E,C,D] output is

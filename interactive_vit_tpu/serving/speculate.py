@@ -198,7 +198,9 @@ class TapSpeculator:
         # LIFO pop order = reverse of this list: single-request variant
         # programs first (the likeliest next need), then bucket
         # programs, then the observed graph's own buckets
-        candidates = [(graph, taps, b)
+        # shape-only clone: holding the decoded request graph would pin
+        # its real input arrays (~600KB/image) in the job queue
+        candidates = [(_clone_shape_graph(graph), taps, b)
                       for b in sorted(self.buckets, reverse=True) if b > 1]
         candidates += [(v, vt, b)
                        for b in sorted(self.buckets, reverse=True)

@@ -29,7 +29,12 @@ def _npy_meta(path: str) -> Tuple[Tuple[int, ...], np.dtype, int]:
     """(shape, dtype, data_offset) of an .npy without loading it."""
     with open(path, "rb") as f:
         version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        # public per-version readers (the private _read_array_header has
+        # been reshuffled across numpy majors)
+        if version == (1, 0):
+            shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+        else:
+            shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
         if fortran:
             raise ValueError(f"{path}: fortran-order arrays unsupported")
         return shape, dtype, f.tell()
@@ -204,6 +209,10 @@ class Loader:
                 lp = ctypes.POINTER(ctypes.c_int64)()
                 epoch = self._lib.ivt_loader_borrow(
                     self._handle, ctypes.byref(ip), ctypes.byref(lp))
+                if epoch < 0:
+                    raise RuntimeError(
+                        "native loader worker failed (host memory "
+                        "pressure?) — restart or use backend='numpy'")
                 self._borrowed = True
                 images = np.ctypeslib.as_array(
                     ip, (self.batch, self.c, self.h, self.w))
@@ -215,6 +224,10 @@ class Loader:
             epoch = self._lib.ivt_loader_next(
                 self._handle, images.ctypes.data_as(ctypes.c_void_p),
                 labels.ctypes.data_as(ctypes.c_void_p))
+            if epoch < 0:
+                raise RuntimeError(
+                    "native loader worker failed (host memory "
+                    "pressure?) — restart or use backend='numpy'")
             return images, labels, int(epoch)
         # fallback path
         epoch, b = divmod(self._cursor, self.batches_per_epoch)

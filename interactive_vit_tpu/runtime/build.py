@@ -14,6 +14,21 @@ import subprocess
 HERE = os.path.dirname(os.path.abspath(__file__))
 SOURCES = ["wirecodec.cpp", "dataloader.cpp"]
 SO_PATH = os.path.join(HERE, "_ivt_native.so")
+# -march=native makes the .so machine-specific; the marker records the
+# building CPU so a prebuilt .so is never dlopen'ed on a different
+# micro-architecture (first call would SIGILL — uncatchable)
+MARKER_PATH = SO_PATH + ".cpu"
+
+
+def _cpu_id() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return "unknown"
 
 
 def is_stale() -> bool:
@@ -27,9 +42,15 @@ def is_stale() -> bool:
         )
     except OSError:
         # sources stripped from the install (wheel without .cpp): the
-        # shipped .so is all there is — use it rather than disabling the
-        # native tier
-        return False
+        # shipped .so is all there is — usable only if it was built on
+        # this CPU model (-march=native); otherwise signal stale so the
+        # caller's build() fails cleanly and native.py falls back to the
+        # Python paths instead of SIGILLing on the first call
+        try:
+            with open(MARKER_PATH) as f:
+                return f.read().strip() != _cpu_id()
+        except OSError:
+            return True
 
 
 def build(verbose: bool = False) -> str:
@@ -47,6 +68,8 @@ def build(verbose: bool = False) -> str:
     if res.returncode != 0:
         raise RuntimeError(f"native build failed:\n{res.stderr}")
     os.replace(tmp, SO_PATH)
+    with open(MARKER_PATH, "w") as f:
+        f.write(_cpu_id() + "\n")
     if verbose:
         print(f"built {SO_PATH}")
     return SO_PATH

@@ -92,6 +92,9 @@ struct Loader {
     std::mutex mu;
     std::condition_variable cv_ready, cv_free;
     bool stopping = false;
+    bool failed = false;    // a worker threw (e.g. bad_alloc): consumers
+                            // get -1 instead of the process terminating
+    bool borrowed = false;  // a borrow is outstanding (release's guard)
 
     // epoch -> shuffled indices (cached for the CURRENT producer epochs;
     // workers near an epoch boundary may need two)
@@ -149,6 +152,23 @@ struct Loader {
     }
 
     void worker() {
+        // an exception escaping a std::thread entry point calls
+        // std::terminate — host memory pressure (bad_alloc on a slot
+        // resize) must surface as a consumer-visible error instead
+        try {
+            worker_loop();
+        } catch (...) {
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                failed = true;
+                stopping = true;
+            }
+            cv_ready.notify_all();
+            cv_free.notify_all();
+        }
+    }
+
+    void worker_loop() {
         for (;;) {
             uint64_t ticket = next_batch.fetch_add(1);
             uint64_t slot_i = ticket % slots.size();
@@ -190,10 +210,21 @@ void* ivt_loader_open(const char* images_path, uint64_t images_offset,
         return nullptr;
     }
     L->item_floats = static_cast<uint64_t>(c) * h * w;
-    size_t need_img =
-        images_offset + n * L->item_floats * sizeof(float);
-    size_t need_lab = labels_offset + n * sizeof(int64_t);
-    if (L->images_map.len < need_img || L->labels_map.len < need_lab) {
+    // overflow-guarded size math: a corrupt .npy header claiming a huge
+    // n/shape would wrap the byte count to a small value and defeat the
+    // truncation check below (then fault or bad_alloc later)
+    if (!L->item_floats ||
+        n > SIZE_MAX / sizeof(float) / L->item_floats ||
+        n > SIZE_MAX / sizeof(int64_t)) {
+        delete L;
+        return nullptr;
+    }
+    size_t img_bytes = n * L->item_floats * sizeof(float);
+    size_t lab_bytes = n * sizeof(int64_t);
+    if (images_offset > L->images_map.len ||
+        labels_offset > L->labels_map.len ||
+        L->images_map.len - images_offset < img_bytes ||
+        L->labels_map.len - labels_offset < lab_bytes) {
         delete L;
         return nullptr;  // truncated file: refuse instead of faulting
     }
@@ -241,8 +272,9 @@ int64_t ivt_loader_next(void* handle, float* out_images,
     {
         std::unique_lock<std::mutex> lk(L->mu);
         L->cv_ready.wait(lk, [&] {
-            return slot.ready && slot.seq == want;
+            return L->failed || (slot.ready && slot.seq == want);
         });
+        if (L->failed) return -1;
     }
     std::memcpy(out_images, slot.images.data(),
                 slot.images.size() * sizeof(float));
@@ -269,8 +301,10 @@ int64_t ivt_loader_borrow(void* handle, const float** images,
     {
         std::unique_lock<std::mutex> lk(L->mu);
         L->cv_ready.wait(lk, [&] {
-            return slot.ready && slot.seq == want;
+            return L->failed || (slot.ready && slot.seq == want);
         });
+        if (L->failed) return -1;
+        L->borrowed = true;
     }
     *images = slot.images.data();
     *labels = slot.labels.data();
@@ -284,7 +318,12 @@ void ivt_loader_release(void* handle) {
     Slot& slot = L->slots[want % L->slots.size()];
     {
         std::lock_guard<std::mutex> lk(L->mu);
-        if (!slot.ready || slot.seq != want) return;  // nothing borrowed
+        // explicit borrow bookkeeping: the previous "slot looks ready"
+        // heuristic let a stray release (double release, or release
+        // without borrow) silently consume and drop an unborrowed
+        // batch — an untraceable determinism break
+        if (!L->borrowed) return;
+        L->borrowed = false;
         slot.ready = false;
         L->consumed = want + 1;
     }

@@ -19,6 +19,7 @@ logger = logging.getLogger(__name__)
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 MAX_BLOCKS = 65536
 
@@ -35,8 +36,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
         return _lib
-    _tried = True
+    with _load_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
+    # double-checked under _load_lock: the build takes seconds of g++,
+    # and setting _tried before it completes would hand a concurrent
+    # first caller None — permanently caching the slow Python codec
+    # path for that importer's process lifetime
+    global _lib, _tried
+    if _tried:
+        return _lib
     if os.environ.get("IVT_NATIVE", "1") == "0":
+        _tried = True
         return None
     try:
         from interactive_vit_tpu.runtime import build
@@ -69,6 +82,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         logger.warning("native runtime unavailable (%s); using Python paths",
                        err)
         _lib = None
+    _tried = True  # only after the build/load fully resolved
     return _lib
 
 

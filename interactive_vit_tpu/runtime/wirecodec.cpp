@@ -69,7 +69,10 @@ int ivt_scan(const uint8_t* buf, uint64_t len, uint32_t expect_magic,
     const uint32_t block_size = read_u32(buf + off);
     const uint32_t dims = read_u32(buf + off + 4);
     off += 8;
-    if (off + 4ull * dims > len) return -3;
+    // wrap-proof form: off <= len holds here (previous checks), so
+    // len - off cannot underflow; "off + 4*dims > len" would wrap for
+    // adversarial values and accept an out-of-range extent
+    if (4ull * dims > len - off) return -3;
     dims_off[i] = off;
     dim_cnt[i] = dims;
     uint64_t elems = 1;
@@ -81,7 +84,12 @@ int ivt_scan(const uint8_t* buf, uint64_t len, uint32_t expect_magic,
       elems *= dim;
     }
     off += 4ull * dims;
-    if (off + 4ull * elems > len) return -3;
+    // elems <= UINT64_MAX/4 (guard above) so 4*elems cannot wrap, but
+    // off + 4*elems CAN (verified: dims [0x80000002,0x7FFFFFFE] gives
+    // 4*elems = 2^64-16, wrapping past len and leaking a raw numpy
+    // ValueError where the contract requires WireError) — compare
+    // against the remaining extent instead
+    if (4ull * elems > len - off) return -3;
     data_off[i] = off;
     elem_cnt[i] = elems;
     off += 4ull * elems;

@@ -193,3 +193,34 @@ def test_borrow_mode_stream_matches_and_invalidates(dataset):
         assert not np.array_equal(np.asarray(stale_view), snapshot)
     finally:
         nat.close()
+
+
+def test_stray_release_does_not_drop_a_batch(dataset):
+    """ivt_loader_release without an outstanding borrow must be a no-op:
+    the old 'slot looks ready' guard let a stray/double release silently
+    consume an unborrowed batch — an untraceable determinism break."""
+    prefix, _i, _l = dataset
+    nat = Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=8,
+                 seed=9, borrow=True, backend="auto")
+    if not nat.native:
+        pytest.skip("native loader not built")
+    py = Loader(prefix + "_images.npy", prefix + "_labels.npy", batch=8,
+                seed=9, backend="python")
+    try:
+        ai, al, _ = next(nat)
+        snapshot = np.array(ai)
+        # stray releases while a borrow is outstanding (the wrapper
+        # released once internally per next(); these are EXTRA)
+        nat._lib.ivt_loader_release(nat._handle)  # releases the borrow
+        nat._lib.ivt_loader_release(nat._handle)  # stray: must no-op
+        nat._lib.ivt_loader_release(nat._handle)  # stray: must no-op
+        nat._borrowed = False  # wrapper bookkeeping matches reality
+        bi0, _, _ = next(py)
+        np.testing.assert_array_equal(snapshot, bi0)
+        # the NEXT native batch is python batch 1, not 2/3: the stray
+        # releases dropped nothing
+        ai1, _, _ = next(nat)
+        bi1, _, _ = next(py)
+        np.testing.assert_array_equal(np.array(ai1), bi1)
+    finally:
+        nat.close()

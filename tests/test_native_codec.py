@@ -72,6 +72,32 @@ def test_scan_error_classes(lib):
         codec.decode_message(b"\x01", expect_magic=codec.REQUEST_MAGIC)
 
 
+def test_scan_rejects_wrapping_data_extent(lib):
+    """A crafted dims pair whose 4*elems wraps uint64 must be a
+    WireError on BOTH codec paths — the wrapped extent check previously
+    accepted it on the native path and numpy then raised a raw
+    ValueError ('array is too big'), breaking error-class parity."""
+    import struct
+
+    json_b = b"{}"
+    # block: size=0 (start+block_size==off holds exactly because the
+    # forged extent wraps back to start), dims [0x80000002, 0x7FFFFFFE]
+    block = struct.pack("<II", 0, 2) + struct.pack(
+        "<II", 0x80000002, 0x7FFFFFFE)
+    body = json_b + b"\x00" * ((-len(json_b)) % 4) + block
+    raw = struct.pack("<IIII", 16 + len(body), codec.REQUEST_MAGIC,
+                      1, len(json_b)) + body
+    with pytest.raises(codec.WireError):
+        codec.decode_message(raw, expect_magic=codec.REQUEST_MAGIC)
+    saved = codec._native
+    codec._native = None
+    try:
+        with pytest.raises(codec.WireError):
+            codec.decode_message(raw, expect_magic=codec.REQUEST_MAGIC)
+    finally:
+        codec._native = saved
+
+
 def test_fuzz_parity_with_python(lib):
     """Random messages: native decode == python decode, byte-for-byte."""
     rng = np.random.default_rng(2)

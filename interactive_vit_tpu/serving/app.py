@@ -284,7 +284,13 @@ class App:
                         names = [n for n in qs.get("names", "").split(",") if n]
                         self._json(app.descriptions(names))
                     elif path == "/metrics":
-                        self._json(app.metrics.snapshot())
+                        snap = app.metrics.snapshot()
+                        if app.speculator is not None:
+                            snap["speculative_compiled"] = \
+                                app.speculator.compiled
+                            snap["speculative_queued"] = len(
+                                app.speculator._jobs)
+                        self._json(snap)
                     elif path == "/health":
                         h = app.health()
                         self._json(h, code=200 if h["ok"] else 503)

@@ -96,6 +96,14 @@ def default_mlp_impl(name: str = "auto", dtype=None, d: int = 0,
     from interactive_vit_tpu.ops import fused_mlp as fm
 
     if name == "fused":
+        if d and mlp_dim and not fm.fits(d, mlp_dim, dtype):
+            # same policy as the w8a8 branch: a scoped-VMEM breach is a
+            # deterministic COMPILE failure that kills the whole program
+            # (CLAUDE.md) — fail loudly instead of letting it through
+            raise ValueError(
+                f"fused MLP kernel does not fit VMEM for d={d}, "
+                f"mlp_dim={mlp_dim}; use mlp_impl='auto'/'reference'"
+            )
         return fm.fused_mlp_block
     if name == "w8a8":
         bq = fm.pick_block_q_w8a8(d, mlp_dim)

@@ -264,6 +264,15 @@ def flash_attention(
     kf = k.reshape(b * h, n, d)
     vf = v.reshape(b * h, n, d)
 
+    if want_attn and n > ROWFULL_MAX_N:
+        # maps on a very long sequence: the row-resident working set
+        # (f32 scores block + probs tap + full K/V rows, x~1.6 compile
+        # headroom per CLAUDE.md) exceeds scoped VMEM and a breach is a
+        # deterministic COMPILE KILL, not a runtime error — fall back to
+        # the jnp reference, which streams the O(N^2) maps through HBM
+        from interactive_vit_tpu.ops.attention import attention_reference
+
+        return attention_reference(q, k, v, want_attn=True, n_real=n_real)
     if want_attn or n <= ROWFULL_MAX_N:
         # exact shapes: Mosaic masks the edge blocks, no host-side padding
         out, probs = _rowfull_call(qf, kf, vf, n_real, want_attn,

@@ -170,6 +170,12 @@ def fused_attn_block(
     emit_heads = None
     if want_attn and attn_heads is not None:
         emit_heads = tuple(sorted(set(int(h) for h in attn_heads)))
+        if not emit_heads:
+            # an empty subset would build a zero-size Pallas output
+            # block — a FATAL Mosaic compile error, not a clean raise;
+            # callers wanting "no maps" pass want_attn=False
+            raise ValueError("attn_heads must be non-empty when "
+                             "want_attn=True (None = all heads)")
         if any(h < 0 or h >= heads for h in emit_heads):
             raise ValueError(f"attn_heads {attn_heads} out of range "
                              f"for {heads} heads")
@@ -425,6 +431,11 @@ def headwise_attn_block(
     sel_probs = None
     if want_attn and attn_heads is not None:
         sel = tuple(sorted(set(int(h) for h in attn_heads)))
+        if not sel:
+            # jnp.stack([]) below would raise an opaque ValueError;
+            # match fused_attn_block's explicit contract instead
+            raise ValueError("attn_heads must be non-empty when "
+                             "want_attn=True (None = all heads)")
         if any(h < 0 or h >= heads for h in sel):
             raise ValueError(f"attn_heads {attn_heads} out of range "
                              f"for {heads} heads")

@@ -157,6 +157,23 @@ def imagenet_normalize(x: jnp.ndarray,
     return (x - m) / s
 
 
+def target_dims(h: int, w: int, size: int,
+                resize_to: Optional[int] = None):
+    """Shorter-side resize target (nh, nw) for the eval transform.
+
+    THE single copy of this math — ``preprocess`` (gather path) and
+    ``preprocess_mm`` (matmul path) are parity-coupled, so the rounding
+    must not be able to drift between them. Default ``resize_to`` is the
+    ImageNet recipe (shorter side to size*256/224, crop ``size``); pass
+    ``resize_to=size`` for recipes that resize the shorter side DIRECTLY
+    to the crop size (OpenAI CLIP)."""
+    if resize_to is None:
+        resize_to = int(size * 256 / 224)
+    if h < w:
+        return resize_to, max(resize_to, int(round(w * resize_to / h)))
+    return max(resize_to, int(round(h * resize_to / w))), resize_to
+
+
 def preprocess(images: jnp.ndarray, size: int,
                mean=(0.485, 0.456, 0.406),
                std=(0.229, 0.224, 0.225)) -> jnp.ndarray:
@@ -170,11 +187,7 @@ def preprocess(images: jnp.ndarray, size: int,
     if squeeze:
         images = images[None]
     b, c, h, w = images.shape
-    resize_to = int(size * 256 / 224)
-    if h < w:
-        nh, nw = resize_to, max(resize_to, int(round(w * resize_to / h)))
-    else:
-        nh, nw = max(resize_to, int(round(h * resize_to / w))), resize_to
+    nh, nw = target_dims(h, w, size)
     x = jax.image.resize(images, (b, c, nh, nw), method="bilinear")
     top, left = (nh - size) // 2, (nw - size) // 2
     x = x[:, :, top : top + size, left : left + size]

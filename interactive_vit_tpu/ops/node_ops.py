@@ -657,8 +657,13 @@ class SimilarityNode(NodeKind):
             squeeze = a.ndim == 1
             if squeeze:
                 a = a[None]
-            a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
-            b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+            # norm clamp: a zero embedding (e.g. a const-0 node wired
+            # in) must yield zero similarity, not NaN logits — same
+            # guard as patch_sim/pca_view
+            a = a / jnp.maximum(
+                jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+            b = b / jnp.maximum(
+                jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
             logits = jnp.einsum(
                 "bd,pd->bp", a, b, preferred_element_type=jnp.float32,
                 precision=mm_precision(a, b),

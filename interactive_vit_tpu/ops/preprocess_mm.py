@@ -75,19 +75,9 @@ def resize_matrix(in_size: int, out_size: int,
     return w
 
 
-def _target_dims(h: int, w: int, size: int,
-                 resize_to: Optional[int] = None) -> Tuple[int, int]:
-    """Shorter-side resize target (parity with ``layers.preprocess``).
-
-    Default ``resize_to`` is the ImageNet eval recipe (resize shorter
-    side to size*256/224, crop ``size``); pass ``resize_to=size`` for
-    recipes that resize the shorter side DIRECTLY to the crop size
-    (OpenAI CLIP) — the crop then only trims the long side."""
-    if resize_to is None:
-        resize_to = int(size * 256 / 224)
-    if h < w:
-        return resize_to, max(resize_to, int(round(w * resize_to / h)))
-    return max(resize_to, int(round(h * resize_to / w))), resize_to
+# the single copy of the shorter-side resize math lives in layers.py —
+# the two preprocess paths are parity-coupled and must not drift
+from interactive_vit_tpu.ops.layers import target_dims as _target_dims
 
 
 def preprocess_mm(

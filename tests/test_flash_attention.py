@@ -68,6 +68,24 @@ def test_online_kernel_long_sequence():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
 
 
+def test_maps_on_long_sequence_fall_back_to_reference():
+    """want_attn past ROWFULL_MAX_N must NOT reach the row-resident
+    kernel (its working set breaches scoped VMEM — a deterministic
+    compile kill on the chip); the jnp reference serves the maps."""
+    q, k, v = make_qkv(1, 1, 300, 16, seed=7)
+    orig = fa.ROWFULL_MAX_N
+    fa.ROWFULL_MAX_N = 128
+    try:
+        out, probs = fa.flash_attention(q, k, v, want_attn=True)
+    finally:
+        fa.ROWFULL_MAX_N = orig
+    ref_out, ref_probs = attention_reference(q, k, v, want_attn=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=1e-5)
+
+
 def test_online_matches_rowfull_multiblock():
     # n = 256: exactly 2 q blocks and 2 k blocks
     q, k, v = make_qkv(1, 2, 256, 64, seed=3)

@@ -237,6 +237,16 @@ def test_patch_sim_patch_query_is_self_similar(ex):
     assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
 
 
+def test_similarity_zero_embedding_is_finite(ex):
+    """A zero embedding (e.g. a const-0 node wired in) must yield zero
+    similarity, not NaN logits (unguarded 0/0 in the L2 normalize)."""
+    a = np.zeros((4,), np.float32)
+    b = np.ones((3, 4), np.float32)
+    out = run_one(ex, "similarity", {}, {"a": a, "b": b})["o"]
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
 def test_viewer_sinks_accept_partial_wiring(ex):
     """attn_view/overlay are optional-input sinks: wiring only one channel
     must evaluate (the frontend routinely wires just 'attn' or just 'r')."""

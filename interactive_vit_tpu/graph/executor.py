@@ -73,6 +73,17 @@ class NodeError(Exception):
         self.message = message
 
 
+def shape_struct(t, lead=()) -> "jax.ShapeDtypeStruct":
+    """ShapeDtypeStruct mirroring ``t`` (optionally with leading dims).
+
+    THE single copy of the tensor->struct rule: the speculative warmer's
+    shape-only graph clones must signature- and lower-match the real
+    requests, so the construction cannot be allowed to drift between
+    ``Executor.precompile`` and ``serving/speculate``."""
+    dt = t.dtype if hasattr(t, "dtype") else np.asarray(t).dtype
+    return jax.ShapeDtypeStruct(tuple(lead) + tuple(np.shape(t)), dt)
+
+
 def _tap_key(taps: TapSpec) -> str:
     if isinstance(taps, str):
         return taps
@@ -305,7 +316,10 @@ class Executor:
         pipelining heuristic: always-False wastes the depth-1 overlap,
         wrongly-True stalls finished results behind cold compiles)."""
         extra = [_tap_key(tap_set), self.use_jit]
-        if batch is not None and batch > 1:
+        # ANY stacked program (k=1 included) gets the marker: run() and
+        # run_stacked([g]) compile incompatible programs (unbatched vs
+        # vmapped [1,...]) and must never share a cache entry
+        if batch is not None:
             extra += ["stacked", self._stacked_bucket(batch)]
         return graph.signature(extra=extra,
                                param_filter=self._sig_param_filter)
@@ -476,13 +490,7 @@ class Executor:
             if sig in self._cache:
                 return False
         staged, out_keys, caps_arg = self._stage(graph, tap_set)
-
-        def spec(t, lead=()):
-            dt = (t.dtype if hasattr(t, "dtype")
-                  else np.asarray(t).dtype)
-            return jax.ShapeDtypeStruct(tuple(lead) + tuple(np.shape(t)),
-                                        dt)
-
+        spec = shape_struct
         inputs = tuple(spec(e.tensor) for _, _, e in graph.input_edges())
         if batch is None or batch <= 1:
             fn = _jit(staged, inputs, caps_arg, mesh=None, batched=False)
@@ -641,8 +649,9 @@ class Executor:
     # -- staging ----------------------------------------------------------------
     def _stage(
         self, graph: Graph, tap_set: Set[Tuple[int, str]]
-    ) -> Tuple[Any, List[Tuple[int, str]]]:
-        """Build the traceable closure over the whole graph."""
+    ) -> Tuple[Any, List[Tuple[int, str]], Dict[str, Any]]:
+        """Build the traceable closure over the whole graph; returns
+        ``(staged_fn, out_keys, captures_arg)``."""
         order = graph.order()
         input_edges = graph.input_edges()
         out_keys = sorted(tap_set)
@@ -1034,7 +1043,11 @@ class Executor:
         return timings, shapes, errors
 
     def cache_info(self) -> Dict[str, int]:
-        return {"entries": len(self._cache)}
+        with self._cache_lock:
+            return {"entries": len(self._cache)}
 
     def clear_cache(self) -> None:
-        self._cache.clear()
+        # under the lock: a concurrent _cache_get between .get and
+        # .move_to_end would otherwise see the dict cleared under it
+        with self._cache_lock:
+            self._cache.clear()

@@ -130,7 +130,9 @@ class App:
                 "(device wedged or overloaded)"
             ) from None
         if self.speculator is not None:
-            self.metrics.inc("speculative_jobs",
+            # O(one shape clone): variant expansion happens on the
+            # warmer thread, not this request path
+            self.metrics.inc("speculative_observations",
                              self.speculator.observe(req.graph, taps))
         t_enc = time.perf_counter()
         raw = WireResponse(outputs).encode(dtype=req.resp_dtype)

@@ -122,6 +122,14 @@ class MicroBatcher:
         item = _Item(graph, taps, self.executor.group_sig(
             graph, extra=[tap_key]))
         with self._lock:
+            if (not self._started and self._thread is not None
+                    and self._thread.is_alive()):
+                # stop()'s join timed out (worker wedged in a compile)
+                # and the old worker is still exiting: an item enqueued
+                # now could land AFTER its drain pass and hang its HTTP
+                # handler until the compute timeout — fail fast instead
+                raise RuntimeError(
+                    "batcher is stopping (worker still exiting); retry")
             self._start_locked()
             self.last_activity_t = time.perf_counter()
             self._q.put(item)
@@ -198,8 +206,12 @@ class MicroBatcher:
             group = self._collect_group(item)
             if pending is not None:
                 try:
+                    # single-request groups dispatch via run() — their
+                    # program is the UNBATCHED one (batch=None); passing
+                    # 1 would probe the distinct stacked-bucket-1 sig
                     compiled = self.executor.is_compiled(
-                        group[0].graph, group[0].taps, len(group))
+                        group[0].graph, group[0].taps,
+                        len(group) if len(group) > 1 else None)
                 except Exception:  # noqa: BLE001 — bad graph: _dispatch
                     # will fail the group's futures with the attributed
                     # error; a raise HERE would kill the worker thread and

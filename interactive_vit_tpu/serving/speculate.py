@@ -52,9 +52,7 @@ logger = logging.getLogger(__name__)
 _BLOCK_RE = re.compile(r"^(?P<prefix>.+[:.]blocks\.)(?P<idx>\d+)$")
 
 
-def _shape_only(t) -> jax.ShapeDtypeStruct:
-    dt = t.dtype if hasattr(t, "dtype") else np.asarray(t).dtype
-    return jax.ShapeDtypeStruct(tuple(np.shape(t)), dt)
+from interactive_vit_tpu.graph.executor import shape_struct as _shape_only
 
 
 def _clone_shape_graph(g: Graph) -> Graph:
@@ -172,10 +170,19 @@ class TapSpeculator:
         # cold-compiles each vmapped bucket mid-traffic). Buckets > 1
         # also warm the OBSERVED graph itself, not just its variants.
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
-        # (sig, graph, taps, bucket) jobs, LIFO stack
+        # raw observations (shape-only clones), expanded into jobs on
+        # the WARMER thread — variant generation + per-variant program
+        # signatures are several ms of work that must not ride the
+        # synchronous /compute path
+        self._obs: List[Tuple[Graph, TapSpec]] = []
+        # (sig, graph, taps, bucket) jobs, LIFO stack. Dedup is
+        # _queued + live executor-cache membership — there is
+        # deliberately NO permanent done-set: programs evicted from the
+        # executor's LRU must be re-warmable, and a transient compile
+        # failure (remote helper flake) must not blacklist its variant
+        # for the process lifetime.
         self._jobs: List[Tuple[str, Graph, TapSpec, int]] = []
         self._queued: set = set()
-        self._done: set = set()
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
@@ -184,57 +191,62 @@ class TapSpeculator:
 
     # -- producer side (HTTP handler threads) --------------------------------
     def observe(self, graph: Graph, taps: TapSpec) -> int:
-        """Queue sibling-variant compiles for one request; returns the
-        number of NEW jobs enqueued. Never raises (speculation must not
-        fail a live request)."""
+        """Record one observation (cheap: one shape-only clone); the
+        warmer thread expands it into sibling-variant compile jobs.
+        Returns 1 if recorded. Never raises (speculation must not fail
+        a live request)."""
         if self.executor.mesh is not None or not self.executor.use_jit:
             return 0
         try:
-            variants = tap_variants(graph, taps, self.executor.reg)
+            clone = _clone_shape_graph(graph)
         except Exception:  # noqa: BLE001 — malformed graphs just don't warm
             return 0
+        with self._lock:
+            self._obs.append((clone, taps))
+            del self._obs[: max(0, len(self._obs) - 8)]
+        self._wake.set()
+        return 1
+
+    def _expand(self, graph: Graph, taps: TapSpec) -> None:
+        """Warmer thread: observation -> deduped compile jobs."""
+        from interactive_vit_tpu.graph.executor import resolve_taps
+
+        try:
+            variants = tap_variants(graph, taps, self.executor.reg)
+        except Exception:  # noqa: BLE001
+            return
         # larger buckets warm the observed graph itself too: the burst
         # case is "several users tapping the SAME thing concurrently".
         # LIFO pop order = reverse of this list: single-request variant
         # programs first (the likeliest next need), then bucket
         # programs, then the observed graph's own buckets
-        # shape-only clone: holding the decoded request graph would pin
-        # its real input arrays (~600KB/image) in the job queue
-        candidates = [(_clone_shape_graph(graph), taps, b)
+        candidates = [(graph, taps, b)
                       for b in sorted(self.buckets, reverse=True) if b > 1]
         candidates += [(v, vt, b)
                        for b in sorted(self.buckets, reverse=True)
                        for v, vt in variants]
-        added = 0
-        with self._lock:
-            for v, vtaps, bkt in candidates:
-                try:
-                    from interactive_vit_tpu.graph.executor import (
-                        resolve_taps,
-                    )
-
-                    sig = self.executor._program_sig(
-                        v, resolve_taps(v, vtaps, self.executor.reg),
-                        batch=(bkt if bkt > 1 else None))
-                except Exception:  # noqa: BLE001
-                    continue
-                if sig in self._queued or sig in self._done:
+        for v, vtaps, bkt in candidates:
+            try:
+                sig = self.executor._program_sig(
+                    v, resolve_taps(v, vtaps, self.executor.reg),
+                    batch=(bkt if bkt > 1 else None))
+            except Exception:  # noqa: BLE001
+                continue
+            with self.executor._cache_lock:
+                cached = sig in self.executor._cache
+            with self._lock:
+                if cached or sig in self._queued:
                     continue
                 self._jobs.append((sig, v, vtaps, bkt))
                 self._queued.add(sig)
-                added += 1
-            # bound the queue, dropping OLDEST first — and release their
-            # sigs so a later observation can re-enqueue them (keeping
-            # them in _queued would permanently blacklist the variants)
-            overflow = self._jobs[: max(0, len(self._jobs)
-                                        - self.max_queue)]
-            if overflow:
-                del self._jobs[: len(overflow)]
-                self._queued.difference_update(j[0] for j in overflow)
-                added = max(0, added - len(overflow))
-        if added:
-            self._wake.set()
-        return added
+                # bound the queue, dropping OLDEST first — releasing
+                # their sigs so a later observation can re-enqueue them
+                overflow = max(0, len(self._jobs) - self.max_queue)
+                if overflow:
+                    dropped = self._jobs[:overflow]
+                    del self._jobs[:overflow]
+                    self._queued.difference_update(
+                        j[0] for j in dropped)
 
     # -- lifecycle ------------------------------------------------------------
     def start(self) -> None:
@@ -251,11 +263,16 @@ class TapSpeculator:
             self._thread.join(timeout=5)
 
     def drain(self, timeout_s: float = 300.0) -> int:
-        """Synchronously run all queued jobs on the CALLING thread (tests
-        and boot-time warmup; the background thread stays untouched)."""
+        """Synchronously expand observations and run all queued jobs on
+        the CALLING thread (tests and boot-time warmup; the background
+        thread stays untouched)."""
         t0 = time.perf_counter()
         n = 0
         while time.perf_counter() - t0 < timeout_s:
+            obs = self._pop_obs()
+            if obs is not None:
+                self._expand(*obs)
+                continue
             job = self._pop()
             if job is None:
                 break
@@ -263,6 +280,10 @@ class TapSpeculator:
         return n
 
     # -- worker ----------------------------------------------------------------
+    def _pop_obs(self):
+        with self._lock:
+            return self._obs.pop() if self._obs else None
+
     def _pop(self):
         with self._lock:
             if not self._jobs:
@@ -276,6 +297,12 @@ class TapSpeculator:
             self._wake.wait(timeout=1.0)
             if self._stop.is_set():
                 return
+            # expansion is cheap (no compiles) — do it promptly so the
+            # job stack reflects the newest interaction pattern
+            obs = self._pop_obs()
+            if obs is not None:
+                self._expand(*obs)
+                continue
             # idle gate: wait for a quiet window so a speculative compile
             # doesn't contend with a live cold compile in the helper
             if not self.idle():
@@ -293,15 +320,13 @@ class TapSpeculator:
             t0 = time.perf_counter()
             fresh = self.executor.precompile(
                 graph, taps, batch=(bkt if bkt > 1 else None))
-            self._done.add(sig)
-            if len(self._done) > 4096:
-                self._done.clear()
             if fresh:
                 self.compiled += 1
                 logger.info("speculatively compiled %s... in %.1fs",
                             sig[:12], time.perf_counter() - t0)
                 return 1
-        except Exception as err:  # noqa: BLE001 — speculation is best-effort
+        except Exception as err:  # noqa: BLE001 — speculation is
+            # best-effort, and NOT remembered: a transient compile-helper
+            # flake must not blacklist this variant for the process life
             logger.debug("speculative compile failed: %s", err)
-            self._done.add(sig)
         return 0

@@ -136,11 +136,12 @@ def test_speculator_end_to_end_layer_scrub(setup):
 
     g0 = make_graph(model, 0, img)
     ex.run(g0, taps="primary")  # the user's first tap (cold, real)
-    added = spec.observe(g0, "primary")
-    assert added == CFG.depth - 1
-    assert spec.observe(g0, "primary") == 0  # dedup: nothing re-queued
-    assert spec.drain() == CFG.depth - 1
+    assert spec.observe(g0, "primary") == 1  # one observation recorded
+    assert spec.drain() == CFG.depth - 1  # expands + compiles siblings
     assert spec.compiled == CFG.depth - 1
+    # re-observing warms nothing new: every variant is live in the cache
+    spec.observe(g0, "primary")
+    assert spec.drain() == 0
 
     # the user drags the viewer to each sibling layer: every request is
     # now a cache hit (zero compile stall)
@@ -208,10 +209,9 @@ def test_speculator_buckets_cover_variants_and_original(setup):
     ex = Executor(reg)
     spec = TapSpeculator(ex, buckets=(1, 2))
     g = make_graph(model, 0)
-    added = spec.observe(g, "primary")
+    assert spec.observe(g, "primary") == 1
     # (depth-1) variants x 2 buckets + the observed graph at bucket 2
-    assert added == (CFG.depth - 1) * 2 + 1
-    assert spec.drain() == added
+    assert spec.drain() == (CFG.depth - 1) * 2 + 1
     # bucket-2 program for the ORIGINAL tap is warm: a 2-user burst on
     # the same viewer never cold-compiles
     assert ex.is_compiled(make_graph(model, 0), "primary", batch=2)
@@ -252,13 +252,32 @@ def test_queue_trim_releases_sigs(setup):
     ex = Executor(reg)
     spec = TapSpeculator(ex, max_queue=1)
     g = make_graph(model, 0)
-    added = spec.observe(g, "primary")
-    assert added == 1  # 2 variants generated, 1 trimmed
+    spec.observe(g, "primary")
+    obs = spec._pop_obs()
+    spec._expand(*obs)  # 2 variants generated, oldest trimmed
     assert len(spec._jobs) == 1 and len(spec._queued) == 1
     spec._jobs.clear()
     spec._queued.clear()
     # the trimmed variant is re-enqueueable, not blacklisted
-    assert spec.observe(g, "primary") == 1
+    spec.observe(g, "primary")
+    spec._expand(*spec._pop_obs())
+    assert len(spec._jobs) == 1
+
+
+def test_evicted_programs_are_rewarmable(setup):
+    """Programs evicted from the executor's LRU must be re-warmable on
+    the next observation (a permanent done-set would leave the user
+    paying the cold stall the warmer exists to remove); and a compile
+    failure must not blacklist its variant."""
+    model, reg = setup
+    ex = Executor(reg)
+    spec = TapSpeculator(ex)
+    g = make_graph(model, 0)
+    spec.observe(g, "primary")
+    assert spec.drain() == CFG.depth - 1
+    ex.clear_cache()  # simulate LRU eviction of everything
+    spec.observe(g, "primary")
+    assert spec.drain() == CFG.depth - 1  # re-warmed, not skipped
 
 
 def test_batcher_quiet_gate():

@@ -1,0 +1,108 @@
+"""Graph-library integrity: every committed saved graph stays loadable
+and stageable against the current node registry.
+
+The reference's saved graphs are its only persistence surface
+(``/root/reference/static/graphs/*.json``, SURVEY §2.2 "Saved graphs");
+ours additionally auto-generates one per model family. A node rename, a
+changed channel list, or a param-schema change silently breaks these
+files — nothing else in CI loads several of them. Every graph is traced
+end-to-end via ``jax.eval_shape`` (wiring + shape errors, no compile
+cost); the small ones additionally run for real numbers.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from interactive_vit_tpu.graph.executor import (
+    Executor, resolve_taps, shape_struct,
+)
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.wire.schema import graph_from_json
+
+GRAPHS_DIR = "static/graphs"
+# graphs cheap enough to EXECUTE in CI (the rest are shape-traced)
+RUN_FOR_REAL = {"demo_noise.json", "demo_slice.json", "vit_t16.json"}
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from interactive_vit_tpu.models.clip_plugin import make_clip_model
+    from interactive_vit_tpu.models.clip_text_plugin import (
+        make_clip_text_model,
+    )
+    from interactive_vit_tpu.models.moe_plugin import make_moe_model
+    from interactive_vit_tpu.models.resnet_plugin import make_resnet50_model
+    from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    r = Registry()
+    register_builtin(r)
+    for variant in ("vit_t16", "vit_b16", "dino_s16"):
+        make_vit_model(variant).register(r)
+    make_vgg16_model().register(r)
+    make_resnet50_model().register(r)
+    make_clip_model().register(r)
+    make_clip_text_model().register(r)
+    make_moe_model().register(r)
+    return r
+
+
+def _attach_inputs(g, reg, real: bool):
+    """Feed every unfed required 'o' input at a graph root a
+    [3,224,224] image (shape struct for tracing, random pixels for real
+    runs) — what a user does by wiring an ImgSource: the auto-generated
+    model graphs deliberately ship without one."""
+    rng = np.random.default_rng(0)
+    for n in g.nodes:
+        kind = reg.get_node(n.name)
+        if getattr(kind, "optional_inputs", False):
+            continue  # viewer sinks evaluate with whatever is wired
+        for ch in kind.io(n.params)["ins"]:
+            if ch == "o" and ch not in n.inputs:
+                img = rng.random((3, 224, 224), dtype=np.float32)
+                g.add_input(img if real else shape_struct(img), n, ch)
+    return g
+
+
+def all_graphs():
+    return sorted(f for f in os.listdir(GRAPHS_DIR)
+                  if f.endswith(".json"))
+
+
+def test_library_is_nonempty_and_known():
+    names = all_graphs()
+    assert "vit_t16.json" in names and "vgg16.json" in names
+    assert "vit_moe_s16.json" in names and "resnet50.json" in names
+
+
+@pytest.mark.parametrize("name", all_graphs())
+def test_saved_graph_stages_cleanly(name, reg):
+    obj = json.load(open(os.path.join(GRAPHS_DIR, name)))
+    g = _attach_inputs(graph_from_json(obj), reg, real=False)
+    ex = Executor(reg)
+    ex.validate(g)
+    tap_set = resolve_taps(g, "primary", reg)
+    staged, out_keys, caps = ex._stage(g, tap_set)
+    inputs = tuple(shape_struct(e.tensor)
+                   for _, _, e in g.input_edges())
+    shapes = jax.eval_shape(staged, inputs, caps)
+    assert shapes, f"{name}: no outputs traced"
+    for key, s in shapes.items():
+        assert all(d >= 0 for d in s.shape), f"{name}: bad shape {key}"
+
+
+@pytest.mark.parametrize("name", sorted(RUN_FOR_REAL))
+def test_small_saved_graphs_run_for_real(name, reg):
+    obj = json.load(open(os.path.join(GRAPHS_DIR, name)))
+    g = _attach_inputs(graph_from_json(obj), reg, real=True)
+    out = Executor(reg).run(g, taps="primary")
+    vals = [v for sub in out.values() for v in sub.values()]
+    assert vals
+    assert all(np.isfinite(np.asarray(v, dtype=np.float32)).all()
+               for v in vals), f"{name}: non-finite outputs"

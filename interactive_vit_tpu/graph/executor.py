@@ -557,7 +557,8 @@ class Executor:
         return 0
 
     def _find_pp_segments(
-        self, order, graph: Graph, node_kinds, tap_set, captures
+        self, order, graph: Graph, node_kinds, tap_set, captures,
+        protected=frozenset(),
     ) -> List[List[Any]]:
         """Maximal foldable chains of same-fold-group layer nodes.
 
@@ -596,6 +597,10 @@ class Executor:
             )
             return (
                 getattr(kind, "fold_group", None) is not None
+                # a gradient node's ancestor cone replays node-by-node
+                # inside jax.grad — folding would pop its per-node captures
+                # into a __pp stack the replay can't see
+                and n.index not in protected
                 and captures.get(n.index) is not None
                 # dynamic-param kinds can't fold: the stacked __pp capture
                 # is never refreshed on cache hits, so edits would be
@@ -659,6 +664,55 @@ class Executor:
 
         # Freeze per-node metadata outside the closure (trace-time safety).
         node_kinds = {n.index: reg.get_node(n.name) for n in graph.nodes}
+
+        # Gradient nodes (kind.grad_node, e.g. saliency): each needs its
+        # ancestor cone replayed as a CLOSED function of one graph input so
+        # jax.grad can differentiate through it inside this same program.
+        # grad_specs[i] = (wrt_key, src_key, ancestor nodes in topo order).
+        grad_specs: Dict[int, Tuple[Any, Any, List[Any]]] = {}
+        grad_protected: Set[int] = set()  # nodes PP folding must not touch
+        for n in graph.nodes:
+            if not getattr(node_kinds[n.index], "grad_node", False):
+                continue
+            kind = node_kinds[n.index]
+            wrt = kind.grad_wrt(n.params)
+            if wrt < 0 or wrt >= len(input_edges):
+                raise NodeError(
+                    n.index, n.name,
+                    f"wrt={wrt} but the graph has {len(input_edges)} "
+                    f"input(s)")
+            wnode, wch, _we = input_edges[wrt]
+            wrt_key = ("in", wnode.index, wch)
+            e = n.inputs["o"]  # validate() enforced presence
+            if e.src is None:
+                src_key: Tuple[Any, ...] = ("in", n.index, "o")
+                anc: List[Any] = []
+                reaches = src_key == wrt_key
+            else:
+                src_key = (e.src.node.index, e.src.channel)
+                anc_set: Set[int] = set()
+                touched: Set[Tuple[Any, ...]] = set()
+                stack = [e.src.node]
+                while stack:
+                    m = stack.pop()
+                    if m.index in anc_set:
+                        continue
+                    anc_set.add(m.index)
+                    for ch2, e2 in m.inputs.items():
+                        if e2.src is None:
+                            touched.add(("in", m.index, ch2))
+                        else:
+                            stack.append(e2.src.node)
+                anc = [m for m in order if m.index in anc_set]
+                reaches = wrt_key in touched
+            if not reaches:
+                raise NodeError(
+                    n.index, n.name,
+                    f"the wired tensor does not depend on graph input "
+                    f"{wrt} — its gradient would be identically zero")
+            grad_specs[n.index] = (wrt_key, src_key, anc)
+            grad_protected.add(n.index)
+            grad_protected.update(m.index for m in anc)
         # Captured pytrees (model weights) become jit ARGUMENTS, so they stay
         # device-resident buffers instead of being baked into the HLO.
         captures = {}
@@ -686,7 +740,7 @@ class Executor:
         # stacked on a leading layer dim, stage-sharded by _place_captures.
         segments = (
             self._find_pp_segments(order, graph, node_kinds, tap_set,
-                                   captures)
+                                   captures, protected=grad_protected)
             if self._pp_stages() else []
         )
         seg_start: Dict[int, Tuple[int, List[Any], Any]] = {}
@@ -710,6 +764,65 @@ class Executor:
             env: Dict[Tuple[int, str], Any] = {}
             for (node, ch, _e), arr in zip(input_edges, inputs):
                 env[("in", node.index, ch)] = arr  # type: ignore[index]
+
+            def eval_one(n, env, caps):
+                """Evaluate one (non-PP-folded) node into env.
+
+                Shared by the main topo loop and the gradient replay below
+                — a grad node's ancestor cone re-evaluates through this
+                same function, so nested grad nodes (saliency of a
+                saliency) compose by recursion."""
+                kind = node_kinds[n.index]
+                if n.index in grad_specs:
+                    wrt_key, src_key, anc = grad_specs[n.index]
+
+                    def forward(xv):
+                        # replay the ancestor cone from the graph inputs
+                        # with the wrt input replaced by the tracer
+                        env2 = {k: v for k, v in env.items()
+                                if k[0] == "in"}
+                        env2[wrt_key] = xv
+                        if src_key[0] == "in":
+                            return env2[src_key]
+                        for m in anc:
+                            eval_one(m, env2, caps)
+                        return env2[src_key]
+
+                    try:
+                        with jax.named_scope(
+                            f"n{n.index}_{n.name.replace(':', '.')}"
+                        ):
+                            outs = kind.grad_fn(eff_params[n.index])(
+                                forward, env[wrt_key],
+                                caps.get(str(n.index)))
+                    except NodeError:
+                        raise
+                    except Exception as err:  # noqa: BLE001
+                        raise NodeError(n.index, n.name, str(err)) from err
+                    for ch, v in outs.items():
+                        env[(n.index, ch)] = v
+                    return
+                ins: Dict[str, Any] = {}
+                for ch, e in n.inputs.items():
+                    if e.src is None:
+                        ins[ch] = env[("in", n.index, ch)]  # type: ignore[index]
+                    else:
+                        ins[ch] = env[(e.src.node.index, e.src.channel)]
+                try:
+                    with jax.named_scope(
+                        f"n{n.index}_{n.name.replace(':', '.')}"
+                    ):
+                        if str(n.index) in caps:
+                            outs = kind.fn(eff_params[n.index])(
+                                ins, caps[str(n.index)])
+                        else:
+                            outs = kind.fn(eff_params[n.index])(ins)
+                except NodeError:
+                    raise
+                except Exception as err:  # noqa: BLE001 — re-attribute
+                    raise NodeError(n.index, n.name, str(err)) from err
+                for ch, v in outs.items():
+                    env[(n.index, ch)] = v
 
             for n in order:
                 if n.index in seg_start:
@@ -748,25 +861,7 @@ class Executor:
                     continue
                 if n.index in folded:
                     continue
-                kind = node_kinds[n.index]
-                ins: Dict[str, Any] = {}
-                for ch, e in n.inputs.items():
-                    if e.src is None:
-                        ins[ch] = env[("in", n.index, ch)]  # type: ignore[index]
-                    else:
-                        ins[ch] = env[(e.src.node.index, e.src.channel)]
-                try:
-                    with jax.named_scope(f"n{n.index}_{n.name.replace(':', '.')}"):
-                        if str(n.index) in caps:
-                            outs = kind.fn(eff_params[n.index])(ins, caps[str(n.index)])
-                        else:
-                            outs = kind.fn(eff_params[n.index])(ins)
-                except NodeError:
-                    raise
-                except Exception as err:  # noqa: BLE001 — re-attribute to node
-                    raise NodeError(n.index, n.name, str(err)) from err
-                for ch, v in outs.items():
-                    env[(n.index, ch)] = v
+                eval_one(n, env, caps)
 
             return {f"{i}/{ch}": env[(i, ch)] for i, ch in out_keys if (i, ch) in env}
 

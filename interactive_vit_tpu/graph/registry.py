@@ -39,6 +39,14 @@ class NodeKind:
     for host-side nodes that cannot be traced.
     """
 
+    # Gradient node kinds (e.g. ops.node_ops.SaliencyNode) set this True
+    # and implement ``grad_fn(params) -> run(forward, x, caps)`` plus
+    # ``grad_wrt(params) -> int``: the staged executor hands them their
+    # ancestor cone as a closed function ``forward`` of graph input
+    # ``grad_wrt`` so they can jax.grad through the whole upstream graph
+    # inside the same jitted program. Ordinary kinds never see this.
+    grad_node = False
+
     def __init__(self, name: str):
         self.name = name
 

@@ -20,6 +20,9 @@ Node kinds and their (de)serialized instance contracts:
   resize    dims=[H,W]            bilinear CHW resize      (nodes/resize.js:129-130)
   pca_view  skip                  patch-PCA -> RGB (DINO dense-feature view)
   patch_sim row, col, skip        token cosine-similarity heatmap
+  saliency  target, class, mode, steps, wrt   input-gradient attribution
+            (jax.grad through the staged program; no reference analog —
+            its server ran under torch.no_grad)
   img_src   identity (client binds the decoded image as input "o")
   img_view / multi_view / category   sinks: identity pass-through so taps can
             read what the client-side viewer would render
@@ -674,6 +677,165 @@ class SimilarityNode(NodeKind):
         return run
 
 
+class SaliencyNode(NodeKind):
+    """Input-gradient saliency: d(scalar of the wired tensor)/d(graph input).
+
+    A capability class the reference could not express: its server ran
+    every node under ``torch.no_grad()`` on CPU
+    (``/root/reference/main/context.py:79-88``), so no gradient ever
+    existed anywhere in the system. Here the staged executor re-traces the
+    node's ancestor cone as a closed function of one graph input and
+    ``jax.grad``s it INSIDE the same jitted program — forward pass,
+    backward pass, and heatmap render fuse into one XLA program, and the
+    backward matmuls run on the MXU like everything else.
+
+    Wiring: input "o" is any tensor downstream of the image — typically
+    the classifier logits (``vit_*:head``) or an embedding. Outputs:
+    "o" = input-shaped normalized heatmap (abs-max over the channel axis,
+    per-sample max-normalized, broadcast back to 3 channels) — wire it
+    straight into ``img_view``/``overlay``; "g" = the raw attribution
+    (input-shaped f32, extra channel: ships only when wired or tapped).
+
+    Params (stringly, wire contract ``/root/reference/main/graph.py:7-10``):
+      target  max | sum | class  scalar reduced from the wired tensor
+                                 (per-sample, summed over the batch — each
+                                 sample's gradient is independent)
+      class   int                class index for target=class. DYNAMIC:
+                                 scrubbing classes re-keys the cached
+                                 program — no recompile.
+      mode    grad | gradxinput | ig   attribution method; ig = integrated
+                                 gradients on the zero-baseline path
+      steps   int (default 16)   IG path resolution (static: changes the
+                                 program — it is a lax.scan length)
+      wrt     int (default 0)    which graph input to differentiate
+                                 (index into the graph's input edges)
+    """
+
+    # the executor stages this kind via grad_fn (it needs the ancestor
+    # cone as a closed function, which a per-node fn can never see)
+    grad_node = True
+
+    TARGETS = ("max", "sum", "class")
+    MODES = ("grad", "gradxinput", "ig")
+
+    def __init__(self) -> None:
+        super().__init__("saliency")
+
+    def contents(self, params):
+        import html as _html
+
+        target = params.get("target", "max")
+        mode = params.get("mode", "grad")
+
+        def sel(name, options, cur):
+            opts = "".join(
+                f"<option value=\"{o}\"{' selected' if o == cur else ''}>"
+                f"{o}</option>" for o in options)
+            return (f"<label>{_html.escape(name)} <select data-param="
+                    f"\"{_html.escape(name)}\">{opts}</select></label>")
+
+        return ("<p>input-gradient saliency</p>"
+                + sel("target", self.TARGETS, target) + " "
+                + _num_input("class", int(float(params.get("class", 0))),
+                             step="1", title="class (target=class)")
+                + "<br>" + sel("mode", self.MODES, mode) + " "
+                + _num_input("steps", int(float(params.get("steps", 16))),
+                             step="1", title="IG steps"))
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o", "g"]}
+
+    def extra_outs(self, params):
+        return ["g"]
+
+    def dynamic_params(self):
+        # scrubbing the class index is the interaction ("which pixels argue
+        # for class k?"); it rides as a runtime capture — no recompile
+        return frozenset({"class"})
+
+    def captures(self, params):
+        return {"class": np.int32(int(float(params.get("class", 0))))}
+
+    def grad_wrt(self, params) -> int:
+        return int(float(params.get("wrt", 0)))
+
+    def _decode(self, params):
+        target = params.get("target", "max")
+        mode = params.get("mode", "grad")
+        steps = int(float(params.get("steps", 16)))
+        if target not in self.TARGETS:
+            raise ValueError(f"target must be one of {self.TARGETS}, "
+                             f"got {target!r}")
+        if mode not in self.MODES:
+            raise ValueError(f"mode must be one of {self.MODES}, "
+                             f"got {mode!r}")
+        if steps < 1:
+            raise ValueError("steps must be >= 1")
+        return target, mode, steps
+
+    @staticmethod
+    def _heat(attr):
+        """abs -> channel-collapse (CHW-looking inputs) -> per-sample
+        max-normalize to [0,1] -> broadcast back to 3 channels, so the
+        output drops straight into img_view/overlay."""
+        h = jnp.abs(attr)
+        chw = h.ndim >= 3 and h.shape[-3] in (1, 3)
+        if chw:
+            h = jnp.max(h, axis=-3, keepdims=True)
+        # per-sample normalization for batched/image-like tensors
+        # (rank >= 3); global below that (a bare matrix has no batch dim)
+        reduce_axes = tuple(range(1, h.ndim)) if h.ndim >= 3 else None
+        m = jnp.max(h, axis=reduce_axes, keepdims=True) \
+            if reduce_axes else jnp.max(h)
+        h = h / jnp.maximum(m, 1e-12)
+        if chw:
+            h = jnp.broadcast_to(h, h.shape[:-3] + (3,) + h.shape[-2:])
+        return h
+
+    def grad_fn(self, params):
+        target, mode, steps = self._decode(params)
+
+        def run(forward, x, caps):
+            def scalar(xv):
+                y = forward(xv).astype(jnp.float32)
+                if target == "class":
+                    c = jnp.clip(caps["class"], 0, y.shape[-1] - 1)
+                    y = jnp.take(y, c, axis=-1)
+                elif target == "max":
+                    y = jnp.max(y, axis=-1)
+                return jnp.sum(y)
+
+            xf = x.astype(jnp.float32)
+            if mode == "ig":
+                alphas = (jnp.arange(steps, dtype=jnp.float32) + 1.0) / steps
+
+                def body(acc, a):
+                    g = jax.grad(scalar)((xf * a).astype(x.dtype))
+                    return acc + g.astype(jnp.float32), None
+
+                tot, _ = jax.lax.scan(
+                    body, jnp.zeros(x.shape, jnp.float32), alphas)
+                attr = (tot / steps) * xf
+            else:
+                g = jax.grad(scalar)(x).astype(jnp.float32)
+                attr = g * xf if mode == "gradxinput" else g
+            return {"o": self._heat(attr).astype(x.dtype), "g": attr}
+
+        return run
+
+    def fn(self, params):
+        self._decode(params)  # surface param errors with node attribution
+        raise NotImplementedError(
+            "saliency differentiates through the WHOLE upstream graph — "
+            "it has no per-node function; evaluate via the staged executor"
+        )
+
+    def compute(self, params, inputs):
+        # eager debug paths isolate this as a per-node error and keep
+        # evaluating the rest of the graph (run_eager fault isolation)
+        self.fn(params)
+
+
 class ImgViewNode(NodeKind):
     """Viewer sink: echoes whatever channels are wired (R,G,B 2-D or o CHW).
 
@@ -713,6 +875,7 @@ def instances():
         PcaViewNode(),
         PatchSimNode(),
         SimilarityNode(),
+        SaliencyNode(),
         IdentityNode("img_src", ["o"], ["o"]),
         ImgViewNode(),
         IdentityNode("multi_view", ["o"], []),

@@ -236,6 +236,22 @@ def scenarios():
                                 _edge(2, "o", 3, "o")]},
             "sources": {},
         },
+        # input-gradient saliency (server-only: jax.grad through the staged
+        # program — a capability the reference's no_grad server lacked);
+        # spawned as a NetNode (app.js tool list). grad*input of
+        # sum(cos(1.5x+0.25)) wrt the image, rendered as a heatmap
+        "saliency": {
+            "saved": {"nodes": [_node("img_src"),
+                                _node("cos", A="1.5", b="0.25"),
+                                _node("net_node", endpoint="saliency",
+                                      params={"target": "sum",
+                                              "mode": "gradxinput"}),
+                                _node("img_view")],
+                      "edges": [_edge(0, "o", 1, "o"),
+                                _edge(1, "o", 2, "o"),
+                                _edge(2, "o", 3, "o")]},
+            "sources": {0: _img(16, (3, 4, 4))},
+        },
         # a real model layer endpoint as net_node: cos via the registry
         "net_node": {
             "saved": {"nodes": [_node("img_src"),

@@ -1,0 +1,259 @@
+"""Gradient-tap (saliency) node: jax.grad through the staged executor.
+
+The reference server ran every node under ``torch.no_grad()`` on CPU
+(``/root/reference/main/context.py:79-88``) — gradients are a capability
+this framework adds. These tests pin the math against hand-derived
+analytic gradients through small graphs, and the product behaviors
+(dynamic class scrubbing without recompiles, micro-batched stacking,
+per-node error attribution, eager-path isolation) against the executor
+contracts.
+"""
+
+import numpy as np
+import pytest
+
+from interactive_vit_tpu.graph.executor import Executor, NodeError
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.ops.node_ops import register_builtin
+
+
+@pytest.fixture
+def reg():
+    r = Registry()
+    register_builtin(r)
+    return r
+
+
+@pytest.fixture
+def ex(reg):
+    return Executor(reg)
+
+
+def chain_graph(x, sal_params, mid=("cos", {"A": "2.0", "b": "0.5"})):
+    """input -> mid node -> saliency; returns (graph, sal node index)."""
+    g = Graph()
+    m = g.add_node(mid[0], mid[1])
+    s = g.add_node("saliency", sal_params)
+    g.connect(m, "o", s, "o")
+    g.add_input(np.asarray(x, np.float32), m, "o")
+    return g, s.index
+
+
+def test_grad_matches_analytic_cos(ex):
+    # y = cos(2x + 0.5); target=sum => d/dx sum(y) = -2 sin(2x + 0.5)
+    x = np.linspace(-1.0, 1.0, 12, dtype=np.float32).reshape(3, 4)
+    g, s = chain_graph(x, {"target": "sum"})
+    out = ex.run(g, taps={(s, "o"), (s, "g")})
+    expect = -2.0 * np.sin(2.0 * x + 0.5)
+    np.testing.assert_allclose(out[s]["g"], expect, atol=1e-5)
+    # "o" is the normalized |grad| heatmap in [0, 1]
+    heat = out[s]["o"]
+    assert heat.shape == x.shape
+    assert heat.max() == pytest.approx(1.0, abs=1e-5)
+    np.testing.assert_allclose(
+        heat, np.abs(expect) / np.abs(expect).max(), atol=1e-5)
+
+
+def test_target_max_one_hot_rows(ex):
+    # identity upstream: d(max per row, summed)/dx = one-hot at each
+    # row's argmax
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 7)).astype(np.float32)
+    g = Graph()
+    s = g.add_node("saliency", {"target": "max"}).index
+    g.add_input(x, g.nodes[s], "o")
+    out = ex.run(g, taps={(s, "g")})
+    expect = np.zeros_like(x)
+    expect[np.arange(4), x.argmax(axis=1)] = 1.0
+    np.testing.assert_allclose(out[s]["g"], expect, atol=1e-6)
+
+
+def test_target_class_selects_column(ex):
+    # y = cos(x); target=class c: d sum(y[:, c]) / dx = -sin(x) one-hot col
+    x = np.linspace(0.1, 2.0, 12, dtype=np.float32).reshape(3, 4)
+    g, s = chain_graph(x, {"target": "class", "class": "2"},
+                       mid=("cos", {"A": "1.0", "b": "0.0"}))
+    out = ex.run(g, taps={(s, "g")})
+    expect = np.zeros_like(x)
+    expect[:, 2] = -np.sin(x[:, 2])
+    np.testing.assert_allclose(out[s]["g"], expect, atol=1e-5)
+
+
+def test_class_is_dynamic_no_recompile(ex):
+    x = np.linspace(0.1, 2.0, 12, dtype=np.float32).reshape(3, 4)
+    g, s = chain_graph(x, {"target": "class", "class": "1"},
+                       mid=("cos", {"A": "1.0", "b": "0.0"}))
+    ex.run(g, taps={(s, "g")})
+    assert not ex.last_stats.cache_hit
+    # scrub the class: same program, new capture value
+    g.nodes[s].params["class"] = "3"
+    out = ex.run(g, taps={(s, "g")})
+    assert ex.last_stats.cache_hit
+    expect = np.zeros_like(x)
+    expect[:, 3] = -np.sin(x[:, 3])
+    np.testing.assert_allclose(out[s]["g"], expect, atol=1e-5)
+
+
+def test_gradxinput_and_ig_linear_agree(ex):
+    # For a LINEAR upstream (binop * const), IG and grad*input are exactly
+    # equal: f(x) = w*x => IG = x * mean_a grad(f)(a x) = x*w = gradxinput.
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 5)).astype(np.float32)
+    w = rng.normal(size=(2, 5)).astype(np.float32)
+
+    def build(mode):
+        g = Graph()
+        b = g.add_node("binop", {"op": "*"})
+        s = g.add_node("saliency",
+                       {"target": "sum", "mode": mode, "steps": "4"})
+        g.connect(b, "c", s, "o")
+        g.add_input(x, b, "a")
+        g.add_input(w, b, "b")
+        return g, s.index
+
+    g1, s1 = build("gradxinput")
+    g2, s2 = build("ig")
+    gxi = ex.run(g1, taps={(s1, "g")})[s1]["g"]
+    ig = ex.run(g2, taps={(s2, "g")})[s2]["g"]
+    np.testing.assert_allclose(gxi, x * w, atol=1e-5)
+    np.testing.assert_allclose(ig, gxi, atol=1e-4)
+
+
+def test_wrt_selects_input(ex):
+    # two inputs; wrt=1 differentiates against the second (the multiplier)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3,)).astype(np.float32)
+    w = rng.normal(size=(3,)).astype(np.float32)
+    g = Graph()
+    b = g.add_node("binop", {"op": "*"})
+    s = g.add_node("saliency", {"target": "sum", "wrt": "1"}).index
+    g.connect(b, "c", g.nodes[s], "o")
+    g.add_input(x, b, "a")
+    g.add_input(w, b, "b")
+    out = ex.run(g, taps={(s, "g")})
+    np.testing.assert_allclose(out[s]["g"], x, atol=1e-6)
+
+
+def test_heatmap_chw_channel_collapse(ex):
+    # CHW-shaped gradient: heat = per-pixel max |grad| over C, normalized,
+    # broadcast back to 3 channels (img_view-ready)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, 4, 4)).astype(np.float32)
+    g = Graph()
+    s = g.add_node("saliency", {"target": "sum", "mode": "gradxinput"}).index
+    g.add_input(x, g.nodes[s], "o")
+    out = ex.run(g, taps={(s, "o"), (s, "g")})
+    attr = out[s]["g"]
+    np.testing.assert_allclose(attr, x, atol=1e-6)  # d sum(x)/dx * x = x
+    h = np.abs(attr).max(axis=1, keepdims=True)
+    h = h / h.max(axis=(1, 2, 3), keepdims=True)
+    expect = np.broadcast_to(h, (2, 3, 4, 4))
+    np.testing.assert_allclose(out[s]["o"], expect, atol=1e-6)
+    assert out[s]["o"].shape == x.shape
+
+
+def test_independent_of_wrt_raises_node_error(ex):
+    # saliency wired to a tensor that does NOT depend on the wrt input
+    x = np.ones((2, 2), np.float32)
+    y = np.ones((2, 2), np.float32)
+    g2 = Graph()
+    c2 = g2.add_node("cos", {})
+    v2 = g2.add_node("img_view", {})
+    s2 = g2.add_node("saliency", {"target": "sum", "wrt": "1"}).index
+    g2.connect(c2, "o", g2.nodes[s2], "o")
+    g2.add_input(x, c2, "o")        # input 0 -> cone
+    g2.add_input(y, v2, "o")        # input 1 -> a separate sink
+    with pytest.raises(NodeError) as ei:
+        ex.run(g2, taps={(s2, "g")})
+    assert "does not depend" in str(ei.value)
+
+
+def test_bad_wrt_index_raises(ex):
+    x = np.ones((2, 2), np.float32)
+    g, s = chain_graph(x, {"target": "sum", "wrt": "5"})
+    with pytest.raises(NodeError) as ei:
+        ex.run(g, taps={(s, "g")})
+    assert "wrt=5" in str(ei.value)
+
+
+def test_bad_params_attributed(ex):
+    x = np.ones((2, 2), np.float32)
+    g, s = chain_graph(x, {"target": "blorp"})
+    with pytest.raises(NodeError):
+        ex.run(g, taps={(s, "g")})
+
+
+def test_eager_path_isolates_saliency(ex):
+    # run_eager can't differentiate (per-node evaluation has no cone);
+    # the saliency node errors, the REST of the graph still evaluates
+    x = np.linspace(0.0, 1.0, 4, dtype=np.float32)
+    g, s = chain_graph(x, {"target": "sum"})
+    outputs, errors = ex.run_eager(g)
+    assert s in errors and "staged executor" in errors[s]
+    np.testing.assert_allclose(
+        outputs[0]["o"], np.cos(2.0 * x + 0.5), atol=1e-6)
+
+
+def test_stacked_batches_distinct_classes(ex):
+    # two concurrent sessions scrubbing different classes share one
+    # vmapped program (class is a dynamic capture row)
+    x = np.linspace(0.1, 2.0, 8, dtype=np.float32).reshape(2, 4)
+
+    def mk(cls):
+        g, s = chain_graph(x, {"target": "class", "class": cls},
+                           mid=("cos", {"A": "1.0", "b": "0.0"}))
+        return g, s
+
+    g1, s1 = mk("0")
+    g2, _ = mk("3")
+    res = ex.run_stacked([g1, g2], taps={(s1, "g")})
+    for res_i, cls in ((res[0], 0), (res[1], 3)):
+        expect = np.zeros_like(x)
+        expect[:, cls] = -np.sin(x[:, cls])
+        np.testing.assert_allclose(res_i[s1]["g"], expect, atol=1e-5)
+
+
+def test_saliency_through_vit_blocks(reg):
+    # the real product shape: image -> embed -> block -> head -> saliency,
+    # gradient lands back on the image with its shape
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_sal", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=10)
+    vit.VARIANTS["vit_sal"] = cfg
+    try:
+        make_vit_model("vit_sal").register(reg)
+    finally:
+        del vit.VARIANTS["vit_sal"]
+    ex = Executor(reg)
+    g = Graph()
+    emb = g.add_node("vit_sal:embed")
+    b0 = g.add_node("vit_sal:blocks.0")
+    b1 = g.add_node("vit_sal:blocks.1")
+    head = g.add_node("vit_sal:head")
+    s = g.add_node("saliency", {"target": "max"}).index
+    g.connect(emb, "o", b0, "o")
+    g.connect(b0, "o", b1, "o")
+    g.connect(b1, "o", head, "o")
+    g.connect(head, "o", g.nodes[s], "o")
+    img = np.random.default_rng(0).random((1, 3, 32, 32)).astype(np.float32)
+    g.add_input(img, emb, "o")
+    out = ex.run(g, taps={(s, "o"), (s, "g"), (head.index, "o")})
+    assert out[s]["g"].shape == img.shape
+    assert out[s]["o"].shape == img.shape
+    assert np.isfinite(out[s]["g"]).all()
+    assert float(np.abs(out[s]["g"]).max()) > 0.0
+    assert out[s]["o"].max() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_primary_taps_exclude_raw_gradient(ex):
+    # "g" is an extra channel: the serving default ("primary") ships the
+    # heatmap but not the input-sized raw attribution unless wired
+    x = np.ones((2, 3, 4, 4), np.float32)
+    g = Graph()
+    s = g.add_node("saliency", {"target": "sum"}).index
+    g.add_input(x, g.nodes[s], "o")
+    out = ex.run(g, taps="primary")
+    assert "o" in out[s] and "g" not in out[s]

@@ -148,6 +148,60 @@ def resolve_taps(
     return out
 
 
+def _grad_specs(graph: Graph, order, input_edges, node_kinds
+                ) -> Dict[int, Tuple[Any, Any, List[Any]]]:
+    """Resolve every gradient node's (wrt_key, src_key, ancestor cone).
+
+    Gradient node kinds (``NodeKind.grad_node``, e.g. saliency) need their
+    ancestor cone replayed as a CLOSED function of one graph input so
+    ``jax.grad`` can differentiate through it. Keys are the staged env
+    keys: ``("in", node, ch)`` for graph inputs, ``(node, ch)`` for node
+    outputs; ``anc`` is the cone in topo order. Shared by ``_stage`` and
+    the eager debug paths so the wiring validation (and its NodeError
+    text) cannot drift between them."""
+    specs: Dict[int, Tuple[Any, Any, List[Any]]] = {}
+    for n in graph.nodes:
+        kind = node_kinds[n.index]
+        if not getattr(kind, "grad_node", False):
+            continue
+        wrt = kind.grad_wrt(n.params)
+        if wrt < 0 or wrt >= len(input_edges):
+            raise NodeError(
+                n.index, n.name,
+                f"wrt={wrt} but the graph has {len(input_edges)} input(s)")
+        wnode, wch, _we = input_edges[wrt]
+        wrt_key = ("in", wnode.index, wch)
+        e = n.inputs["o"]  # validate() enforced presence
+        if e.src is None:
+            src_key: Tuple[Any, ...] = ("in", n.index, "o")
+            anc: List[Any] = []
+            reaches = src_key == wrt_key
+        else:
+            src_key = (e.src.node.index, e.src.channel)
+            anc_set: Set[int] = set()
+            touched: Set[Tuple[Any, ...]] = set()
+            stack = [e.src.node]
+            while stack:
+                m = stack.pop()
+                if m.index in anc_set:
+                    continue
+                anc_set.add(m.index)
+                for ch2, e2 in m.inputs.items():
+                    if e2.src is None:
+                        touched.add(("in", m.index, ch2))
+                    else:
+                        stack.append(e2.src.node)
+            anc = [m for m in order if m.index in anc_set]
+            reaches = wrt_key in touched
+        if not reaches:
+            raise NodeError(
+                n.index, n.name,
+                f"the wired tensor does not depend on graph input "
+                f"{wrt} — its gradient would be identically zero")
+        specs[n.index] = (wrt_key, src_key, anc)
+    return specs
+
+
 class ExecStats:
     """Per-run timing (decode/compile/execute split is a BASELINE metric)."""
 
@@ -665,53 +719,10 @@ class Executor:
         # Freeze per-node metadata outside the closure (trace-time safety).
         node_kinds = {n.index: reg.get_node(n.name) for n in graph.nodes}
 
-        # Gradient nodes (kind.grad_node, e.g. saliency): each needs its
-        # ancestor cone replayed as a CLOSED function of one graph input so
-        # jax.grad can differentiate through it inside this same program.
-        # grad_specs[i] = (wrt_key, src_key, ancestor nodes in topo order).
-        grad_specs: Dict[int, Tuple[Any, Any, List[Any]]] = {}
+        grad_specs = _grad_specs(graph, order, input_edges, node_kinds)
         grad_protected: Set[int] = set()  # nodes PP folding must not touch
-        for n in graph.nodes:
-            if not getattr(node_kinds[n.index], "grad_node", False):
-                continue
-            kind = node_kinds[n.index]
-            wrt = kind.grad_wrt(n.params)
-            if wrt < 0 or wrt >= len(input_edges):
-                raise NodeError(
-                    n.index, n.name,
-                    f"wrt={wrt} but the graph has {len(input_edges)} "
-                    f"input(s)")
-            wnode, wch, _we = input_edges[wrt]
-            wrt_key = ("in", wnode.index, wch)
-            e = n.inputs["o"]  # validate() enforced presence
-            if e.src is None:
-                src_key: Tuple[Any, ...] = ("in", n.index, "o")
-                anc: List[Any] = []
-                reaches = src_key == wrt_key
-            else:
-                src_key = (e.src.node.index, e.src.channel)
-                anc_set: Set[int] = set()
-                touched: Set[Tuple[Any, ...]] = set()
-                stack = [e.src.node]
-                while stack:
-                    m = stack.pop()
-                    if m.index in anc_set:
-                        continue
-                    anc_set.add(m.index)
-                    for ch2, e2 in m.inputs.items():
-                        if e2.src is None:
-                            touched.add(("in", m.index, ch2))
-                        else:
-                            stack.append(e2.src.node)
-                anc = [m for m in order if m.index in anc_set]
-                reaches = wrt_key in touched
-            if not reaches:
-                raise NodeError(
-                    n.index, n.name,
-                    f"the wired tensor does not depend on graph input "
-                    f"{wrt} — its gradient would be identically zero")
-            grad_specs[n.index] = (wrt_key, src_key, anc)
-            grad_protected.add(n.index)
+        for gi, (_wk, _sk, anc) in grad_specs.items():
+            grad_protected.add(gi)
             grad_protected.update(m.index for m in anc)
         # Captured pytrees (model weights) become jit ARGUMENTS, so they stay
         # device-resident buffers instead of being baked into the HLO.
@@ -1056,6 +1067,60 @@ class Executor:
         return self.split_stacked(flat, k)
 
     # -- the debug path -----------------------------------------------------------
+    def _eager_grad_fn(self, graph: Graph, n):
+        """Build one gradient node's standalone evaluation for the eager
+        debug paths: ``(gfn, inputs, caps_arg)`` with ``gfn(inputs, caps)
+        -> output dict``.
+
+        Uses the same ancestor-cone resolution ``_stage`` does (the shared
+        ``_grad_specs``); captures ride as function arguments so the
+        jitted variant (``run_timed_eager``) doesn't bake model weights
+        into the HLO."""
+        from interactive_vit_tpu.graph.ir import effective_params
+
+        order = graph.order()
+        input_edges = graph.input_edges()
+        node_kinds = {m.index: self.reg.get_node(m.name)
+                      for m in graph.nodes}
+        wrt_key, src_key, anc = _grad_specs(
+            graph, order, input_edges, node_kinds)[n.index]
+        eff = {m.index: effective_params(m) for m in list(anc) + [n]}
+        caps_arg: Dict[str, Any] = {}
+        for m in list(anc) + [n]:
+            c = node_kinds[m.index].captures(eff[m.index])
+            if c is not None:
+                caps_arg[str(m.index)] = c
+        inputs = tuple(e.tensor for _, _, e in input_edges)
+
+        def gfn(inputs, caps):
+            in_env = {("in", m.index, ch): arr
+                      for (m, ch, _e), arr in zip(input_edges, inputs)}
+
+            def forward(xv):
+                env = dict(in_env)
+                env[wrt_key] = xv
+                if src_key[0] == "in":
+                    return env[src_key]
+                for m in anc:
+                    kind = node_kinds[m.index]
+                    ins = {
+                        ch: (env[("in", m.index, ch)] if e.src is None
+                             else env[(e.src.node.index, e.src.channel)])
+                        for ch, e in m.inputs.items()
+                    }
+                    if str(m.index) in caps:
+                        out = kind.fn(eff[m.index])(ins, caps[str(m.index)])
+                    else:
+                        out = kind.fn(eff[m.index])(ins)
+                    for ch, v in out.items():
+                        env[(m.index, ch)] = v
+                return env[src_key]
+
+            return node_kinds[n.index].grad_fn(eff[n.index])(
+                forward, in_env[wrt_key], caps.get(str(n.index)))
+
+        return gfn, inputs, caps_arg
+
     def run_eager(
         self, graph: Graph
     ) -> Tuple[Dict[int, Dict[str, np.ndarray]], Dict[int, str]]:
@@ -1080,7 +1145,13 @@ class Executor:
                 continue
             try:
                 kind = self.reg.get_node(n.name)
-                pinout = kind.compute(effective_params(n), n.get_pinin())
+                if getattr(kind, "grad_node", False):
+                    from interactive_vit_tpu.graph.ir import Pinout
+
+                    gfn, g_in, g_caps = self._eager_grad_fn(graph, n)
+                    pinout = Pinout(gfn(g_in, g_caps))
+                else:
+                    pinout = kind.compute(effective_params(n), n.get_pinin())
                 n.set_pinout(pinout)
                 outputs[n.index] = pinout.as_dict()
             except Exception as err:  # noqa: BLE001 — per-node isolation
@@ -1118,11 +1189,19 @@ class Executor:
             try:
                 kind = self.reg.get_node(n.name)
                 eff = effective_params(n)
-                fn = kind.fn(eff)
-                caps = kind.captures(eff)
-                jitted = jax.jit(fn)
-                ins = n.get_pinin().as_dict()
-                args = (ins,) if caps is None else (ins, caps)
+                if getattr(kind, "grad_node", False):
+                    # gradient nodes time their WHOLE program (ancestor
+                    # forward + backward + render) — that IS this node's
+                    # cost; captures ride as jit args (no constant bloat)
+                    fn, ins, caps = self._eager_grad_fn(graph, n)
+                    jitted = jax.jit(fn)
+                    args = (ins, caps)
+                else:
+                    fn = kind.fn(eff)
+                    caps = kind.captures(eff)
+                    jitted = jax.jit(fn)
+                    ins = n.get_pinin().as_dict()
+                    args = (ins,) if caps is None else (ins, caps)
                 out = jitted(*args)  # compile + first run
                 jax.block_until_ready(out)
                 t0 = time.perf_counter()

@@ -184,13 +184,36 @@ def test_bad_params_attributed(ex):
         ex.run(g, taps={(s, "g")})
 
 
-def test_eager_path_isolates_saliency(ex):
-    # run_eager can't differentiate (per-node evaluation has no cone);
-    # the saliency node errors, the REST of the graph still evaluates
+def test_eager_path_evaluates_saliency(ex):
+    # the debug paths rebuild the ancestor cone standalone (shared
+    # _grad_specs) — run_eager's values must match the staged program's
     x = np.linspace(0.0, 1.0, 4, dtype=np.float32)
     g, s = chain_graph(x, {"target": "sum"})
     outputs, errors = ex.run_eager(g)
-    assert s in errors and "staged executor" in errors[s]
+    assert errors == {}
+    np.testing.assert_allclose(
+        outputs[0]["o"], np.cos(2.0 * x + 0.5), atol=1e-6)
+    staged = ex.run(g, taps={(s, "g"), (s, "o")})
+    np.testing.assert_allclose(outputs[s]["g"], staged[s]["g"], atol=1e-6)
+    np.testing.assert_allclose(outputs[s]["o"], staged[s]["o"], atol=1e-6)
+
+
+def test_timed_eager_times_saliency(ex):
+    x = np.linspace(0.0, 1.0, 4, dtype=np.float32)
+    g, s = chain_graph(x, {"target": "sum"})
+    timings, shapes, errors = ex.run_timed_eager(g)
+    assert errors == {}
+    assert s in timings and timings[s] >= 0.0
+    assert shapes[s]["g"] == [4]
+
+
+def test_eager_path_isolates_bad_saliency(ex):
+    # a genuinely failing saliency (bad params) stays isolated: the rest
+    # of the graph still evaluates
+    x = np.linspace(0.0, 1.0, 4, dtype=np.float32)
+    g, s = chain_graph(x, {"target": "blorp"})
+    outputs, errors = ex.run_eager(g)
+    assert s in errors and "target" in errors[s]
     np.testing.assert_allclose(
         outputs[0]["o"], np.cos(2.0 * x + 0.5), atol=1e-6)
 

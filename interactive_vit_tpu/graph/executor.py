@@ -148,57 +148,122 @@ def resolve_taps(
     return out
 
 
-def _grad_specs(graph: Graph, order, input_edges, node_kinds
-                ) -> Dict[int, Tuple[Any, Any, List[Any]]]:
-    """Resolve every gradient node's (wrt_key, src_key, ancestor cone).
+class GradSpec:
+    """One gradient node's resolved differentiation plan.
 
-    Gradient node kinds (``NodeKind.grad_node``, e.g. saliency) need their
-    ancestor cone replayed as a CLOSED function of one graph input so
-    ``jax.grad`` can differentiate through it. Keys are the staged env
-    keys: ``("in", node, ch)`` for graph inputs, ``(node, ch)`` for node
-    outputs; ``anc`` is the cone in topo order. Shared by ``_stage`` and
-    the eager debug paths so the wiring validation (and its NodeError
-    text) cannot drift between them."""
-    specs: Dict[int, Tuple[Any, Any, List[Any]]] = {}
+    ``wrt_key``  env key of the leaf: ``("in", node, ch)`` for a graph
+                 input, ``(node, ch)`` for an intermediate activation
+                 (Grad-CAM-style wrt).
+    ``src_key``  env key of the tensor the scalar target reduces.
+    ``anc``      the src's full ancestor cone, topo order (the eager
+                 debug paths evaluate it to build the base env; PP
+                 folding must leave all of it unfolded).
+    ``replay``   the subset of ``anc`` that transitively DEPENDS on the
+                 wrt leaf, topo order — the nodes re-traced inside
+                 jax.grad; everything else reads its already-computed
+                 value.
+    """
+
+    __slots__ = ("wrt_key", "src_key", "anc", "replay")
+
+    def __init__(self, wrt_key, src_key, anc, replay):
+        self.wrt_key = wrt_key
+        self.src_key = src_key
+        self.anc = anc
+        self.replay = replay
+
+
+def _grad_specs(graph: Graph, order, input_edges, node_kinds
+                ) -> Dict[int, GradSpec]:
+    """Resolve every gradient node's ``GradSpec``.
+
+    Gradient node kinds (``NodeKind.grad_node``, e.g. saliency) need part
+    of the graph replayed as a CLOSED function of one leaf tensor so
+    ``jax.grad`` can differentiate through it. The leaf is either a graph
+    input (``grad_wrt`` -> ("input", k)) or any upstream node's output
+    (("node", idx, ch) — the Grad-CAM case). Shared by ``_stage`` and the
+    eager debug paths so the wiring validation (and its NodeError text)
+    cannot drift between them."""
+    specs: Dict[int, GradSpec] = {}
     for n in graph.nodes:
         kind = node_kinds[n.index]
         if not getattr(kind, "grad_node", False):
             continue
-        wrt = kind.grad_wrt(n.params)
-        if wrt < 0 or wrt >= len(input_edges):
-            raise NodeError(
-                n.index, n.name,
-                f"wrt={wrt} but the graph has {len(input_edges)} input(s)")
-        wnode, wch, _we = input_edges[wrt]
-        wrt_key = ("in", wnode.index, wch)
+        try:
+            wspec = kind.grad_wrt(n.params)
+        except Exception as err:  # noqa: BLE001 — attribution contract
+            raise NodeError(n.index, n.name, str(err)) from err
+        if wspec[0] == "input":
+            k = wspec[1]
+            if k < 0 or k >= len(input_edges):
+                raise NodeError(
+                    n.index, n.name,
+                    f"wrt={k} but the graph has {len(input_edges)} "
+                    f"input(s)")
+            wnode, wch, _we = input_edges[k]
+            wrt_key: Tuple[Any, ...] = ("in", wnode.index, wch)
+            wrt_label = f"graph input {k}"
+        else:
+            _kind, widx, wch = wspec
+            if widx < 0 or widx >= len(graph.nodes):
+                raise NodeError(
+                    n.index, n.name, f"wrt node {widx} does not exist")
+            wk = node_kinds[graph.nodes[widx].index]
+            if wch not in wk.io(graph.nodes[widx].params)["outs"]:
+                raise NodeError(
+                    n.index, n.name,
+                    f"wrt node {widx} has no output channel {wch!r}")
+            wrt_key = (widx, wch)
+            wrt_label = f"node {widx} channel {wch!r}"
         e = n.inputs["o"]  # validate() enforced presence
         if e.src is None:
             src_key: Tuple[Any, ...] = ("in", n.index, "o")
             anc: List[Any] = []
-            reaches = src_key == wrt_key
         else:
             src_key = (e.src.node.index, e.src.channel)
             anc_set: Set[int] = set()
-            touched: Set[Tuple[Any, ...]] = set()
             stack = [e.src.node]
             while stack:
                 m = stack.pop()
                 if m.index in anc_set:
                     continue
                 anc_set.add(m.index)
-                for ch2, e2 in m.inputs.items():
-                    if e2.src is None:
-                        touched.add(("in", m.index, ch2))
-                    else:
+                for _ch2, e2 in m.inputs.items():
+                    if e2.src is not None:
                         stack.append(e2.src.node)
             anc = [m for m in order if m.index in anc_set]
-            reaches = wrt_key in touched
+        # dependence-filtered replay: a node depends on the leaf if any
+        # input edge reads the leaf key, or reads ANY output of an
+        # already-dependent node (dependence is node-granular: recomputing
+        # a node refreshes all its channels)
+        dep: Set[int] = set()
+
+        def reads_leaf(m) -> bool:
+            for _ch2, e2 in m.inputs.items():
+                if e2.src is None:
+                    if ("in", m.index, _ch2) == wrt_key:
+                        return True
+                else:
+                    sk = (e2.src.node.index, e2.src.channel)
+                    if sk == wrt_key or e2.src.node.index in dep:
+                        return True
+            return False
+
+        replay = []
+        for m in anc:
+            if m.index == wrt_key[0] and wrt_key[0] != "in":
+                continue  # the leaf's producer is never recomputed
+            if reads_leaf(m):
+                dep.add(m.index)
+                replay.append(m)
+        reaches = (src_key == wrt_key
+                   or (src_key[0] != "in" and src_key[0] in dep))
         if not reaches:
             raise NodeError(
                 n.index, n.name,
-                f"the wired tensor does not depend on graph input "
-                f"{wrt} — its gradient would be identically zero")
-        specs[n.index] = (wrt_key, src_key, anc)
+                f"the wired tensor does not depend on {wrt_label} — "
+                f"its gradient would be identically zero")
+        specs[n.index] = GradSpec(wrt_key, src_key, anc, replay)
     return specs
 
 
@@ -721,9 +786,15 @@ class Executor:
 
         grad_specs = _grad_specs(graph, order, input_edges, node_kinds)
         grad_protected: Set[int] = set()  # nodes PP folding must not touch
-        for gi, (_wk, _sk, anc) in grad_specs.items():
+        # extra channel wants induced by node-wrt gradients: the leaf
+        # producer must actually EMIT the wrt channel into env
+        grad_wants: Set[Tuple[int, str]] = set()
+        for gi, spec in grad_specs.items():
             grad_protected.add(gi)
-            grad_protected.update(m.index for m in anc)
+            grad_protected.update(m.index for m in spec.anc)
+            if spec.wrt_key[0] != "in":
+                grad_protected.add(spec.wrt_key[0])
+                grad_wants.add((spec.wrt_key[0], spec.wrt_key[1]))
         # Captured pytrees (model weights) become jit ARGUMENTS, so they stay
         # device-resident buffers instead of being baked into the HLO.
         captures = {}
@@ -743,7 +814,8 @@ class Executor:
         # read it to skip work; ordinary kinds ignore it. It participates in
         # the cache signature via the tap-set key.
         eff_params: Dict[int, Dict[str, str]] = {
-            n.index: effective_params(n, tap_set) for n in graph.nodes
+            n.index: effective_params(n, tap_set | grad_wants)
+            for n in graph.nodes
         }
 
         # Pipeline folding (mesh "stage" axis): untapped chains of uniform
@@ -785,26 +857,27 @@ class Executor:
                 saliency) compose by recursion."""
                 kind = node_kinds[n.index]
                 if n.index in grad_specs:
-                    wrt_key, src_key, anc = grad_specs[n.index]
+                    spec = grad_specs[n.index]
 
-                    def forward(xv):
-                        # replay the ancestor cone from the graph inputs
-                        # with the wrt input replaced by the tracer
-                        env2 = {k: v for k, v in env.items()
-                                if k[0] == "in"}
-                        env2[wrt_key] = xv
-                        if src_key[0] == "in":
-                            return env2[src_key]
-                        for m in anc:
+                    def forward(xv, _spec=spec):
+                        # snapshot everything computed so far; replace the
+                        # leaf with the tracer; re-trace only the nodes
+                        # that depend on it (topo order guarantees each
+                        # replayed value is refreshed before it is read)
+                        env2 = dict(env)
+                        env2[_spec.wrt_key] = xv
+                        if _spec.src_key == _spec.wrt_key:
+                            return xv
+                        for m in _spec.replay:
                             eval_one(m, env2, caps)
-                        return env2[src_key]
+                        return env2[_spec.src_key]
 
                     try:
                         with jax.named_scope(
                             f"n{n.index}_{n.name.replace(':', '.')}"
                         ):
                             outs = kind.grad_fn(eff_params[n.index])(
-                                forward, env[wrt_key],
+                                forward, env[spec.wrt_key],
                                 caps.get(str(n.index)))
                     except NodeError:
                         raise
@@ -1082,42 +1155,52 @@ class Executor:
         input_edges = graph.input_edges()
         node_kinds = {m.index: self.reg.get_node(m.name)
                       for m in graph.nodes}
-        wrt_key, src_key, anc = _grad_specs(
-            graph, order, input_edges, node_kinds)[n.index]
-        eff = {m.index: effective_params(m) for m in list(anc) + [n]}
+        spec = _grad_specs(graph, order, input_edges, node_kinds)[n.index]
+        # node-wrt gradients need the leaf producer to emit the wrt channel
+        wants = ({(spec.wrt_key[0], spec.wrt_key[1])}
+                 if spec.wrt_key[0] != "in" else set())
+        eff = {m.index: effective_params(m, wants)
+               for m in list(spec.anc) + [n]}
         caps_arg: Dict[str, Any] = {}
-        for m in list(anc) + [n]:
+        for m in list(spec.anc) + [n]:
             c = node_kinds[m.index].captures(eff[m.index])
             if c is not None:
                 caps_arg[str(m.index)] = c
         inputs = tuple(e.tensor for _, _, e in input_edges)
 
         def gfn(inputs, caps):
-            in_env = {("in", m.index, ch): arr
-                      for (m, ch, _e), arr in zip(input_edges, inputs)}
+            env = {("in", m.index, ch): arr
+                   for (m, ch, _e), arr in zip(input_edges, inputs)}
+
+            def eval_into(m, env):
+                kind = node_kinds[m.index]
+                ins = {
+                    ch: (env[("in", m.index, ch)] if e.src is None
+                         else env[(e.src.node.index, e.src.channel)])
+                    for ch, e in m.inputs.items()
+                }
+                if str(m.index) in caps:
+                    out = kind.fn(eff[m.index])(ins, caps[str(m.index)])
+                else:
+                    out = kind.fn(eff[m.index])(ins)
+                for ch, v in out.items():
+                    env[(m.index, ch)] = v
+
+            # base pass: the full ancestor cone from the graph inputs
+            for m in spec.anc:
+                eval_into(m, env)
 
             def forward(xv):
-                env = dict(in_env)
-                env[wrt_key] = xv
-                if src_key[0] == "in":
-                    return env[src_key]
-                for m in anc:
-                    kind = node_kinds[m.index]
-                    ins = {
-                        ch: (env[("in", m.index, ch)] if e.src is None
-                             else env[(e.src.node.index, e.src.channel)])
-                        for ch, e in m.inputs.items()
-                    }
-                    if str(m.index) in caps:
-                        out = kind.fn(eff[m.index])(ins, caps[str(m.index)])
-                    else:
-                        out = kind.fn(eff[m.index])(ins)
-                    for ch, v in out.items():
-                        env[(m.index, ch)] = v
-                return env[src_key]
+                env2 = dict(env)
+                env2[spec.wrt_key] = xv
+                if spec.src_key == spec.wrt_key:
+                    return xv
+                for m in spec.replay:
+                    eval_into(m, env2)
+                return env2[spec.src_key]
 
             return node_kinds[n.index].grad_fn(eff[n.index])(
-                forward, in_env[wrt_key], caps.get(str(n.index)))
+                forward, env[spec.wrt_key], caps.get(str(n.index)))
 
         return gfn, inputs, caps_arg
 

@@ -707,8 +707,21 @@ class SaliencyNode(NodeKind):
                                  gradients on the zero-baseline path
       steps   int (default 16)   IG path resolution (static: changes the
                                  program — it is a lax.scan length)
-      wrt     int (default 0)    which graph input to differentiate
-                                 (index into the graph's input edges)
+      wrt     "0" (default)      the leaf to differentiate: an integer
+              | "node:<i>"       indexes the graph's input edges; or an
+              | "node:<i>:<ch>"  upstream node's output — the Grad-CAM
+                                 case: d(class logit)/d(tokens at block i),
+                                 token-shaped attributions rendered as a
+                                 patch-grid heatmap
+      skip    int (default 1)    leading tokens dropped from the grid
+                                 render of token-shaped ([B,N,D])
+                                 attributions (CLS token, like patch_sim)
+
+    Note on node-wrt targets: differentiate against a block that still
+    has token MIXING downstream (any earlier block). Against the LAST
+    block's output, only the CLS token reaches the classifier head, so
+    every patch token's gradient is exactly zero and the heatmap is
+    black — correct, but rarely what a user wants.
     """
 
     # the executor stages this kind via grad_fn (it needs the ancestor
@@ -734,13 +747,20 @@ class SaliencyNode(NodeKind):
             return (f"<label>{_html.escape(name)} <select data-param="
                     f"\"{_html.escape(name)}\">{opts}</select></label>")
 
+        wrt = _html.escape(str(params.get("wrt", "0")))
         return ("<p>input-gradient saliency</p>"
                 + sel("target", self.TARGETS, target) + " "
                 + _num_input("class", int(float(params.get("class", 0))),
                              step="1", title="class (target=class)")
                 + "<br>" + sel("mode", self.MODES, mode) + " "
                 + _num_input("steps", int(float(params.get("steps", 16))),
-                             step="1", title="IG steps"))
+                             step="1", title="IG steps")
+                + "<br><label>wrt <input data-param=\"wrt\" type=\"text\" "
+                + f"value=\"{wrt}\" size=\"9\" "
+                + "title=\"input index, or node:&lt;i&gt;[:&lt;ch&gt;] "
+                + "for Grad-CAM on an upstream activation\"></label> "
+                + _num_input("skip", int(float(params.get("skip", 1))),
+                             step="1", title="CLS tokens to skip"))
 
     def io(self, params):
         return {"ins": ["o"], "outs": ["o", "g"]}
@@ -756,8 +776,19 @@ class SaliencyNode(NodeKind):
     def captures(self, params):
         return {"class": np.int32(int(float(params.get("class", 0))))}
 
-    def grad_wrt(self, params) -> int:
-        return int(float(params.get("wrt", 0)))
+    def grad_wrt(self, params):
+        """("input", k) or ("node", idx, channel) — the executor contract
+        (``graph/executor._grad_specs``)."""
+        w = str(params.get("wrt", "0"))
+        if w.startswith("node:"):
+            parts = w.split(":")
+            if len(parts) == 2:
+                return ("node", int(parts[1]), "o")
+            if len(parts) == 3:
+                return ("node", int(parts[1]), parts[2])
+            raise ValueError(f"bad wrt spec {w!r} (node:<i> or "
+                             f"node:<i>:<ch>)")
+        return ("input", int(float(w)))
 
     def _decode(self, params):
         target = params.get("target", "max")
@@ -774,10 +805,35 @@ class SaliencyNode(NodeKind):
         return target, mode, steps
 
     @staticmethod
-    def _heat(attr):
-        """abs -> channel-collapse (CHW-looking inputs) -> per-sample
-        max-normalize to [0,1] -> broadcast back to 3 channels, so the
-        output drops straight into img_view/overlay."""
+    def _token_cam(attr, skip: int):
+        """[B,N,D] token attribution -> [B,3,g,g] patch-grid heatmap.
+
+        Per-token importance = L1 norm of the attribution over the
+        feature dim, per-sample max-normalized, on the same patch grid
+        rules as patch_sim. NOT the classic signed CAM sum: transformer
+        blocks feed a LayerNorm, which makes the logit nearly
+        scale-invariant in the block output, so the signed inner product
+        x·∇f(x) is ~0 identically (measured ~1e-7 vs 1e0 magnitudes) —
+        magnitude is the render that carries information here."""
+        t, g = _token_grid(attr, skip)
+        cam = jnp.sum(jnp.abs(t), axis=-1)
+        cam = cam / jnp.maximum(
+            jnp.max(cam, axis=-1, keepdims=True), 1e-12)
+        img = cam.reshape(cam.shape[0], 1, g, g)
+        return jnp.broadcast_to(img, (cam.shape[0], 3, g, g))
+
+    def _heat(self, attr, skip: int):
+        """Render the attribution for img_view/overlay.
+
+        Token streams ([B,N,D] whose N-skip tiles a square grid) render as
+        a Grad-CAM patch heatmap; CHW-looking tensors abs -> channel-
+        collapse -> per-sample max-normalize -> broadcast back to 3
+        channels; anything else normalizes |attr| in place."""
+        if attr.ndim == 3:
+            try:
+                return self._token_cam(attr, skip)
+            except ValueError:
+                pass  # not a token grid — fall through to image rules
         h = jnp.abs(attr)
         chw = h.ndim >= 3 and h.shape[-3] in (1, 3)
         if chw:
@@ -794,6 +850,7 @@ class SaliencyNode(NodeKind):
 
     def grad_fn(self, params):
         target, mode, steps = self._decode(params)
+        skip = int(float(params.get("skip", 1)))
 
         def run(forward, x, caps):
             def scalar(xv):
@@ -819,7 +876,8 @@ class SaliencyNode(NodeKind):
             else:
                 g = jax.grad(scalar)(x).astype(jnp.float32)
                 attr = g * xf if mode == "gradxinput" else g
-            return {"o": self._heat(attr).astype(x.dtype), "g": attr}
+            return {"o": self._heat(attr, skip).astype(x.dtype),
+                    "g": attr}
 
         return run
 

@@ -271,6 +271,80 @@ def test_saliency_through_vit_blocks(reg):
     assert out[s]["o"].max() == pytest.approx(1.0, abs=1e-4)
 
 
+def test_node_wrt_analytic(ex):
+    # x -> cos -> cos -> saliency wrt the FIRST cos's output y:
+    # d sum(cos(y)) / dy = -sin(y), y = cos(x)
+    x = np.linspace(-1.0, 1.0, 6, dtype=np.float32)
+    g = Graph()
+    c0 = g.add_node("cos", {"A": "1.0", "b": "0.0"})
+    c1 = g.add_node("cos", {"A": "1.0", "b": "0.0"})
+    s = g.add_node("saliency", {"target": "sum", "wrt": "node:0"}).index
+    g.connect(c0, "o", c1, "o")
+    g.connect(c1, "o", g.nodes[s], "o")
+    g.add_input(x, c0, "o")
+    out = ex.run(g, taps={(s, "g")})
+    np.testing.assert_allclose(out[s]["g"], -np.sin(np.cos(x)), atol=1e-5)
+    # eager debug path agrees
+    outputs, errors = ex.run_eager(g)
+    assert errors == {}
+    np.testing.assert_allclose(outputs[s]["g"], out[s]["g"], atol=1e-6)
+
+
+def test_node_wrt_not_upstream_raises(ex):
+    x = np.ones((4,), np.float32)
+    g = Graph()
+    c0 = g.add_node("cos", {})
+    c1 = g.add_node("cos", {})  # parallel branch, NOT upstream of c0
+    s = g.add_node("saliency", {"target": "sum", "wrt": "node:1"}).index
+    g.connect(c0, "o", g.nodes[s], "o")
+    g.add_input(x, c0, "o")
+    g.add_input(x, c1, "o")
+    with pytest.raises(NodeError) as ei:
+        ex.run(g, taps={(s, "g")})
+    assert "does not depend" in str(ei.value)
+
+
+def test_gradcam_token_render(reg):
+    # the Grad-CAM product shape: class logit wrt block-0's token stream,
+    # rendered as a patch-grid heatmap (ReLU'd, per-sample normalized)
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_cam", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=10)
+    vit.VARIANTS["vit_cam"] = cfg
+    try:
+        make_vit_model("vit_cam").register(reg)
+    finally:
+        del vit.VARIANTS["vit_cam"]
+    ex = Executor(reg)
+    g = Graph()
+    emb = g.add_node("vit_cam:embed")
+    b0 = g.add_node("vit_cam:blocks.0")
+    b1 = g.add_node("vit_cam:blocks.1")
+    head = g.add_node("vit_cam:head")
+    s = g.add_node("saliency",
+                   {"target": "max", "mode": "gradxinput",
+                    "wrt": f"node:{b0.index}"}).index
+    g.connect(emb, "o", b0, "o")
+    g.connect(b0, "o", b1, "o")
+    g.connect(b1, "o", head, "o")
+    g.connect(head, "o", g.nodes[s], "o")
+    img = np.random.default_rng(1).random((2, 3, 32, 32)).astype(np.float32)
+    g.add_input(img, emb, "o")
+    out = ex.run(g, taps={(s, "o"), (s, "g")})
+    # raw attribution is token-shaped: [B, 5 tokens, width]
+    assert out[s]["g"].shape == (2, 5, 64)
+    # heatmap: [B, 3, 2, 2] patch grid in [0, 1] (L1 magnitude — the
+    # signed CAM sum is ~0 by LN scale-invariance, see _token_cam)
+    heat = out[s]["o"]
+    assert heat.shape == (2, 3, 2, 2)
+    assert heat.min() >= 0.0 and heat.max() <= 1.0 + 1e-6
+    cam = np.abs(out[s]["g"][:, 1:]).sum(-1)
+    cam = cam / np.maximum(cam.max(axis=-1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(heat[:, 0].reshape(2, 4), cam, atol=1e-5)
+
+
 def test_primary_taps_exclude_raw_gradient(ex):
     # "g" is an extra channel: the serving default ("primary") ships the
     # heatmap but not the input-sized raw attribution unless wired

@@ -119,7 +119,7 @@ async function initTools() {
 	// token-similarity heatmap (DINO-style views), zero-shot similarity
 	// join (CLIP image x text embeddings), input-gradient saliency
 	// (jax.grad through the staged program — inherently server-side)
-	for (const endpoint of ["pca_view", "patch_sim", "similarity", "saliency"]) {
+	for (const endpoint of ["pca_view", "patch_sim", "similarity", "saliency", "dream"]) {
 		Workspace.registerTool(endpoint, async (x, y) => {
 			try {
 				const node = Context.addNodeInstance(await NetNode.create(endpoint));

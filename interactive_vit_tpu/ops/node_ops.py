@@ -677,7 +677,75 @@ class SimilarityNode(NodeKind):
         return run
 
 
-class SaliencyNode(NodeKind):
+class _GradNode(NodeKind):
+    """Shared base for gradient node kinds (saliency, dream).
+
+    The executor contract (``graph/executor._grad_specs``): ``grad_node``
+    kinds receive their ancestor cone as a closed function and implement
+    ``grad_fn(params) -> run(forward, x, caps)``. This base owns the
+    pieces that must not drift between kinds: the wrt-leaf spec parser
+    and the scalar-target reduction."""
+
+    grad_node = True
+    TARGETS = ("max", "sum", "class")
+
+    def grad_wrt(self, params):
+        """("input", k) or ("node", idx, channel)."""
+        w = str(params.get("wrt", "0"))
+        if w.startswith("node:"):
+            parts = w.split(":")
+            if len(parts) == 2:
+                return ("node", int(parts[1]), "o")
+            if len(parts) == 3:
+                return ("node", int(parts[1]), parts[2])
+            raise ValueError(f"bad wrt spec {w!r} (node:<i> or "
+                             f"node:<i>:<ch>)")
+        return ("input", int(float(w)))
+
+    def _check_target(self, target: str) -> str:
+        if target not in self.TARGETS:
+            raise ValueError(f"target must be one of {self.TARGETS}, "
+                             f"got {target!r}")
+        return target
+
+    @staticmethod
+    def _scalar_fn(forward, target, caps):
+        """The differentiated objective: reduce the wired tensor to one
+        scalar (per-sample, summed over the batch — samples independent)."""
+
+        def scalar(xv):
+            y = forward(xv).astype(jnp.float32)
+            if target == "class":
+                c = jnp.clip(caps["class"], 0, y.shape[-1] - 1)
+                y = jnp.take(y, c, axis=-1)
+            elif target == "max":
+                y = jnp.max(y, axis=-1)
+            return jnp.sum(y)
+
+        return scalar
+
+    @staticmethod
+    def _sel_html(name, options, cur):
+        import html as _html
+
+        opts = "".join(
+            f"<option value=\"{o}\"{' selected' if o == cur else ''}>"
+            f"{o}</option>" for o in options)
+        return (f"<label>{_html.escape(name)} <select data-param="
+                f"\"{_html.escape(name)}\">{opts}</select></label>")
+
+    @staticmethod
+    def _wrt_html(params):
+        import html as _html
+
+        wrt = _html.escape(str(params.get("wrt", "0")))
+        return ("<label>wrt <input data-param=\"wrt\" type=\"text\" "
+                f"value=\"{wrt}\" size=\"9\" "
+                "title=\"input index, or node:&lt;i&gt;[:&lt;ch&gt;] "
+                "for an upstream activation\"></label>")
+
+
+class SaliencyNode(_GradNode):
     """Input-gradient saliency: d(scalar of the wired tensor)/d(graph input).
 
     A capability class the reference could not express: its server ran
@@ -703,10 +771,15 @@ class SaliencyNode(NodeKind):
       class   int                class index for target=class. DYNAMIC:
                                  scrubbing classes re-keys the cached
                                  program — no recompile.
-      mode    grad | gradxinput | ig   attribution method; ig = integrated
-                                 gradients on the zero-baseline path
-      steps   int (default 16)   IG path resolution (static: changes the
-                                 program — it is a lax.scan length)
+      mode    grad | gradxinput | ig | smooth   attribution method;
+                                 ig = integrated gradients on the
+                                 zero-baseline path; smooth = SmoothGrad
+                                 (mean gradient over noisy samples)
+      steps   int (default 16)   IG path resolution / SmoothGrad sample
+                                 count (static: a lax.scan length)
+      sigma   float (default .15) SmoothGrad noise scale relative to the
+                                 input range. DYNAMIC.
+      seed    int (default 0)    SmoothGrad noise seed. DYNAMIC.
       wrt     "0" (default)      the leaf to differentiate: an integer
               | "node:<i>"       indexes the graph's input edges; or an
               | "node:<i>:<ch>"  upstream node's output — the Grad-CAM
@@ -724,12 +797,7 @@ class SaliencyNode(NodeKind):
     black — correct, but rarely what a user wants.
     """
 
-    # the executor stages this kind via grad_fn (it needs the ancestor
-    # cone as a closed function, which a per-node fn can never see)
-    grad_node = True
-
-    TARGETS = ("max", "sum", "class")
-    MODES = ("grad", "gradxinput", "ig")
+    MODES = ("grad", "gradxinput", "ig", "smooth")
 
     def __init__(self) -> None:
         super().__init__("saliency")
@@ -747,18 +815,17 @@ class SaliencyNode(NodeKind):
             return (f"<label>{_html.escape(name)} <select data-param="
                     f"\"{_html.escape(name)}\">{opts}</select></label>")
 
-        wrt = _html.escape(str(params.get("wrt", "0")))
         return ("<p>input-gradient saliency</p>"
                 + sel("target", self.TARGETS, target) + " "
                 + _num_input("class", int(float(params.get("class", 0))),
                              step="1", title="class (target=class)")
                 + "<br>" + sel("mode", self.MODES, mode) + " "
                 + _num_input("steps", int(float(params.get("steps", 16))),
-                             step="1", title="IG steps")
-                + "<br><label>wrt <input data-param=\"wrt\" type=\"text\" "
-                + f"value=\"{wrt}\" size=\"9\" "
-                + "title=\"input index, or node:&lt;i&gt;[:&lt;ch&gt;] "
-                + "for Grad-CAM on an upstream activation\"></label> "
+                             step="1", title="IG / SmoothGrad steps")
+                + " " + _num_input(
+                    "sigma", float(params.get("sigma", 0.15)),
+                    title="smooth noise (rel. to input range)")
+                + "<br>" + self._wrt_html(params) + " "
                 + _num_input("skip", int(float(params.get("skip", 1))),
                              step="1", title="CLS tokens to skip"))
 
@@ -769,34 +836,19 @@ class SaliencyNode(NodeKind):
         return ["g"]
 
     def dynamic_params(self):
-        # scrubbing the class index is the interaction ("which pixels argue
-        # for class k?"); it rides as a runtime capture — no recompile
-        return frozenset({"class"})
+        # scrubbing the class index (and SmoothGrad's noise scale/seed) is
+        # the interaction; they ride as runtime captures — no recompile
+        return frozenset({"class", "sigma", "seed"})
 
     def captures(self, params):
-        return {"class": np.int32(int(float(params.get("class", 0))))}
-
-    def grad_wrt(self, params):
-        """("input", k) or ("node", idx, channel) — the executor contract
-        (``graph/executor._grad_specs``)."""
-        w = str(params.get("wrt", "0"))
-        if w.startswith("node:"):
-            parts = w.split(":")
-            if len(parts) == 2:
-                return ("node", int(parts[1]), "o")
-            if len(parts) == 3:
-                return ("node", int(parts[1]), parts[2])
-            raise ValueError(f"bad wrt spec {w!r} (node:<i> or "
-                             f"node:<i>:<ch>)")
-        return ("input", int(float(w)))
+        return {"class": np.int32(int(float(params.get("class", 0)))),
+                "sigma": np.float32(float(params.get("sigma", 0.15))),
+                "seed": np.int32(int(float(params.get("seed", 0))))}
 
     def _decode(self, params):
-        target = params.get("target", "max")
+        target = self._check_target(params.get("target", "max"))
         mode = params.get("mode", "grad")
         steps = int(float(params.get("steps", 16)))
-        if target not in self.TARGETS:
-            raise ValueError(f"target must be one of {self.TARGETS}, "
-                             f"got {target!r}")
         if mode not in self.MODES:
             raise ValueError(f"mode must be one of {self.MODES}, "
                              f"got {mode!r}")
@@ -853,15 +905,7 @@ class SaliencyNode(NodeKind):
         skip = int(float(params.get("skip", 1)))
 
         def run(forward, x, caps):
-            def scalar(xv):
-                y = forward(xv).astype(jnp.float32)
-                if target == "class":
-                    c = jnp.clip(caps["class"], 0, y.shape[-1] - 1)
-                    y = jnp.take(y, c, axis=-1)
-                elif target == "max":
-                    y = jnp.max(y, axis=-1)
-                return jnp.sum(y)
-
+            scalar = self._scalar_fn(forward, target, caps)
             xf = x.astype(jnp.float32)
             if mode == "ig":
                 alphas = (jnp.arange(steps, dtype=jnp.float32) + 1.0) / steps
@@ -873,6 +917,25 @@ class SaliencyNode(NodeKind):
                 tot, _ = jax.lax.scan(
                     body, jnp.zeros(x.shape, jnp.float32), alphas)
                 attr = (tot / steps) * xf
+            elif mode == "smooth":
+                # SmoothGrad: mean gradient over `steps` noisy samples,
+                # noise scaled by sigma * input range (the published
+                # construction); sigma/seed are dynamic — scrubbing the
+                # noise scale re-keys the cached program
+                key = jax.random.key(caps["seed"].astype(jnp.uint32))
+                scale = caps["sigma"].astype(jnp.float32) * (
+                    jnp.max(xf) - jnp.min(xf))
+
+                def nbody(acc, i):
+                    eps = jax.random.normal(
+                        jax.random.fold_in(key, i), x.shape, jnp.float32)
+                    g = jax.grad(scalar)((xf + scale * eps).astype(x.dtype))
+                    return acc + g.astype(jnp.float32), None
+
+                tot, _ = jax.lax.scan(
+                    nbody, jnp.zeros(x.shape, jnp.float32),
+                    jnp.arange(steps))
+                attr = tot / steps
             else:
                 g = jax.grad(scalar)(x).astype(jnp.float32)
                 attr = g * xf if mode == "gradxinput" else g
@@ -891,6 +954,102 @@ class SaliencyNode(NodeKind):
     def compute(self, params, inputs):
         # eager debug paths isolate this as a per-node error and keep
         # evaluating the rest of the graph (run_eager fault isolation)
+        self.fn(params)
+
+
+class DreamNode(_GradNode):
+    """Feature visualization by gradient ASCENT on the input.
+
+    Optimizes the wrt leaf (default: the image) to maximize the scalar
+    target of the wired tensor — "what does class k look like to this
+    model" — as a ``lax.scan`` of normalized gradient-ascent steps INSIDE
+    the staged program: the whole optimization loop is one XLA program on
+    the MXU, not a host-side training loop. Another capability class the
+    reference could not express (``torch.no_grad`` server,
+    ``/root/reference/main/context.py:79-88``).
+
+    Wiring: input "o" = the objective tensor (typically logits); output
+    "o" = the optimized leaf (image-shaped — wire into img_view);
+    "delta" = optimized minus original, f32 (extra channel).
+
+    Params: ``target``/``class``/``wrt`` as saliency; ``steps`` ascent
+    steps (static: scan length); ``lr`` step size in input-range units
+    (DYNAMIC — scrub it live); ``clip_lo``/``clip_hi`` clamp the iterate
+    (default 0..1, the image box; "none" disables).
+    """
+
+    def __init__(self) -> None:
+        super().__init__("dream")
+
+    def contents(self, params):
+        target = params.get("target", "class")
+        return ("<p>gradient-ascent feature visualization</p>"
+                + self._sel_html("target", self.TARGETS, target) + " "
+                + _num_input("class", int(float(params.get("class", 0))),
+                             step="1", title="class (target=class)")
+                + "<br>" + _num_input(
+                    "steps", int(float(params.get("steps", 32))),
+                    step="1", title="ascent steps")
+                + " " + _num_input("lr", float(params.get("lr", 0.05)),
+                                   title="step size")
+                + "<br>" + self._wrt_html(params))
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o", "delta"]}
+
+    def extra_outs(self, params):
+        return ["delta"]
+
+    def dynamic_params(self):
+        # scrubbing the step size / class live is the interaction
+        return frozenset({"class", "lr"})
+
+    def captures(self, params):
+        return {"class": np.int32(int(float(params.get("class", 0)))),
+                "lr": np.float32(float(params.get("lr", 0.05)))}
+
+    def _decode(self, params):
+        target = self._check_target(params.get("target", "class"))
+        steps = int(float(params.get("steps", 32)))
+        if steps < 1:
+            raise ValueError("steps must be >= 1")
+
+        def clip_of(key, default):
+            v = str(params.get(key, default))
+            return None if v == "none" else float(v)
+
+        return target, steps, clip_of("clip_lo", "0"), clip_of("clip_hi", "1")
+
+    def grad_fn(self, params):
+        target, steps, clip_lo, clip_hi = self._decode(params)
+
+        def run(forward, x, caps):
+            scalar = self._scalar_fn(forward, target, caps)
+            lr = caps["lr"].astype(jnp.float32)
+
+            def body(xv, _):
+                g = jax.grad(scalar)(xv).astype(jnp.float32)
+                # normalized ascent: step size in input units regardless
+                # of gradient magnitude (the standard feature-vis recipe)
+                norm = jnp.sqrt(jnp.mean(jnp.square(g))) + 1e-12
+                nxt = xv.astype(jnp.float32) + lr * g / norm
+                if clip_lo is not None or clip_hi is not None:
+                    nxt = jnp.clip(nxt, clip_lo, clip_hi)
+                return nxt.astype(xv.dtype), None
+
+            xo, _ = jax.lax.scan(body, x, None, length=steps)
+            return {"o": xo,
+                    "delta": xo.astype(jnp.float32) - x.astype(jnp.float32)}
+
+        return run
+
+    def fn(self, params):
+        self._decode(params)
+        raise NotImplementedError(
+            "dream optimizes through the WHOLE upstream graph — staged "
+            "executor only")
+
+    def compute(self, params, inputs):
         self.fn(params)
 
 
@@ -934,6 +1093,7 @@ def instances():
         PatchSimNode(),
         SimilarityNode(),
         SaliencyNode(),
+        DreamNode(),
         IdentityNode("img_src", ["o"], ["o"]),
         ImgViewNode(),
         IdentityNode("multi_view", ["o"], []),

@@ -252,6 +252,20 @@ def scenarios():
                                 _edge(2, "o", 3, "o")]},
             "sources": {0: _img(16, (3, 4, 4))},
         },
+        # gradient-ascent feature visualization (server-only, like
+        # saliency): optimize the image to maximize sum(cos(1.5x+0.25))
+        "dream": {
+            "saved": {"nodes": [_node("img_src"),
+                                _node("cos", A="1.5", b="0.25"),
+                                _node("net_node", endpoint="dream",
+                                      params={"target": "sum",
+                                              "steps": "8", "lr": "0.2"}),
+                                _node("img_view")],
+                      "edges": [_edge(0, "o", 1, "o"),
+                                _edge(1, "o", 2, "o"),
+                                _edge(2, "o", 3, "o")]},
+            "sources": {0: _img(17, (3, 4, 4))},
+        },
         # a real model layer endpoint as net_node: cos via the registry
         "net_node": {
             "saved": {"nodes": [_node("img_src"),

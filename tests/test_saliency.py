@@ -345,6 +345,124 @@ def test_gradcam_token_render(reg):
     np.testing.assert_allclose(heat[:, 0].reshape(2, 4), cam, atol=1e-5)
 
 
+def test_smoothgrad_sigma_zero_is_vanilla(ex):
+    x = np.linspace(-1.0, 1.0, 12, dtype=np.float32).reshape(3, 4)
+    g1, s1 = chain_graph(x, {"target": "sum", "mode": "grad"})
+    g2, s2 = chain_graph(x, {"target": "sum", "mode": "smooth",
+                             "steps": "4", "sigma": "0"})
+    a = ex.run(g1, taps={(s1, "g")})[s1]["g"]
+    b = ex.run(g2, taps={(s2, "g")})[s2]["g"]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_smoothgrad_seed_and_sigma_dynamic(ex):
+    x = np.linspace(-1.0, 1.0, 12, dtype=np.float32).reshape(3, 4)
+    g, s = chain_graph(x, {"target": "sum", "mode": "smooth",
+                           "steps": "4", "sigma": "0.2", "seed": "1"})
+    a = ex.run(g, taps={(s, "g")})[s]["g"]
+    assert not ex.last_stats.cache_hit
+    # same params -> deterministic
+    b = ex.run(g, taps={(s, "g")})[s]["g"]
+    assert ex.last_stats.cache_hit
+    np.testing.assert_allclose(a, b)
+    # scrub sigma/seed: still a cache hit, different values
+    g.nodes[s].params["sigma"] = "0.5"
+    g.nodes[s].params["seed"] = "2"
+    c = ex.run(g, taps={(s, "g")})[s]["g"]
+    assert ex.last_stats.cache_hit
+    assert not np.allclose(a, c)
+
+
+def test_dream_linear_objective_saturates(ex):
+    # maximize sum(x * w) over x in [0,1]: the optimum is x=1 where w>0,
+    # x=0 where w<0 — normalized ascent with enough steps reaches the box
+    rng = np.random.default_rng(4)
+    x = np.full((2, 6), 0.5, np.float32)
+    # |w| bounded away from 0: the normalized-ascent per-element step is
+    # lr*|w_i|/||w||, so a near-zero weight saturates arbitrarily slowly
+    w = (rng.choice([-1.0, 1.0], size=(2, 6))
+         * rng.uniform(0.5, 1.5, size=(2, 6))).astype(np.float32)
+    g = Graph()
+    b = g.add_node("binop", {"op": "*"})
+    d = g.add_node("dream", {"target": "sum", "steps": "64",
+                             "lr": "0.3"}).index
+    g.connect(b, "c", g.nodes[d], "o")
+    g.add_input(x, b, "a")
+    g.add_input(w, b, "b")
+    out = ex.run(g, taps={(d, "o"), (d, "delta")})
+    np.testing.assert_allclose(
+        out[d]["o"], (w > 0).astype(np.float32), atol=1e-3)
+    np.testing.assert_allclose(
+        out[d]["delta"], out[d]["o"] - x, atol=1e-5)
+
+
+def test_dream_lr_and_class_dynamic(ex):
+    x = np.full((4,), 0.5, np.float32)
+    g, d = chain_graph(x, {"target": "class", "class": "1",
+                           "steps": "8", "lr": "0.1"},
+                       mid=("cos", {"A": "1.0", "b": "0.0"}))
+    # chain_graph wires cos -> saliency; rebuild for dream
+    g = Graph()
+    c = g.add_node("cos", {"A": "1.0", "b": "0.0"})
+    d = g.add_node("dream", {"target": "class", "class": "1",
+                             "steps": "8", "lr": "0.1"}).index
+    g.connect(c, "o", g.nodes[d], "o")
+    g.add_input(x, c, "o")
+    a = ex.run(g, taps={(d, "o")})[d]["o"]
+    assert not ex.last_stats.cache_hit
+    g.nodes[d].params["lr"] = "0.3"
+    g.nodes[d].params["class"] = "2"
+    b = ex.run(g, taps={(d, "o")})[d]["o"]
+    assert ex.last_stats.cache_hit
+    assert not np.allclose(a, b)
+
+
+def test_dream_through_vit(reg):
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_dream", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=10)
+    vit.VARIANTS["vit_dream"] = cfg
+    try:
+        make_vit_model("vit_dream").register(reg)
+    finally:
+        del vit.VARIANTS["vit_dream"]
+    ex = Executor(reg)
+    g = Graph()
+    emb = g.add_node("vit_dream:embed")
+    b0 = g.add_node("vit_dream:blocks.0")
+    b1 = g.add_node("vit_dream:blocks.1")
+    head = g.add_node("vit_dream:head")
+    d = g.add_node("dream", {"target": "class", "class": "3",
+                             "steps": "4", "lr": "0.1"}).index
+    g.connect(emb, "o", b0, "o")
+    g.connect(b0, "o", b1, "o")
+    g.connect(b1, "o", head, "o")
+    g.connect(head, "o", g.nodes[d], "o")
+    img = np.random.default_rng(2).random((1, 3, 32, 32)).astype(np.float32)
+    g.add_input(img, emb, "o")
+    out = ex.run(g, taps={(d, "o"), (head.index, "o")})
+    xo = out[d]["o"]
+    assert xo.shape == img.shape
+    assert np.isfinite(xo).all()
+    assert xo.min() >= 0.0 and xo.max() <= 1.0  # clipped to the image box
+    assert not np.allclose(xo, img)
+    # the optimized image must actually score higher on the target class
+    g2 = Graph()
+    emb2 = g2.add_node("vit_dream:embed")
+    b02 = g2.add_node("vit_dream:blocks.0")
+    b12 = g2.add_node("vit_dream:blocks.1")
+    head2 = g2.add_node("vit_dream:head")
+    g2.connect(emb2, "o", b02, "o")
+    g2.connect(b02, "o", b12, "o")
+    g2.connect(b12, "o", head2, "o")
+    g2.add_input(xo, emb2, "o")
+    logits_opt = ex.run(g2, taps={(head2.index, "o")})[head2.index]["o"]
+    logits_orig = out[head.index]["o"]
+    assert logits_opt[0, 3] > logits_orig[0, 3]
+
+
 def test_primary_taps_exclude_raw_gradient(ex):
     # "g" is an extra channel: the serving default ("primary") ships the
     # heatmap but not the input-sized raw attribution unless wired

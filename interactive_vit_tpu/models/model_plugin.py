@@ -204,6 +204,49 @@ class JaxModel:
             )
         return obj
 
+    def generate_saliency_graph_json(self) -> Dict:
+        """The model chain plus the gradient-tap workflow: a ``saliency``
+        node (Grad×input heatmap of the winning class wrt the image) and
+        a ``dream`` node (gradient-ascent feature visualization), each
+        feeding an ``img_view``. Only meaningful for classifier models
+        (raises if the chain has no ``:head`` layer). No reference analog
+        — the reference server ran under ``torch.no_grad``."""
+        obj = self.generate_graph_json()
+        head = next(
+            (i for i, n in enumerate(obj["nodes"])
+             if n["instance"].get("endpoint", "").endswith(":head")),
+            None,
+        )
+        if head is None:
+            raise ValueError(f"{self.name} has no :head node — saliency "
+                             f"demo needs a classifier chain")
+        hx = obj["nodes"][head]["pos"]["x"]
+        hy = obj["nodes"][head]["pos"]["y"]
+
+        def add(inst, dx, dy):
+            obj["nodes"].append(
+                {"instance": inst, "pos": {"x": hx + dx, "y": hy + dy}})
+            return len(obj["nodes"]) - 1
+
+        def wire(a, ach, b, bch):
+            obj["edges"].append({"in_port": {"node": a, "channel": ach},
+                                 "out_port": {"node": b, "channel": bch}})
+
+        sal = add({"kind": "net_node", "endpoint": "saliency",
+                   "params": {"target": "max", "mode": "gradxinput"}},
+                  220, 120)
+        sal_view = add({"kind": "img_view"}, 440, 120)
+        wire(head, "o", sal, "o")
+        wire(sal, "o", sal_view, "o")
+        dream = add({"kind": "net_node", "endpoint": "dream",
+                     "params": {"target": "class", "class": "0",
+                                "steps": "32", "lr": "0.05"}},
+                    220, 280)
+        dream_view = add({"kind": "img_view"}, 440, 280)
+        wire(head, "o", dream, "o")
+        wire(dream, "o", dream_view, "o")
+        return obj
+
     def _kind_cls(self, layer_name: str) -> type:
         """Node-kind class for ``layer_name``; subclass hook (the text
         model swaps in prompt/pool kinds without re-implementing register)."""

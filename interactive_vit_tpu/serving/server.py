@@ -176,6 +176,17 @@ def build_app(
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))
+        # classifier chains also get the gradient-tap demo graph
+        # (saliency heatmap + dream feature-vis wired off the head)
+        sal_name = f"{variant}_saliency.json"
+        if (any(ln.endswith(":head") for ln in model.list_node_names())
+                and not app.graphs.exists(sal_name)):
+            try:
+                app.graphs.save(sal_name,
+                                model.generate_saliency_graph_json())
+                logger.info("generated graph %s", sal_name)
+            except Exception as e:  # noqa: BLE001 — parity: log, continue
+                logger.error("could not generate %s: %s", sal_name, e)
     if {"clip_b32", "clip_text_b32"} <= set(models) and \
             not app.graphs.exists("clip_zeroshot.json"):
         # both towers served: generate the zero-shot classification demo

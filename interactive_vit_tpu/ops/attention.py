@@ -52,6 +52,7 @@ def attention_reference(
     want_attn: bool = False,
     n_real: Optional[int] = None,
     causal: bool = False,
+    key_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """softmax(q k^T / sqrt(dh)) v with f32 softmax, inputs [B, H, N, Dh].
 
@@ -62,6 +63,12 @@ def attention_reference(
 
     ``causal``: additive -inf strictly above the diagonal (the CLIP text
     tower), matching torch ``nn.MultiheadAttention(attn_mask=...)``.
+
+    ``key_bias``: optional [B, N] f32 additive logit bias per KEY, shared
+    across heads and queries — proportional attention for merged tokens
+    (``softmax(q k^T/sqrt(dh) + log s)``, the ToMe correction: a token
+    representing ``s`` originals attends as if those ``s`` keys were
+    still present; ``models/tome.py``).
     """
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
@@ -69,6 +76,8 @@ def attention_reference(
         "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32,
         precision=mm_precision(q, k),
     ) * scale
+    if key_bias is not None:
+        logits = logits + key_bias.astype(jnp.float32)[:, None, None, :]
     neg = -0.7 * jnp.finfo(jnp.float32).max
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)

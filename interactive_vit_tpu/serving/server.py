@@ -163,6 +163,15 @@ def build_app(
                 logger.warning("int8 not wired for %s; serving bf16", variant)
             model = make_moe_model(variant, params=params, seed=seed,
                                    dtype=dtype, attn_impl=attn_impl)
+        elif "_tome" in variant:
+            from interactive_vit_tpu.models.tome_plugin import make_tome_model
+
+            if quantize:
+                logger.warning("int8 not wired for %s; serving bf16", variant)
+            # any plain-vit checkpoint of the same geometry loads: token
+            # merging is post-hoc (models/tome.py)
+            model = make_tome_model(variant, params=params, seed=seed,
+                                    dtype=dtype)
         else:
             # with a TP axis, re-pack qkv columns head-major so the mesh
             # column sharding is head-aligned (parallel/mesh.py)

@@ -173,8 +173,8 @@ class GradSpec:
         self.replay = replay
 
 
-def _grad_specs(graph: Graph, order, input_edges, node_kinds
-                ) -> Dict[int, GradSpec]:
+def _grad_specs(graph: Graph, order, input_edges, node_kinds,
+                only: Optional[int] = None) -> Dict[int, GradSpec]:
     """Resolve every gradient node's ``GradSpec``.
 
     Gradient node kinds (``NodeKind.grad_node``, e.g. saliency) need part
@@ -183,11 +183,18 @@ def _grad_specs(graph: Graph, order, input_edges, node_kinds
     input (``grad_wrt`` -> ("input", k)) or any upstream node's output
     (("node", idx, ch) — the Grad-CAM case). Shared by ``_stage`` and the
     eager debug paths so the wiring validation (and its NodeError text)
-    cannot drift between them."""
+    cannot drift between them.
+
+    ``only``: resolve just that node's spec — the eager debug paths use
+    it so one misconfigured gradient node fails with ITS OWN attribution
+    instead of poisoning every other gradient node's evaluation
+    (per-node fault isolation is the debug paths' contract)."""
     specs: Dict[int, GradSpec] = {}
     for n in graph.nodes:
         kind = node_kinds[n.index]
         if not getattr(kind, "grad_node", False):
+            continue
+        if only is not None and n.index != only:
             continue
         try:
             wspec = kind.grad_wrt(n.params)
@@ -848,13 +855,16 @@ class Executor:
             for (node, ch, _e), arr in zip(input_edges, inputs):
                 env[("in", node.index, ch)] = arr  # type: ignore[index]
 
-            def eval_one(n, env, caps):
+            def eval_one(n, env, caps, in_replay=False):
                 """Evaluate one (non-PP-folded) node into env.
 
                 Shared by the main topo loop and the gradient replay below
                 — a grad node's ancestor cone re-evaluates through this
                 same function, so nested grad nodes (saliency of a
-                saliency) compose by recursion."""
+                saliency) compose by recursion. ``in_replay``: the node is
+                being re-traced inside jax.grad — its math must be
+                differentiable, so ``grad_safe_fn`` (the XLA twin for
+                kernel-backed layers) replaces ``fn``."""
                 kind = node_kinds[n.index]
                 if n.index in grad_specs:
                     spec = grad_specs[n.index]
@@ -869,7 +879,7 @@ class Executor:
                         if _spec.src_key == _spec.wrt_key:
                             return xv
                         for m in _spec.replay:
-                            eval_one(m, env2, caps)
+                            eval_one(m, env2, caps, in_replay=True)
                         return env2[_spec.src_key]
 
                     try:
@@ -892,15 +902,17 @@ class Executor:
                         ins[ch] = env[("in", n.index, ch)]  # type: ignore[index]
                     else:
                         ins[ch] = env[(e.src.node.index, e.src.channel)]
+                fn_of = (kind.grad_safe_fn if in_replay
+                         and hasattr(kind, "grad_safe_fn") else kind.fn)
                 try:
                     with jax.named_scope(
                         f"n{n.index}_{n.name.replace(':', '.')}"
                     ):
                         if str(n.index) in caps:
-                            outs = kind.fn(eff_params[n.index])(
+                            outs = fn_of(eff_params[n.index])(
                                 ins, caps[str(n.index)])
                         else:
-                            outs = kind.fn(eff_params[n.index])(ins)
+                            outs = fn_of(eff_params[n.index])(ins)
                 except NodeError:
                     raise
                 except Exception as err:  # noqa: BLE001 — re-attribute
@@ -1142,20 +1154,28 @@ class Executor:
     # -- the debug path -----------------------------------------------------------
     def _eager_grad_fn(self, graph: Graph, n):
         """Build one gradient node's standalone evaluation for the eager
-        debug paths: ``(gfn, inputs, caps_arg)`` with ``gfn(inputs, caps)
-        -> output dict``.
+        debug paths: ``(gfn, inputs, caps_arg, pre)`` with
+        ``gfn(inputs, caps, pre) -> output dict``.
 
         Uses the same ancestor-cone resolution ``_stage`` does (the shared
         ``_grad_specs``); captures ride as function arguments so the
         jitted variant (``run_timed_eager``) doesn't bake model weights
-        into the HLO."""
+        into the HLO. ``pre`` carries the ancestor activations the eager
+        loop already computed (also a jit argument): only the
+        wrt-DEPENDENT replay re-traces, instead of paying the whole
+        ancestor forward per gradient node — on an eager/debug path over
+        a remote backend that re-run is the dominant cost. ``pre`` is
+        None (and the cone re-evaluates from the graph inputs) only if
+        the wrt leaf's channel wasn't among the already-computed values
+        (an unwired extra channel as the Grad-CAM target)."""
         from interactive_vit_tpu.graph.ir import effective_params
 
         order = graph.order()
         input_edges = graph.input_edges()
         node_kinds = {m.index: self.reg.get_node(m.name)
                       for m in graph.nodes}
-        spec = _grad_specs(graph, order, input_edges, node_kinds)[n.index]
+        spec = _grad_specs(graph, order, input_edges, node_kinds,
+                           only=n.index)[n.index]
         # node-wrt gradients need the leaf producer to emit the wrt channel
         wants = ({(spec.wrt_key[0], spec.wrt_key[1])}
                  if spec.wrt_key[0] != "in" else set())
@@ -1167,28 +1187,56 @@ class Executor:
             if c is not None:
                 caps_arg[str(m.index)] = c
         inputs = tuple(e.tensor for _, _, e in input_edges)
+        # already-computed ancestor activations (the eager loop runs in
+        # topo order, so every anc node carries a pinout by now); keys
+        # stringified for jit-arg pytree friendliness
+        pre: Optional[Dict[str, Any]] = {}
+        for m in spec.anc:
+            for ch, v in m.get_pinout().as_dict().items():
+                pre[f"{m.index}:{ch}"] = v
+        if (spec.wrt_key[0] != "in"
+                and f"{spec.wrt_key[0]}:{spec.wrt_key[1]}" not in pre):
+            pre = None  # wrt channel not computed: full-cone fallback
 
-        def gfn(inputs, caps):
+        def gfn(inputs, caps, pre=None):
             env = {("in", m.index, ch): arr
                    for (m, ch, _e), arr in zip(input_edges, inputs)}
+            if pre is not None:
+                for key, v in pre.items():
+                    idx, ch = key.split(":", 1)
+                    env[(int(idx), ch)] = v
 
-            def eval_into(m, env):
+            def eval_into(m, env, in_replay=False):
                 kind = node_kinds[m.index]
+                if getattr(kind, "grad_node", False):
+                    # only reachable when a grad node sits INSIDE another's
+                    # wrt-dependent replay (pre-seeding covers the plain
+                    # upstream case); the staged path composes these by
+                    # recursion — keep the debug path simple and explicit
+                    raise NodeError(
+                        n.index, n.name,
+                        f"node {m.index} ({m.name}) is a gradient node "
+                        f"inside this node's differentiation cone — "
+                        f"nested gradients evaluate on the staged path "
+                        f"(/compute), not the eager debug path")
+                fn_of = (kind.grad_safe_fn if in_replay
+                         and hasattr(kind, "grad_safe_fn") else kind.fn)
                 ins = {
                     ch: (env[("in", m.index, ch)] if e.src is None
                          else env[(e.src.node.index, e.src.channel)])
                     for ch, e in m.inputs.items()
                 }
                 if str(m.index) in caps:
-                    out = kind.fn(eff[m.index])(ins, caps[str(m.index)])
+                    out = fn_of(eff[m.index])(ins, caps[str(m.index)])
                 else:
-                    out = kind.fn(eff[m.index])(ins)
+                    out = fn_of(eff[m.index])(ins)
                 for ch, v in out.items():
                     env[(m.index, ch)] = v
 
-            # base pass: the full ancestor cone from the graph inputs
-            for m in spec.anc:
-                eval_into(m, env)
+            if pre is None:
+                # base pass: the full ancestor cone from the graph inputs
+                for m in spec.anc:
+                    eval_into(m, env)
 
             def forward(xv):
                 env2 = dict(env)
@@ -1196,13 +1244,13 @@ class Executor:
                 if spec.src_key == spec.wrt_key:
                     return xv
                 for m in spec.replay:
-                    eval_into(m, env2)
+                    eval_into(m, env2, in_replay=True)
                 return env2[spec.src_key]
 
             return node_kinds[n.index].grad_fn(eff[n.index])(
                 forward, env[spec.wrt_key], caps.get(str(n.index)))
 
-        return gfn, inputs, caps_arg
+        return gfn, inputs, caps_arg, pre
 
     def run_eager(
         self, graph: Graph
@@ -1231,8 +1279,8 @@ class Executor:
                 if getattr(kind, "grad_node", False):
                     from interactive_vit_tpu.graph.ir import Pinout
 
-                    gfn, g_in, g_caps = self._eager_grad_fn(graph, n)
-                    pinout = Pinout(gfn(g_in, g_caps))
+                    gfn, g_in, g_caps, g_pre = self._eager_grad_fn(graph, n)
+                    pinout = Pinout(gfn(g_in, g_caps, g_pre))
                 else:
                     pinout = kind.compute(effective_params(n), n.get_pinin())
                 n.set_pinout(pinout)
@@ -1273,12 +1321,13 @@ class Executor:
                 kind = self.reg.get_node(n.name)
                 eff = effective_params(n)
                 if getattr(kind, "grad_node", False):
-                    # gradient nodes time their WHOLE program (ancestor
-                    # forward + backward + render) — that IS this node's
-                    # cost; captures ride as jit args (no constant bloat)
-                    fn, ins, caps = self._eager_grad_fn(graph, n)
+                    # gradient nodes time their MARGINAL program (the
+                    # wrt-dependent replay forward + backward + render);
+                    # upstream activations arrive precomputed as jit args
+                    # (pre), like captures — no constant bloat
+                    fn, ins, caps, pre = self._eager_grad_fn(graph, n)
                     jitted = jax.jit(fn)
-                    args = (ins, caps)
+                    args = (ins, caps, pre)
                 else:
                     fn = kind.fn(eff)
                     caps = kind.captures(eff)

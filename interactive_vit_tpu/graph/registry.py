@@ -41,10 +41,12 @@ class NodeKind:
 
     # Gradient node kinds (e.g. ops.node_ops.SaliencyNode) set this True
     # and implement ``grad_fn(params) -> run(forward, x, caps)`` plus
-    # ``grad_wrt(params) -> int``: the staged executor hands them their
-    # ancestor cone as a closed function ``forward`` of graph input
-    # ``grad_wrt`` so they can jax.grad through the whole upstream graph
-    # inside the same jitted program. Ordinary kinds never see this.
+    # ``grad_wrt(params) -> ("input", k) | ("node", idx, ch)``: the
+    # staged executor hands them their ancestor cone as a closed function
+    # ``forward`` of the chosen leaf — graph input k, or an upstream
+    # node's output channel (the Grad-CAM case) — so they can jax.grad
+    # through the upstream graph inside the same jitted program.
+    # Ordinary kinds never see this.
     grad_node = False
 
     def __init__(self, name: str):
@@ -82,6 +84,15 @@ class NodeKind:
         constants.
         """
         raise NotImplementedError(f"fn() not implemented for {self.name}")
+
+    def grad_safe_fn(self, params: Dict[str, str]) -> NodeFn:
+        """``fn`` variant used when the node is re-traced INSIDE a
+        gradient replay (``jax.grad`` of a downstream saliency/dream
+        node flows through it). Kinds whose ``fn`` is not differentiable
+        — Pallas custom calls have no AD rule, activation-quantized
+        matmuls have zero gradient a.e. — override this with an XLA
+        twin (``models/model_plugin.JaxModel(grad_layers=...)``)."""
+        return self.fn(params)
 
     def captures(self, params: Dict[str, str]):
         """Large arrays (weights) to pass as jit args; None for stateless ops."""

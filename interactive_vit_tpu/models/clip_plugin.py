@@ -37,6 +37,11 @@ def make_clip_model(params: Optional[Any] = None, seed: int = 0,
             for i in range(cfg.depth)
         },
     }
+    # differentiable twins for gradient replays: Pallas custom calls
+    # (fused block / flash attention) have no AD rule
+    grad_layers = None
+    if block_impl is not None or attn_impl is not None:
+        grad_layers = {ln: f for ln, _extra, f in clip.layer_fns(cfg)}
     return JaxModel(
         name=cfg.name,
         layers=clip.layer_fns(cfg, attn_impl=attn_impl,
@@ -45,6 +50,7 @@ def make_clip_model(params: Optional[Any] = None, seed: int = 0,
         layer_params_fn=clip.layer_params,
         descriptions=descriptions,
         category_names=None,  # embedding path: no category sink
+        grad_layers=grad_layers,
     )
 
 

@@ -30,6 +30,46 @@ logger = logging.getLogger(__name__)
 LayerSpec = Tuple[str, List[str], Callable]
 
 
+def dequant_grad_twin(fn: Callable) -> Callable:
+    """Wrap a layer fn for gradient replays over a QUANTIZED param tree:
+    int8 leaf-dicts dequantize inline (a traced int8*scale multiply) so
+    the replayed math is clean dense bf16 — full gradient flow, where the
+    serving path's activation-quantization round() would zero it a.e."""
+    import functools
+
+    from interactive_vit_tpu.ops.quant import (
+        dequantize_weight, is_quantized, is_w8a8,
+    )
+
+    def dq(obj, dtype):
+        if is_quantized(obj) or is_w8a8(obj):
+            # the model's activation dtype, NOT f32: an f32 weight would
+            # make mm_precision pick HIGHEST, whose 6-pass emulation
+            # compiles pathologically on this backend at model scale
+            return dequantize_weight(obj, dtype=dtype)
+        if isinstance(obj, dict):
+            return {k: dq(v, dtype) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(dq(v, dtype) for v in obj)
+        return obj
+
+    def act_dtype(obj):
+        import jax
+        import jax.numpy as jnp
+
+        for leaf in jax.tree.leaves(obj):
+            dt = getattr(leaf, "dtype", None)
+            if dt is not None and jnp.issubdtype(dt, jnp.floating):
+                return dt
+        return jnp.float32
+
+    @functools.wraps(fn)
+    def run(p, ins, **kw):
+        return fn(dq(p, act_dtype(p)), ins, **kw)
+
+    return run
+
+
 class LayerNodeKind(NodeKind):
     """One model layer as a graph node kind (analog of ``ModelNode``).
 
@@ -42,13 +82,19 @@ class LayerNodeKind(NodeKind):
 
     def __init__(self, model: "JaxModel", layer_name: str,
                  extra_outs: List[str], fn: Callable,
-                 fold_group: Optional[str] = None):
+                 fold_group: Optional[str] = None,
+                 grad_fn_impl: Optional[Callable] = None):
         super().__init__(model.prefix() + layer_name)
         self.model = model
         self.layer_name = layer_name
         self._extra = list(extra_outs)
         self._fn = fn
         self.fold_group = fold_group
+        # differentiable twin: same layer math on the XLA path (no Pallas
+        # kernels — they have no AD rules — and quantized weights
+        # dequantized inline). Used ONLY inside gradient replays
+        # (executor eval_one in_replay); None = fn is already safe.
+        self._grad_fn_impl = grad_fn_impl
 
     def fold_fn(self) -> Optional[Callable]:
         """(params, x) -> y single-layer callable for pipeline folding;
@@ -101,9 +147,19 @@ class LayerNodeKind(NodeKind):
         return caps if caps else None
 
     def fn(self, params):
+        return self._bind(self._fn, params)
+
+    def grad_safe_fn(self, params):
+        """``fn`` for gradient replays: jax.grad re-traces the node, so
+        the math must be differentiable — Pallas custom calls (no AD
+        rule) and activation-quantized matmuls (round(): zero gradient
+        a.e.) are swapped for their XLA twin when the model provides
+        one (``JaxModel(grad_layers=...)``)."""
+        return self._bind(self._grad_fn_impl or self._fn, params)
+
+    def _bind(self, f, params):
         taps = set((params.get("__taps__") or "").split(","))
         want = frozenset(taps & set(self._extra))
-        f = self._fn
 
         if self.captures(params) is None:
             def run_stateless(ins):
@@ -158,6 +214,7 @@ class JaxModel:
         descriptions: Optional[Dict[str, str]] = None,
         category_names: Optional[List[str]] = None,
         fold_groups: Optional[Dict[str, str]] = None,
+        grad_layers: Optional[Dict[str, Callable]] = None,
     ):
         self.name = name
         self.layers = list(layers)
@@ -167,6 +224,10 @@ class JaxModel:
         self.category_names = category_names
         # layer_name -> fold group (pipeline-foldable uniform layers)
         self.fold_groups = fold_groups or {}
+        # layer_name -> differentiable twin fn (same LayerSpec fn
+        # contract) for gradient replays; layers absent here replay
+        # through their regular fn
+        self.grad_layers = grad_layers or {}
 
     def prefix(self) -> str:
         return self.name + ":"
@@ -263,4 +324,5 @@ class JaxModel:
         for lname, extra, fn in self.layers:
             self._kind_cls(lname)(
                 self, lname, extra, fn,
-                fold_group=self.fold_groups.get(lname)).register(reg)
+                fold_group=self.fold_groups.get(lname),
+                grad_fn_impl=self.grad_layers.get(lname)).register(reg)

@@ -120,6 +120,18 @@ def make_vit_model(
         )
     layers = vit.layer_fns(cfg, attn_impl=attn_impl, block_impl=block_impl,
                            mlp_impl=mlp_impl, qkv_head_major=tp_layout)
+    # differentiable twins for gradient replays (saliency/dream jax.grad
+    # through the blocks): Pallas kernels have no AD rule and quantized
+    # matmuls round (zero gradient a.e.), so the replay re-traces the
+    # pure-XLA dense math — with quant-dict weights dequantized inline
+    grad_layers = None
+    if (block_impl is not None or mlp_impl is not None
+            or attn_impl is not None or quantize):
+        from interactive_vit_tpu.models.model_plugin import dequant_grad_twin
+
+        twins = vit.layer_fns(cfg, qkv_head_major=tp_layout)
+        grad_layers = {ln: (dequant_grad_twin(f) if quantize else f)
+                       for ln, _extra, f in twins}
     descriptions = {
         "transform": f"Resize+CenterCrop({cfg.img_size})+Normalize",
         "embed": f"PatchEmbed p={cfg.patch} d={cfg.width} + CLS + pos",
@@ -148,6 +160,7 @@ def make_vit_model(
         # untapped block chains are pipeline-foldable (executor PP mode)
         fold_groups={f"blocks.{i}": f"{variant}:block"
                      for i in range(cfg.depth)},
+        grad_layers=grad_layers,
     )
 
 

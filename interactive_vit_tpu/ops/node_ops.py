@@ -803,17 +803,9 @@ class SaliencyNode(_GradNode):
         super().__init__("saliency")
 
     def contents(self, params):
-        import html as _html
-
         target = params.get("target", "max")
         mode = params.get("mode", "grad")
-
-        def sel(name, options, cur):
-            opts = "".join(
-                f"<option value=\"{o}\"{' selected' if o == cur else ''}>"
-                f"{o}</option>" for o in options)
-            return (f"<label>{_html.escape(name)} <select data-param="
-                    f"\"{_html.escape(name)}\">{opts}</select></label>")
+        sel = self._sel_html
 
         return ("<p>input-gradient saliency</p>"
                 + sel("target", self.TARGETS, target) + " "
@@ -874,20 +866,25 @@ class SaliencyNode(_GradNode):
         img = cam.reshape(cam.shape[0], 1, g, g)
         return jnp.broadcast_to(img, (cam.shape[0], 3, g, g))
 
-    def _heat(self, attr, skip: int):
+    def _heat(self, attr, skip: int, node_wrt: bool = False):
         """Render the attribution for img_view/overlay.
 
         Token streams ([B,N,D] whose N-skip tiles a square grid) render as
         a Grad-CAM patch heatmap; CHW-looking tensors abs -> channel-
         collapse -> per-sample max-normalize -> broadcast back to 3
-        channels; anything else normalizes |attr| in place."""
+        channels; anything else normalizes |attr| in place.
+
+        ``node_wrt``: the leaf is an UPSTREAM NODE's output, which is
+        always batch-leading and never channel-planar — without the hint
+        a [1, N, D] token attribution whose N-skip isn't a square grid
+        would pattern-match the CHW rules and collapse its BATCH axis."""
         if attr.ndim == 3:
             try:
                 return self._token_cam(attr, skip)
             except ValueError:
                 pass  # not a token grid — fall through to image rules
         h = jnp.abs(attr)
-        chw = h.ndim >= 3 and h.shape[-3] in (1, 3)
+        chw = (not node_wrt) and h.ndim >= 3 and h.shape[-3] in (1, 3)
         if chw:
             h = jnp.max(h, axis=-3, keepdims=True)
         # per-sample normalization for batched/image-like tensors
@@ -903,6 +900,7 @@ class SaliencyNode(_GradNode):
     def grad_fn(self, params):
         target, mode, steps = self._decode(params)
         skip = int(float(params.get("skip", 1)))
+        node_wrt = self.grad_wrt(params)[0] == "node"
 
         def run(forward, x, caps):
             scalar = self._scalar_fn(forward, target, caps)
@@ -923,8 +921,18 @@ class SaliencyNode(_GradNode):
                 # construction); sigma/seed are dynamic — scrubbing the
                 # noise scale re-keys the cached program
                 key = jax.random.key(caps["seed"].astype(jnp.uint32))
-                scale = caps["sigma"].astype(jnp.float32) * (
-                    jnp.max(xf) - jnp.min(xf))
+                # PER-SAMPLE input range (the published construction):
+                # a batch-global range would couple each sample's
+                # attribution to its batchmates. Batch-leading is known
+                # for node-wrt leaves and rank>=4 inputs; a rank<=3
+                # graph input is a single unbatched image/value.
+                if node_wrt or xf.ndim >= 4:
+                    r_axes = tuple(range(1, xf.ndim))
+                    rng_ = (jnp.max(xf, r_axes, keepdims=True)
+                            - jnp.min(xf, r_axes, keepdims=True))
+                else:
+                    rng_ = jnp.max(xf) - jnp.min(xf)
+                scale = caps["sigma"].astype(jnp.float32) * rng_
 
                 def nbody(acc, i):
                     eps = jax.random.normal(
@@ -939,7 +947,7 @@ class SaliencyNode(_GradNode):
             else:
                 g = jax.grad(scalar)(x).astype(jnp.float32)
                 attr = g * xf if mode == "gradxinput" else g
-            return {"o": self._heat(attr, skip).astype(x.dtype),
+            return {"o": self._heat(attr, skip, node_wrt).astype(x.dtype),
                     "g": attr}
 
         return run

@@ -398,10 +398,6 @@ def test_dream_linear_objective_saturates(ex):
 
 def test_dream_lr_and_class_dynamic(ex):
     x = np.full((4,), 0.5, np.float32)
-    g, d = chain_graph(x, {"target": "class", "class": "1",
-                           "steps": "8", "lr": "0.1"},
-                       mid=("cos", {"A": "1.0", "b": "0.0"}))
-    # chain_graph wires cos -> saliency; rebuild for dream
     g = Graph()
     c = g.add_node("cos", {"A": "1.0", "b": "0.0"})
     d = g.add_node("dream", {"target": "class", "class": "1",
@@ -472,3 +468,148 @@ def test_primary_taps_exclude_raw_gradient(ex):
     g.add_input(x, g.nodes[s], "o")
     out = ex.run(g, taps="primary")
     assert "o" in out[s] and "g" not in out[s]
+
+
+def test_replay_uses_grad_safe_twin(ex, reg):
+    # kernel-backed layers provide a differentiable XLA twin
+    # (grad_safe_fn); the replay inside jax.grad must trace the TWIN,
+    # never the serving fn (Pallas custom calls have no AD rule)
+    from interactive_vit_tpu.models.model_plugin import JaxModel
+
+    calls = {"fn": 0, "twin": 0}
+
+    def layer_fn(p, ins):
+        calls["fn"] += 1
+        return {"o": ins["o"] * 2.0}
+
+    def layer_twin(p, ins):
+        calls["twin"] += 1
+        return {"o": ins["o"] * 2.0}
+
+    model = JaxModel("twiny", [("scale", [], layer_fn)], params={},
+                     layer_params_fn=lambda p, n: None,
+                     grad_layers={"scale": layer_twin})
+    model.register(reg)
+    g = Graph()
+    m = g.add_node("twiny:scale")
+    s = g.add_node("saliency", {"target": "sum"})
+    g.connect(m, "o", s, "o")
+    x = np.linspace(0.0, 1.0, 8, dtype=np.float32)
+    g.add_input(x, m, "o")
+    out = Executor(reg).run(g, taps={(s.index, "g")})
+    # d(sum(2x))/dx = 2 everywhere, computed through the twin
+    np.testing.assert_allclose(out[s.index]["g"], 2.0, atol=1e-6)
+    assert calls["twin"] >= 1, "gradient replay did not use the twin"
+    assert calls["fn"] >= 1, "primary eval should still use fn"
+
+
+def test_vit_plugin_registers_grad_twins(reg):
+    # quantized vit: serving fn uses int8 dict weights; the twin must
+    # exist and dequantize inline so saliency gradients are clean
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_gsf", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=8)
+    vit.VARIANTS["vit_gsf"] = cfg
+    try:
+        make_vit_model("vit_gsf", quantize="w8").register(reg)
+        kind = reg.get_node("vit_gsf:blocks.0")
+        assert kind._grad_fn_impl is not None
+        g = Graph()
+        emb = g.add_node("vit_gsf:embed")
+        b0 = g.add_node("vit_gsf:blocks.0")
+        head = g.add_node("vit_gsf:head")
+        s = g.add_node("saliency", {"target": "max"})
+        g.connect(emb, "o", b0, "o")
+        g.connect(b0, "o", head, "o")
+        g.connect(head, "o", s, "o")
+        img = np.random.default_rng(0).random((1, 3, 32, 32)).astype(
+            np.float32)
+        g.add_input(img, emb, "o")
+        out = Executor(reg).run(g, taps={(s.index, "g")})
+        grad = np.asarray(out[s.index]["g"])
+        assert grad.shape == img.shape
+        assert np.isfinite(grad).all() and np.abs(grad).max() > 0
+    finally:
+        del vit.VARIANTS["vit_gsf"]
+
+
+def test_eager_isolates_one_bad_grad_node_from_another(ex):
+    # two saliency nodes, one misconfigured: run_eager must evaluate the
+    # good one and attribute the error to the bad one only
+    x = np.linspace(-1.0, 1.0, 8, dtype=np.float32)
+    g = Graph()
+    c = g.add_node("cos", {"A": "2.0", "b": "0.5"})
+    good = g.add_node("saliency", {"target": "sum"})
+    bad = g.add_node("saliency", {"target": "sum", "wrt": "5"})
+    g.connect(c, "o", good, "o")
+    g.connect(c, "o", bad, "o")
+    g.add_input(x, c, "o")
+    outs, errs = ex.run_eager(g)
+    assert bad.index in errs and "wrt=5" in errs[bad.index]
+    expect = -2.0 * np.sin(2.0 * x + 0.5)
+    np.testing.assert_allclose(outs[good.index]["g"], expect, atol=1e-5)
+
+
+def test_node_wrt_nonsquare_token_attribution_keeps_shape(ex, reg):
+    # [1, N, D] with N-skip not a square grid: without the node-wrt hint
+    # the render collapsed the BATCH axis as a CHW channel plane
+    from interactive_vit_tpu.models.model_plugin import JaxModel
+
+    def toks(p, ins):
+        return {"o": ins["o"] * 1.5}
+
+    def pool(p, ins):
+        return {"o": ins["o"].sum(axis=(1, 2))[:, None]}
+
+    JaxModel("txt", [("toks", [], toks), ("pool", [], pool)], params={},
+             layer_params_fn=lambda p, n: None).register(reg)
+    g = Graph()
+    t = g.add_node("txt:toks")
+    pl = g.add_node("txt:pool")
+    s = g.add_node("saliency", {"target": "sum", "wrt": "node:0",
+                                "mode": "grad"})
+    g.connect(t, "o", pl, "o")
+    g.connect(pl, "o", s, "o")
+    x = np.random.default_rng(0).random((1, 7, 12)).astype(np.float32)
+    g.add_input(x, t, "o")
+    out = Executor(reg).run(g, taps={(s.index, "o")})
+    heat = np.asarray(out[s.index]["o"])
+    assert heat.shape == x.shape  # batch axis untouched
+    assert 0.0 <= heat.min() and heat.max() <= 1.0 + 1e-6
+
+
+def test_smoothgrad_is_per_sample(ex, reg):
+    # the same image must get the same SmoothGrad heatmap regardless of
+    # its batchmates (per-sample noise scale, per-sample gradients)
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_sg", img_size=32, patch=16, width=64,
+                        depth=1, heads=4, num_classes=8)
+    vit.VARIANTS["vit_sg"] = cfg
+    try:
+        make_vit_model("vit_sg").register(reg)
+        rng = np.random.default_rng(4)
+        img = rng.random((1, 3, 32, 32)).astype(np.float32)
+        # batchmate with a WILDLY different range
+        loud = (rng.random((1, 3, 32, 32)) * 50.0 - 20.0).astype(np.float32)
+
+        def run_batch(batch):
+            g = Graph()
+            emb = g.add_node("vit_sg:embed")
+            head = g.add_node("vit_sg:head")
+            s = g.add_node("saliency", {"target": "sum", "mode": "smooth",
+                                        "steps": "4", "sigma": "0.2"})
+            g.connect(emb, "o", head, "o")
+            g.connect(head, "o", s, "o")
+            g.add_input(batch, emb, "o")
+            return np.asarray(
+                Executor(reg).run(g, taps={(s.index, "g")})[s.index]["g"])
+
+        alone = run_batch(img)
+        with_loud = run_batch(np.concatenate([img, loud]))
+        np.testing.assert_allclose(alone[0], with_loud[0], atol=1e-4)
+    finally:
+        del vit.VARIANTS["vit_sg"]

@@ -23,6 +23,42 @@ import sys
 import time
 
 
+def _wait_for_backend(tries: int = 5, probe_timeout: int = 240,
+                      sleep_s: int = 120) -> None:
+    """Bounded wait for a healthy TPU tunnel before the in-process jax
+    backend initializes.
+
+    The driver runs this script unattended at round end; the tunnel has
+    measured multi-hour outage phases (ROADMAP) during which backend init
+    hangs forever INSIDE this process — unkillable without losing the
+    run. Probing from a SUBPROCESS with a timeout keeps the parent clean:
+    retry a few times, then proceed regardless (a still-dead tunnel fails
+    the same way it would have, just later)."""
+    import os
+    import subprocess
+
+    probe = ("import jax; import jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "(x @ x).block_until_ready(); print('BENCH_PROBE_OK')")
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=probe_timeout, env=dict(os.environ))
+            if "BENCH_PROBE_OK" in r.stdout:
+                if i:
+                    print(f"backend healthy after {i} retries",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe {i + 1}/{tries} failed; retrying in "
+              f"{sleep_s}s (flaky-tunnel phase?)", file=sys.stderr)
+        time.sleep(sleep_s)
+    print("backend never became healthy; proceeding anyway",
+          file=sys.stderr)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--variant", default="vit_b16")
@@ -46,7 +82,12 @@ def main() -> None:
                         help="fused attention-block Pallas kernel policy")
     parser.add_argument("--no-attn-maps", action="store_true",
                         help="pure classification (not the headline config)")
+    parser.add_argument("--no-wait-backend", action="store_true",
+                        help="skip the subprocess tunnel-health probe")
     args = parser.parse_args()
+
+    if not args.no_wait_backend:
+        _wait_for_backend()
 
     import jax
     import jax.numpy as jnp

@@ -1,0 +1,249 @@
+"""AOT graph export: compile a tapped graph into a portable artifact.
+
+The reference can only persist graph TOPOLOGY (``static/graphs/*.json``,
+written by ``/root/reference/main/views.py:21-30``); every serve re-runs
+torch eager against a live model zoo. Here the staged XLA program ITSELF
+becomes the deployment artifact: ``jax.export`` serializes the whole
+traced graph program (every node fused into one StableHLO module, the
+same program ``Executor.run`` compiles), the captures pytree (model
+weights + dynamic node params) rides alongside in the repo's own
+safetensors writer, and a JSON manifest pins the calling convention.
+
+Reloading needs NO node registry, NO model zoo, and NO plugin code —
+``load_artifact`` is model-code-free by construction (the math is inside
+the StableHLO). Dynamic node params (class index, noise seed, conv
+matrix, ...) stay runtime arguments: ``ExportedGraph.set_cap`` edits
+them between calls without recompiling or re-exporting, the same
+interactivity contract the live executor gives.
+
+Artifact layout (a directory):
+    program.stablehlo   jax.export serialized bytes
+    captures.safetensors  flattened captures pytree (weights + dyn params)
+    manifest.json       format version, platforms, input specs, out keys,
+                        captures skeleton, provenance
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+
+from interactive_vit_tpu.graph.executor import (
+    Executor, TapSpec, resolve_taps, shape_struct,
+)
+from interactive_vit_tpu.graph.ir import Graph, GraphError
+from interactive_vit_tpu.utils import safetensors_io
+
+FORMAT = 1
+PROGRAM_FILE = "program.stablehlo"
+CAPS_FILE = "captures.safetensors"
+MANIFEST_FILE = "manifest.json"
+
+
+class ExportError(Exception):
+    """Artifact construction / loading failure (one error type, like
+    SafetensorsError/WireError — callers branch on the class)."""
+
+
+# -- captures pytree <-> (skeleton json, flat tensor dict) -------------------
+
+def _flatten_caps(caps: Any, prefix: str, flat: Dict[str, np.ndarray]):
+    """Recursively describe ``caps`` as a JSON skeleton; array leaves are
+    moved into ``flat`` under path keys. Only dict/list/tuple containers
+    and array-like leaves appear in a captures pytree (NodeKind.captures
+    returns arrays; the executor adds stacked dicts) — anything else is a
+    contract violation worth failing loudly on."""
+    if isinstance(caps, dict):
+        return {"t": "d",
+                "v": {k: _flatten_caps(v, f"{prefix}.{k}", flat)
+                      for k, v in caps.items()}}
+    if isinstance(caps, (list, tuple)):
+        return {"t": "l" if isinstance(caps, list) else "u",
+                "v": [_flatten_caps(v, f"{prefix}.{i}", flat)
+                      for i, v in enumerate(caps)]}
+    try:
+        arr = np.asarray(caps)
+    except Exception as err:  # noqa: BLE001 — one error type
+        raise ExportError(
+            f"capture leaf {prefix!r} is not array-like: {err}") from err
+    flat[prefix] = arr
+    return {"t": "a", "v": prefix}
+
+
+def _unflatten_caps(skel: Any, flat: Dict[str, np.ndarray]):
+    t = skel["t"]
+    if t == "d":
+        return {k: _unflatten_caps(v, flat) for k, v in skel["v"].items()}
+    if t in ("l", "u"):
+        seq = [_unflatten_caps(v, flat) for v in skel["v"]]
+        return seq if t == "l" else tuple(seq)
+    if t == "a":
+        try:
+            return flat[skel["v"]]
+        except KeyError as err:
+            raise ExportError(
+                f"captures file is missing tensor {skel['v']!r}") from err
+    raise ExportError(f"bad captures skeleton tag {t!r}")
+
+
+# -- export -------------------------------------------------------------------
+
+def export_graph(
+    graph: Graph,
+    out_dir: str,
+    taps: TapSpec = "primary",
+    executor: Optional[Executor] = None,
+    platforms: Optional[Sequence[str]] = None,
+    provenance: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Stage ``graph`` exactly as ``Executor.run`` would and serialize the
+    program + captures + manifest into ``out_dir``. Returns the manifest.
+
+    ``platforms``: lowering targets (default: the current backend). Note
+    Pallas kernel-backed node fns lower only for their native platform;
+    cross-platform export of a kernel-dispatched model requires building
+    the model with kernels off (the CPU dispatch default).
+    """
+    ex = executor or Executor()
+    ex.validate(graph)
+    tap_set = resolve_taps(graph, taps, ex.reg)
+    staged, out_keys, caps_arg = ex._stage(graph, tap_set)
+
+    # zero input edges is legal: generator graphs (noise/const sources)
+    # export as nullary programs
+    input_edges = graph.input_edges()
+    in_structs = tuple(shape_struct(e.tensor) for _, _, e in input_edges)
+    cap_structs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        caps_arg)
+
+    try:
+        exp = jax.export.export(
+            jax.jit(staged),
+            platforms=list(platforms) if platforms else None,
+        )(in_structs, cap_structs)
+        blob = exp.serialize()
+    except ExportError:
+        raise
+    except Exception as err:  # noqa: BLE001 — one error type out
+        raise ExportError(f"program export failed: {err}") from err
+
+    flat: Dict[str, np.ndarray] = {}
+    skel = _flatten_caps(caps_arg, "c", flat)
+
+    manifest = {
+        "format": FORMAT,
+        "jax_version": jax.__version__,
+        "platforms": list(exp.platforms),
+        "inputs": [
+            {"node": n.index, "name": n.name, "channel": ch,
+             "shape": list(np.shape(e.tensor)),
+             "dtype": str(shape_struct(e.tensor).dtype)}
+            for n, ch, e in input_edges
+        ],
+        "out_keys": [[i, ch] for i, ch in out_keys],
+        "captures_skeleton": skel,
+        "provenance": provenance or {},
+    }
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, PROGRAM_FILE), "wb") as f:
+        f.write(blob)
+    safetensors_io.save_file(
+        flat, os.path.join(out_dir, CAPS_FILE),
+        metadata={"format": str(FORMAT)})
+    with open(os.path.join(out_dir, MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+# -- load / run ---------------------------------------------------------------
+
+class ExportedGraph:
+    """A reloaded artifact: ``__call__(*inputs)`` runs the program.
+
+    Model-code-free: only jax + the artifact bytes. Dynamic node params
+    live in the captures pytree — ``set_cap(node_index, name, value)``
+    edits one (e.g. the saliency class index, a conv matrix) and the next
+    call uses it, no recompile (captures are runtime arguments, the same
+    design the live executor uses)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        try:
+            with open(os.path.join(path, MANIFEST_FILE)) as f:
+                self.manifest = json.load(f)
+        except OSError as err:
+            raise ExportError(f"{path}: no readable manifest: {err}") from err
+        if self.manifest.get("format") != FORMAT:
+            raise ExportError(
+                f"{path}: unsupported artifact format "
+                f"{self.manifest.get('format')!r} (this build reads "
+                f"{FORMAT})")
+        try:
+            with open(os.path.join(path, PROGRAM_FILE), "rb") as f:
+                blob = f.read()
+        except OSError as err:
+            raise ExportError(f"{path}: no program bytes: {err}") from err
+        try:
+            self._exp = jax.export.deserialize(bytearray(blob))
+        except Exception as err:  # noqa: BLE001
+            raise ExportError(
+                f"{path}: program deserialization failed: {err}") from err
+        flat = safetensors_io.load_file(os.path.join(path, CAPS_FILE))
+        self.caps = _unflatten_caps(
+            self.manifest["captures_skeleton"], flat)
+        self.out_keys: List[Tuple[int, str]] = [
+            (int(i), ch) for i, ch in self.manifest["out_keys"]]
+
+    @property
+    def input_specs(self) -> List[Dict[str, Any]]:
+        return self.manifest["inputs"]
+
+    def set_cap(self, node_index: int, name: str, value) -> None:
+        """Edit one dynamic node param (shape/dtype must match the
+        exported one — the program's calling convention is static)."""
+        node = self.caps.get(str(node_index))
+        if node is None or not isinstance(node, dict) or name not in node:
+            have = sorted(
+                f"{i}:{k}" for i, c in self.caps.items()
+                if isinstance(c, dict) for k in c)
+            raise ExportError(
+                f"no capture {node_index}:{name}; artifact has {have}")
+        old = node[name]
+        arr = np.asarray(value, dtype=old.dtype)
+        if arr.shape != old.shape:
+            raise ExportError(
+                f"capture {node_index}:{name} has shape {old.shape}, "
+                f"got {arr.shape} (shapes are baked into the program)")
+        node[name] = arr
+
+    def __call__(self, *inputs) -> Dict[int, Dict[str, np.ndarray]]:
+        specs = self.manifest["inputs"]
+        if len(inputs) != len(specs):
+            raise ExportError(
+                f"program takes {len(specs)} inputs "
+                f"({[s['name'] for s in specs]}), got {len(inputs)}")
+        args = []
+        for x, spec in zip(inputs, specs):
+            arr = np.asarray(x)
+            if list(arr.shape) != spec["shape"]:
+                raise ExportError(
+                    f"input for {spec['name']}:{spec['channel']} has "
+                    f"shape {list(arr.shape)}, program was exported for "
+                    f"{spec['shape']}")
+            args.append(arr.astype(spec["dtype"], copy=False))
+        try:
+            flat = self._exp.call(tuple(args), self.caps)
+        except Exception as err:  # noqa: BLE001
+            raise ExportError(f"exported program failed: {err}") from err
+        return Executor.split_single(jax.device_get(flat))
+
+
+def load_artifact(path: str) -> ExportedGraph:
+    return ExportedGraph(path)

@@ -1,0 +1,105 @@
+"""The ONE variant -> model-maker dispatch.
+
+Serving (``serving/server.py``), the headless runner (``tools/run_graph``)
+and the AOT exporter (``tools/export_graph``) all need "give me the
+registerable JaxModel for this variant name" — keeping three copies of
+the mapping is how the runner silently fell behind the server's model
+list (resnet50 / MoE / CLIP-text / ToMe were server-only for a while).
+
+Mirrors the reference's model zoo discovery (plugins publish
+``instances()``, ``/root/reference/main/context.py:154-176``) — ours is
+keyed by variant name because one maker parameterizes a whole family.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
+
+
+def known_variants() -> list:
+    """Every variant name ``make_model`` accepts (sorted)."""
+    from interactive_vit_tpu.models import moe, tome, vit
+
+    return sorted(
+        set(vit.VARIANTS) | set(moe.VARIANTS) | set(tome.VARIANTS)
+        | {"clip_b32", "clip_text_b32", "vgg16", "resnet50"})
+
+
+def make_model(
+    variant: str,
+    params: Optional[Any] = None,
+    seed: int = 0,
+    dtype=None,
+    attn_impl=None,
+    quantize=False,
+    kernels: bool = True,
+    tp_layout: bool = False,
+):
+    """Build the registerable ``JaxModel`` for ``variant``.
+
+    ``quantize`` is wired only for the plain-ViT family (the kernels it
+    gates live in the ViT block path); other families log a warning and
+    serve their float dtype, matching the server's long-standing
+    behavior."""
+    if variant == "clip_b32":
+        from interactive_vit_tpu.models.clip_plugin import make_clip_model
+
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
+        return make_clip_model(params=params, seed=seed,
+                               attn_impl=attn_impl, dtype=dtype,
+                               kernels=kernels)
+    if variant == "vgg16":
+        from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
+
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
+        return make_vgg16_model(params=params, seed=seed, dtype=dtype)
+    if variant == "clip_text_b32":
+        from interactive_vit_tpu.models.clip_text_plugin import (
+            make_clip_text_model,
+        )
+
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
+        return make_clip_text_model(params=params, seed=seed, dtype=dtype)
+    if variant == "resnet50":
+        from interactive_vit_tpu.models.resnet_plugin import (
+            make_resnet50_model,
+        )
+
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
+        return make_resnet50_model(params=params, seed=seed, dtype=dtype)
+    if variant.startswith("vit_moe"):
+        from interactive_vit_tpu.models.moe_plugin import make_moe_model
+
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
+        return make_moe_model(variant, params=params, seed=seed,
+                              dtype=dtype, attn_impl=attn_impl)
+    if "_tome" in variant:
+        from interactive_vit_tpu.models.tome_plugin import make_tome_model
+
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
+        # any plain-vit checkpoint of the same geometry loads: token
+        # merging is post-hoc (models/tome.py)
+        return make_tome_model(variant, params=params, seed=seed,
+                               dtype=dtype)
+
+    from interactive_vit_tpu.models import vit
+
+    if variant not in vit.VARIANTS:
+        raise ValueError(
+            f"unknown model variant {variant!r}; known: "
+            f"{known_variants()}")
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    return make_vit_model(variant, params=params, seed=seed,
+                          attn_impl=attn_impl, dtype=dtype,
+                          quantize=quantize, kernels=kernels,
+                          tp_layout=tp_layout)

@@ -101,9 +101,7 @@ def build_app(
         speculate_buckets=speculate_buckets,
     )
 
-    from interactive_vit_tpu.models.clip_plugin import make_clip_model
-    from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
-    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.models.autoregister import make_model
     from interactive_vit_tpu.ops.dispatch import default_attn_impl
 
     import jax.numpy as jnp
@@ -129,59 +127,15 @@ def build_app(
                 params = jax.tree.map(
                     lambda x: jnp.asarray(x, dtype), params)
             logger.info("loaded %s weights from %s", variant, ckpts[variant])
-        if variant == "clip_b32":
-            if quantize:
-                logger.warning("int8 not wired for %s; serving bf16", variant)
-            model = make_clip_model(params=params, seed=seed,
-                                    attn_impl=attn_impl,
-                                    dtype=dtype, kernels=mesh is None)
-        elif variant == "vgg16":
-            if quantize:
-                logger.warning("int8 not wired for %s; serving bf16", variant)
-            model = make_vgg16_model(params=params, seed=seed, dtype=dtype)
-        elif variant == "clip_text_b32":
-            from interactive_vit_tpu.models.clip_text_plugin import (
-                make_clip_text_model,
-            )
-
-            if quantize:
-                logger.warning("int8 not wired for %s; serving bf16", variant)
-            model = make_clip_text_model(params=params, seed=seed,
-                                         dtype=dtype)
-        elif variant == "resnet50":
-            from interactive_vit_tpu.models.resnet_plugin import (
-                make_resnet50_model,
-            )
-
-            if quantize:
-                logger.warning("int8 not wired for %s; serving bf16", variant)
-            model = make_resnet50_model(params=params, seed=seed, dtype=dtype)
-        elif variant.startswith("vit_moe"):
-            from interactive_vit_tpu.models.moe_plugin import make_moe_model
-
-            if quantize:
-                logger.warning("int8 not wired for %s; serving bf16", variant)
-            model = make_moe_model(variant, params=params, seed=seed,
-                                   dtype=dtype, attn_impl=attn_impl)
-        elif "_tome" in variant:
-            from interactive_vit_tpu.models.tome_plugin import make_tome_model
-
-            if quantize:
-                logger.warning("int8 not wired for %s; serving bf16", variant)
-            # any plain-vit checkpoint of the same geometry loads: token
-            # merging is post-hoc (models/tome.py)
-            model = make_tome_model(variant, params=params, seed=seed,
-                                    dtype=dtype)
-        else:
-            # with a TP axis, re-pack qkv columns head-major so the mesh
-            # column sharding is head-aligned (parallel/mesh.py)
-            tp = (mesh is not None and
-                  dict(zip(mesh.axis_names,
-                           mesh.devices.shape)).get("model", 1) > 1)
-            model = make_vit_model(variant, params=params, seed=seed,
-                                   attn_impl=attn_impl,
-                                   dtype=dtype, quantize=quantize,
-                                   kernels=mesh is None, tp_layout=tp)
+        # with a TP axis, re-pack qkv columns head-major so the mesh
+        # column sharding is head-aligned (parallel/mesh.py)
+        tp = (mesh is not None and
+              dict(zip(mesh.axis_names,
+                       mesh.devices.shape)).get("model", 1) > 1)
+        model = make_model(variant, params=params, seed=seed,
+                           attn_impl=attn_impl, dtype=dtype,
+                           quantize=quantize, kernels=mesh is None,
+                           tp_layout=tp)
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))

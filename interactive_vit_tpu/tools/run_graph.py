@@ -43,26 +43,32 @@ def _model_variants(endpoints: Set[str]) -> Set[str]:
     return {e.split(":", 1)[0] for e in endpoints if ":" in e}
 
 
-def _register_models(reg, variants: Set[str], dtype_name: str, lib=None):
+def _register_models(reg, variants: Set[str], dtype_name: str, lib=None,
+                     ckpts: Optional[Dict[str, str]] = None):
+    """Register every model family a graph references — the ONE
+    variant dispatch (``models/autoregister.make_model``), so this
+    runner can never fall behind the server's model list again.
+    ``ckpts``: variant -> checkpoint path (orbax dir / safetensors /
+    torch .pth, same contract as ``ivt-server --ckpt``)."""
     import jax.numpy as jnp
 
-    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.autoregister import make_model
 
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     for v in sorted(variants):
-        if v in vit.VARIANTS:
-            from interactive_vit_tpu.models.vit_plugin import make_vit_model
+        params = None
+        if ckpts and v in ckpts:
+            from interactive_vit_tpu.serving.server import load_model_params
 
-            make_vit_model(v, dtype=dtype).register(reg, lib)
-        elif v == "clip_b32":
-            from interactive_vit_tpu.models.clip_plugin import make_clip_model
+            params = load_model_params(v, ckpts[v])
+            if dtype is not jnp.float32:
+                import jax
 
-            make_clip_model(dtype=dtype).register(reg, lib)
-        elif v == "vgg16":
-            from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
-
-            make_vgg16_model(dtype=dtype).register(reg, lib)
-        else:
+                params = jax.tree.map(lambda x: jnp.asarray(x, dtype),
+                                      params)
+        try:
+            make_model(v, params=params, dtype=dtype).register(reg, lib)
+        except ValueError:
             print(f"warning: unknown model prefix {v!r} — relying on "
                   f"builtin/plugin kinds", file=sys.stderr)
 
@@ -104,7 +110,20 @@ def main(argv=None) -> int:
     ap.add_argument("--plugin-dirs", default="",
                     help="comma-separated plugin dirs (same contract as "
                          "the server)")
+    ap.add_argument("--ckpt", action="append", default=[],
+                    metavar="VARIANT=PATH",
+                    help="load real weights for a model family (same "
+                         "contract as ivt-server --ckpt); repeatable")
+    ap.add_argument("--platform", default="default",
+                    choices=["default", "cpu"],
+                    help="cpu = in-process override (the axon hook "
+                         "ignores the JAX_PLATFORMS env var)")
     args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -137,7 +156,8 @@ def main(argv=None) -> int:
         n["instance"].get("endpoint") or n["instance"]["kind"]
         for n in obj["nodes"]
     }
-    _register_models(reg, _model_variants(endpoints), args.dtype)
+    _register_models(reg, _model_variants(endpoints), args.dtype,
+                     ckpts=dict(kv.split("=", 1) for kv in args.ckpt))
 
     g = graph_from_json(obj)
     image: Optional[np.ndarray] = (

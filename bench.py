@@ -52,9 +52,10 @@ def _wait_for_backend(tries: int = 5, probe_timeout: int = 240,
                 return
         except subprocess.TimeoutExpired:
             pass
-        print(f"backend probe {i + 1}/{tries} failed; retrying in "
-              f"{sleep_s}s (flaky-tunnel phase?)", file=sys.stderr)
-        time.sleep(sleep_s)
+        if i < tries - 1:
+            print(f"backend probe {i + 1}/{tries} failed; retrying in "
+                  f"{sleep_s}s (flaky-tunnel phase?)", file=sys.stderr)
+            time.sleep(sleep_s)
     print("backend never became healthy; proceeding anyway",
           file=sys.stderr)
 

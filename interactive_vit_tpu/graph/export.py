@@ -71,8 +71,19 @@ def _flatten_caps(caps: Any, prefix: str, flat: Dict[str, np.ndarray]):
     except Exception as err:  # noqa: BLE001 — one error type
         raise ExportError(
             f"capture leaf {prefix!r} is not array-like: {err}") from err
+    if prefix in flat:
+        # "."-joined path keys can alias (dict keys may themselves
+        # contain dots, e.g. "blocks.0"): silently overwriting would
+        # deploy the WRONG weights with no error anywhere
+        raise ExportError(
+            f"capture path key collision at {prefix!r} — two distinct "
+            f"leaves flatten to the same name")
     flat[prefix] = arr
-    return {"t": "a", "v": prefix}
+    # dtype rides in the skeleton: the safetensors reader deliberately
+    # upcasts BF16 to f32 (utils/safetensors_io._bf16_bits_to_f32), but
+    # jax.export enforces the exported capture dtypes at call time — a
+    # bf16 artifact would otherwise be unloadable
+    return {"t": "a", "v": prefix, "dt": str(arr.dtype)}
 
 
 def _unflatten_caps(skel: Any, flat: Dict[str, np.ndarray]):
@@ -84,10 +95,16 @@ def _unflatten_caps(skel: Any, flat: Dict[str, np.ndarray]):
         return seq if t == "l" else tuple(seq)
     if t == "a":
         try:
-            return flat[skel["v"]]
+            arr = flat[skel["v"]]
         except KeyError as err:
             raise ExportError(
                 f"captures file is missing tensor {skel['v']!r}") from err
+        want = skel.get("dt")
+        if want and str(arr.dtype) != want:
+            import ml_dtypes  # noqa: F401 — registers bfloat16 with numpy
+
+            arr = arr.astype(np.dtype(want))
+        return arr
     raise ExportError(f"bad captures skeleton tag {t!r}")
 
 
@@ -216,6 +233,11 @@ class ExportedGraph:
             raise ExportError(
                 f"no capture {node_index}:{name}; artifact has {have}")
         old = node[name]
+        if not isinstance(old, np.ndarray):
+            raise ExportError(
+                f"capture {node_index}:{name} is a weights subtree, not a "
+                f"scalar/array dynamic param — only leaf params are "
+                f"editable")
         arr = np.asarray(value, dtype=old.dtype)
         if arr.shape != old.shape:
             raise ExportError(

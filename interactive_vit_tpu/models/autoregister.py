@@ -44,48 +44,42 @@ def make_model(
     gates live in the ViT block path); other families log a warning and
     serve their float dtype, matching the server's long-standing
     behavior."""
+    is_plain_vit = (not variant.startswith("vit_moe")
+                    and "_tome" not in variant
+                    and variant not in ("clip_b32", "clip_text_b32",
+                                        "vgg16", "resnet50"))
+    if quantize and not is_plain_vit:
+        logger.warning("int8 not wired for %s; serving bf16", variant)
     if variant == "clip_b32":
         from interactive_vit_tpu.models.clip_plugin import make_clip_model
 
-        if quantize:
-            logger.warning("int8 not wired for %s; serving bf16", variant)
         return make_clip_model(params=params, seed=seed,
                                attn_impl=attn_impl, dtype=dtype,
                                kernels=kernels)
     if variant == "vgg16":
         from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
 
-        if quantize:
-            logger.warning("int8 not wired for %s; serving bf16", variant)
         return make_vgg16_model(params=params, seed=seed, dtype=dtype)
     if variant == "clip_text_b32":
         from interactive_vit_tpu.models.clip_text_plugin import (
             make_clip_text_model,
         )
 
-        if quantize:
-            logger.warning("int8 not wired for %s; serving bf16", variant)
         return make_clip_text_model(params=params, seed=seed, dtype=dtype)
     if variant == "resnet50":
         from interactive_vit_tpu.models.resnet_plugin import (
             make_resnet50_model,
         )
 
-        if quantize:
-            logger.warning("int8 not wired for %s; serving bf16", variant)
         return make_resnet50_model(params=params, seed=seed, dtype=dtype)
     if variant.startswith("vit_moe"):
         from interactive_vit_tpu.models.moe_plugin import make_moe_model
 
-        if quantize:
-            logger.warning("int8 not wired for %s; serving bf16", variant)
         return make_moe_model(variant, params=params, seed=seed,
                               dtype=dtype, attn_impl=attn_impl)
     if "_tome" in variant:
         from interactive_vit_tpu.models.tome_plugin import make_tome_model
 
-        if quantize:
-            logger.warning("int8 not wired for %s; serving bf16", variant)
         # any plain-vit checkpoint of the same geometry loads: token
         # merging is post-hoc (models/tome.py)
         return make_tome_model(variant, params=params, seed=seed,

@@ -48,6 +48,13 @@ def make_moe_model(variant: str = "vit_moe_s16",
             for i in range(cfg.depth)
         },
     }
+    # differentiable twins for gradient replays: a kernel-backed
+    # attn_impl (Pallas = no AD rule) cannot be re-traced inside
+    # jax.grad, so saliency/dream through MoE blocks replays the plain
+    # XLA layer fns (same fix class as vit/clip; CLAUDE.md conventions)
+    grad_layers = None
+    if attn_impl is not None:
+        grad_layers = {ln: f for ln, _extra, f in moe.layer_fns(cfg)}
     return JaxModel(
         name=cfg.name,
         layers=moe.layer_fns(cfg, attn_impl=attn_impl),
@@ -55,6 +62,7 @@ def make_moe_model(variant: str = "vit_moe_s16",
         layer_params_fn=moe.layer_params,
         descriptions=descriptions,
         category_names=cats,
+        grad_layers=grad_layers,
     )
 
 

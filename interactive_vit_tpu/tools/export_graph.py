@@ -33,6 +33,22 @@ def _parse_shape(s: str):
     return tuple(int(x) for x in s.split(",") if x)
 
 
+def _unfed_inputs(g, reg):
+    """Unfed required 'o' inputs in deterministic wiring order — the ONE
+    iteration both the export wiring and the --check re-wiring use, so
+    the check's feed list can never misalign with the exported input
+    order."""
+    out = []
+    for n in g.nodes:
+        kind = reg.get_node(n.name)
+        if getattr(kind, "optional_inputs", False):
+            continue
+        for ch in kind.io(n.params)["ins"]:
+            if ch == "o" and ch not in n.inputs:
+                out.append((n, ch))
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("graph", help="graph JSON path, or a name in "
@@ -109,19 +125,12 @@ def main(argv=None) -> int:
 
     g = graph_from_json(obj)
     img_shape = (args.batch,) + _parse_shape(args.image_shape)
-    n_in = 0
-    for n in g.nodes:
-        kind = reg.get_node(n.name)
-        if getattr(kind, "optional_inputs", False):
-            continue
-        for ch in kind.io(n.params)["ins"]:
-            if ch == "o" and ch not in n.inputs:
-                g.add_input(
-                    shape_struct(np.zeros(img_shape, np.float32)), n, ch)
-                n_in += 1
-    if n_in:
-        print(f"wired {n_in} image input(s) of shape {list(img_shape)}",
-              file=sys.stderr)
+    unfed = _unfed_inputs(g, reg)
+    for n, ch in unfed:
+        g.add_input(shape_struct(np.zeros(img_shape, np.float32)), n, ch)
+    if unfed:
+        print(f"wired {len(unfed)} image input(s) of shape "
+              f"{list(img_shape)}", file=sys.stderr)
 
     ex = Executor(reg=reg)
     platforms = [p for p in args.platforms.split(",") if p] or None
@@ -142,16 +151,11 @@ def main(argv=None) -> int:
         feeds = [rng.random(s["shape"], np.float32).astype(s["dtype"])
                  for s in art.input_specs]
         got = art(*feeds)
-        # live executor on the same inputs
+        # live executor on the same inputs (same wiring order by
+        # construction: _unfed_inputs is the one iteration)
         g2 = graph_from_json(obj)
-        it = iter(feeds)
-        for n in g2.nodes:
-            kind = reg.get_node(n.name)
-            if getattr(kind, "optional_inputs", False):
-                continue
-            for ch in kind.io(n.params)["ins"]:
-                if ch == "o" and ch not in n.inputs:
-                    g2.add_input(np.asarray(next(it)), n, ch)
+        for (n, ch), feed in zip(_unfed_inputs(g2, reg), feeds):
+            g2.add_input(np.asarray(feed), n, ch)
         want = ex.run(g2, taps=args.taps)
         worst = 0.0
         for i, chans in want.items():

@@ -52,10 +52,20 @@ def _register_models(reg, variants: Set[str], dtype_name: str, lib=None,
     torch .pth, same contract as ``ivt-server --ckpt``)."""
     import jax.numpy as jnp
 
-    from interactive_vit_tpu.models.autoregister import make_model
+    from interactive_vit_tpu.models.autoregister import (
+        known_variants, make_model,
+    )
 
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    known = set(known_variants())
     for v in sorted(variants):
+        if v not in known:
+            # only GENUINELY unknown prefixes are skippable (a plugin may
+            # provide them); construction errors for known variants must
+            # surface as themselves, not as this warning
+            print(f"warning: unknown model prefix {v!r} — relying on "
+                  f"builtin/plugin kinds", file=sys.stderr)
+            continue
         params = None
         if ckpts and v in ckpts:
             from interactive_vit_tpu.serving.server import load_model_params
@@ -66,11 +76,7 @@ def _register_models(reg, variants: Set[str], dtype_name: str, lib=None,
 
                 params = jax.tree.map(lambda x: jnp.asarray(x, dtype),
                                       params)
-        try:
-            make_model(v, params=params, dtype=dtype).register(reg, lib)
-        except ValueError:
-            print(f"warning: unknown model prefix {v!r} — relying on "
-                  f"builtin/plugin kinds", file=sys.stderr)
+        make_model(v, params=params, dtype=dtype).register(reg, lib)
 
 
 def _save_png(path: str, a: "np.ndarray") -> bool:

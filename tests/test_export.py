@@ -229,6 +229,85 @@ def test_export_cli_end_to_end(reg, tmp_path):
     assert any(f.endswith(".npy") for f in os.listdir(taps_dir))
 
 
+def test_bf16_model_artifact_roundtrips(reg, tmp_path):
+    # the safetensors reader upcasts BF16 to f32, but jax.export enforces
+    # the exported capture dtypes at call time: the skeleton must carry
+    # dtype and the loader must cast back (review finding: bf16 — the
+    # TPU headline serving dtype — previously produced unloadable
+    # artifacts)
+    import jax.numpy as jnp
+
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_bf", img_size=32, patch=16, width=64,
+                        depth=1, heads=4, num_classes=8)
+    vit.VARIANTS["vit_bf"] = cfg
+    try:
+        make_vit_model("vit_bf", dtype=jnp.bfloat16).register(reg)
+        g = Graph()
+        emb = g.add_node("vit_bf:embed")
+        head = g.add_node("vit_bf:head")
+        g.connect(emb, "o", head, "o")
+        img = np.random.default_rng(0).random((1, 3, 32, 32)).astype(
+            np.float32)
+        g.add_input(img, emb, "o")
+        ex = Executor(reg)
+        want = ex.run(g, taps={(head.index, "o")})
+
+        out_dir = str(tmp_path / "art")
+        export_graph(g, out_dir, taps={(head.index, "o")}, executor=ex)
+        got = load_artifact(out_dir)(img)
+        np.testing.assert_allclose(
+            np.asarray(got[head.index]["o"], np.float32),
+            np.asarray(want[head.index]["o"], np.float32), atol=1e-2)
+    finally:
+        del vit.VARIANTS["vit_bf"]
+
+
+def test_capture_path_collision_refused(tmp_path):
+    # "."-joined path keys can alias when dict keys contain dots
+    # (layer names like "blocks.0" do): refusing beats deploying the
+    # wrong weights silently
+    from interactive_vit_tpu.graph.export import _flatten_caps
+
+    caps = {"a": {"b": np.zeros(2, np.float32)},
+            "a.b": np.ones(2, np.float32)}
+    with pytest.raises(ExportError, match="collision"):
+        _flatten_caps(caps, "c", {})
+
+
+def test_set_cap_on_weights_subtree_is_export_error(reg, tmp_path):
+    # a model layer's capture is a nested dict: set_cap must refuse with
+    # the one documented error type, not AttributeError
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_sc", img_size=32, patch=16, width=64,
+                        depth=1, heads=4, num_classes=8)
+    vit.VARIANTS["vit_sc"] = cfg
+    try:
+        make_vit_model("vit_sc", quantize="w8").register(reg)
+        g = Graph()
+        emb = g.add_node("vit_sc:embed")
+        b0 = g.add_node("vit_sc:blocks.0")
+        g.connect(emb, "o", b0, "o")
+        img = np.zeros((1, 3, 32, 32), np.float32)
+        g.add_input(img, emb, "o")
+        out_dir = str(tmp_path / "art")
+        export_graph(g, out_dir, executor=Executor(reg))
+        art = load_artifact(out_dir)
+        subtree = next(
+            ((int(i), k) for i, c in art.caps.items()
+             if isinstance(c, dict)
+             for k, v in c.items() if isinstance(v, dict)), None)
+        assert subtree is not None, "expected a quant-dict capture"
+        with pytest.raises(ExportError, match="subtree"):
+            art.set_cap(subtree[0], subtree[1], 1.0)
+    finally:
+        del vit.VARIANTS["vit_sc"]
+
+
 def test_manifest_is_json_and_versioned(reg, tmp_path):
     x = np.linspace(0.0, 1.0, 8, dtype=np.float32)
     g, _ = chain(x)

@@ -308,6 +308,34 @@ def test_set_cap_on_weights_subtree_is_export_error(reg, tmp_path):
         del vit.VARIANTS["vit_sc"]
 
 
+def test_cross_platform_export_lowering(reg, tmp_path):
+    # one artifact lowered for BOTH cpu and tpu (kernels off: Pallas fns
+    # lower only for their native platform); executes on the CPU backend
+    # here, on-chip execution is the r3_export_tpu experiment
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+
+    cfg = vit.ViTConfig("vit_xp", img_size=32, patch=16, width=64,
+                        depth=1, heads=4, num_classes=8)
+    vit.VARIANTS["vit_xp"] = cfg
+    try:
+        make_vit_model("vit_xp", kernels=False).register(reg)
+        g = Graph()
+        emb = g.add_node("vit_xp:embed")
+        head = g.add_node("vit_xp:head")
+        g.connect(emb, "o", head, "o")
+        img = np.zeros((1, 3, 32, 32), np.float32)
+        g.add_input(img, emb, "o")
+        out_dir = str(tmp_path / "art")
+        m = export_graph(g, out_dir, executor=Executor(reg),
+                         platforms=["cpu", "tpu"])
+        assert m["platforms"] == ["cpu", "tpu"]
+        art = load_artifact(out_dir)
+        assert np.asarray(art(img)[head.index]["o"]).shape == (1, 8)
+    finally:
+        del vit.VARIANTS["vit_xp"]
+
+
 def test_manifest_is_json_and_versioned(reg, tmp_path):
     x = np.linspace(0.0, 1.0, 8, dtype=np.float32)
     g, _ = chain(x)

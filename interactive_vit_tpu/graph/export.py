@@ -50,6 +50,18 @@ class ExportError(Exception):
     SafetensorsError/WireError — callers branch on the class)."""
 
 
+# -- PartitionSpec <-> JSON ---------------------------------------------------
+
+def _spec_to_json(spec) -> list:
+    return [list(e) if isinstance(e, (list, tuple)) else e for e in spec]
+
+
+def _spec_from_json(obj: list):
+    from jax.sharding import PartitionSpec as P
+
+    return P(*[tuple(e) if isinstance(e, list) else e for e in obj])
+
+
 # -- captures pytree <-> (skeleton json, flat tensor dict) -------------------
 
 def _flatten_caps(caps: Any, prefix: str, flat: Dict[str, np.ndarray]):
@@ -134,10 +146,39 @@ def export_graph(
     # zero input edges is legal: generator graphs (noise/const sources)
     # export as nullary programs
     input_edges = graph.input_edges()
-    in_structs = tuple(shape_struct(e.tensor) for _, _, e in input_edges)
-    cap_structs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-        caps_arg)
+    mesh = getattr(ex, "mesh", None)
+    mesh_json = None
+    cap_shardings = None
+    if mesh is not None:
+        # mesh-sharded deployment: bake the executor's own placement
+        # rules (TP-sharded captures per parallel/mesh.param_spec,
+        # replicated single-request inputs) into the exported program's
+        # in_shardings; the loader rebuilds an identical mesh and places
+        # arguments the same way, so GSPMD collectives ride ICI exactly
+        # as in live mesh serving
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from interactive_vit_tpu.parallel.mesh import param_shardings
+
+        cap_shardings = param_shardings(caps_arg, mesh)
+        mesh_json = {"axes": list(mesh.axis_names),
+                     "shape": [int(mesh.shape[a]) for a in mesh.axis_names]}
+
+        def in_struct(t):
+            s = shape_struct(t)
+            return jax.ShapeDtypeStruct(
+                s.shape, s.dtype, sharding=NamedSharding(mesh, P()))
+
+        in_structs = tuple(in_struct(e.tensor) for _, _, e in input_edges)
+        cap_structs = jax.tree.map(
+            lambda a, sh: jax.ShapeDtypeStruct(
+                np.shape(a), np.asarray(a).dtype, sharding=sh),
+            caps_arg, cap_shardings)
+    else:
+        in_structs = tuple(shape_struct(e.tensor) for _, _, e in input_edges)
+        cap_structs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+            caps_arg)
 
     try:
         exp = jax.export.export(
@@ -152,6 +193,21 @@ def export_graph(
 
     flat: Dict[str, np.ndarray] = {}
     skel = _flatten_caps(caps_arg, "c", flat)
+    cap_specs = None
+    if cap_shardings is not None:
+        cap_specs = {}
+
+        def walk_specs(sh, prefix):
+            if isinstance(sh, dict):
+                for k, v in sh.items():
+                    walk_specs(v, f"{prefix}.{k}")
+            elif isinstance(sh, (list, tuple)):
+                for i, v in enumerate(sh):
+                    walk_specs(v, f"{prefix}.{i}")
+            else:
+                cap_specs[prefix] = _spec_to_json(sh.spec)
+
+        walk_specs(cap_shardings, "c")
 
     manifest = {
         "format": FORMAT,
@@ -165,6 +221,8 @@ def export_graph(
         ],
         "out_keys": [[i, ch] for i, ch in out_keys],
         "captures_skeleton": skel,
+        "mesh": mesh_json,
+        "capture_specs": cap_specs,
         "provenance": provenance or {},
     }
 
@@ -217,6 +275,43 @@ class ExportedGraph:
             self.manifest["captures_skeleton"], flat)
         self.out_keys: List[Tuple[int, str]] = [
             (int(i), ch) for i, ch in self.manifest["out_keys"]]
+        self.mesh = None
+        self._cap_specs: Optional[Dict[str, list]] = None
+        mesh_json = self.manifest.get("mesh")
+        if mesh_json:
+            from jax.sharding import Mesh
+
+            need = int(np.prod(mesh_json["shape"]))
+            devs = jax.devices()
+            if len(devs) < need:
+                raise ExportError(
+                    f"{path}: program was exported for a "
+                    f"{mesh_json['shape']} mesh ({need} devices); this "
+                    f"host has {len(devs)}")
+            self.mesh = Mesh(
+                np.array(devs[:need]).reshape(mesh_json["shape"]),
+                tuple(mesh_json["axes"]))
+            self._cap_specs = self.manifest["capture_specs"] or {}
+            self.caps = self._place(self.caps, "c")
+
+    def _leaf_sharding(self, path: str):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = (self._cap_specs or {}).get(path)
+        return NamedSharding(
+            self.mesh, _spec_from_json(spec) if spec else P())
+
+    def _place(self, caps, prefix: str):
+        """Device-put every capture leaf per its recorded PartitionSpec
+        (the executor's own TP layout, baked at export time)."""
+        if isinstance(caps, dict):
+            return {k: self._place(v, f"{prefix}.{k}")
+                    for k, v in caps.items()}
+        if isinstance(caps, (list, tuple)):
+            seq = [self._place(v, f"{prefix}.{i}")
+                   for i, v in enumerate(caps)]
+            return type(caps)(seq)
+        return jax.device_put(caps, self._leaf_sharding(prefix))
 
     @property
     def input_specs(self) -> List[Dict[str, Any]]:
@@ -233,7 +328,7 @@ class ExportedGraph:
             raise ExportError(
                 f"no capture {node_index}:{name}; artifact has {have}")
         old = node[name]
-        if not isinstance(old, np.ndarray):
+        if not hasattr(old, "dtype"):
             raise ExportError(
                 f"capture {node_index}:{name} is a weights subtree, not a "
                 f"scalar/array dynamic param — only leaf params are "
@@ -243,6 +338,9 @@ class ExportedGraph:
             raise ExportError(
                 f"capture {node_index}:{name} has shape {old.shape}, "
                 f"got {arr.shape} (shapes are baked into the program)")
+        if self.mesh is not None:
+            arr = jax.device_put(
+                arr, self._leaf_sharding(f"c.{node_index}.{name}"))
         node[name] = arr
 
     def __call__(self, *inputs) -> Dict[int, Dict[str, np.ndarray]]:
@@ -259,7 +357,14 @@ class ExportedGraph:
                     f"input for {spec['name']}:{spec['channel']} has "
                     f"shape {list(arr.shape)}, program was exported for "
                     f"{spec['shape']}")
-            args.append(arr.astype(spec["dtype"], copy=False))
+            arr = arr.astype(spec["dtype"], copy=False)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # single-request inputs replicate, matching the
+                # executor's mesh placement (_place_inputs batched=False)
+                arr = jax.device_put(arr, NamedSharding(self.mesh, P()))
+            args.append(arr)
         try:
             flat = self._exp.call(tuple(args), self.caps)
         except Exception as err:  # noqa: BLE001

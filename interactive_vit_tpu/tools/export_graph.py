@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     ap.add_argument("--check", action="store_true",
                     help="reload the artifact and verify parity against "
                          "the live executor on random inputs")
+    ap.add_argument("--mesh", default="",
+                    help="export a mesh-sharded program, e.g. "
+                         "'data=4,model=2' (ivt-server --mesh contract); "
+                         "the artifact then requires that many devices "
+                         "to load")
     ap.add_argument("--graphs-dir", default=None)
     ap.add_argument("--plugin-dirs", default="")
     ap.add_argument("--platform", default="default",
@@ -120,8 +125,20 @@ def main(argv=None) -> int:
         n["instance"].get("endpoint") or n["instance"]["kind"]
         for n in obj["nodes"]
     }
+    mesh = None
+    if args.mesh:
+        from interactive_vit_tpu.parallel.mesh import make_mesh
+
+        axes = dict(kv.split("=") for kv in args.mesh.split(","))
+        mesh = make_mesh({k: int(v) for k, v in axes.items()})
+    # mesh mode mirrors the server's registration: kernels off (Pallas
+    # custom calls are not GSPMD-partitionable) and head-major qkv when
+    # a TP axis exists (serving/server.py build_app)
+    tp = (mesh is not None and
+          dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1)
     _register_models(reg, _model_variants(endpoints), args.dtype,
-                     ckpts=dict(kv.split("=", 1) for kv in args.ckpt))
+                     ckpts=dict(kv.split("=", 1) for kv in args.ckpt),
+                     kernels=mesh is None, tp_layout=tp)
 
     g = graph_from_json(obj)
     img_shape = (args.batch,) + _parse_shape(args.image_shape)
@@ -132,7 +149,7 @@ def main(argv=None) -> int:
         print(f"wired {len(unfed)} image input(s) of shape "
               f"{list(img_shape)}", file=sys.stderr)
 
-    ex = Executor(reg=reg)
+    ex = Executor(reg=reg, mesh=mesh)
     platforms = [p for p in args.platforms.split(",") if p] or None
     manifest = export_graph(
         g, args.out, taps=args.taps, executor=ex, platforms=platforms,

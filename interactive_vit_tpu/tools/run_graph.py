@@ -44,7 +44,7 @@ def _model_variants(endpoints: Set[str]) -> Set[str]:
 
 
 def _register_models(reg, variants: Set[str], dtype_name: str, lib=None,
-                     ckpts: Optional[Dict[str, str]] = None):
+                     ckpts: Optional[Dict[str, str]] = None, **model_kw):
     """Register every model family a graph references — the ONE
     variant dispatch (``models/autoregister.make_model``), so this
     runner can never fall behind the server's model list again.
@@ -76,7 +76,8 @@ def _register_models(reg, variants: Set[str], dtype_name: str, lib=None,
 
                 params = jax.tree.map(lambda x: jnp.asarray(x, dtype),
                                       params)
-        make_model(v, params=params, dtype=dtype).register(reg, lib)
+        make_model(v, params=params, dtype=dtype,
+                   **model_kw).register(reg, lib)
 
 
 def _save_png(path: str, a: "np.ndarray") -> bool:

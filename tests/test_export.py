@@ -336,6 +336,54 @@ def test_cross_platform_export_lowering(reg, tmp_path):
         del vit.VARIANTS["vit_xp"]
 
 
+def test_mesh_sharded_export_roundtrips(reg, tmp_path):
+    # deployment of a MESH-sharded program: the exported StableHLO bakes
+    # the executor's own placement (TP captures per param_spec,
+    # replicated inputs); the loader rebuilds an identical mesh, places
+    # arguments the same way, and must match the live mesh executor
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.parallel.mesh import make_mesh
+
+    cfg = vit.ViTConfig("vit_me", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=8)
+    vit.VARIANTS["vit_me"] = cfg
+    try:
+        make_vit_model("vit_me", kernels=False,
+                       tp_layout=True).register(reg)
+        mesh = make_mesh({"data": 4, "model": 2})
+        ex = Executor(reg, mesh=mesh)
+        g = Graph()
+        emb = g.add_node("vit_me:embed")
+        b0 = g.add_node("vit_me:blocks.0")
+        b1 = g.add_node("vit_me:blocks.1")
+        head = g.add_node("vit_me:head")
+        g.connect(emb, "o", b0, "o")
+        g.connect(b0, "o", b1, "o")
+        g.connect(b1, "o", head, "o")
+        img = np.random.default_rng(0).random((2, 3, 32, 32)).astype(
+            np.float32)
+        g.add_input(img, emb, "o")
+        want = ex.run(g, taps={(head.index, "o"), (b0.index, "attn")})
+
+        out_dir = str(tmp_path / "art")
+        export_graph(g, out_dir,
+                     taps={(head.index, "o"), (b0.index, "attn")},
+                     executor=ex)
+        art = load_artifact(out_dir)
+        assert art.manifest["mesh"] == {"axes": ["data", "model"],
+                                        "shape": [4, 2]}
+        assert art.mesh is not None
+        got = art(img)
+        for i in want:
+            for ch in want[i]:
+                np.testing.assert_allclose(
+                    np.asarray(got[i][ch]), np.asarray(want[i][ch]),
+                    atol=1e-5)
+    finally:
+        del vit.VARIANTS["vit_me"]
+
+
 def test_manifest_is_json_and_versioned(reg, tmp_path):
     x = np.linspace(0.0, 1.0, 8, dtype=np.float32)
     g, _ = chain(x)

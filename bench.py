@@ -60,6 +60,24 @@ def _wait_for_backend(tries: int = 5, probe_timeout: int = 240,
           file=sys.stderr)
 
 
+def _forward_gflops(cfg) -> float:
+    """Analytic forward GFLOPs/image (mul+add = 2 FLOPs; conv-free ViT):
+    patch embed + depth * (qkv/proj GEMMs + attention dots + MLP) + head.
+    Attention-map extraction adds no FLOPs (the probs are computed
+    anyway); softmax/LN/elementwise are ignored (<1%)."""
+    n, d, p, depth = cfg.tokens, cfg.width, cfg.patch, cfg.depth
+    mlp = getattr(cfg, "mlp_dim", 4 * d)
+    embed = n * (3 * p * p) * d * 2
+    per_block = (
+        n * d * (3 * d) * 2      # qkv
+        + 2 * n * n * d * 2      # scores + probs@V
+        + n * d * d * 2          # proj
+        + 2 * n * d * mlp * 2    # fc1 + fc2
+    )
+    head = d * getattr(cfg, "num_classes", 1000) * 2
+    return (embed + depth * per_block + head) / 1e9
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--variant", default="vit_b16")
@@ -171,6 +189,16 @@ def main() -> None:
     batches = [args.batch] if args.batch else [32, 64, 96, 128]
     best = max(run_one(b) for b in batches)
 
+    # model FLOP utilization vs the chip's dense peak (v5e bf16 MXU =
+    # 197 TFLOP/s; f32 runs 3-pass emulated, no meaningful single peak)
+    gflops = _forward_gflops(cfg)
+    mfu = None
+    if args.dtype == "bfloat16" and any(
+            d.platform == "tpu" for d in jax.devices()):
+        mfu = round(best * gflops / 197e3, 4)
+        print(f"  ~{gflops:.1f} GFLOPs/img analytic -> MFU {mfu:.1%} "
+              f"of v5e bf16 peak", file=sys.stderr)
+
     target = 2000.0
     print(json.dumps({
         "metric": f"{args.variant} @{cfg.img_size} inference w/ "
@@ -179,6 +207,7 @@ def main() -> None:
         "value": round(best, 1),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(best / target, 4),
+        **({"mfu_v5e_bf16": mfu} if mfu is not None else {}),
     }))
 
 

@@ -60,6 +60,11 @@ def _wait_for_backend(tries: int = 5, probe_timeout: int = 240,
           file=sys.stderr)
 
 
+# v5e dense bf16 MXU peak — the MFU denominator here AND in the training
+# bench (tools/experiments/r3_train_bench.py imports both)
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
 def _forward_gflops(cfg) -> float:
     """Analytic forward GFLOPs/image (mul+add = 2 FLOPs; conv-free ViT):
     patch embed + depth * (qkv/proj GEMMs + attention dots + MLP) + head.
@@ -195,7 +200,7 @@ def main() -> None:
     mfu = None
     if args.dtype == "bfloat16" and any(
             d.platform == "tpu" for d in jax.devices()):
-        mfu = round(best * gflops / 197e3, 4)
+        mfu = round(best * gflops * 1e9 / V5E_BF16_PEAK_FLOPS, 4)
         print(f"  ~{gflops:.1f} GFLOPs/img analytic -> MFU {mfu:.1%} "
               f"of v5e bf16 peak", file=sys.stderr)
 

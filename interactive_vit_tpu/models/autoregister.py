@@ -28,6 +28,53 @@ def known_variants() -> list:
         | {"clip_b32", "clip_text_b32", "vgg16", "resnet50"})
 
 
+def _family_maker(variant: str):
+    """Non-plain-ViT family maker as ``fn(params, seed, dtype, attn_impl,
+    kernels) -> JaxModel``, or None when ``variant`` is (or should be) a
+    plain-ViT name. ONE membership decision: a variant is non-ViT exactly
+    when this returns a maker, so the quantize warning below cannot
+    desynchronize from the dispatch."""
+    if variant == "clip_b32":
+        from interactive_vit_tpu.models.clip_plugin import make_clip_model
+
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_clip_model(params=params, seed=seed, attn_impl=attn_impl,
+                            dtype=dtype, kernels=kernels))
+    if variant == "vgg16":
+        from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
+
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_vgg16_model(params=params, seed=seed, dtype=dtype))
+    if variant == "clip_text_b32":
+        from interactive_vit_tpu.models.clip_text_plugin import (
+            make_clip_text_model,
+        )
+
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_clip_text_model(params=params, seed=seed, dtype=dtype))
+    if variant == "resnet50":
+        from interactive_vit_tpu.models.resnet_plugin import (
+            make_resnet50_model,
+        )
+
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_resnet50_model(params=params, seed=seed, dtype=dtype))
+    if variant.startswith("vit_moe"):
+        from interactive_vit_tpu.models.moe_plugin import make_moe_model
+
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_moe_model(variant, params=params, seed=seed, dtype=dtype,
+                           attn_impl=attn_impl))
+    if "_tome" in variant:
+        from interactive_vit_tpu.models.tome_plugin import make_tome_model
+
+        # any plain-vit checkpoint of the same geometry loads: token
+        # merging is post-hoc (models/tome.py)
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_tome_model(variant, params=params, seed=seed, dtype=dtype))
+    return None
+
+
 def make_model(
     variant: str,
     params: Optional[Any] = None,
@@ -44,46 +91,11 @@ def make_model(
     gates live in the ViT block path); other families log a warning and
     serve their float dtype, matching the server's long-standing
     behavior."""
-    is_plain_vit = (not variant.startswith("vit_moe")
-                    and "_tome" not in variant
-                    and variant not in ("clip_b32", "clip_text_b32",
-                                        "vgg16", "resnet50"))
-    if quantize and not is_plain_vit:
-        logger.warning("int8 not wired for %s; serving bf16", variant)
-    if variant == "clip_b32":
-        from interactive_vit_tpu.models.clip_plugin import make_clip_model
-
-        return make_clip_model(params=params, seed=seed,
-                               attn_impl=attn_impl, dtype=dtype,
-                               kernels=kernels)
-    if variant == "vgg16":
-        from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
-
-        return make_vgg16_model(params=params, seed=seed, dtype=dtype)
-    if variant == "clip_text_b32":
-        from interactive_vit_tpu.models.clip_text_plugin import (
-            make_clip_text_model,
-        )
-
-        return make_clip_text_model(params=params, seed=seed, dtype=dtype)
-    if variant == "resnet50":
-        from interactive_vit_tpu.models.resnet_plugin import (
-            make_resnet50_model,
-        )
-
-        return make_resnet50_model(params=params, seed=seed, dtype=dtype)
-    if variant.startswith("vit_moe"):
-        from interactive_vit_tpu.models.moe_plugin import make_moe_model
-
-        return make_moe_model(variant, params=params, seed=seed,
-                              dtype=dtype, attn_impl=attn_impl)
-    if "_tome" in variant:
-        from interactive_vit_tpu.models.tome_plugin import make_tome_model
-
-        # any plain-vit checkpoint of the same geometry loads: token
-        # merging is post-hoc (models/tome.py)
-        return make_tome_model(variant, params=params, seed=seed,
-                               dtype=dtype)
+    maker = _family_maker(variant)
+    if maker is not None:
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
+        return maker(params, seed, dtype, attn_impl, kernels)
 
     from interactive_vit_tpu.models import vit
 

@@ -30,22 +30,13 @@ emit(stage="start", devices=str(jax.devices()))
 
 import jax.numpy as jnp  # noqa: E402
 
+from bench import (  # noqa: E402 — repo-root module (_harness sys.path)
+    V5E_BF16_PEAK_FLOPS as PEAK, _forward_gflops as forward_gflops,
+)
 from interactive_vit_tpu.models import vit  # noqa: E402
 from interactive_vit_tpu.parallel.train import (  # noqa: E402
     make_optimizer, make_train_step,
 )
-
-PEAK = 197e12  # v5e bf16 dense MXU peak, FLOP/s
-
-
-def forward_gflops(cfg) -> float:
-    n, d, p, depth = cfg.tokens, cfg.width, cfg.patch, cfg.depth
-    mlp = cfg.mlp_dim
-    embed = n * (3 * p * p) * d * 2
-    per_block = (n * d * (3 * d) * 2 + 2 * n * n * d * 2
-                 + n * d * d * 2 + 2 * n * d * mlp * 2)
-    head = d * cfg.num_classes * 2
-    return (embed + depth * per_block + head) / 1e9
 
 
 for variant, batches in (("vit_s16", (128, 256)), ("vit_b16", (64, 128))):

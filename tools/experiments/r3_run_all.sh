@@ -27,4 +27,11 @@ timeout 1800 python bench_serving.py --model vit_t16 --clients 8 \
 timeout 1800 python bench_serving.py --model vit_t16 --clients 8 \
   --duration 30 --taps features --distinct-dynamic
 
+cd "$(dirname "$0")"
+echo "=== phase 6: AOT export artifacts on-chip ==="
+timeout 2400 python r3_export_tpu.py
+
+echo "=== phase 7: training throughput ==="
+timeout 2400 python r3_train_bench.py
+
 echo "=== r3 experiment run complete ==="

@@ -384,6 +384,46 @@ def test_mesh_sharded_export_roundtrips(reg, tmp_path):
         del vit.VARIANTS["vit_me"]
 
 
+def test_pp_folded_export_roundtrips(reg, tmp_path):
+    # a PP-folded staged program (GPipe shard_map over the "stage" axis,
+    # executor._find_pp_segments) must survive jax.export serialization —
+    # pins shard_map-under-export against jax upgrades
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.parallel.mesh import make_mesh
+
+    cfg = vit.ViTConfig("vit_ppx", img_size=32, patch=16, width=64,
+                        depth=4, heads=4, num_classes=8)
+    vit.VARIANTS["vit_ppx"] = cfg
+    try:
+        make_vit_model("vit_ppx", kernels=False).register(reg)
+        mesh = make_mesh({"data": 2, "model": 1, "stage": 2})
+        ex = Executor(reg, mesh=mesh)
+        g = Graph()
+        emb = g.add_node("vit_ppx:embed")
+        prev = emb
+        for i in range(4):
+            b = g.add_node(f"vit_ppx:blocks.{i}")
+            g.connect(prev, "o", b, "o")
+            prev = b
+        head = g.add_node("vit_ppx:head")
+        g.connect(prev, "o", head, "o")
+        img = np.random.default_rng(0).random((1, 3, 32, 32)).astype(
+            np.float32)
+        g.add_input(img, emb, "o")
+        want = ex.run(g, taps={(head.index, "o")})
+        assert ex.last_pp_segments, "expected a folded PP segment"
+
+        out_dir = str(tmp_path / "art")
+        export_graph(g, out_dir, taps={(head.index, "o")}, executor=ex)
+        got = load_artifact(out_dir)(img)
+        np.testing.assert_allclose(np.asarray(got[head.index]["o"]),
+                                   np.asarray(want[head.index]["o"]),
+                                   atol=1e-5)
+    finally:
+        del vit.VARIANTS["vit_ppx"]
+
+
 def test_manifest_is_json_and_versioned(reg, tmp_path):
     x = np.linspace(0.0, 1.0, 8, dtype=np.float32)
     g, _ = chain(x)

@@ -426,14 +426,30 @@ class Executor:
     def _sig_param_filter(self, n):
         """Drop each kind's dynamic params from the signature: their
         values ride as runtime captures (NodeKind.dynamic_params), so an
-        interactive edit re-keys the cached program, no recompile."""
+        interactive edit re-keys the cached program, no recompile.
+
+        A kind whose dynamic params also determine capture SHAPES in a
+        coarser way contributes its shape-class instead
+        (NodeKind.dynamic_sig — e.g. the prompt node keys on prompt
+        COUNT while the wording stays dynamic)."""
         try:
-            dyn = self.reg.get_node(n.name).dynamic_params()
+            kind = self.reg.get_node(n.name)
         except KeyError:
             return n.params
+        dyn = kind.dynamic_params()
         if not dyn:
             return n.params
-        return {k: v for k, v in n.params.items() if k not in dyn}
+        filtered = {k: v for k, v in n.params.items() if k not in dyn}
+        try:
+            dsig = kind.dynamic_sig(n.params)
+        except Exception as err:  # noqa: BLE001 — attribution contract:
+            # a malformed dynamic param (e.g. prompts that don't parse)
+            # must name its node even though the signature is computed
+            # before staging
+            raise NodeError(n.index, n.name, str(err)) from err
+        if dsig is not None:
+            filtered["__dyn_sig__"] = dsig
+        return filtered
 
     def _program_sig(self, graph: Graph, tap_set,
                      batch: Optional[int] = None) -> str:
@@ -522,13 +538,19 @@ class Executor:
                 keys.add(str(n.index))
         return frozenset(keys)
 
-    def _stacked_dyn_caps(self, graphs, bucket: int, dyn_keys):
+    def _stacked_dyn_caps(self, graphs, bucket: int, dyn_keys,
+                          base_caps=None):
         """Per-request dynamic captures stacked on a leading batch axis.
 
         Bucket padding replicates request 0 (matching the padded inputs).
         Dynamic captures are contract-bound to a stable structure/shape/
         dtype (registry.NodeKind.dynamic_params), so stacking across a
-        same-program-signature group is always well-formed."""
+        same-program-signature group is always well-formed.
+
+        Kinds that name dynamic_capture_keys() stack ONLY those entries;
+        their static entries (big weights) come from ``base_caps`` (the
+        staged program's device-resident captures) and broadcast in the
+        vmap instead of stacking k copies."""
         idxs = list(range(len(graphs))) + [0] * (bucket - len(graphs))
         # POSITIONAL node lookup: group membership only guarantees equal
         # program signatures, and node INDICES of edge-less nodes don't
@@ -541,6 +563,7 @@ class Executor:
             rows = [graphs[gi].nodes[pos] for gi in idxs]
             kind = self.reg.get_node(rows[0].name)
             dyn = kind.dynamic_params()
+            dck = kind.dynamic_capture_keys()
             # content-addressed: the batcher's steady state re-dispatches
             # identical value stacks every few ms — a cache hit must cost
             # zero host work and zero device transfers
@@ -548,29 +571,55 @@ class Executor:
                 self._dyn_value_key(n, dyn) for n in rows
             ))
             hit = self._stacked_dyn_cache.get(cache_key)
-            if hit is not None:
-                self._stacked_dyn_cache.move_to_end(cache_key)
-                out[key] = hit
-                continue
-            per = []
-            for n in rows:
-                try:
-                    per.append(self.reg.get_node(n.name).captures(n.params))
-                except Exception as err:  # noqa: BLE001 — attribution
-                    raise NodeError(n.index, n.name, str(err)) from err
-            stacked = jax.tree.map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            if hit is None:
+                per = []
+                for n in rows:
+                    try:
+                        caps = self.reg.get_node(n.name).captures(n.params)
+                    except Exception as err:  # noqa: BLE001 — attribution
+                        raise NodeError(n.index, n.name, str(err)) from err
+                    if dck is not None:
+                        caps = {k: v for k, v in caps.items() if k in dck}
+                    per.append(caps)
+                hit = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *per)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
 
-                # replicated: tiny per-request values consumed inside vmap
-                stacked = jax.device_put(
-                    stacked, NamedSharding(self.mesh, P()))
-            self._stacked_dyn_cache[cache_key] = stacked
-            while len(self._stacked_dyn_cache) > 128:
-                self._stacked_dyn_cache.popitem(last=False)
-            out[key] = stacked
+                    # replicated: tiny per-request values consumed in vmap
+                    hit = jax.device_put(
+                        hit, NamedSharding(self.mesh, P()))
+                self._stacked_dyn_cache[cache_key] = hit
+                while len(self._stacked_dyn_cache) > 128:
+                    self._stacked_dyn_cache.popitem(last=False)
+            else:
+                self._stacked_dyn_cache.move_to_end(cache_key)
+            if dck is not None:
+                # merge: static entries stay the staged program's
+                # device-resident buffers (broadcast), dynamic ones stack
+                out[key] = {**(base_caps or {}).get(key, {}), **hit}
+            else:
+                out[key] = hit
         return out
+
+    def _stacked_caps_axes(self, g0, caps_arg, dyn_keys):
+        """vmap in_axes pytree for the stacked captures: 0 for stacked
+        per-request values, None for broadcast weights; a mixed capture
+        dict (NodeKind.dynamic_capture_keys) gets per-entry axes."""
+        by_key = {str(n.index): n for n in g0.nodes}
+        axes = {}
+        for k in caps_arg:
+            if k not in dyn_keys:
+                axes[k] = None
+                continue
+            dck = self.reg.get_node(by_key[k].name).dynamic_capture_keys()
+            if dck is None:
+                axes[k] = 0
+            else:
+                axes[k] = {sub: (0 if sub in dck else None)
+                           for sub in caps_arg[k]}
+        return axes
 
     def is_compiled(self, graph: Graph, taps: TapSpec,
                     batch: Optional[int] = None) -> bool:
@@ -1110,8 +1159,8 @@ class Executor:
             dyn_keys = self._dyn_cap_keys(g0, caps_arg)
             if dyn_keys:
                 caps_arg = dict(caps_arg)
-                caps_arg.update(
-                    self._stacked_dyn_caps(graphs, bucket, dyn_keys))
+                caps_arg.update(self._stacked_dyn_caps(
+                    graphs, bucket, dyn_keys, base_caps=caps_arg))
             stats.cache_hit = True
         else:
             staged, out_keys, caps_arg = self._stage(g0, tap_set)
@@ -1119,11 +1168,12 @@ class Executor:
             caps_arg = self._place_captures(caps_arg)
             if dyn_keys:
                 caps_arg = dict(caps_arg)
-                caps_arg.update(
-                    self._stacked_dyn_caps(graphs, bucket, dyn_keys))
+                caps_arg.update(self._stacked_dyn_caps(
+                    graphs, bucket, dyn_keys, base_caps=caps_arg))
             # dynamic captures carry a leading batch axis (per-request
-            # values); everything else (weights) broadcasts
-            caps_axes = {k: (0 if k in dyn_keys else None) for k in caps_arg}
+            # values); everything else (weights) broadcasts — per-ENTRY
+            # for kinds that name dynamic_capture_keys (mixed dicts)
+            caps_axes = self._stacked_caps_axes(g0, caps_arg, dyn_keys)
             vmapped = jax.vmap(staged, in_axes=(0, caps_axes), out_axes=0)
             if not self.use_jit:
                 fn = vmapped

@@ -98,6 +98,28 @@ class NodeKind:
         """Large arrays (weights) to pass as jit args; None for stateless ops."""
         return None
 
+    def dynamic_sig(self, params: Dict[str, str]) -> Optional[str]:
+        """Shape-class key for the dynamic params, or None.
+
+        dynamic_params removes VALUES from the compile signature; when a
+        dynamic param ALSO determines capture shapes in a coarser way
+        (e.g. the prompt node's token array is [n_prompts, 77] — wording
+        is dynamic, COUNT changes shapes), return a string capturing
+        exactly the shape-determining part so different shapes never
+        share a cached program."""
+        return None
+
+    def dynamic_capture_keys(self) -> Optional[frozenset]:
+        """The subset of capture dict keys whose values depend on the
+        dynamic params; None = all of them (the default).
+
+        The micro-batcher stacks dynamic captures per request (vmap
+        in_axes 0) — a node whose capture dict mixes big static weights
+        with small dynamic values (the prompt node: embed table +
+        tokens) must name the dynamic keys so the weights broadcast
+        instead of stacking k copies."""
+        return None
+
     def dynamic_params(self) -> frozenset:
         """Param names whose VALUES ride as runtime captures, not trace
         constants: they are excluded from the compile-cache signature and

@@ -10,11 +10,14 @@ to the pooling node, so the block chain itself is a plain activation chain
 with per-block causal attention taps — the same tappable surface as the
 vision towers.
 
-``prompts`` is a STATIC param by design: the token array's shape [P, 77]
-depends on it, and the dynamic-param contract requires shape-stable captures
-(``registry.NodeKind.dynamic_params``). Editing prompts therefore re-keys
-the compile cache; the text tower is 12 blocks at N=77, so the retrace is
-cheap and weights still ride as resident captures.
+``prompts`` is DYNAMIC in wording, static in COUNT: the token array's shape
+[P, 77] depends only on how many prompts there are, so the node declares
+``dynamic_params={"prompts"}`` with ``dynamic_sig = prompt count`` — REWORDING
+a prompt hits the cached program (tokens/eot ride as runtime captures;
+``dynamic_capture_keys`` keeps the embed table broadcast in batched serving),
+while ADDING/REMOVING a prompt recompiles (the text tower is 12 blocks at
+N=77, so that retrace is cheap; weights ride as resident captures either
+way).
 """
 
 from __future__ import annotations
@@ -65,6 +68,24 @@ class _PromptNode(LayerNodeKind):
                 f"<p>{self.model.describe(self.layer_name)}</p>"
                 f"<label>prompts <textarea data-param=\"prompts\" rows=\"3\" "
                 f"cols=\"24\">{_html.escape(prompts)}</textarea></label>")
+
+    def dynamic_params(self):
+        # prompt WORDING rides as runtime captures: editing text is the
+        # interaction and must hit the cached program. The token array's
+        # SHAPE is [n_prompts, 77], so the COUNT contributes a shape
+        # class to the signature via dynamic_sig — changing how many
+        # prompts there are recompiles (5-8 s on-chip), rewording one
+        # does not (was: every keystroke's apply recompiled)
+        return frozenset({"prompts"})
+
+    def dynamic_sig(self, params):
+        return str(len(_parse_prompts(params)))
+
+    def dynamic_capture_keys(self):
+        # the embed weights are NOT prompt-dependent: the batcher must
+        # broadcast them across a stacked group, not stack k copies of
+        # the [vocab, width] table
+        return frozenset({"tokens", "eot"})
 
     def captures(self, params):
         cfg: clip_text.CLIPTextConfig = self.model.text_cfg

@@ -351,3 +351,65 @@ def test_zeroshot_graph_evaluates(reg_and_model, monkeypatch):
     assert np.isfinite(logits).all()
     # scaled cosine similarities of unit vectors stay within +-scale
     assert np.abs(logits).max() <= 100.0 + 1e-3
+
+
+def test_prompt_rewording_hits_cached_program(reg_and_model):
+    # prompt WORDING is a dynamic param: editing text must be a cache
+    # hit (tokens/eot ride as runtime captures), and the values must
+    # actually change the embedding
+    reg, model = reg_and_model
+    ex = Executor(reg)
+    gobj = model.generate_graph_json()
+    gobj["nodes"][0]["instance"]["params"]["prompts"] = json.dumps(
+        ["a photo of a cat", "a photo of a dog"])
+    g = graph_from_json(gobj)
+    last = len(gobj["nodes"]) - 1
+    emb1 = np.asarray(ex.run(g, taps={(last, "o")})[last]["o"])
+    assert not ex.last_stats.cache_hit
+
+    gobj["nodes"][0]["instance"]["params"]["prompts"] = json.dumps(
+        ["a photo of a bird", "a photo of a dog"])
+    g2 = graph_from_json(gobj)
+    emb2 = np.asarray(ex.run(g2, taps={(last, "o")})[last]["o"])
+    assert ex.last_stats.cache_hit, "rewording a prompt recompiled"
+    assert not np.allclose(emb1[0], emb2[0]), "edited prompt did not move"
+    np.testing.assert_allclose(emb1[1], emb2[1], atol=1e-6)
+
+    # COUNT change = different capture shapes = different program
+    gobj["nodes"][0]["instance"]["params"]["prompts"] = json.dumps(
+        ["one", "two", "three"])
+    g3 = graph_from_json(gobj)
+    out3 = np.asarray(ex.run(g3, taps={(last, "o")})[last]["o"])
+    assert not ex.last_stats.cache_hit
+    assert out3.shape[0] == 3
+
+
+def test_prompt_rewording_batches_together(reg_and_model):
+    # two sessions with the same prompt COUNT but different wording share
+    # one vmapped program: tokens/eot stack per request, the embed table
+    # broadcasts (dynamic_capture_keys) instead of stacking k copies
+    reg, model = reg_and_model
+    ex = Executor(reg)
+    gobj = model.generate_graph_json()
+    last = len(gobj["nodes"]) - 1
+
+    def build(prompts):
+        gobj["nodes"][0]["instance"]["params"]["prompts"] = json.dumps(
+            prompts)
+        return graph_from_json(gobj)
+
+    ga = build(["a red square", "a blue circle"])
+    gb = build(["a green triangle", "a blue circle"])
+    outs = ex.run_stacked([ga, gb], taps={(last, "o")})
+    assert len(outs) == 2
+    # per-request truth from the single-run path
+    want_a = np.asarray(Executor(reg).run(
+        build(["a red square", "a blue circle"]),
+        taps={(last, "o")})[last]["o"])
+    want_b = np.asarray(Executor(reg).run(
+        build(["a green triangle", "a blue circle"]),
+        taps={(last, "o")})[last]["o"])
+    np.testing.assert_allclose(
+        np.asarray(outs[0][last]["o"]), want_a, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs[1][last]["o"]), want_b, atol=1e-5)

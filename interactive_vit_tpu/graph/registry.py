@@ -109,6 +109,15 @@ class NodeKind:
         share a cached program."""
         return None
 
+    def param_variants(self, params: Dict[str, str]) -> List[Dict[str, str]]:
+        """Neighbor param sets the speculative warmer should precompile.
+
+        Return param dicts the user is LIKELY to produce next when the
+        edit changes the compile signature (e.g. the prompt node yields
+        count+1 / count-1 prompt lists — rewording is already dynamic,
+        but add/remove recompiles). Default: none."""
+        return []
+
     def dynamic_capture_keys(self) -> Optional[frozenset]:
         """The subset of capture dict keys whose values depend on the
         dynamic params; None = all of them (the default).

@@ -87,6 +87,18 @@ class _PromptNode(LayerNodeKind):
         # the [vocab, width] table
         return frozenset({"tokens", "eot"})
 
+    def param_variants(self, params):
+        # the only signature-changing prompt edit left is add/remove
+        # (wording is dynamic): warm count+1 and count-1 so the apply
+        # after the edit runs against a precompiled program. Wording in
+        # the variant is irrelevant — only the COUNT keys the signature
+        # (dynamic_sig), so any placeholder compiles the right program.
+        prompts = _parse_prompts(params)
+        out = [{**params, "prompts": json.dumps(prompts + ["a photo"])}]
+        if len(prompts) > 1:
+            out.append({**params, "prompts": json.dumps(prompts[:-1])})
+        return out
+
     def captures(self, params):
         cfg: clip_text.CLIPTextConfig = self.model.text_cfg
         tok = default_tokenizer()

@@ -153,6 +153,32 @@ def tap_variants(
     return out
 
 
+def param_variants(
+    graph: Graph, reg: Registry,
+) -> List[Graph]:
+    """Signature-changing param neighbors (NodeKind.param_variants).
+
+    For each node whose kind names likely next param sets (e.g. the
+    prompt node's count+1 / count-1 lists), yield one shape-clone with
+    that node's params replaced — the program the client ships right
+    after an add/remove edit."""
+    out: List[Graph] = []
+    for n in graph.nodes:
+        try:
+            kind = reg.get_node(n.name)
+            alts = kind.param_variants(n.params)
+        except Exception:  # noqa: BLE001 — speculation never raises
+            continue
+        for alt in alts:
+            try:
+                v = _clone_shape_graph(graph)
+                v.nodes[n.index].params = dict(alt)
+                out.append(v)
+            except Exception:  # noqa: BLE001
+                continue
+    return out
+
+
 class TapSpeculator:
     """Background warmer: observes request graphs, precompiles siblings."""
 
@@ -220,8 +246,13 @@ class TapSpeculator:
         # LIFO pop order = reverse of this list: single-request variant
         # programs first (the likeliest next need), then bucket
         # programs, then the observed graph's own buckets
-        candidates = [(graph, taps, b)
-                      for b in sorted(self.buckets, reverse=True) if b > 1]
+        try:
+            pvars = param_variants(graph, self.executor.reg)
+        except Exception:  # noqa: BLE001
+            pvars = []
+        candidates = [(v, taps, 1) for v in pvars]
+        candidates += [(graph, taps, b)
+                       for b in sorted(self.buckets, reverse=True) if b > 1]
         candidates += [(v, vt, b)
                        for b in sorted(self.buckets, reverse=True)
                        for v, vt in variants]

@@ -344,3 +344,45 @@ def test_speculator_inactive_on_mesh_or_nojit(setup):
     ex = Executor(reg, use_jit=False)
     assert TapSpeculator(ex).observe(g, "primary") == 0
     assert ex.precompile(g, "primary") is False
+
+
+def test_prompt_count_neighbors_are_warmed():
+    # the prompt node's param_variants: after serving a P-prompt text
+    # graph, the warmer precompiles P+1 and P-1 — the only remaining
+    # signature-changing prompt edit (wording is dynamic)
+    import json
+
+    from interactive_vit_tpu.models import clip_text
+    from interactive_vit_tpu.models.clip_text_plugin import (
+        make_clip_text_model,
+    )
+    from interactive_vit_tpu.wire.schema import graph_from_json
+
+    cfg = clip_text.CLIPTextConfig(
+        name="clip_text_spec", width=64, heads=4, depth=2, context=16,
+        vocab_size=512, embed_dim=32)
+    reg = Registry()
+    register_builtin(reg)
+    model = make_clip_text_model(cfg=cfg)
+    model.register(reg)
+    ex = Executor(reg)
+    spec = TapSpeculator(ex)
+
+    def build(prompts):
+        gobj = model.generate_graph_json()
+        gobj["nodes"][0]["instance"]["params"]["prompts"] = json.dumps(
+            prompts)
+        return graph_from_json(gobj)
+
+    g = build(["a", "b"])
+    last = len(g.nodes) - 1
+    ex.run(g, taps={(last, "o")})
+    spec.observe(g, {(last, "o")})
+    spec.start()
+    try:
+        spec.drain(timeout_s=300)
+    finally:
+        spec.stop()
+    # P+1 and P-1 programs are now cache hits
+    assert ex.is_compiled(build(["x", "y", "z"]), {(last, "o")})
+    assert ex.is_compiled(build(["x"]), {(last, "o")})

@@ -1,0 +1,84 @@
+"""Swin plugin — registers the hierarchical windowed-attention surface.
+
+20 nodes for swin_t: transform, patch_embed, stages.{s}.{b} (window
+attention maps on the "attn" channel), merge.{s}, norm, pool, head +
+the category sink in the generated graph (the reference's generic
+model-explosion contract, ``/root/reference/main/context.py:38-47``).
+
+No fold groups: adjacent blocks ALTERNATE shifted/unshifted windows, so
+a chain of same-stage blocks is not a uniform computation over captures
+(the GPipe fold precondition). No grad twins either: the Swin path is
+pure XLA (differentiable as-is), so saliency replays re-trace the
+serving fns directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+
+from interactive_vit_tpu.models import swin
+from interactive_vit_tpu.models.model_plugin import JaxModel
+
+
+def make_swin_model(
+    variant: str = "swin_t",
+    params: Optional[Any] = None,
+    seed: int = 0,
+    dtype=None,
+    cfg: Optional[swin.SwinConfig] = None,
+    with_categories: bool = True,
+) -> JaxModel:
+    """Build a registerable ``JaxModel`` for a Swin variant.
+
+    ``cfg`` overrides the variant table (tests use tiny geometries);
+    ``params=None`` -> deterministic random init (zero-egress image;
+    ``swin.from_torch`` loads real torchvision checkpoints, also via
+    serving ``--ckpt``)."""
+    import jax.numpy as jnp
+
+    cfg = cfg or swin.VARIANTS[variant]
+    if params is None:
+        params = swin.init_params(jax.random.key(seed), cfg,
+                                  dtype=dtype or jnp.float32)
+    descriptions = {
+        "transform": (f"Resize({int(cfg.img_size * 232 / 224)}, bicubic)"
+                      f"+CenterCrop({cfg.img_size})+Normalize"),
+        "patch_embed": (f"PatchEmbed p={cfg.patch} d={cfg.embed_dim} "
+                        f"+ LayerNorm"),
+        "norm": "LayerNorm",
+        "pool": "global average pool",
+        "head": (f"Linear({cfg.stage_dim(len(cfg.depths) - 1)} "
+                 f"-> {cfg.num_classes})"),
+    }
+    for s, depth in enumerate(cfg.depths):
+        res = cfg.stage_res(s)
+        for b in range(depth):
+            shift = cfg.stage_shift(s, b)
+            descriptions[f"stages.{s}.{b}"] = (
+                f"SwinBlock {res}x{res} d={cfg.stage_dim(s)} "
+                f"h={cfg.heads[s]} win={cfg.window}"
+                + (f" shift={shift}" if shift else ""))
+        if s + 1 < len(cfg.depths):
+            descriptions[f"merge.{s}"] = (
+                f"PatchMerging {res}x{res} -> {res // 2}x{res // 2}, "
+                f"{cfg.stage_dim(s)} -> {cfg.stage_dim(s + 1)}")
+    from interactive_vit_tpu.models.labels import class_names
+
+    cats = (class_names(cfg.num_classes)
+            if with_categories and cfg.num_classes else None)
+    return JaxModel(
+        name=variant if cfg.name == variant else cfg.name,
+        layers=swin.layer_fns(cfg),
+        params=params,
+        layer_params_fn=swin.layer_params,
+        descriptions=descriptions,
+        category_names=cats,
+    )
+
+
+def instances():
+    """Plugin-contract entry point (random-init; serving boots register
+    explicitly with --ckpt weights)."""
+    return [make_swin_model("swin_t")]

@@ -49,6 +49,9 @@ load_torch_state_dict = load_state_dict
 VALID_LAYOUTS = {
     "vgg16": {"torchvision", "native"},
     "resnet50": {"torchvision", "native"},
+    "swin_t": {"torchvision", "native"},
+    "swin_s": {"torchvision", "native"},
+    "swin_b": {"torchvision", "native"},
     "clip_b32": {"openai", "native"},
     "clip_text_b32": {"openai", "native"},
     # every ViT variant accepts either framework naming, or our own
@@ -93,7 +96,8 @@ def convert(model: str, layout: str, sd) -> object:
         from interactive_vit_tpu.models.weights import from_native_flat
 
         params = from_native_flat(sd)
-        if model not in ("vgg16", "clip_b32", "clip_text_b32", "resnet50"):
+        if (model not in ("vgg16", "clip_b32", "clip_text_b32", "resnet50")
+                and not model.startswith("swin_")):
             # ViT only — empty containers don't survive flattening:
             # restore the optional classifier head ({} = feature
             # extractor) and an (impossible in practice) depth-0 trunk
@@ -108,6 +112,10 @@ def convert(model: str, layout: str, sd) -> object:
         from interactive_vit_tpu.models import resnet
 
         return resnet.from_torchvision(sd)
+    if model.startswith("swin_"):
+        from interactive_vit_tpu.models import swin
+
+        return swin.from_torch(sd, swin.VARIANTS[model])
     if model == "clip_b32":
         from interactive_vit_tpu.models import clip
 

@@ -49,7 +49,12 @@ from interactive_vit_tpu.graph.registry import Registry
 
 logger = logging.getLogger(__name__)
 
-_BLOCK_RE = re.compile(r"^(?P<prefix>.+[:.]blocks\.)(?P<idx>\d+)$")
+# any model node whose name's FINAL dotted component is an integer is a
+# scrub-able layer: vit/clip "…:blocks.<k>", swin "…:stages.<s>.<b>"
+# (siblings stay within one stage — same shapes, the adjacent-scrub
+# case), swin "…:merge.<s>", resnet "…:layer<i>.<j>". Non-indexed nodes
+# (cos, pca_view, vgg's named convs) never match.
+_BLOCK_RE = re.compile(r"^(?P<prefix>.+\.)(?P<idx>\d+)$")
 
 
 from interactive_vit_tpu.graph.executor import shape_struct as _shape_only
@@ -81,10 +86,11 @@ def tap_variants(
     """Sibling-block re-targets of every consumed/tapped extra channel.
 
     For each edge (or explicit tap entry) reading an extra output channel
-    ``ch`` of a ``...blocks.<k>`` node, yield one (graph, taps) variant
-    per sibling ``...blocks.<j>`` (same name prefix, ``ch`` among its
-    outputs) with that edge/tap moved to the sibling — exactly the graph
-    the client ships when the user drags the viewer wire one layer over.
+    ``ch`` of a layer-indexed node (``...blocks.<k>``, swin's
+    ``...stages.<s>.<b>``, …), yield one (graph, taps) variant per
+    sibling (same name prefix, ``ch`` among its outputs) with that
+    edge/tap moved to the sibling — exactly the graph the client ships
+    when the user drags the viewer wire one layer over.
     """
     # (node_index, channel) pairs currently feeding a consumer or tap
     reads: List[Tuple[int, str]] = []

@@ -38,6 +38,7 @@ def reg():
     )
     from interactive_vit_tpu.models.moe_plugin import make_moe_model
     from interactive_vit_tpu.models.resnet_plugin import make_resnet50_model
+    from interactive_vit_tpu.models.swin_plugin import make_swin_model
     from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
     from interactive_vit_tpu.models.vit_plugin import make_vit_model
 
@@ -50,6 +51,7 @@ def reg():
     make_clip_model().register(r)
     make_clip_text_model().register(r)
     make_moe_model().register(r)
+    make_swin_model().register(r)
     return r
 
 
@@ -79,6 +81,7 @@ def test_library_is_nonempty_and_known():
     names = all_graphs()
     assert "vit_t16.json" in names and "vgg16.json" in names
     assert "vit_moe_s16.json" in names and "resnet50.json" in names
+    assert "swin_t.json" in names
 
 
 @pytest.mark.parametrize("name", all_graphs())

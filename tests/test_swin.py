@@ -299,3 +299,42 @@ def test_variant_dispatch_knows_swin():
 
     for v in ("swin_t", "swin_s", "swin_b"):
         assert v in known_variants()
+
+
+def test_layer_scrub_speculation_covers_stage_siblings(oracle):
+    """Swin layer names (stages.<s>.<b>) are speculative-warming
+    candidates: tapping stages.0.0's attn yields exactly the within-
+    stage sibling re-target (stages.0.1) — never cross-stage (different
+    shapes = different user gesture) and never merge nodes."""
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.swin_plugin import make_swin_model
+    from interactive_vit_tpu.serving.speculate import tap_variants
+
+    sd, x, _ = oracle
+    params = swin.from_torch(sd, CFG)
+    reg = Registry()
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    register_builtin(reg)
+    model = make_swin_model(params=params, cfg=CFG)
+    model.register(reg)
+
+    g = Graph()
+    nodes = {}
+    prev = None
+    for lname in model.list_node_names():
+        n = g.add_node(lname)
+        nodes[lname] = n
+        if prev is not None:
+            g.connect(prev, "o", n, "o")
+        prev = n
+    viewer = g.add_node("attn_view")
+    g.connect(nodes["swin_test:stages.0.0"], "attn", viewer, "attn")
+    g.add_input(x, g.nodes[0], "o")
+
+    variants = tap_variants(g, "primary", reg)
+    assert len(variants) == 1  # depths (2, 2): one within-stage sibling
+    v, _ = variants[0]
+    src = v.nodes[viewer.index].inputs["attn"].src.node.name
+    assert src == "swin_test:stages.0.1"

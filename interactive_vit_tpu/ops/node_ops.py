@@ -387,11 +387,20 @@ def _token_grid(x, skip: int):
 
     Drops the first ``skip`` tokens (CLS), requires the remainder to tile a
     square patch grid (every ViT variant here does: N = (img/patch)^2 + 1).
-    Shape math is trace-time, so a bad wiring fails fast with a clear
-    message instead of a cryptic reshape error inside XLA.
+    Channels-last SPATIAL features [B,H,W,C] (swin stage outputs) flatten
+    to their H*W token cloud directly — no CLS exists, so ``skip`` does
+    not apply. Shape math is trace-time, so a bad wiring fails fast with
+    a clear message instead of a cryptic reshape error inside XLA.
     """
     if x.ndim == 2:
         x = x[None]
+    if x.ndim == 4:
+        b, h, w, c = x.shape
+        if h != w or h < 2:
+            raise ValueError(
+                f"spatial features must be square [B,H,W,C], got {x.shape}"
+            )
+        return x.reshape(b, h * w, c).astype(jnp.float32), h
     if x.ndim != 3:
         raise ValueError(
             f"expected token sequence [B,N,D] or [N,D], got shape {x.shape}"
@@ -467,7 +476,9 @@ class PcaViewNode(NodeKind):
     The classic self-supervised-ViT visualization (Caron et al. 2021;
     Oquab et al. 2023): project every patch token onto the top-3 principal
     components of the image's own token cloud, map components to RGB.
-    Input "o": tokens [B,N,D] from any block/norm node. Output "o":
+    Input "o": tokens [B,N,D] from any block/norm node, or channels-last
+    spatial features [B,H,W,C] (swin stage outputs — flattened to their
+    H*W token cloud; no CLS, so ``skip`` does not apply). Output "o":
     [B,3,g,g] in [0,1], viewable directly in ``img_view`` and resizable
     with the builtin ``resize`` node.
 
@@ -518,7 +529,9 @@ class PcaViewNode(NodeKind):
 class PatchSimNode(NodeKind):
     """Cosine similarity of one query token vs every patch -> heatmap.
 
-    Input "o": tokens [B,N,D]. Params ``row``/``col`` select the query
+    Input "o": tokens [B,N,D], or channels-last spatial features
+    [B,H,W,C] (swin stages; no CLS — negative row/col falls back to
+    patch (0,0)). Params ``row``/``col`` select the query
     patch on the g x g grid; either negative (the default) queries the CLS
     token instead — the "what is the image about" saliency view. Output
     "o": [B,3,g,g] grayscale (similarity rescaled from [-1,1] to [0,1],
@@ -566,7 +579,13 @@ class PatchSimNode(NodeKind):
             x = ins["o"]
             if x.ndim == 2:
                 x = x[None]
-            t, g = _token_grid(x, skip)
+            if x.ndim == 4:
+                # spatial features (swin): no CLS token, skip n/a; the
+                # "token 0" fallback below is patch (0,0) of the grid
+                t, g = _token_grid(x, 0)
+                x = t
+            else:
+                t, g = _token_grid(x, skip)
             b = t.shape[0]
             row, col = caps["row"], caps["col"]
             # traced query select: patch (row, col), clamped to the grid;

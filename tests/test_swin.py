@@ -338,3 +338,41 @@ def test_layer_scrub_speculation_covers_stage_siblings(oracle):
     v, _ = variants[0]
     src = v.nodes[viewer.index].inputs["attn"].src.node.name
     assert src == "swin_test:stages.0.1"
+
+
+def test_dense_feature_viewers_on_swin_stage(oracle):
+    """pca_view / patch_sim consume swin's channels-last spatial stage
+    features ([B,H,W,C] — no CLS token) through the real executor."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.swin_plugin import make_swin_model
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    sd, x, _ = oracle
+    params = swin.from_torch(sd, CFG)
+    reg = Registry()
+    register_builtin(reg)
+    model = make_swin_model(params=params, cfg=CFG)
+    model.register(reg)
+
+    g = Graph()
+    emb = g.add_node("swin_test:patch_embed")
+    blk = g.add_node("swin_test:stages.0.0")
+    pca = g.add_node("pca_view")
+    sim = g.add_node("patch_sim", {"row": "3", "col": "5"})
+    g.connect(emb, "o", blk, "o")
+    g.connect(blk, "o", pca, "o")
+    g.connect(blk, "o", sim, "o")
+    g.add_input(x, emb, "o")
+
+    out = Executor(reg).run(
+        g, taps=[(pca.index, "o"), (sim.index, "o")])
+    # stage 0 at img 32 / patch 4: 8x8 spatial map
+    pv = np.asarray(out[pca.index]["o"])
+    sv = np.asarray(out[sim.index]["o"])
+    assert pv.shape == (2, 3, 8, 8) and sv.shape == (2, 3, 8, 8)
+    assert np.isfinite(pv).all() and np.isfinite(sv).all()
+    assert pv.min() >= 0.0 and pv.max() <= 1.0
+    # the query patch similarity vs itself is exactly 1 -> pixel 1.0
+    assert np.allclose(sv[:, 0, 3, 5], 1.0, atol=1e-5)

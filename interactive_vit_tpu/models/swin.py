@@ -469,12 +469,35 @@ def layer_fns(cfg: SwinConfig):
 
     def make_block_fn(s, b):
         shift = cfg.stage_shift(s, b)
+        heads = cfg.heads[s]
+        nw = (cfg.stage_res(s) // cfg.window) ** 2
 
         def block_fn(p, ins, want=frozenset(), node_params=None):
             y, probs = block(p, ins["o"], cfg, s, shift,
                              want_attn="attn" in want)
             outs = {"o": y}
             if "attn" in want:
+                # selective taps, STATIC params (shape-changing -> in the
+                # compile signature): attn_heads = JSON head list (shared
+                # control with every transformer family), attn_win = one
+                # window index, collapsing the tap to the [B,|sel|,T,T]
+                # rank the vit client render path already understands
+                from interactive_vit_tpu.models.vit import parse_attn_heads
+
+                sel = parse_attn_heads(node_params)
+                if sel is not None:
+                    if any(h < 0 or h >= heads for h in sel):
+                        raise ValueError(
+                            f"attn_heads {sorted(sel)} out of range for "
+                            f"{heads} heads")
+                    probs = probs[:, :, list(sel)]
+                win = (node_params or {}).get("attn_win", "")
+                if win != "":
+                    w = int(float(win))
+                    if not 0 <= w < nw:
+                        raise ValueError(
+                            f"attn_win {w} out of range for {nw} windows")
+                    probs = probs[:, w]
                 outs["attn"] = probs
             return outs
 

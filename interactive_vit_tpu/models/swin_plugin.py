@@ -19,7 +19,28 @@ from typing import Any, Optional
 import jax
 
 from interactive_vit_tpu.models import swin
-from interactive_vit_tpu.models.model_plugin import JaxModel
+from interactive_vit_tpu.models.model_plugin import JaxModel, LayerNodeKind
+
+
+class _SwinBlockKind(LayerNodeKind):
+    """Swin block node: the generic attn_heads control plus a window
+    selector (attn_win collapses the [B,nW,h,T,T] tap to [B,h,T,T] — the
+    rank the client's head-grid renderer already draws)."""
+
+    def contents(self, params):
+        import html as _html
+
+        cur = params.get("attn_win", "")
+        return super().contents(params) + (
+            f" <label>tap window <input data-param=\"attn_win\" "
+            f"type=\"text\" size=\"4\" value=\"{_html.escape(cur)}\" "
+            f"placeholder=\"all\"></label>")
+
+
+class SwinJaxModel(JaxModel):
+    def _kind_cls(self, layer_name: str) -> type:
+        return (_SwinBlockKind if layer_name.startswith("stages.")
+                else LayerNodeKind)
 
 
 def make_swin_model(
@@ -68,7 +89,7 @@ def make_swin_model(
 
     cats = (class_names(cfg.num_classes)
             if with_categories and cfg.num_classes else None)
-    return JaxModel(
+    return SwinJaxModel(
         name=variant if cfg.name == variant else cfg.name,
         layers=swin.layer_fns(cfg),
         params=params,

@@ -376,3 +376,39 @@ def test_dense_feature_viewers_on_swin_stage(oracle):
     assert pv.min() >= 0.0 and pv.max() <= 1.0
     # the query patch similarity vs itself is exactly 1 -> pixel 1.0
     assert np.allclose(sv[:, 0, 3, 5], 1.0, atol=1e-5)
+
+
+def test_selective_window_and_head_taps(oracle):
+    """attn_win / attn_heads node params slice the window-map tap (and
+    participate in the compile signature — they change shapes)."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.swin_plugin import make_swin_model
+
+    sd, x, _ = oracle
+    params = swin.from_torch(sd, CFG)
+    reg = Registry()
+    model = make_swin_model(params=params, cfg=CFG)
+    model.register(reg)
+    ex = Executor(reg)
+
+    def run_tap(node_params):
+        g = Graph()
+        emb = g.add_node("swin_test:patch_embed")
+        blk = g.add_node("swin_test:stages.0.1", node_params)
+        g.connect(emb, "o", blk, "o")
+        g.add_input(x, emb, "o")
+        return np.asarray(ex.run(g, taps=[(blk.index, "attn")])
+                          [blk.index]["attn"])
+
+    full = run_tap(None)                       # [B, nW, h, T, T]
+    assert full.shape == (2, 4, 2, 16, 16)
+    win = run_tap({"attn_win": "2"})           # [B, h, T, T]
+    assert win.shape == (2, 2, 16, 16)
+    np.testing.assert_allclose(win, full[:, 2], atol=1e-6)
+    both = run_tap({"attn_win": "1", "attn_heads": "[1]"})
+    assert both.shape == (2, 1, 16, 16)
+    np.testing.assert_allclose(both, full[:, 1, 1:2], atol=1e-6)
+    with pytest.raises(Exception):
+        run_tap({"attn_win": "99"})

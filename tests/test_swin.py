@@ -412,3 +412,39 @@ def test_selective_window_and_head_taps(oracle):
     np.testing.assert_allclose(both, full[:, 1, 1:2], atol=1e-6)
     with pytest.raises(Exception):
         run_tap({"attn_win": "99"})
+
+
+def test_swin_exports_as_aot_artifact(oracle, tmp_path):
+    """The swin chain (shifted windows + merges) survives the jax.export
+    deployment artifact round-trip, window-map tap included."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.export import export_graph, load_artifact
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.swin_plugin import make_swin_model
+
+    sd, x, _ = oracle
+    params = swin.from_torch(sd, CFG)
+    reg = Registry()
+    model = make_swin_model(params=params, cfg=CFG)
+    model.register(reg)
+    g = Graph()
+    chain = ["swin_test:patch_embed", "swin_test:stages.0.0",
+             "swin_test:stages.0.1", "swin_test:merge.0",
+             "swin_test:stages.1.0", "swin_test:stages.1.1",
+             "swin_test:norm", "swin_test:pool", "swin_test:head"]
+    nodes = [g.add_node(n) for n in chain]
+    for a, b in zip(nodes, nodes[1:]):
+        g.connect(a, "o", b, "o")
+    g.add_input(x, nodes[0], "o")
+    ex = Executor(reg)
+    taps = [(1, "attn"), (len(nodes) - 1, "o")]
+    want = ex.run(g, taps=taps)
+    out_dir = str(tmp_path / "swin_art")
+    export_graph(g, out_dir, taps=taps, executor=ex)
+    got = load_artifact(out_dir)(x)
+    np.testing.assert_allclose(np.asarray(got[1]["attn"]),
+                               np.asarray(want[1]["attn"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got[len(nodes) - 1]["o"]),
+        np.asarray(want[len(nodes) - 1]["o"]), atol=1e-5)

@@ -418,14 +418,31 @@ def forward(
     images: jnp.ndarray,
     cfg: SwinConfig,
     want_attn: bool = False,
+    block_wrapper=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: [B,3,H,W] -> {"logits": [B,K]} (+ "attn": per-block
     tuple of [B, nW, heads, T, T] window-attention maps when requested —
-    a tuple, not stacked: shapes differ per stage)."""
+    a tuple, not stacked: shapes differ per stage).
+
+    ``block_wrapper``: training hook — each block becomes one
+    ``(p, x) -> y`` unit passed through the wrapper (``jax.checkpoint``
+    for remat; same contract as ``vit.forward``, so the remat path
+    cannot drift from the inference trunk). Taps don't compose with a
+    single-output wrapper."""
+    if block_wrapper is not None and want_attn:
+        raise ValueError("block_wrapper requires taps off")
     x = patch_embed(params["patch_embed"], images, cfg)
     attns: List[jnp.ndarray] = []
     for s, blocks in enumerate(params["stages"]):
         for bi, p in enumerate(blocks):
+            if block_wrapper is not None:
+                shift = cfg.stage_shift(s, bi)
+
+                def one(p, x, _s=s, _shift=shift):
+                    return block(p, x, cfg, _s, _shift)[0]
+
+                x = block_wrapper(one)(p, x)
+                continue
             x, probs = block(p, x, cfg, s, cfg.stage_shift(s, bi),
                              want_attn=want_attn)
             if want_attn:

@@ -74,9 +74,11 @@ MOE_AUX_WEIGHT = 0.01  # Switch load-balance loss coefficient
 
 
 def model_family(cfg: vit.ViTConfig):
-    """The module implementing ``cfg``'s forward/init (vit or moe)."""
-    from interactive_vit_tpu.models import moe
+    """The module implementing ``cfg``'s forward/init (vit, moe, swin)."""
+    from interactive_vit_tpu.models import moe, swin
 
+    if isinstance(cfg, swin.SwinConfig):
+        return swin
     return moe if isinstance(cfg, moe.MoEViTConfig) else vit
 
 
@@ -84,6 +86,12 @@ def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
             cfg: vit.ViTConfig, attn_impl=None,
             block_wrapper=None, qkv_head_major: bool = False) -> jnp.ndarray:
     fam = model_family(cfg)
+    if fam.__name__.endswith(".swin"):
+        # swin has no attn_impl/qkv repack knobs (windowed attention,
+        # per-stage head counts) — just the remat hook
+        logits = fam.forward(params, images, cfg,
+                             block_wrapper=block_wrapper)["logits"]
+        return cross_entropy(logits, labels)
     if fam is not vit:
         out = fam.forward(params, images, cfg, attn_impl=attn_impl,
                           block_wrapper=block_wrapper,
@@ -146,6 +154,13 @@ def setup_sharded(
     # the torch layout [3][H][Dh] would force GSPMD to reshard the
     # activation at the head reshape instead of running head-parallel
     tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1
+    fam = model_family(cfg)
+    is_swin = fam.__name__.endswith(".swin")
+    if is_swin:
+        # swin keeps the flat qkv columns under TP: head counts vary per
+        # stage (3/6/12/24) and need not divide the model axis — GSPMD
+        # reshards at the window reshape instead; correctness unchanged
+        tp = False
     if tp:
         params = mesh_lib.permute_qkv_head_major(params, cfg.heads)
     params = mesh_lib.shard_params(params, mesh)
@@ -162,9 +177,9 @@ def setup_sharded(
         donate_argnums=(0, 1),
     )
 
-    fam = model_family(cfg)
-
     def infer(params, images):
+        if is_swin:
+            return fam.forward(params, images, cfg)["logits"]
         return fam.forward(params, images, cfg, attn_impl=attn_impl,
                            qkv_head_major=tp)["logits"]
 

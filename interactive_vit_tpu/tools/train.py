@@ -198,6 +198,10 @@ def main(argv=None) -> None:
 
     if args.variant in vit.VARIANTS:
         cfg = vit.VARIANTS[args.variant]
+    elif args.variant.startswith("swin_"):
+        from interactive_vit_tpu.models import swin
+
+        cfg = swin.VARIANTS[args.variant]
     else:
         from interactive_vit_tpu.models import moe
 
@@ -326,7 +330,10 @@ def main(argv=None) -> None:
     # training layout on purpose: resume re-enters the same TP setup.
     export_params = params
     tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1
-    if tp:
+    if tp and not args.variant.startswith("swin_"):
+        # swin trains flat-column qkv even under TP (setup_sharded skips
+        # the head-major repack — per-stage head counts), so there is
+        # nothing to unpermute
         export_params = mesh_lib.unpermute_qkv_head_major(params, cfg.heads)
 
     if args.output:

@@ -122,3 +122,42 @@ def _fresh_state():
         params, opt_state, _, _ = train_lib.setup_sharded(
             CFG, mesh, optimizer=opt)
     return mesh, params, opt_state
+
+
+def test_swin_trains_sharded_with_remat():
+    """The swin family trains through the same sharded step (DP mesh;
+    remat via swin.forward's block_wrapper), and the remat step matches
+    the no-remat step exactly."""
+    import optax
+
+    from interactive_vit_tpu.models import swin
+
+    scfg = swin.SwinConfig("swin_train", img_size=32, patch=4,
+                           embed_dim=16, depths=(2, 2), heads=(2, 4),
+                           window=4, mlp_ratio=2, num_classes=8)
+    mesh = mesh_lib.make_mesh({"data": 4, "model": 2}, jax.devices()[:8])
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((8, 3, 32, 32), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, 8, size=(8,)))
+    with mesh:
+        params, opt_state, step, infer = train_lib.setup_sharded(
+            scfg, mesh, seed=0, lr=1e-3
+        )
+        losses = []
+        for _ in range(5):
+            params, opt_state, loss = step(params, opt_state, images,
+                                           labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        assert all(np.isfinite(losses))
+        assert np.asarray(infer(params, images)).shape == (8, 8)
+
+    sp = swin.init_params(jax.random.key(1), scfg)
+    opt = optax.sgd(1e-2)
+    s1 = train_lib.make_train_step(scfg, opt, remat=True)
+    s2 = train_lib.make_train_step(scfg, opt, remat=False)
+    p1, _, l1 = s1(sp, opt.init(sp), images, labels)
+    p2, _, l2 = s2(sp, opt.init(sp), images, labels)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

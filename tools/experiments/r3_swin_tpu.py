@@ -53,7 +53,10 @@ for variant in ("swin_t", "swin_s"):
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     out = jitted(params, images)
-                jax.block_until_ready(out)
+                # device_get forces real completion: block_until_ready
+                # can return before the device executes on this backend
+                # (CLAUDE.md trap #9 — first run read 175k "imgs/s")
+                jax.device_get(jax.tree.leaves(out)[0][:1])
                 dt = time.perf_counter() - t0
                 emit(stage="sweep", variant=variant, maps=maps, batch=batch,
                      ips=round(batch * iters / dt, 1),

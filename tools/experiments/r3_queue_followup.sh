@@ -14,4 +14,9 @@ timeout 2400 python r3_tome_tpu.py
 echo "=== followup B: swin sweep, honest timing ==="
 timeout 2400 python r3_swin_tpu.py
 
+echo "=== followup C: soak with CURRENT-RSS tracking ==="
+# the first soak tracked ru_maxrss only (monotone peak, 3.2 GB "growth"
+# is not leak evidence); this one records VmRSS so a plateau is visible
+timeout 1800 python r3_soak.py
+
 echo "=== r3 queue followup complete ==="

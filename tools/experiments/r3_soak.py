@@ -133,18 +133,31 @@ t_start = time.perf_counter()
 for t in threads:
     t.start()
 
+def _vm_rss_mb() -> int:
+    """CURRENT resident set (ru_maxrss is the monotone high-water mark —
+    it cannot distinguish a leak from one transient peak)."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) // 1024
+    return -1
+
+
 rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+cur0 = _vm_rss_mb()
 while time.perf_counter() < stop_at:
     time.sleep(60)
     snap = app.metrics.snapshot()
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    cur = _vm_rss_mb()
     emit(stage="tick", t=round(time.perf_counter() - t_start),
          requests=snap["counters"].get("compute_requests", 0),
          batches=snap["counters"].get("batches", 0),
          errors=dict(errors), mean_batch=round(snap["mean_batch_size"], 2),
          compute_p50_ms=round(snap["compute_p50_ms"], 1),
          exec_cache=app.executor.cache_info(),
-         rss_mb=rss // 1024, rss_growth_mb=(rss - rss0) // 1024)
+         rss_mb=rss // 1024, rss_growth_mb=(rss - rss0) // 1024,
+         vmrss_mb=cur, vmrss_growth_mb=cur - cur0)
 for t in threads:
     t.join(timeout=120)
 

@@ -77,7 +77,8 @@ def _family_maker(variant: str):
         # any plain-vit checkpoint of the same geometry loads: token
         # merging is post-hoc (models/tome.py)
         return lambda params, seed, dtype, attn_impl, kernels: (
-            make_tome_model(variant, params=params, seed=seed, dtype=dtype))
+            make_tome_model(variant, params=params, seed=seed, dtype=dtype,
+                            kernels=kernels))
     return None
 
 

@@ -169,10 +169,15 @@ def window_attention(
     dh = c // heads
     qkv = L.linear(xw, p["qkv_w"], p["qkv_b"])  # [B, nW, T, 3C]
     qkv = qkv.reshape(b, nw, t, 3, heads, dh)
-    q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 2, 4) for i in range(3))
+    # transpose-FREE head split: q/k/v stay [B, nW, T, heads, dh] and the
+    # einsums contract them in place — the first on-chip trace showed 24%
+    # of swin_t device time in "data formatting" (layout copies), and the
+    # explicit [.., heads, T, dh] transposes were the biggest feeders;
+    # dot_general folds these orderings into the contraction instead
+    q, k, v = (qkv[..., i, :, :] for i in range(3))
     q = q * jnp.asarray(dh ** -0.5, q.dtype)
     scores = jnp.einsum(
-        "bwhtd,bwhsd->bwhts", q, k,
+        "bwthd,bwshd->bwhts", q, k,
         preferred_element_type=jnp.float32,
         precision=L.mm_precision(q, k),
     )
@@ -183,11 +188,12 @@ def window_attention(
         scores = scores + jnp.asarray(mask, jnp.float32)[None, :, None]
     probs = jax.nn.softmax(scores, axis=-1).astype(xw.dtype)
     out = jnp.einsum(
-        "bwhts,bwhsd->bwhtd", probs, v,
+        "bwhts,bwshd->bwthd", probs, v,
         preferred_element_type=jnp.float32,
         precision=L.mm_precision(probs, v),
     ).astype(xw.dtype)
-    out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, t, c)
+    # [B, nW, T, heads, dh] -> [B, nW, T, C] is a pure reshape: no copy
+    out = out.reshape(b, nw, t, c)
     out = L.linear(out, p["proj_w"], p["proj_b"])
     return out, (probs if want_attn else None)
 

@@ -64,11 +64,16 @@ def _row_softmax(s, fast: bool):
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
-            projb_ref, y_ref, *taps, heads: int, eps: float,
+            projb_ref, *rest, heads: int, eps: float,
             prec, emit: bool, emit_mean: bool, fast: bool, bb: int,
-            emit_heads=None):
+            emit_heads=None, with_bias: bool = False,
+            emit_metric: bool = False):
+    # rest = ([kb_ref] if with_bias) + (y_ref, *tap outputs)
+    kb_ref = rest[0] if with_bias else None
+    y_ref, *taps = rest[1 if with_bias else 0:]
     probs_ref = taps[0] if emit else None
     mean_ref = taps[1 if emit else 0] if emit_mean else None
+    metric_ref = taps[-1] if emit_metric else None
     # selective per-head tap emission (VERDICT r2 #3): emit_heads is a
     # STATIC tuple of head indices -> tap row; the head loop below is a
     # static unroll, so non-selected heads skip the HBM write entirely
@@ -102,14 +107,22 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
 
         outs = []
         msum = None  # head-mean accumulator, f32 in VMEM
+        ksum = None  # head-mean KEY accumulator (ToMe matching metric)
         for h in range(heads):
             q = qkv[:, h * dh:(h + 1) * dh]
             k = qkv[:, d + h * dh: d + (h + 1) * dh]
             v = qkv[:, 2 * d + h * dh: 2 * d + (h + 1) * dh]
+            if emit_metric:
+                kf = k.astype(jnp.float32)
+                ksum = kf if ksum is None else ksum + kf
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             ) * scale  # [N, N] f32, VMEM-resident
+            if with_bias:
+                # proportional attention (ToMe): per-KEY additive logit
+                # bias, shared by every head and every query row
+                s = s + kb_ref[b][None, :]
             p, r = _row_softmax(s, fast)
             emit_this = emit and (tap_row is None or h in tap_row)
             if emit_this or emit_mean:
@@ -135,6 +148,10 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             # re-reading (and re-laying-out) the full [H, N, N] probs from
             # HBM — measured ~2.3 ms/batch-32 of copy + convert_reduce
             mean_ref[b] = (msum * (1.0 / heads)).astype(mean_ref.dtype)
+        if emit_metric:
+            # head-meaned attention keys [N, dh] f32 — the published ToMe
+            # matching metric; k never leaves VMEM otherwise
+            metric_ref[b] = ksum * (1.0 / heads)
 
         o = jnp.concatenate(outs, axis=-1).astype(x.dtype)  # [N, D]
         y = xf + jax.lax.dot(
@@ -153,6 +170,8 @@ def fused_attn_block(
     want_mean: bool = False,
     fast_softmax: bool = True,
     attn_heads: Optional[Tuple[int, ...]] = None,
+    key_bias: Optional[jnp.ndarray] = None,
+    want_metric: bool = False,
 ):
     """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None).
 
@@ -165,6 +184,11 @@ def fused_attn_block(
     maps are [B, len(attn_heads), N, N] in that order, and non-selected
     heads never write their N x N block to HBM (a UI viewing 2 of 16
     heads stores 8x less tap memory; VERDICT r2 #3).
+    ``key_bias``: optional [B, N] f32 per-KEY additive logit bias shared
+    across heads/rows — ToMe's proportional attention
+    (softmax(qk/sqrt(dh) + log s); ``ops/tome_ops`` module doc).
+    ``want_metric``: append the head-meaned attention keys [B, N, dh]
+    f32 (the ToMe matching metric) as the LAST result.
     """
     b, n, d = x.shape
     emit_heads = None
@@ -186,7 +210,8 @@ def fused_attn_block(
     kernel = functools.partial(
         _kernel, heads=heads, eps=eps, prec=_precision(x.dtype),
         emit=want_attn, emit_mean=want_mean, fast=fast_softmax, bb=bb,
-        emit_heads=emit_heads,
+        emit_heads=emit_heads, with_bias=key_bias is not None,
+        emit_metric=want_metric,
     )
 
     in_specs = [
@@ -198,6 +223,13 @@ def fused_attn_block(
         pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    operands = [x, p["ln1_s"].reshape(1, d), p["ln1_b"].reshape(1, d),
+                p["qkv_w"], p["qkv_b"].reshape(1, 3 * d),
+                p["proj_w"], p["proj_b"].reshape(1, d)]
+    if key_bias is not None:
+        in_specs.append(pl.BlockSpec((bb, n), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(key_bias.astype(jnp.float32))
     out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
     out_specs = [
         pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -217,6 +249,13 @@ def fused_attn_block(
             pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
+    if want_metric:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, n, d // heads), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((bb, n, d // heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
 
     results = pl.pallas_call(
         kernel,
@@ -233,15 +272,16 @@ def fused_attn_block(
             # bb and streamed-block double-buffering modeled
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
-    )(x, p["ln1_s"].reshape(1, d), p["ln1_b"].reshape(1, d),
-      p["qkv_w"], p["qkv_b"].reshape(1, 3 * d),
-      p["proj_w"], p["proj_b"].reshape(1, d))
+    )(*operands)
 
     y = results[0]
     probs = results[1] if want_attn else None
+    out = [y, probs]
     if want_mean:
-        return y, probs, results[-1]
-    return y, probs
+        out.append(results[2 if want_attn else 1])
+    if want_metric:
+        out.append(results[-1])
+    return tuple(out) if len(out) > 2 else (y, probs)
 
 
 #: head-group working-set budget. The kernel's pallas_call raises the

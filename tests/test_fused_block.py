@@ -239,3 +239,48 @@ def test_selective_head_taps_via_node_param():
         assert np.asarray(empty[1]["attn"]).shape[1] == CFG.heads
     finally:
         del vit.VARIANTS["vit_fb"]
+
+
+def test_block_key_bias_and_metric_match_reference():
+    """ToMe integration surface: proportional attention (key_bias) and
+    the head-mean key metric emitted in-kernel match the XLA reference
+    (attention_reference(key_bias=) + k.mean(heads))."""
+    from interactive_vit_tpu.ops import attention as attn_ops
+    from interactive_vit_tpu.ops import layers as L
+
+    params = vit.init_params(jax.random.key(2), CFG)
+    p = params["blocks"][0]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, CFG.tokens, CFG.width), np.float32))
+    s = jnp.asarray(1.0 + rng.random((2, CFG.tokens), np.float32) * 6.0)
+    kb = jnp.log(s)
+
+    # XLA reference: LN -> qkv -> biased attention -> proj -> residual
+    xa = L.layer_norm(x, p["ln1_s"], p["ln1_b"], CFG.ln_eps)
+    q, k, v = attn_ops.qkv_proj(xa, p, CFG.heads)
+    out, ref_probs = attn_ops.attention_reference(
+        q, k, v, want_attn=True, key_bias=kb)
+    out = out.transpose(0, 2, 1, 3).reshape(x.shape)
+    ref_y = x + L.linear(out, p["proj_w"], p["proj_b"])
+    ref_metric = k.astype(jnp.float32).mean(axis=1)
+
+    y, probs, mean, metric = fb.fused_attn_block(
+        x, p, CFG.heads, CFG.ln_eps, want_attn=True, want_mean=True,
+        key_bias=kb, want_metric=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mean),
+        np.asarray(ref_probs).astype(np.float32).mean(axis=1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(metric), np.asarray(ref_metric),
+                               atol=1e-5)
+
+    # metric-only (maps-off merge path): 3-tuple (y, None, metric)
+    y2, probs2, metric2 = fb.fused_attn_block(
+        x, p, CFG.heads, CFG.ln_eps, key_bias=kb, want_metric=True)
+    assert probs2 is None
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(ref_y),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(metric2), np.asarray(ref_metric),
+                               atol=1e-5)

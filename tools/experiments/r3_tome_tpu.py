@@ -94,6 +94,16 @@ for want_attn in (False, True):
         sweep(f"{variant}_r{tcfg.r}", tome_fwd, bparams, tcfg.img_size,
               want_attn)
 
+        def tome_fwd_kern(p, x, tcfg=tcfg, want_attn=want_attn):
+            out = tome.forward(p, x, tcfg, want_attn=want_attn,
+                               block_impl=block_impl)
+            if want_attn:
+                return out["logits"], out["attn"], out["rollout"]
+            return out["logits"]
+
+        sweep(f"{variant}_r{tcfg.r}_kern", tome_fwd_kern, bparams,
+              tcfg.img_size, want_attn)
+
 # -- 2. fidelity on the trained oracle checkpoint -------------------------------
 
 CKPT = "/tmp/r3_oracle_ckpt/vit_t16_oracle.safetensors"

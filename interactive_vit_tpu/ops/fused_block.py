@@ -122,7 +122,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             if with_bias:
                 # proportional attention (ToMe): per-KEY additive logit
                 # bias, shared by every head and every query row
-                s = s + kb_ref[b][None, :]
+                # (kb_ref[b] is [1, N] — broadcasts over the N rows)
+                s = s + kb_ref[b]
             p, r = _row_softmax(s, fast)
             emit_this = emit and (tap_row is None or h in tap_row)
             if emit_this or emit_mean:
@@ -227,9 +228,14 @@ def fused_attn_block(
                 p["qkv_w"], p["qkv_b"].reshape(1, 3 * d),
                 p["proj_w"], p["proj_b"].reshape(1, d)]
     if key_bias is not None:
-        in_specs.append(pl.BlockSpec((bb, n), lambda i: (i, 0),
+        # rank-3 [B, 1, N]: Mosaic requires the trailing TWO block dims
+        # to be (8,128)-divisible or equal to the array dims — (bb, 197)
+        # is neither, (1, 197) block-of-[B, 1, 197] is (the ln-scale
+        # trick). Interpret mode does not check tiling; this failed only
+        # on real hardware.
+        in_specs.append(pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(key_bias.astype(jnp.float32))
+        operands.append(key_bias.astype(jnp.float32)[:, None, :])
     out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
     out_specs = [
         pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -64,7 +64,8 @@ def _family_maker(variant: str):
         from interactive_vit_tpu.models.swin_plugin import make_swin_model
 
         return lambda params, seed, dtype, attn_impl, kernels: (
-            make_swin_model(variant, params=params, seed=seed, dtype=dtype))
+            make_swin_model(variant, params=params, seed=seed, dtype=dtype,
+                            kernels=kernels))
     if variant.startswith("vit_moe"):
         from interactive_vit_tpu.models.moe_plugin import make_moe_model
 

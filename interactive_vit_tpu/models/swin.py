@@ -150,6 +150,16 @@ def window_merge(x: jnp.ndarray, window: int, res: int) -> jnp.ndarray:
 # -- attention ----------------------------------------------------------------
 
 
+def gather_bias(p: Params, bias_idx: np.ndarray, t: int,
+                heads: int) -> jnp.ndarray:
+    """[heads, T, T] relative-position bias from the (2w-1)^2 table.
+
+    A trace-time constant expression per block (the gather index is
+    numpy); shared by the jnp reference and the fused window kernel."""
+    bias = p["bias_table"][bias_idx.reshape(-1)]  # [T*T, heads]
+    return bias.reshape(t, t, heads).transpose(2, 0, 1)
+
+
 def window_attention(
     p: Params,
     xw: jnp.ndarray,
@@ -181,8 +191,7 @@ def window_attention(
         preferred_element_type=jnp.float32,
         precision=L.mm_precision(q, k),
     )
-    bias = p["bias_table"][bias_idx.reshape(-1)]  # [T*T, heads]
-    bias = bias.reshape(t, t, heads).transpose(2, 0, 1)  # [heads, T, T]
+    bias = gather_bias(p, bias_idx, t, heads)  # [heads, T, T]
     scores = scores + bias.astype(jnp.float32)
     if mask is not None:
         scores = scores + jnp.asarray(mask, jnp.float32)[None, :, None]
@@ -205,6 +214,7 @@ def block(
     stage: int,
     shift: int,
     want_attn: bool = False,
+    window_impl=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """One Swin block over [B, H, W, C]: x + W-MSA(LN(x)) then
     x + MLP(LN(x)), windows (shifted by ``shift``) inside the attention.
@@ -212,7 +222,12 @@ def block(
     Returns (y, probs [B, nW, heads, T, T] | None); probs are in the
     PRE-ROLL window order when shifted (the tap shows what the softmax
     actually computed — window w of a shifted block covers the rolled
-    tile, seam pairs masked to 0)."""
+    tile, seam pairs masked to 0).
+
+    ``window_impl``: fused W-MSA branch kernel
+    (``ops/fused_window.fused_window_attn`` — consumes the rolled LN'd
+    NHWC map directly, so ``window_partition``/``window_merge`` never
+    materialize); None = the jnp reference path."""
     res = cfg.stage_res(stage)
     if x.shape[1] != res or x.shape[2] != res:
         raise ValueError(
@@ -224,12 +239,19 @@ def block(
     y = L.layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.ln_eps)
     if shift:
         y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-    yw = window_partition(y, cfg.window)
     mask = shift_attn_mask(res, cfg.window, shift)
-    aw, probs = window_attention(
-        p, yw, cfg.heads[stage], relative_position_index(cfg.window),
-        mask, want_attn=want_attn)
-    a = window_merge(aw, cfg.window, res)
+    if window_impl is not None:
+        t = cfg.window * cfg.window
+        bias = gather_bias(p, relative_position_index(cfg.window), t,
+                           cfg.heads[stage])
+        a, probs = window_impl(y, p, cfg.heads[stage], cfg.window,
+                               bias, mask, want_attn=want_attn)
+    else:
+        yw = window_partition(y, cfg.window)
+        aw, probs = window_attention(
+            p, yw, cfg.heads[stage], relative_position_index(cfg.window),
+            mask, want_attn=want_attn)
+        a = window_merge(aw, cfg.window, res)
     if shift:
         a = jnp.roll(a, (shift, shift), axis=(1, 2))
     x = x + a
@@ -425,6 +447,7 @@ def forward(
     cfg: SwinConfig,
     want_attn: bool = False,
     block_wrapper=None,
+    window_impl=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: [B,3,H,W] -> {"logits": [B,K]} (+ "attn": per-block
     tuple of [B, nW, heads, T, T] window-attention maps when requested —
@@ -434,9 +457,15 @@ def forward(
     ``(p, x) -> y`` unit passed through the wrapper (``jax.checkpoint``
     for remat; same contract as ``vit.forward``, so the remat path
     cannot drift from the inference trunk). Taps don't compose with a
-    single-output wrapper."""
+    single-output wrapper.
+
+    ``window_impl``: fused W-MSA kernel (see ``block``); forced to None
+    under ``block_wrapper`` — Pallas custom calls have no AD rule, so the
+    training path stays on the differentiable XLA trunk."""
     if block_wrapper is not None and want_attn:
         raise ValueError("block_wrapper requires taps off")
+    if block_wrapper is not None:
+        window_impl = None
     x = patch_embed(params["patch_embed"], images, cfg)
     attns: List[jnp.ndarray] = []
     for s, blocks in enumerate(params["stages"]):
@@ -450,7 +479,7 @@ def forward(
                 x = block_wrapper(one)(p, x)
                 continue
             x, probs = block(p, x, cfg, s, cfg.stage_shift(s, bi),
-                             want_attn=want_attn)
+                             want_attn=want_attn, window_impl=window_impl)
             if want_attn:
                 attns.append(probs)
         if s < len(params["merges"]):
@@ -467,12 +496,13 @@ def forward(
 # -- graph-node decomposition --------------------------------------------------
 
 
-def layer_fns(cfg: SwinConfig):
+def layer_fns(cfg: SwinConfig, window_impl=None):
     """The model as ordered named tappable layers (see ``vit.layer_fns``).
 
     Surface: transform, patch_embed, stages.{s}.{b} (extra channel
     "attn" = [B, nW, heads, T, T] window maps), merge.{s} between stages,
-    norm, pool, head — 20 nodes for swin_t."""
+    norm, pool, head — 20 nodes for swin_t. ``window_impl``: fused W-MSA
+    kernel for the block nodes (see ``block``)."""
     layers: List[Tuple[str, List[str], Callable]] = []
 
     def transform_fn(p, ins):
@@ -497,7 +527,8 @@ def layer_fns(cfg: SwinConfig):
 
         def block_fn(p, ins, want=frozenset(), node_params=None):
             y, probs = block(p, ins["o"], cfg, s, shift,
-                             want_attn="attn" in want)
+                             want_attn="attn" in want,
+                             window_impl=window_impl)
             outs = {"o": y}
             if "attn" in want:
                 # selective taps, STATIC params (shape-changing -> in the

@@ -7,9 +7,9 @@ model-explosion contract, ``/root/reference/main/context.py:38-47``).
 
 No fold groups: adjacent blocks ALTERNATE shifted/unshifted windows, so
 a chain of same-stage blocks is not a uniform computation over captures
-(the GPipe fold precondition). No grad twins either: the Swin path is
-pure XLA (differentiable as-is), so saliency replays re-trace the
-serving fns directly.
+(the GPipe fold precondition). Grad twins register when the fused window
+kernel is active (Pallas custom calls have no AD rule); the XLA window
+path is differentiable as-is.
 """
 
 from __future__ import annotations
@@ -50,19 +50,32 @@ def make_swin_model(
     dtype=None,
     cfg: Optional[swin.SwinConfig] = None,
     with_categories: bool = True,
+    kernels: bool = True,
 ) -> JaxModel:
     """Build a registerable ``JaxModel`` for a Swin variant.
 
     ``cfg`` overrides the variant table (tests use tiny geometries);
     ``params=None`` -> deterministic random init (zero-egress image;
     ``swin.from_torch`` loads real torchvision checkpoints, also via
-    serving ``--ckpt``)."""
+    serving ``--ckpt``). ``kernels=False`` forces the pure-XLA window
+    path (mesh-sharded serving: Pallas custom calls don't partition)."""
     import jax.numpy as jnp
 
     cfg = cfg or swin.VARIANTS[variant]
     if params is None:
         params = swin.init_params(jax.random.key(seed), cfg,
                                   dtype=dtype or jnp.float32)
+    from interactive_vit_tpu.ops.dispatch import default_window_impl
+
+    leaf_dtype = jax.tree.leaves(params)[0].dtype
+    window_impl = (default_window_impl("auto", dtype=leaf_dtype, cfg=cfg)
+                   if kernels else None)
+    # differentiable twins for gradient replays (saliency/dream): the
+    # fused window kernel is a Pallas custom call with no AD rule, so
+    # replays re-trace the pure-XLA window path (CLAUDE.md conventions)
+    grad_layers = None
+    if window_impl is not None:
+        grad_layers = {ln: f for ln, _extra, f in swin.layer_fns(cfg)}
     descriptions = {
         "transform": (f"Resize({int(cfg.img_size * 232 / 224)}, bicubic)"
                       f"+CenterCrop({cfg.img_size})+Normalize"),
@@ -91,11 +104,12 @@ def make_swin_model(
             if with_categories and cfg.num_classes else None)
     return SwinJaxModel(
         name=variant if cfg.name == variant else cfg.name,
-        layers=swin.layer_fns(cfg),
+        layers=swin.layer_fns(cfg, window_impl=window_impl),
         params=params,
         layer_params_fn=swin.layer_params,
         descriptions=descriptions,
         category_names=cats,
+        grad_layers=grad_layers,
     )
 
 

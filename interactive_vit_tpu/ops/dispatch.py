@@ -80,6 +80,35 @@ def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
     raise ValueError(f"unknown block impl {name!r}")
 
 
+def default_window_impl(name: str = "auto", dtype=None, cfg=None):
+    """Resolve the fused Swin window-attention kernel policy.
+
+    "auto": the Pallas fused window branch (QKV + bias/mask + softmax +
+    proj, VMEM-resident scores, NHWC strips consumed through a free HBM
+    reshape) on TPU in bf16 when every stage's strip fits VMEM — the XLA
+    swin path is 24% "data formatting" (window partition/merge transpose
+    chains; docs/kernels.md "Swin on v5e"). f32 excluded for the same
+    reason as the ViT fused block (HIGHEST-precision Mosaic dots compile
+    pathologically; the parity path doesn't need the kernel).
+    """
+    if name in ("none", "reference"):
+        return None
+    from interactive_vit_tpu.ops.fused_window import fits, fused_window_attn
+
+    if name == "fused":
+        return fused_window_attn
+    if name == "auto":
+        import jax.numpy as jnp
+
+        if on_tpu() and dtype is not None and dtype != jnp.float32 and cfg:
+            if all(fits(cfg.stage_res(s), cfg.window, cfg.stage_dim(s),
+                        cfg.heads[s], dtype)
+                   for s in range(len(cfg.depths))):
+                return fused_window_attn
+        return None
+    raise ValueError(f"unknown window impl {name!r}")
+
+
 def default_mlp_impl(name: str = "auto", dtype=None, d: int = 0,
                      mlp_dim: int = 0, quant: str = ""):
     """Resolve the fused MLP-branch kernel policy.

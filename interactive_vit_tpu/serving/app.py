@@ -77,6 +77,14 @@ class App:
         speculate_buckets=(1,),
     ):
         self.compute_timeout_s = compute_timeout_s
+        # worker-recycling state (serving/recycle.py): generation counts
+        # exec restarts; draining makes responses close keep-alive
+        # connections; inflight counts HTTP requests between request-line
+        # receipt and response write (the recycler's quiesce condition)
+        self.generation = int(os.environ.get("IVT_GENERATION", "0"))
+        self.draining = False
+        self.inflight = 0
+        self._inflight_lock = threading.Lock()
         self.reg = reg or registry()
         self.executor = Executor(self.reg, use_jit=use_jit, mesh=mesh)
         self.metrics = Metrics()
@@ -250,8 +258,36 @@ class App:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                if app.draining:
+                    # recycle in progress: quiesce persistent connections
+                    # so handler threads stop pinning this generation
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 — http.server API
+                # inflight spans parse -> response-written, and ONLY that:
+                # counting in handle_one_request would include the blocking
+                # wait for a keep-alive connection's next request, and an
+                # idle browser tab would then hold inflight > 0 forever,
+                # deadlocking the recycler's quiesce
+                with app._inflight_lock:
+                    app.inflight += 1
+                try:
+                    self._get()
+                finally:
+                    with app._inflight_lock:
+                        app.inflight -= 1
+
+            def do_POST(self):  # noqa: N802
+                with app._inflight_lock:
+                    app.inflight += 1
+                try:
+                    self._post()
+                finally:
+                    with app._inflight_lock:
+                        app.inflight -= 1
 
             def _json(self, obj, code: int = 200) -> None:
                 self._send(code, json.dumps(obj).encode(), "application/json")
@@ -260,7 +296,7 @@ class App:
                 app.metrics.inc("errors")
                 self._send(400, message.encode(), "text/plain")
 
-            def do_GET(self):  # noqa: N802 — http.server API
+            def _get(self):
                 try:
                     url = urlparse(self.path)
                     path = unquote(url.path)
@@ -287,6 +323,16 @@ class App:
                         self._json(app.descriptions(names))
                     elif path == "/metrics":
                         snap = app.metrics.snapshot()
+                        # worker identity: soaks verify recycles happened
+                        # (generation increments, pid changes) and watch
+                        # the RSS sawtooth stay bounded
+                        from interactive_vit_tpu.serving.recycle import (
+                            rss_mb,
+                        )
+
+                        snap["generation"] = app.generation
+                        snap["pid"] = os.getpid()
+                        snap["rss_mb"] = round(rss_mb(), 1)
                         if app.speculator is not None:
                             snap["speculative_compiled"] = \
                                 app.speculator.compiled
@@ -306,7 +352,7 @@ class App:
                     logger.exception("GET %s failed", self.path)
                     self._bad(str(e))
 
-            def do_POST(self):  # noqa: N802
+            def _post(self):
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
@@ -357,11 +403,29 @@ class App:
         return Handler
 
     def serve(self, host: str = "127.0.0.1", port: int = 8000,
-              background: bool = False) -> ThreadingHTTPServer:
+              background: bool = False, sock=None) -> ThreadingHTTPServer:
+        """Serve HTTP. ``sock``: an already-bound+listening socket to adopt
+        instead of binding ``host:port`` — the worker-recycling path hands
+        the listener across ``exec`` this way (serving/recycle.py), so
+        connections arriving mid-restart queue in the kernel backlog."""
+        import socket as _socket
+
         self.batcher.start()
         if self.speculator is not None:
             self.speculator.start()
-        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        if sock is not None:
+            httpd = ThreadingHTTPServer(
+                sock.getsockname()[:2], self.make_handler(),
+                bind_and_activate=False)
+            httpd.socket.close()  # the unbound one TCPServer pre-created
+            httpd.socket = sock
+            # HTTPServer.server_bind bookkeeping that bind_and_activate
+            # skipped (handlers read server_name/server_port)
+            httpd.server_address = sock.getsockname()
+            httpd.server_name = _socket.getfqdn(httpd.server_address[0])
+            httpd.server_port = httpd.server_address[1]
+        else:
+            httpd = ThreadingHTTPServer((host, port), self.make_handler())
         if background:
             t = threading.Thread(target=httpd.serve_forever, daemon=True)
             t.start()

@@ -271,6 +271,21 @@ def main() -> None:
                              "background thread that precompiles "
                              "sibling-block re-targets of viewer taps so "
                              "layer scrubbing never stalls on a compile)")
+    parser.add_argument("--recycle-after-requests", type=int, default=0,
+                        metavar="N",
+                        help="recycle the worker process after N /compute "
+                             "requests (gunicorn max_requests analog; "
+                             "0 = never). The listen socket survives the "
+                             "exec, so requests arriving mid-restart queue "
+                             "instead of failing (serving/recycle.py)")
+    parser.add_argument("--recycle-rss-mb", type=int, default=0,
+                        metavar="MB",
+                        help="recycle the worker when VmRSS exceeds MB "
+                             "(0 = never). The mitigation for PJRT plugins "
+                             "that leak host memory per device transfer — "
+                             "this rig's tunnel plugin leaks ~0.58 MB per "
+                             "put/get, so week-long soaks need bounded "
+                             "worker lifetimes")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile each model's full-chain program "
                              "at boot (first request then runs at steady "
@@ -318,7 +333,38 @@ def main() -> None:
             buckets.append(buckets[-1] * 2)
         warmup(app, [m for m in args.models.split(",") if m],
                batch_sizes=tuple(buckets))
-    app.serve(args.host, args.port)
+
+    import socket as socket_mod
+
+    recycling = args.recycle_after_requests > 0 or args.recycle_rss_mb > 0
+    inherited = os.environ.pop("IVT_INHERIT_SOCKET", None)
+    sock = None
+    if inherited is not None:
+        # previous generation handed us its listening socket across exec;
+        # connections that arrived during our boot are waiting in its
+        # backlog right now
+        sock = socket_mod.socket(fileno=int(inherited))
+        logger.info("generation %d adopted listen socket %s",
+                    app.generation, sock.getsockname())
+    elif recycling:
+        sock = socket_mod.create_server((args.host, args.port), backlog=128)
+    if recycling:
+        from interactive_vit_tpu.serving.recycle import Recycler
+
+        httpd = app.serve(args.host, args.port, background=True, sock=sock)
+        logger.info(
+            "serving on %s:%d (generation %d; recycle after %d requests / "
+            "%d MB RSS)", args.host, sock.getsockname()[1], app.generation,
+            args.recycle_after_requests, args.recycle_rss_mb)
+        rec = Recycler(app, max_compute_requests=args.recycle_after_requests,
+                       max_rss_mb=args.recycle_rss_mb)
+        rec.start(httpd)
+        rec._thread.join()  # returns once the accept loop has stopped
+        # NOTE: no httpd.server_close() — it would close the listen socket
+        # we are about to hand to the next generation
+        rec.exec_next(sock)  # does not return
+    else:
+        app.serve(args.host, args.port, sock=sock)
 
 
 if __name__ == "__main__":

@@ -129,20 +129,33 @@ class Recycler:
                 continue
             logger.info("recycle due: %s — draining", reason)
             self._due_reason = reason
-            # draining: handlers append Connection: close so persistent
-            # connections stop pinning handler threads, and any request
-            # that was already in flight completes normally
-            self.app.draining = True
+            # Order matters under sustained load: stop ACCEPTING first
+            # (newcomers queue, unaccepted, in the kernel listen backlog
+            # and become the next generation's first requests), THEN wait
+            # for accepted requests to finish. Draining the other way
+            # never quiesces — concurrent clients keep inflight > 0
+            # forever and the drain timeout kills their requests at exec
+            # (measured: one RemoteDisconnected per client on the first
+            # CPU soak of this feature).
+            self.app.draining = True  # responses carry Connection: close
+            self._httpd.shutdown()    # serve_forever returns in main thread
             deadline = time.monotonic() + self.drain_timeout_s
-            while self.app.inflight > 0 and time.monotonic() < deadline:
-                time.sleep(0.05)
+            settled = 0
+            while time.monotonic() < deadline:
+                if self.app.inflight == 0:
+                    settled += 1
+                    # require a stable zero: a request parsed on a still-
+                    # open keep-alive connection right at the zero reading
+                    # would be killed by the exec
+                    if settled >= 3:
+                        break
+                else:
+                    settled = 0
+                time.sleep(0.1)
             if self.app.inflight:
                 logger.warning(
                     "drain timeout with %d requests still in flight; "
                     "recycling anyway", self.app.inflight)
-            # stop the accept loop; serve_forever() returns in the main
-            # thread, which then calls exec_next()
-            self._httpd.shutdown()
             return
 
     def exec_next(self, sock, argv=None) -> None:

@@ -17,6 +17,8 @@ Additions (superset, reference-compatible):
          N+1 GET storm the reference frontend suffered when loading a
          42-node graph (SURVEY.md §3.4: ~84 sequential HTTP GETs)
     POST /save_graph/<name>     persist a graph JSON to the library
+    POST /profile               device-time profile of one wire request
+         (?iters=N&top=K; jax.profiler trace aggregated by HLO category)
     GET  /static/<path>         frontend assets
 
 Error contract: failures return HTTP 400 with the error text as the body
@@ -48,6 +50,11 @@ logger = logging.getLogger(__name__)
 
 class ComputeTimeout(Exception):
     """A /compute request exceeded its deadline — mapped to HTTP 503."""
+
+
+class ProfileBusy(Exception):
+    """A /profile capture is already in progress — mapped to HTTP 409
+    (jax.profiler supports one trace at a time per process)."""
 
 
 _MIME = {
@@ -151,6 +158,64 @@ class App:
         # distributions into one histogram
         self.metrics.wire_latency.observe(time.perf_counter() - t0)
         return raw
+
+    def profile(self, body: bytes, iters: int = 1, top: int = 20) -> Dict:
+        """Device-time profile of ONE wire request (``POST /profile``).
+
+        Wall-clock microbenchmarks lie on some backends (a tunneled
+        ``block_until_ready`` can return before the device executes —
+        this rig, CLAUDE.md trap #10); the only trustworthy per-kernel
+        numbers are jax.profiler device events. This endpoint makes that
+        ground truth a serving feature: POST the same bytes as
+        ``/compute`` and get back the per-HLO-category device-time budget
+        and the top ops (``tools/trace_agg`` aggregation: "custom-call" =
+        Pallas kernels), so "which layer/kernel is slow" is answerable
+        against the LIVE server without shell access to the host.
+
+        The request is run once untraced first — compiles and cache
+        misses happen outside the trace window, so the profile shows
+        steady state. Runs bypass the micro-batcher (a trace of a batch
+        mixing other sessions' work wouldn't attribute); concurrent
+        ``/compute`` traffic still executes and would add its device
+        events to the window — profile on a quiet server for exact
+        budgets. One trace at a time (HTTP 409 when busy).
+        """
+        import shutil
+        import tempfile
+
+        req = WireRequest()
+        req.decode(body)
+        taps = req.taps if req.taps is not None else "primary"
+        lock = getattr(self, "_profile_lock", None)
+        if lock is None:
+            lock = self._profile_lock = threading.Lock()
+        if not lock.acquire(blocking=False):
+            raise ProfileBusy("a profile capture is already in progress")
+        try:
+            from interactive_vit_tpu.tools.trace_agg import report
+            from interactive_vit_tpu.utils.tracing import trace
+
+            # warm: compile + input-cache population outside the trace
+            self.executor.run(req.graph, taps=taps)
+            tmp = tempfile.mkdtemp(prefix="ivt_profile_")
+            try:
+                t0 = time.perf_counter()
+                with trace(tmp):
+                    # executor.run device_gets every tap, so completion is
+                    # forced inside the trace window
+                    for _ in range(max(1, iters)):
+                        self.executor.run(req.graph, taps=taps)
+                wall = time.perf_counter() - t0
+                rep = report(tmp, top=top)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            lock.release()
+        rep["iters"] = max(1, iters)
+        rep["wall_ms"] = round(wall * 1e3, 2)
+        rep["note"] = ("device events (by_category_us/top_ops_us) exist on "
+                       "accelerator backends; CPU traces report wall only")
+        return rep
 
     def description(self, name: str, params: Dict[str, str]) -> Dict:
         return self.reg.get_node(name).io(params)
@@ -356,10 +421,16 @@ class App:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
-                    path = unquote(urlparse(self.path).path)
+                    url = urlparse(self.path)
+                    path = unquote(url.path)
+                    qs = {k: v[0] for k, v in parse_qs(url.query).items()}
                     if path == "/compute":
                         raw = app.compute(body)
                         self._send(200, raw, "application/octet-stream")
+                    elif path == "/profile":
+                        self._json(app.profile(
+                            body, iters=int(qs.get("iters", 1)),
+                            top=int(qs.get("top", 20))))
                     elif path == "/debug_eval":
                         self._json(app.debug_eval(body))
                     elif path.startswith("/save_graph/"):
@@ -374,6 +445,8 @@ class App:
                     app.metrics.inc("errors")
                     logger.error("POST %s timed out: %s", self.path, e)
                     self._send(503, str(e).encode(), "text/plain")
+                except ProfileBusy as e:
+                    self._send(409, str(e).encode(), "text/plain")
                 except Exception as e:  # noqa: BLE001 — 400 contract
                     logger.exception("POST %s failed", self.path)
                     self._bad(str(e))

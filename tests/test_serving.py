@@ -616,3 +616,39 @@ def test_concurrent_dynamic_variant_requests_get_batched(served):
                                    rtol=1e-5)
     batches = app.metrics.snapshot()["counters"]["batches"] - before
     assert batches < len(a_vals), "dynamic variants did not share a batch"
+
+
+def test_profile_endpoint(served):
+    """POST /profile returns the trace_agg device-time report for one
+    request: structure always (CPU traces carry no hlo_category device
+    events, so totals may be 0 off-accelerator), iters/wall always."""
+    app, base = served
+    x = np.arange(6, dtype=np.float32)
+    body = Request.encode(make_cos_graph(x))
+    rep = json.loads(_post(base + "/profile?iters=2&top=5", body))
+    assert set(rep) >= {"total_device_us", "by_category_us", "top_ops_us",
+                        "iters", "wall_ms", "note"}
+    assert rep["iters"] == 2
+    assert rep["wall_ms"] > 0
+
+
+def test_profile_busy_is_409(served):
+    app, base = served
+    x = np.arange(4, dtype=np.float32)
+    body = Request.encode(make_cos_graph(x))
+    # simulate an in-flight capture by holding the lock
+    json.loads(_post(base + "/profile", body))  # creates the lock lazily
+    app._profile_lock.acquire()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/profile", body)
+        assert ei.value.code == 409
+    finally:
+        app._profile_lock.release()
+
+
+def test_profile_bad_bytes_is_400(served):
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/profile", b"garbage")
+    assert ei.value.code == 400

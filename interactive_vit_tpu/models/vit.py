@@ -47,10 +47,18 @@ class ViTConfig:
     num_classes: int = 1000
     in_chans: int = 3
     ln_eps: float = 1e-6
+    # DeiT (Touvron et al. 2021): a second learned prefix token trained
+    # against a teacher; at inference the class and distillation heads
+    # average. Same blocks, one extra token — a config, not a new model.
+    distilled: bool = False
+
+    @property
+    def prefix_tokens(self) -> int:
+        return 2 if self.distilled else 1
 
     @property
     def tokens(self) -> int:
-        return (self.img_size // self.patch) ** 2 + 1
+        return (self.img_size // self.patch) ** 2 + self.prefix_tokens
 
     @property
     def mlp_dim(self) -> int:
@@ -73,6 +81,11 @@ VARIANTS: Dict[str, ViTConfig] = {
     "dino_s16": ViTConfig("dino_s16", 224, 16, 384, 12, 6, num_classes=0),
     "dino_s8": ViTConfig("dino_s8", 224, 8, 384, 12, 6, num_classes=0),
     "dino_b16": ViTConfig("dino_b16", 224, 16, 768, 12, 12, num_classes=0),
+    # DeiT distilled variants (timm deit_*_distilled_patch16_224): CLS +
+    # distillation prefix tokens, dual averaged heads, N = grid + 2
+    "deit_t16": ViTConfig("deit_t16", 224, 16, 192, 12, 3, distilled=True),
+    "deit_s16": ViTConfig("deit_s16", 224, 16, 384, 12, 6, distilled=True),
+    "deit_b16": ViTConfig("deit_b16", 224, 16, 768, 12, 12, distilled=True),
 }
 
 
@@ -110,6 +123,13 @@ def init_params(key: jax.Array, cfg: ViTConfig,
             if cfg.num_classes else {}
         ),
     }
+    if cfg.distilled:
+        params["dist_token"] = jnp.zeros((1, 1, d), dtype)
+        if cfg.num_classes:
+            params["head_dist"] = {
+                "w": dense(next(keys), d, (d, cfg.num_classes)),
+                "b": jnp.zeros((cfg.num_classes,), dtype),
+            }
     for _ in range(cfg.depth):
         params["blocks"].append(
             {
@@ -146,7 +166,12 @@ def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     act_dtype = pe["w"].dtype if hasattr(pe["w"], "dtype") else pe["b"].dtype
     images = images.astype(act_dtype)
     x = L.patch_embed(images, params["patch_embed"], cfg.patch)
-    return L.add_cls_and_pos(x, params["cls_token"], params["pos_emb"])
+    prefix = params["cls_token"]
+    if "dist_token" in params:
+        # DeiT: [CLS, DIST, patches...]; pos_emb already spans N+2
+        prefix = jnp.concatenate(
+            [prefix, params["dist_token"].astype(prefix.dtype)], axis=1)
+    return L.add_cls_and_pos(x, prefix, params["pos_emb"])
 
 
 def block(
@@ -246,11 +271,17 @@ def head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Classification head on the CLS token: [B,N,D] -> [B,num_classes].
 
     Feature-extractor variants (num_classes=0, empty head params) emit the
-    CLS token itself: [B,N,D] -> [B,D] — the DINO-style embedding."""
+    CLS token itself: [B,N,D] -> [B,D] — the DINO-style embedding.
+    Distilled variants (DeiT) average the class head on token 0 with the
+    distillation head on token 1 — the published inference contract."""
     hp = params.get("head") or {}
     if "w" not in hp:
         return x[:, 0]
-    return L.linear(x[:, 0], hp["w"], hp["b"])
+    logits = L.linear(x[:, 0], hp["w"], hp["b"])
+    hd = params.get("head_dist") or {}
+    if "w" in hd:
+        logits = (logits + L.linear(x[:, 1], hd["w"], hd["b"])) * 0.5
+    return logits
 
 
 # -- monolithic forward (bench/training path) -----------------------------------
@@ -344,7 +375,8 @@ def forward(
     # just that row: skips a [B, N, D] reduce fusion the logits never use
     # (the graph path's `norm` node still norms every token — it's tappable)
     out: Dict[str, jnp.ndarray] = {
-        "logits": head(params, final_norm(params, x[:, :1], cfg))
+        "logits": head(
+            params, final_norm(params, x[:, : cfg.prefix_tokens], cfg))
     }
     if want_attn:
         if want_probs:
@@ -455,7 +487,9 @@ def layer_fns(cfg: ViTConfig, attn_impl=None, block_impl=None,
         return {"o": final_norm({"norm": p}, ins["o"], cfg)}
 
     def head_fn(p, ins):
-        return {"o": head({"head": p}, ins["o"])}
+        # distilled layer_params hands {"head":…, "head_dist":…}; plain
+        # hands the bare head subtree (capture paths stay stable)
+        return {"o": head(p if "head" in p else {"head": p}, ins["o"])}
 
     layers.append(("norm", [], norm_fn))
     layers.append(("head", [], head_fn))
@@ -467,13 +501,19 @@ def layer_params(params: Params, layer_name: str) -> Any:
     if layer_name.startswith("blocks."):
         return params["blocks"][int(layer_name.split(".", 1)[1])]
     if layer_name == "embed":
-        return {
+        sub = {
             "patch_embed": params["patch_embed"],
             "cls_token": params["cls_token"],
             "pos_emb": params["pos_emb"],
         }
+        if "dist_token" in params:
+            sub["dist_token"] = params["dist_token"]
+        return sub
     if layer_name == "norm":
         return params["norm"]
     if layer_name == "head":
+        if "head_dist" in params:
+            return {"head": params["head"],
+                    "head_dist": params["head_dist"]}
         return params["head"]
     return {}  # transform has no params

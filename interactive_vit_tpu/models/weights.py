@@ -155,6 +155,15 @@ def from_timm(sd: Dict[str, Any], cfg: ViTConfig, dtype=jnp.float32) -> Params:
             if cfg.num_classes else {}
         ),
     }
+    if getattr(cfg, "distilled", False):
+        # DeiT distilled (timm deit_*_distilled_*): dist_token [1,1,D],
+        # head_dist averaged with head at inference (models/vit.head)
+        params["dist_token"] = jnp.asarray(get("dist_token"), dtype)
+        if cfg.num_classes:
+            params["head_dist"] = {
+                "w": jnp.asarray(get("head_dist.weight").T, dtype),
+                "b": jnp.asarray(get("head_dist.bias"), dtype),
+            }
     for i in range(cfg.depth):
         pre = f"blocks.{i}."
         params["blocks"].append(

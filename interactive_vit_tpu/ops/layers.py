@@ -138,12 +138,15 @@ def patch_embed(images: jnp.ndarray, p: Params, patch: int) -> jnp.ndarray:
 
 def add_cls_and_pos(x: jnp.ndarray, cls_token: jnp.ndarray,
                     pos_emb: jnp.ndarray) -> jnp.ndarray:
-    """Prepend CLS token and add positional embeddings.
+    """Prepend prefix token(s) and add positional embeddings.
 
-    cls_token: [1, 1, D]; pos_emb: [1, N+1, D].
+    cls_token: [1, P, D] (P=1 plain ViT, P=2 DeiT CLS+DIST);
+    pos_emb: [1, N+P, D].
     """
     b = x.shape[0]
-    cls = jnp.broadcast_to(cls_token.astype(x.dtype), (b, 1, x.shape[-1]))
+    cls = jnp.broadcast_to(
+        cls_token.astype(x.dtype),
+        (b, cls_token.shape[1], x.shape[-1]))
     x = jnp.concatenate([cls, x], axis=1)
     return x + pos_emb.astype(x.dtype)
 

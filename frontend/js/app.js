@@ -118,8 +118,9 @@ async function initTools() {
 	// server-side-only nodes (pure net nodes): PCA-to-RGB and
 	// token-similarity heatmap (DINO-style views), zero-shot similarity
 	// join (CLIP image x text embeddings), input-gradient saliency
-	// (jax.grad through the staged program — inherently server-side)
-	for (const endpoint of ["pca_view", "patch_sim", "similarity", "saliency", "dream"]) {
+	// (jax.grad through the staged program — inherently server-side),
+	// occlusion sensitivity (a lax.scan of masked forwards)
+	for (const endpoint of ["pca_view", "patch_sim", "similarity", "saliency", "dream", "occlusion"]) {
 		Workspace.registerTool(endpoint, async (x, y) => {
 			try {
 				const node = Context.addNodeInstance(await NetNode.create(endpoint));

@@ -918,7 +918,16 @@ class Executor:
                 if n.index in grad_specs:
                     spec = grad_specs[n.index]
 
-                    def forward(xv, _spec=spec):
+                    # forward-only grad kinds (occlusion) never
+                    # differentiate the replay, so kernel-backed fns stay
+                    # in place — no grad twin needed. Unless THIS node is
+                    # itself inside an outer differentiated replay: then
+                    # its forwards are traced under the outer jax.grad
+                    # and must stay differentiable.
+                    replay_diff = (getattr(kind, "differentiates", True)
+                                   or in_replay)
+
+                    def forward(xv, _spec=spec, _diff=replay_diff):
                         # snapshot everything computed so far; replace the
                         # leaf with the tracer; re-trace only the nodes
                         # that depend on it (topo order guarantees each
@@ -928,7 +937,7 @@ class Executor:
                         if _spec.src_key == _spec.wrt_key:
                             return xv
                         for m in _spec.replay:
-                            eval_one(m, env2, caps, in_replay=True)
+                            eval_one(m, env2, caps, in_replay=_diff)
                         return env2[_spec.src_key]
 
                     try:
@@ -1288,13 +1297,18 @@ class Executor:
                 for m in spec.anc:
                     eval_into(m, env)
 
+            # forward-only grad kinds (occlusion) never differentiate the
+            # replay, so kernel-backed fns stay in place — no grad twin
+            replay_diff = getattr(node_kinds[n.index], "differentiates",
+                                  True)
+
             def forward(xv):
                 env2 = dict(env)
                 env2[spec.wrt_key] = xv
                 if spec.src_key == spec.wrt_key:
                     return xv
                 for m in spec.replay:
-                    eval_into(m, env2, in_replay=True)
+                    eval_into(m, env2, in_replay=replay_diff)
                 return env2[spec.src_key]
 
             return node_kinds[n.index].grad_fn(eff[n.index])(

@@ -49,6 +49,12 @@ class NodeKind:
     # Ordinary kinds never see this.
     grad_node = False
 
+    # Grad-node kinds that never differentiate their replay (forward-only
+    # attribution, e.g. ops.node_ops.OcclusionNode) set this False: the
+    # executor then re-traces the replayed cone through each kind's
+    # regular ``fn`` (kernel-backed on TPU) instead of its grad twin.
+    differentiates = True
+
     def __init__(self, name: str):
         self.name = name
 

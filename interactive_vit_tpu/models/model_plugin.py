@@ -306,6 +306,13 @@ class JaxModel:
         dream_view = add({"kind": "img_view"}, 440, 280)
         wire(head, "o", dream, "o")
         wire(dream, "o", dream_view, "o")
+        occ = add({"kind": "net_node", "endpoint": "occlusion",
+                   "params": {"target": "max", "patch": "32",
+                              "stride": "16"}},
+                  220, 440)
+        occ_view = add({"kind": "img_view"}, 440, 440)
+        wire(head, "o", occ, "o")
+        wire(occ, "o", occ_view, "o")
         return obj
 
     def _kind_cls(self, layer_name: str) -> type:

@@ -23,6 +23,9 @@ Node kinds and their (de)serialized instance contracts:
   saliency  target, class, mode, steps, wrt   input-gradient attribution
             (jax.grad through the staged program; no reference analog —
             its server ran under torch.no_grad)
+  occlusion target, class, patch, stride, fill, wrt   occlusion
+            sensitivity (forward-only sliding-mask attribution as one
+            lax.scan inside the staged program)
   img_src   identity (client binds the decoded image as input "o")
   img_view / multi_view / category   sinks: identity pass-through so taps can
             read what the client-side viewer would render
@@ -1080,6 +1083,177 @@ class DreamNode(_GradNode):
         self.fn(params)
 
 
+class OcclusionNode(_GradNode):
+    """Occlusion sensitivity: score drop under a sliding occluder.
+
+    The classic forward-only attribution (Zeiler & Fergus): slide a
+    ``patch``x``patch`` occluder over the wrt image at ``stride``,
+    re-evaluate the wired scalar for each position, and render how much
+    the score DROPS when each region is hidden. Shares the gradient
+    nodes' replay contract (the executor hands this node its ancestor
+    cone as a closed ``forward``) but never differentiates — every
+    position is a plain forward, so the replay keeps kernel-backed node
+    fns (``differentiates = False``) and quantized models need no grad
+    twin. All P = gh*gw masked forwards run as one ``lax.scan`` INSIDE
+    the staged program: the whole sensitivity sweep is a single XLA
+    program on the MXU, not a host loop of requests. No reference analog
+    (its server computed single forwards under ``torch.no_grad``,
+    ``/root/reference/main/context.py:79-88``).
+
+    Wiring: input "o" = the scored tensor (typically logits). Outputs:
+    "o" = input-shaped importance heatmap (mean score-drop per pixel
+    over every window covering it, per-sample min-max normalized so
+    bright = occluding hurts most, broadcast to 3 channels — wire into
+    ``img_view``/``overlay``); "g" = the raw signed drop grid
+    ``[..., gh, gw]`` f32 (extra channel: negative = occluding HELPED).
+
+    Params (stringly, wire contract ``/root/reference/main/graph.py:7-10``):
+      target  max | sum | class  scalar per sample from the wired tensor
+      class   int                class index for target=class. DYNAMIC.
+      patch   int (default 32)   occluder size, pixels (static: sets the
+                                 scan geometry)
+      stride  int (default = patch)  slide step; < patch overlaps
+      fill    float (default 0)  occluder value. DYNAMIC: scrub the
+                                 baseline live without a recompile.
+      wrt     as saliency        the leaf to occlude — must be
+                                 image-shaped ([C,H,W] or [B,C,H,W])
+    """
+
+    differentiates = False  # forwards only — replay keeps kernel fns
+
+    def __init__(self) -> None:
+        super().__init__("occlusion")
+
+    def contents(self, params):
+        target = params.get("target", "max")
+        return ("<p>occlusion sensitivity</p>"
+                + self._sel_html("target", self.TARGETS, target) + " "
+                + _num_input("class", int(float(params.get("class", 0))),
+                             step="1", title="class (target=class)")
+                + "<br>" + _num_input(
+                    "patch", int(float(params.get("patch", 32))),
+                    step="1", title="occluder size (px)")
+                + " " + _num_input(
+                    "stride",
+                    int(float(params.get("stride",
+                                         params.get("patch", 32)))),
+                    step="1", title="slide step (px)")
+                + " " + _num_input("fill", float(params.get("fill", 0.0)),
+                                   title="occluder fill value")
+                + "<br>" + self._wrt_html(params))
+
+    def io(self, params):
+        return {"ins": ["o"], "outs": ["o", "g"]}
+
+    def extra_outs(self, params):
+        return ["g"]
+
+    def dynamic_params(self):
+        # scrubbing the class index / occluder value is the interaction
+        return frozenset({"class", "fill"})
+
+    def captures(self, params):
+        return {"class": np.int32(int(float(params.get("class", 0)))),
+                "fill": np.float32(float(params.get("fill", 0.0)))}
+
+    def _decode(self, params):
+        target = self._check_target(params.get("target", "max"))
+        patch = int(float(params.get("patch", 32)))
+        stride = int(float(params.get("stride", patch)))
+        if patch < 1:
+            raise ValueError("patch must be >= 1")
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        return target, patch, stride
+
+    def grad_fn(self, params):
+        target, patch, stride = self._decode(params)
+
+        def run(forward, x, caps):
+            if x.ndim not in (3, 4) or x.shape[-3] not in (1, 3):
+                raise ValueError(
+                    "occlusion needs an image-shaped wrt leaf [C,H,W] or "
+                    f"[B,C,H,W] with 1 or 3 channels; got {x.shape}")
+            H, W = int(x.shape[-2]), int(x.shape[-1])
+            ph, pw = min(patch, H), min(patch, W)
+            # window origins cover the full image: ceil-divide, then the
+            # last origin clamps to the edge (duplicate coverage is
+            # harmless — the canvas divides by per-pixel window count)
+            gh = 1 + -(-(H - ph) // stride)
+            gw = 1 + -(-(W - pw) // stride)
+            fill = caps["fill"].astype(x.dtype)
+
+            batched = x.ndim == 4
+            B = int(x.shape[0]) if batched else None
+
+            def scores(xv):
+                """Per-sample scalar: the target reduces the class axis,
+                then everything else sums down to one score per LEAF
+                sample (the leaf defines the batch — unlike gradients,
+                occlusion drops don't decouple per sample on their own,
+                so each sample needs its own score)."""
+                y = forward(xv).astype(jnp.float32)
+                if target == "class":
+                    c = jnp.clip(caps["class"], 0, y.shape[-1] - 1)
+                    y = jnp.take(y, c, axis=-1)
+                elif target == "max":
+                    y = jnp.max(y, axis=-1)
+                else:
+                    y = jnp.sum(y, axis=-1)
+                if batched and y.ndim >= 1 and y.shape[0] == B:
+                    return jnp.sum(y, axis=tuple(range(1, y.ndim)))
+                s = jnp.sum(y)
+                # leaf batched but the wired tensor has no matching batch
+                # axis (degenerate wiring): every sample shares the score
+                return jnp.full((B,), s) if batched else s
+
+            base = scores(x)
+            rows = jnp.arange(H)[:, None]
+            cols = jnp.arange(W)[None, :]
+
+            def body(carry, p):
+                canvas, count = carry
+                py = jnp.minimum((p // gw) * stride, H - ph)
+                px = jnp.minimum((p % gw) * stride, W - pw)
+                m = ((rows >= py) & (rows < py + ph)
+                     & (cols >= px) & (cols < px + pw))
+                d = base - scores(jnp.where(m, fill, x))
+                canvas = canvas + d[..., None, None] * m
+                count = count + m.astype(jnp.float32)
+                return (canvas, count), d
+
+            (canvas, count), drops = jax.lax.scan(
+                body,
+                (jnp.zeros(base.shape + (H, W), jnp.float32),
+                 jnp.zeros((H, W), jnp.float32)),
+                jnp.arange(gh * gw))
+            heat = canvas / jnp.maximum(count, 1.0)
+            # min-max render (per sample): bright = occluding hurts most
+            # (strongest supporting evidence). NOT relu/max: on a map
+            # whose drops are all negative (occlusion HELPED everywhere —
+            # routine on untrained or adversarial inputs) relu renders
+            # solid black, hiding the structure that is still there.
+            hw_axes = tuple(range(base.ndim, heat.ndim))
+            lo = jnp.min(heat, axis=hw_axes, keepdims=True)
+            hi = jnp.max(heat, axis=hw_axes, keepdims=True)
+            heat = (heat - lo) / jnp.maximum(hi - lo, 1e-12)
+            heat = jnp.broadcast_to(
+                heat[..., None, :, :], base.shape + (3, H, W))
+            g = jnp.moveaxis(drops, 0, -1).reshape(base.shape + (gh, gw))
+            return {"o": heat.astype(x.dtype), "g": g}
+
+        return run
+
+    def fn(self, params):
+        self._decode(params)  # surface param errors with node attribution
+        raise NotImplementedError(
+            "occlusion re-evaluates the WHOLE upstream graph per mask "
+            "position — staged executor only")
+
+    def compute(self, params, inputs):
+        self.fn(params)
+
+
 class ImgViewNode(NodeKind):
     """Viewer sink: echoes whatever channels are wired (R,G,B 2-D or o CHW).
 
@@ -1121,6 +1295,7 @@ def instances():
         SimilarityNode(),
         SaliencyNode(),
         DreamNode(),
+        OcclusionNode(),
         IdentityNode("img_src", ["o"], ["o"]),
         ImgViewNode(),
         IdentityNode("multi_view", ["o"], []),

@@ -266,6 +266,22 @@ def scenarios():
                                 _edge(2, "o", 3, "o")]},
             "sources": {0: _img(17, (3, 4, 4))},
         },
+        # occlusion sensitivity (server-only, forward-only sliding-mask
+        # attribution; spawned as a NetNode like saliency/dream): score
+        # drop of sum(cos(1.5x+0.25)) under a 2x2 occluder
+        "occlusion": {
+            "saved": {"nodes": [_node("img_src"),
+                                _node("cos", A="1.5", b="0.25"),
+                                _node("net_node", endpoint="occlusion",
+                                      params={"target": "sum",
+                                              "patch": "2",
+                                              "stride": "2"}),
+                                _node("img_view")],
+                      "edges": [_edge(0, "o", 1, "o"),
+                                _edge(1, "o", 2, "o"),
+                                _edge(2, "o", 3, "o")]},
+            "sources": {0: _img(21, (3, 4, 4))},
+        },
         # a real model layer endpoint as net_node: cos via the registry
         "net_node": {
             "saved": {"nodes": [_node("img_src"),

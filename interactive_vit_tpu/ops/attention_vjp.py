@@ -1,0 +1,191 @@
+"""Trainable Pallas attention: custom-VJP flash kernels for the MXU.
+
+Why this exists: XLA's autodiff of ``attention_reference`` materializes
+the f32 ``[B, H, N, N]`` probabilities in HBM on the way down AND re-reads
+them (plus their cotangent) on the way up. Profiled on v5e (ViT-B/16,
+batch 128, remat off): the attention interior cost ~75 ms of a 166 ms
+train step with its dots running at 11-13 TF/s — pure HBM-bandwidth
+bound, against 171-180 TF/s for the dense matmuls in the same program
+(``tools/experiments/r3_train_profile.py``, 2026-08-19). The reference
+has no training at all (``torch.no_grad``,
+``/root/reference/main/context.py:79-88``); this is the TPU-native
+training fast path.
+
+Design: one forward kernel (the row-resident flash forward reused from
+``ops/flash_attention``) plus one backward kernel that RECOMPUTES the
+softmax from (q, k) entirely in VMEM — the classic flash-attention
+backward. Nothing N x N ever touches HBM in either direction; the
+recompute costs one extra [N, N] dot, which is ~free next to the HBM
+round-trips it replaces. Residuals are just (q, k, v): activation
+memory for the backward drops from O(B H N^2) to O(B N D), which is also
+what lets ``remat="auto"`` keep rematerialization OFF at these scales.
+
+Grid: one program per (batch x head) row; the whole [N, N] f32 score
+tile lives in VMEM (N=197 -> ~0.9 MB of f32 temporaries per program;
+fine through N=1024, bounded by ``TRAIN_MAX_N``). Numerics match
+``jax.grad`` of ``attention_reference`` (same f32 softmax, same
+f32-accumulated MXU dots): parity tests run the kernels in Pallas
+interpret mode on CPU (``tests/test_attention_vjp.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from interactive_vit_tpu.ops.flash_attention import (
+    MASK_VALUE,
+    _rowfull_call,
+    _round_up,
+)
+from interactive_vit_tpu.ops.layers import precision_for as _precision
+
+# Above this sequence length the single-program working set (four f32
+# [N, N] temporaries ~ 4 * N^2 * 4 B, x~1.6 compile headroom — CLAUDE.md
+# "scoped-vmem breaches") stops fitting comfortably; callers fall back to
+# the XLA path. ViT-L/16@384 (N=577) is well inside.
+TRAIN_MAX_N = 1024
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, sm_scale: float, n_real: int, prec):
+    """Flash backward for one (batch, head): recompute softmax in VMEM.
+
+    Standard decomposition (Dao et al. flash-attention backward, public
+    construction): with P = softmax(q k^T * scale),
+        dv = P^T do
+        dP = do v^T
+        ds = P * (dP - rowsum(dP * P))         (softmax VJP)
+        dq = ds k * scale,  dk = ds^T q * scale
+    All [N, N] intermediates stay in this program's VMEM.
+    """
+    q = q_ref[0]   # [n, d]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * sm_scale  # [n, n] f32
+
+    n_pad = k.shape[0]
+    if n_real != n_pad:  # static: mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, MASK_VALUE)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    probs = p / jnp.sum(p, axis=1, keepdims=True)  # [n, n] f32
+
+    # dv = P^T do : contract the query axis
+    dv_ref[0] = jax.lax.dot_general(
+        probs.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dv_ref.dtype)
+
+    # dP = do v^T : contract the feature axis
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [n, n] f32
+    delta = jnp.sum(dp * probs, axis=1, keepdims=True)  # [n, 1]
+    ds = probs * (dp - delta) * sm_scale                # [n, n] f32
+
+    dsc = ds.astype(q.dtype)
+    dq_ref[0] = jax.lax.dot(
+        dsc, k, preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        dsc, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dk_ref.dtype)
+
+
+def _bwd_call(q, k, v, do, n_real: int):
+    """Launch the backward kernel on exact [bh, n, d] shapes (Mosaic
+    masks the edge tiles; no host-side padding)."""
+    bh, n, d = q.shape
+    spec = pl.BlockSpec((1, n, d), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _bwd_kernel,
+        sm_scale=d ** -0.5,
+        n_real=n_real,
+        prec=_precision(q.dtype),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, n, d), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_train(q, k, v, n_real: Optional[int] = None):
+    """softmax(q k^T / sqrt(dh)) v on [B, H, N, Dh] with a flash VJP.
+
+    Value contract = ``attention.attention_reference(want_attn=False)``
+    (f32 softmax, f32-accumulated dots); gradient contract = ``jax.grad``
+    of the same. ``n_real`` masks padded key columns (padded-domain
+    execution, ``vit.forward(pad_tokens=True)``) and is static.
+    """
+    out, _ = _fwd_value(q, k, v, n_real)
+    return out
+
+
+def _fwd_value(q, k, v, n_real):
+    b, h, n, d = q.shape
+    nr = n_real if n_real is not None else n
+    out, _ = _rowfull_call(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+        v.reshape(b * h, n, d), nr, False,
+        block_q=_round_up(n, 8),
+    )
+    return out.reshape(b, h, n, d), None
+
+
+def _fwd_rule(q, k, v, n_real):
+    out, _ = _fwd_value(q, k, v, n_real)
+    return out, (q, k, v)
+
+
+def _bwd_rule(n_real, res, do):
+    q, k, v = res
+    b, h, n, d = q.shape
+    nr = n_real if n_real is not None else n
+    dq, dk, dv = _bwd_call(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+        v.reshape(b * h, n, d), do.reshape(b * h, n, d), nr,
+    )
+    rs = lambda x: x.reshape(b, h, n, d)  # noqa: E731
+    return rs(dq), rs(dk), rs(dv)
+
+
+attention_train.defvjp(_fwd_rule, _bwd_rule)
+
+
+def trainable_flash_mhsa(q, k, v, want_attn: bool = False,
+                         n_real: Optional[int] = None
+                         ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Drop-in ``attn_impl`` for ``attention.mhsa`` inside train steps.
+
+    Falls back to the XLA reference when maps are requested (training
+    never taps them) or the sequence exceeds the kernel's VMEM budget.
+    """
+    if want_attn or q.shape[2] > TRAIN_MAX_N:
+        from interactive_vit_tpu.ops.attention import attention_reference
+
+        return attention_reference(q, k, v, want_attn=want_attn,
+                                   n_real=n_real)
+    return attention_train(q, k, v, n_real), None

@@ -159,6 +159,33 @@ def default_mlp_impl(name: str = "auto", dtype=None, d: int = 0,
     raise ValueError(f"unknown mlp impl {name!r}")
 
 
+def default_train_attn_impl(name: str = "auto", n_devices: int = 1,
+                            dtype=None):
+    """Resolve the attention implementation for TRAIN steps.
+
+    "auto" picks the custom-VJP flash kernel (``ops/attention_vjp``) on a
+    single TPU device with bf16 params — profiled 11-13 TF/s for XLA's
+    attention autodiff vs 171-180 TF/s for the surrounding dense matmuls
+    (the f32 [B,H,N,N] HBM round-trips; r3_train_profile 2026-08-19).
+    Mesh runs keep the XLA path: Pallas custom calls don't partition
+    under GSPMD. f32 excluded: HIGHEST-precision dots inside Mosaic
+    compile pathologically slowly (same policy as the fused block).
+    """
+    if name in ("reference", "none"):
+        return None
+    from interactive_vit_tpu.ops.attention_vjp import trainable_flash_mhsa
+
+    if name == "flash_vjp":
+        return trainable_flash_mhsa
+    if name == "auto":
+        import jax.numpy as jnp
+
+        if on_tpu() and n_devices == 1 and dtype == jnp.bfloat16:
+            return trainable_flash_mhsa
+        return None
+    raise ValueError(f"unknown train attention impl {name!r}")
+
+
 def default_attn_impl(name: str = "auto"):
     """Resolve an attention implementation by policy name.
 

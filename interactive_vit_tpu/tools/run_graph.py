@@ -172,10 +172,25 @@ def main(argv=None) -> int:
     )
     n_src = 0
     for n in g.nodes:
-        if n.name == "img_src" and "o" not in n.inputs:
+        # bind the image to every unwired "o" input at a graph root:
+        # explicit img_src nodes, and the bare `<model>:transform` heads
+        # of generated graphs (the UI wires an ImgSource there by hand,
+        # `/root/reference/main/static/main/index.js:17-53`; headless
+        # runs bind it directly so every static/graphs/*.json evaluates)
+        def _root_wants_image(n=n):
+            if n.inputs:
+                return False
+            try:
+                ins = reg.get_node(n.name).io(n.params).get("ins", ())
+            except Exception:
+                return False  # unknown kind: executor attributes the error
+            return "o" in ins
+
+        needs_image = n.name == "img_src" or _root_wants_image()
+        if needs_image and "o" not in n.inputs:
             if image is None:
-                print("graph has an img_src node; pass --image",
-                      file=sys.stderr)
+                print(f"graph needs an image at node {n.index} "
+                      f"({n.name}); pass --image", file=sys.stderr)
                 return 2
             g.add_input(image, n, "o")
             n_src += 1

@@ -112,6 +112,17 @@ def mhsa(
     (``qkv_proj`` docstring).
     """
     b, n, d = x.shape
+    packed = getattr(attn_impl, "packed", None)
+    if (packed is not None and head_major and not want_attn
+            and attn_impl.packed_ok(heads, d // heads, n)):
+        # packed-layout fast path (ops/attention_vjp): the custom-VJP
+        # kernel consumes the head-major qkv activation directly and
+        # emits head-ordered out — the [B,N,H,Dh]<->[B,H,N,Dh]
+        # transposes (unfusable HBM copies around a custom call,
+        # ~16% of a vit_b16 train step) never exist in the program
+        qkv = linear(x, p["qkv_w"], p["qkv_b"])
+        out = packed(qkv, n_real)
+        return linear(out, p["proj_w"], p["proj_b"]), None
     q, k, v = qkv_proj(x, p, heads, head_major=head_major)
     impl = attn_impl or attention_reference
     out, probs = impl(q, k, v, want_attn, n_real=n_real)

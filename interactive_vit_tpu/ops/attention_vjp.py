@@ -189,3 +189,152 @@ def trainable_flash_mhsa(q, k, v, want_attn: bool = False,
         return attention_reference(q, k, v, want_attn=want_attn,
                                    n_real=n_real)
     return attention_train(q, k, v, n_real), None
+
+
+# -- packed-layout variant: zero transposes around the custom call -------------
+#
+# The [B,H,N,Dh] contract above costs real HBM copies: XLA cannot fuse
+# across a custom-call boundary, so the [B,N,H,Dh]<->[B,H,N,Dh] layout
+# moves around the kernel materialize — profiled as twelve 2.0-ms
+# "transpose_jvp" copies per vit_b16@128 step (~16% of the post-kernel
+# step; docs/kernels.md "Training fast path"). The packed variant
+# consumes the fused qkv activation [B, N, 3*D] DIRECTLY in the
+# head-major column layout ([H][3][Dh] — the existing Megatron TP
+# packing, ``parallel/mesh.permute_qkv_head_major``) and emits
+# out [B, N, D] in head order: no transpose exists in the program, and
+# the backward's dqkv lands exactly where the qkv matmul's VJP wants it.
+#
+# Mosaic lane rule (probed on-chip for the swin kernel): lane-dim blocks
+# must be 128-multiples. One head's slab is 3*64 = 192 lanes — not
+# addressable — so each program owns a head PAIR (384 = 3x128 lanes) and
+# slices q/k/v per head in-register. Requires even heads and Dh == 64
+# (every ViT family variant here); odd-head models keep the transposing
+# path.
+
+PACKED_DH = 64
+_PAIR = 6 * PACKED_DH  # [q0 k0 v0 q1 k1 v1] lane slab
+
+
+def packed_ok(heads: int, dh: int, n: int) -> bool:
+    """The packed kernel's applicability (mhsa consults this)."""
+    return dh == PACKED_DH and heads % 2 == 0 and n <= TRAIN_MAX_N
+
+
+def _packed_heads(s, h: int):
+    base = h * 3 * PACKED_DH
+    q = s[:, base:base + PACKED_DH]
+    k = s[:, base + PACKED_DH:base + 2 * PACKED_DH]
+    v = s[:, base + 2 * PACKED_DH:base + 3 * PACKED_DH]
+    return q, k, v
+
+
+def _packed_probs(q, k, sm_scale, n_real, prec):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * sm_scale  # [n, n] f32
+    if n_real != q.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _packed_fwd_kernel(qkv_ref, o_ref, *, sm_scale, n_real, prec):
+    s = qkv_ref[0]  # [n, 384]
+    outs = []
+    for h in range(2):
+        q, k, v = _packed_heads(s, h)
+        probs = _packed_probs(q, k, sm_scale, n_real, prec)
+        outs.append(jax.lax.dot(
+            probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32, precision=prec,
+        ))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, sm_scale, n_real,
+                       prec):
+    s = qkv_ref[0]   # [n, 384]
+    do = do_ref[0]   # [n, 128]
+    grads = []
+    for h in range(2):
+        q, k, v = _packed_heads(s, h)
+        doh = do[:, h * PACKED_DH:(h + 1) * PACKED_DH]
+        probs = _packed_probs(q, k, sm_scale, n_real, prec)
+        dv = jax.lax.dot_general(
+            probs.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dp = jax.lax.dot_general(
+            doh, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        delta = jnp.sum(dp * probs, axis=1, keepdims=True)
+        ds = (probs * (dp - delta) * sm_scale).astype(q.dtype)
+        dq = jax.lax.dot(
+            ds, k, preferred_element_type=jnp.float32, precision=prec)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        grads += [dq, dk, dv]
+    dqkv_ref[0] = jnp.concatenate(grads, axis=1).astype(dqkv_ref.dtype)
+
+
+def _packed_call(kernel_fn, qkv, extra, out_lanes: int, n_real: int):
+    b, n, d3 = qkv.shape
+    pairs = d3 // _PAIR
+    kern = functools.partial(
+        kernel_fn, sm_scale=PACKED_DH ** -0.5, n_real=n_real,
+        prec=_precision(qkv.dtype))
+    in_specs = [pl.BlockSpec((1, n, _PAIR), lambda b, j: (b, 0, j),
+                             memory_space=pltpu.VMEM)]
+    args = [qkv]
+    if extra is not None:  # backward: the out-cotangent, [B, N, D]
+        in_specs.append(
+            pl.BlockSpec((1, n, 2 * PACKED_DH), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM))
+        args.append(extra)
+    return pl.pallas_call(
+        kern,
+        grid=(b, pairs),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, out_lanes), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, pairs * out_lanes),
+                                       qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def attention_train_packed(qkv, n_real: Optional[int] = None):
+    """Flash attention on the packed head-major qkv activation.
+
+    ``qkv``: [B, N, 3*D] in the [H][3][Dh] column layout
+    (``permute_qkv_head_major`` weights + ``head_major=True`` forward).
+    Returns [B, N, D] in head order — exactly what the output projection
+    consumes. Value/grad contract = the [B,H,N,Dh] ``attention_train``
+    modulo layout.
+    """
+    nr = n_real if n_real is not None else qkv.shape[1]
+    return _packed_call(_packed_fwd_kernel, qkv, None, 2 * PACKED_DH, nr)
+
+
+def _packed_fwd_rule(qkv, n_real):
+    return attention_train_packed(qkv, n_real), qkv
+
+
+def _packed_bwd_rule(n_real, qkv, do):
+    nr = n_real if n_real is not None else qkv.shape[1]
+    return (_packed_call(_packed_bwd_kernel, qkv, do, _PAIR, nr),)
+
+
+attention_train_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+trainable_flash_mhsa.packed = attention_train_packed
+trainable_flash_mhsa.packed_ok = packed_ok

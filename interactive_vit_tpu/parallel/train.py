@@ -144,6 +144,26 @@ def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
     return cross_entropy(logits, labels)
 
 
+def wants_head_major(cfg, mesh, attn_impl=None) -> bool:
+    """Whether training should run head-major qkv columns ([H][3][Dh]).
+
+    Two independent reasons: (a) TP is active — the flat column sharding
+    must be head-aligned (the Megatron split); (b) the packed custom-VJP
+    attention kernel is in play — it consumes the head-major qkv
+    activation directly, eliminating the transpose copies around the
+    custom call. Swin never repacks (per-stage head counts).
+    Checkpoint EXPORTS must consult this too: the on-disk canonical
+    layout is torch-style [3][H][Dh] (``unpermute_qkv_head_major``).
+    """
+    if model_family(cfg).__name__.endswith(".swin"):
+        return False
+    if dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1:
+        return True
+    return (getattr(attn_impl, "packed", None) is not None
+            and attn_impl.packed_ok(cfg.heads, cfg.width // cfg.heads,
+                                    cfg.tokens))
+
+
 def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
                     remat: bool = True, qkv_head_major: bool = False):
     """Build a jittable train step (params, opt_state, images, labels) ->
@@ -205,26 +225,24 @@ def setup_sharded(
         attn_impl = default_train_attn_impl(
             attn_impl, n_devices=mesh.devices.size,
             dtype=jax.tree_util.tree_leaves(params)[0].dtype)
-    # head-major qkv columns whenever TP is active: makes param_spec's
-    # flat column sharding head-ALIGNED (the actual Megatron split) —
-    # the torch layout [3][H][Dh] would force GSPMD to reshard the
-    # activation at the head reshape instead of running head-parallel
-    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1
+    # head-major qkv columns whenever TP is active (makes param_spec's
+    # flat column sharding head-ALIGNED — the actual Megatron split; the
+    # torch layout [3][H][Dh] would force GSPMD to reshard the activation
+    # at the head reshape) or the packed kernel is selected (it reads the
+    # head-major activation in place). Swin keeps flat columns under TP:
+    # per-stage head counts (3/6/12/24) need not divide the model axis —
+    # GSPMD reshards at the window reshape instead; correctness unchanged.
     fam = model_family(cfg)
     is_swin = fam.__name__.endswith(".swin")
-    if is_swin:
-        # swin keeps the flat qkv columns under TP: head counts vary per
-        # stage (3/6/12/24) and need not divide the model axis — GSPMD
-        # reshards at the window reshape instead; correctness unchanged
-        tp = False
-    if tp:
+    head_major = wants_head_major(cfg, mesh, attn_impl)
+    if head_major:
         params = mesh_lib.permute_qkv_head_major(params, cfg.heads)
     params = mesh_lib.shard_params(params, mesh)
     # optax init builds zeros_like(params) -> inherits the TP shardings
     opt_state = optimizer.init(params)
 
     step = make_train_step(cfg, optimizer, attn_impl=attn_impl, remat=remat,
-                           qkv_head_major=tp)
+                           qkv_head_major=head_major)
     bsh = mesh_lib.batch_sharding(mesh)
 
     train_step = jax.jit(
@@ -237,7 +255,7 @@ def setup_sharded(
         if is_swin:
             return fam.forward(params, images, cfg)["logits"]
         return fam.forward(params, images, cfg, attn_impl=attn_impl,
-                           qkv_head_major=tp)["logits"]
+                           qkv_head_major=head_major)["logits"]
 
     infer_fn = jax.jit(infer, in_shardings=(None, bsh))
     return params, opt_state, train_step, infer_fn

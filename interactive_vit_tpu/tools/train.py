@@ -382,11 +382,10 @@ def main(argv=None) -> None:
     # converter) expects. Train-STATE checkpoints (--resume) stay in the
     # training layout on purpose: resume re-enters the same TP setup.
     export_params = params
-    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1
-    if tp and not args.variant.startswith("swin_"):
-        # swin trains flat-column qkv even under TP (setup_sharded skips
-        # the head-major repack — per-stage head counts), so there is
-        # nothing to unpermute
+    if train_lib.wants_head_major(cfg, mesh, attn_impl):
+        # head-major runs (TP sharding OR the packed train kernel);
+        # swin returns False here — it trains flat-column qkv even
+        # under TP (per-stage head counts), nothing to unpermute
         export_params = mesh_lib.unpermute_qkv_head_major(params, cfg.heads)
 
     if args.output:

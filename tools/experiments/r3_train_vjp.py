@@ -40,12 +40,20 @@ from interactive_vit_tpu.tools.trace_agg import report  # noqa: E402
 
 
 def run_case(variant: str, batch: int, impl, label: str,
-             remat: bool = False, profile: bool = False):
+             remat: bool = False, profile: bool = False,
+             head_major: bool = False):
     cfg = vit.VARIANTS[variant]
     params = vit.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    if head_major:  # the packed-kernel layout (zero-transpose path)
+        from interactive_vit_tpu.parallel.mesh import (
+            permute_qkv_head_major,
+        )
+
+        params = permute_qkv_head_major(params, cfg.heads)
     opt = make_optimizer(3e-4)
     opt_state = opt.init(params)
-    step = jax.jit(make_train_step(cfg, opt, attn_impl=impl, remat=remat),
+    step = jax.jit(make_train_step(cfg, opt, attn_impl=impl, remat=remat,
+                                   qkv_head_major=head_major),
                    donate_argnums=(0, 1))
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -102,12 +110,21 @@ CASES = (
     ("vit_l16", 32, True),
 )
 
+import os  # noqa: E402
+
+ONLY = os.environ.get("IVT_ONLY", "")  # comma-sep label filter for reruns
+
 for variant, batch, remat in CASES:
-    for impl, label in ((None, "reference"),
-                        (trainable_flash_mhsa, "flash_vjp")):
+    for impl, label, hm in ((None, "reference", False),
+                            (trainable_flash_mhsa, "flash_vjp", False),
+                            (trainable_flash_mhsa, "flash_packed", True)):
+        if ONLY and label not in ONLY.split(","):
+            continue
         try:
             run_case(variant, batch, impl, label, remat=remat,
-                     profile=(label == "flash_vjp" and variant == "vit_b16"))
+                     head_major=hm,
+                     profile=(label == "flash_packed"
+                              and variant == "vit_b16"))
         except Exception as err:  # noqa: BLE001 — record, keep sweeping
             emit(stage="error", variant=variant, batch=batch, impl=label,
                  err=str(err)[:500])

@@ -164,26 +164,79 @@ def wants_head_major(cfg, mesh, attn_impl=None) -> bool:
                                     cfg.tokens))
 
 
+def remat_wrapper(remat):
+    """Resolve the per-block ``jax.checkpoint`` wrapper.
+
+    ``remat``: False = no remat (fastest when activations fit HBM —
+    ``auto_remat``); True = full per-block remat (save block inputs
+    only); "dots" = ``dots_with_no_batch_dims_saveable`` — save matmul
+    outputs, recompute the elementwise chains (LN, GELU, softmax): a
+    middle point that skips most of remat's extra matmul FLOPs while
+    still dropping the elementwise intermediates.
+    """
+    if not remat:
+        return None
+    if remat == "dots":
+        return functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return functools.partial(jax.checkpoint)
+
+
 def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
-                    remat: bool = True, qkv_head_major: bool = False):
+                    remat=True, qkv_head_major: bool = False,
+                    accum_steps: int = 1):
     """Build a jittable train step (params, opt_state, images, labels) ->
     (params, opt_state, loss).
 
-    ``remat=True`` wraps each block in ``jax.checkpoint`` via
-    ``vit.forward``'s ``block_wrapper`` hook — trade FLOPs for HBM
-    (rematerialize activations in backward) so big batches fit. ONE trunk:
-    the training forward is the inference forward, so they cannot drift.
+    ``remat`` wraps each block in ``jax.checkpoint`` via ``vit.forward``'s
+    ``block_wrapper`` hook — trade FLOPs for HBM (rematerialize
+    activations in backward) so big batches fit; see ``remat_wrapper``
+    for the accepted values. ONE trunk: the training forward is the
+    inference forward, so they cannot drift.
+
+    ``accum_steps=k``: gradient accumulation — the [B] batch is split
+    into k microbatches run sequentially under ``lax.scan`` (one compile,
+    activation memory of B/k), grads accumulated in f32 and averaged
+    before ONE optimizer update. Equivalent to the full-batch step by
+    loss-mean linearity; enables effective batches whose activations
+    exceed HBM without paying remat's extra forward.
     """
     optimizer = optimizer or make_optimizer()
-    wrapper = functools.partial(jax.checkpoint) if remat else None
+    wrapper = remat_wrapper(remat)
+
+    def lf(p, im, lb):
+        return loss_fn(p, im, lb, cfg, attn_impl=attn_impl,
+                       block_wrapper=wrapper,
+                       qkv_head_major=qkv_head_major)
 
     def step(params, opt_state, images, labels):
-        def lf(p, im, lb):
-            return loss_fn(p, im, lb, cfg, attn_impl=attn_impl,
-                           block_wrapper=wrapper,
-                           qkv_head_major=qkv_head_major)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(lf)(params, images, labels)
+        else:
+            mb_im = images.reshape(
+                accum_steps, images.shape[0] // accum_steps,
+                *images.shape[1:])
+            mb_lb = labels.reshape(accum_steps, -1)
 
-        loss, grads = jax.value_and_grad(lf)(params, images, labels)
+            def body(carry, mb):
+                g_acc, l_acc = carry
+                loss_i, g_i = jax.value_and_grad(lf)(params, *mb)
+                g_acc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), g_acc, g_i)
+                return (g_acc, l_acc + loss_i), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (grads, loss), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)), (mb_im, mb_lb))
+            # cast back to the param dtype AFTER the f32 accumulation:
+            # keeps the summation exact-ish and the optimizer state dtype
+            # stable across steps (donation requires matching avals)
+            grads = jax.tree.map(
+                lambda g, p: (g / accum_steps).astype(p.dtype),
+                grads, params)
+            loss = loss / accum_steps
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -197,9 +250,10 @@ def setup_sharded(
     seed: int = 0,
     lr: float = 3e-4,
     attn_impl=None,
-    remat: bool = True,
+    remat=True,
     optimizer=None,
     dtype=None,
+    accum_steps: int = 1,
 ) -> Tuple[Params, Any, Any, Any]:
     """Init params+opt state on the mesh; return jitted (train_step, infer).
 
@@ -242,7 +296,8 @@ def setup_sharded(
     opt_state = optimizer.init(params)
 
     step = make_train_step(cfg, optimizer, attn_impl=attn_impl, remat=remat,
-                           qkv_head_major=head_major)
+                           qkv_head_major=head_major,
+                           accum_steps=accum_steps)
     bsh = mesh_lib.batch_sharding(mesh)
 
     train_step = jax.jit(

@@ -161,3 +161,57 @@ def test_swin_trains_sharded_with_remat():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=k equals the full-batch step (loss-mean linearity)."""
+    import optax
+
+    params = vit.init_params(jax.random.key(2), CFG)
+    opt = optax.sgd(1e-2)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.random((8, 3, 32, 32), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, 8, size=(8,)))
+
+    s_full = train_lib.make_train_step(CFG, opt, remat=False)
+    s_acc = train_lib.make_train_step(CFG, opt, remat=False, accum_steps=4)
+    p1, _, l1 = s_full(params, opt.init(params), images, labels)
+    p2, _, l2 = s_acc(params, opt.init(params), images, labels)
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grad_accumulation_sharded_and_jitted():
+    mesh = mesh_lib.make_mesh({"data": 2}, jax.devices()[:2])
+    with mesh:
+        params, opt_state, step, _ = train_lib.setup_sharded(
+            CFG, mesh, seed=0, lr=1e-3, accum_steps=2)
+        rng = np.random.default_rng(4)
+        images = jnp.asarray(rng.random((8, 3, 32, 32), dtype=np.float32))
+        labels = jnp.asarray(rng.integers(0, 8, size=(8,)))
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, images,
+                                           labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] and all(np.isfinite(losses))
+
+
+def test_remat_dots_policy_matches():
+    import optax
+
+    params = vit.init_params(jax.random.key(5), CFG)
+    opt = optax.sgd(1e-2)
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.random((4, 3, 32, 32), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, 8, size=(4,)))
+    s_ref = train_lib.make_train_step(CFG, opt, remat=False)
+    s_dots = train_lib.make_train_step(CFG, opt, remat="dots")
+    p1, _, l1 = s_ref(params, opt.init(params), images, labels)
+    p2, _, l2 = s_dots(params, opt.init(params), images, labels)
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

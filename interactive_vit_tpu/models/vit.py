@@ -349,7 +349,8 @@ def forward(
         one = block_wrapper(one)
         for p in params["blocks"]:
             x = one(p, x)
-        return {"logits": head(params, final_norm(params, x[:, :1], cfg))}
+        return {"logits": head(
+            params, final_norm(params, x[:, : cfg.prefix_tokens], cfg))}
 
     attns: List[jnp.ndarray] = []
     means: List[jnp.ndarray] = []

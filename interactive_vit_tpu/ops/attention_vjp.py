@@ -52,9 +52,24 @@ from interactive_vit_tpu.ops.layers import precision_for as _precision
 TRAIN_MAX_N = 1024
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                *, sm_scale: float, n_real: int, prec):
-    """Flash backward for one (batch, head): recompute softmax in VMEM.
+def _probs_recompute(q, k, sm_scale, n_real, prec):
+    """Masked softmax(q k^T * scale) for one head, all in VMEM (shared by
+    every backward kernel here and the packed forward)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * sm_scale  # [n, n] f32
+    if n_real != q.shape[0]:  # static: mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _head_grads(q, k, v, do, *, sm_scale, n_real, prec):
+    """Per-head flash backward (ONE copy of the math — both the
+    [B,H,N,Dh] and the packed kernel call this).
 
     Standard decomposition (Dao et al. flash-attention backward, public
     construction): with P = softmax(q k^T * scale),
@@ -62,49 +77,40 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dP = do v^T
         ds = P * (dP - rowsum(dP * P))         (softmax VJP)
         dq = ds k * scale,  dk = ds^T q * scale
-    All [N, N] intermediates stay in this program's VMEM.
+    All [N, N] intermediates stay in the calling program's VMEM; returns
+    f32 (callers cast on store).
     """
-    q = q_ref[0]   # [n, d]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * sm_scale  # [n, n] f32
-
-    n_pad = k.shape[0]
-    if n_real != n_pad:  # static: mask padded key columns
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_real, s, MASK_VALUE)
-
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    probs = p / jnp.sum(p, axis=1, keepdims=True)  # [n, n] f32
-
+    probs = _probs_recompute(q, k, sm_scale, n_real, prec)
     # dv = P^T do : contract the query axis
-    dv_ref[0] = jax.lax.dot_general(
+    dv = jax.lax.dot_general(
         probs.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    ).astype(dv_ref.dtype)
-
+    )
     # dP = do v^T : contract the feature axis
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )  # [n, n] f32
     delta = jnp.sum(dp * probs, axis=1, keepdims=True)  # [n, 1]
-    ds = probs * (dp - delta) * sm_scale                # [n, n] f32
-
-    dsc = ds.astype(q.dtype)
-    dq_ref[0] = jax.lax.dot(
-        dsc, k, preferred_element_type=jnp.float32, precision=prec,
-    ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
-        dsc, q, (((0,), (0,)), ((), ())),
+    ds = (probs * (dp - delta) * sm_scale).astype(q.dtype)
+    dq = jax.lax.dot(
+        ds, k, preferred_element_type=jnp.float32, precision=prec)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    ).astype(dk_ref.dtype)
+    )
+    return dq, dk, dv
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, sm_scale: float, n_real: int, prec):
+    """Flash backward for one (batch, head): recompute softmax in VMEM."""
+    dq, dk, dv = _head_grads(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0],
+        sm_scale=sm_scale, n_real=n_real, prec=prec)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_call(q, k, v, do, n_real: int):
@@ -228,25 +234,12 @@ def _packed_heads(s, h: int):
     return q, k, v
 
 
-def _packed_probs(q, k, sm_scale, n_real, prec):
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * sm_scale  # [n, n] f32
-    if n_real != q.shape[0]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_real, s, MASK_VALUE)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=1, keepdims=True)
-
-
 def _packed_fwd_kernel(qkv_ref, o_ref, *, sm_scale, n_real, prec):
     s = qkv_ref[0]  # [n, 384]
     outs = []
     for h in range(2):
         q, k, v = _packed_heads(s, h)
-        probs = _packed_probs(q, k, sm_scale, n_real, prec)
+        probs = _probs_recompute(q, k, sm_scale, n_real, prec)
         outs.append(jax.lax.dot(
             probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=prec,
@@ -262,23 +255,8 @@ def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, sm_scale, n_real,
     for h in range(2):
         q, k, v = _packed_heads(s, h)
         doh = do[:, h * PACKED_DH:(h + 1) * PACKED_DH]
-        probs = _packed_probs(q, k, sm_scale, n_real, prec)
-        dv = jax.lax.dot_general(
-            probs.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        dp = jax.lax.dot_general(
-            doh, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        delta = jnp.sum(dp * probs, axis=1, keepdims=True)
-        ds = (probs * (dp - delta) * sm_scale).astype(q.dtype)
-        dq = jax.lax.dot(
-            ds, k, preferred_element_type=jnp.float32, precision=prec)
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        dq, dk, dv = _head_grads(q, k, v, doh, sm_scale=sm_scale,
+                                 n_real=n_real, prec=prec)
         grads += [dq, dk, dv]
     dqkv_ref[0] = jnp.concatenate(grads, axis=1).astype(dqkv_ref.dtype)
 

@@ -160,7 +160,7 @@ def default_mlp_impl(name: str = "auto", dtype=None, d: int = 0,
 
 
 def default_train_attn_impl(name: str = "auto", n_devices: int = 1,
-                            dtype=None):
+                            dtype=None, cfg=None):
     """Resolve the attention implementation for TRAIN steps.
 
     "auto" picks the custom-VJP flash kernel (``ops/attention_vjp``) on a
@@ -170,7 +170,21 @@ def default_train_attn_impl(name: str = "auto", n_devices: int = 1,
     Mesh runs keep the XLA path: Pallas custom calls don't partition
     under GSPMD. f32 excluded: HIGHEST-precision dots inside Mosaic
     compile pathologically slowly (same policy as the fused block).
+
+    ``cfg``: the model config, when known — swin trains windowed
+    attention (``parallel.train.loss_fn`` ignores attn_impl there), so
+    "auto" resolves to None and an explicit "flash_vjp" is an error
+    rather than a silently-ignored flag.
     """
+    if cfg is not None:
+        from interactive_vit_tpu.models import swin
+
+        if isinstance(cfg, swin.SwinConfig):
+            if name == "flash_vjp":
+                raise ValueError(
+                    "swin trains shifted-window attention; the flash_vjp "
+                    "train kernel does not apply (loss_fn ignores it)")
+            return None
     if name in ("reference", "none"):
         return None
     from interactive_vit_tpu.ops.attention_vjp import trainable_flash_mhsa

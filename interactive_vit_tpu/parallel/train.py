@@ -105,7 +105,7 @@ def auto_remat(cfg, per_device_batch: int, dtype=jnp.float32,
         # XLA attention saves the probs for the backward and re-streams
         # them f32-ish; the custom-VJP flash kernel saves nothing N x N
         per_block += 2 * per_device_batch * heads * n * n * 4
-    experts = getattr(cfg, "num_experts", 0) or 1
+    experts = getattr(cfg, "n_experts", 0) or 1
     n_params = (depth * (4 * d * d + 2 * d * mlp_dim * experts)
                 + 2 * n * d + d * getattr(cfg, "num_classes", 1000))
     # params (dtype) + grads (dtype) + AdamW m/v (f32)

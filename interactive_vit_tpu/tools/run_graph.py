@@ -171,6 +171,12 @@ def main(argv=None) -> int:
         _load_image(args.image) if args.image else None
     )
     n_src = 0
+    # nodes some OTHER node consumes: an input-less sink (a dangling
+    # img_view/category left over from UI editing) must NOT demand an
+    # image — the executor tolerates its missing input, and binding the
+    # raw image to a viewer would add bogus outputs to the manifest
+    consumed = {e.src.node.index for n in g.nodes
+                for e in n.inputs.values() if e.src is not None}
     for n in g.nodes:
         # bind the image to every unwired "o" input at a graph root:
         # explicit img_src nodes, and the bare `<model>:transform` heads
@@ -180,6 +186,8 @@ def main(argv=None) -> int:
         def _root_wants_image(n=n):
             if n.inputs:
                 return False
+            if n.index not in consumed and len(g.nodes) > 1:
+                return False  # dangling sink, nothing downstream
             try:
                 ins = reg.get_node(n.name).io(n.params).get("ins", ())
             except Exception:

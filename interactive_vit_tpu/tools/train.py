@@ -91,25 +91,33 @@ def evaluate(infer_fn, params, images, labels, batch: int) -> float:
 
 
 def save_state(path: str, params, opt_state, step: int,
-               saver=None) -> None:
+               saver=None, head_major: bool = False) -> None:
     """Train-state checkpoint: params + optimizer state + step counter,
     one orbax tree (all plain pytrees of arrays). Pass an
     ``utils.checkpoint.AsyncSaver`` to overlap the write with the next
     interval's steps (mid-run checkpoints); the final save stays
-    blocking."""
+    blocking.
+
+    ``head_major`` records the qkv column layout the params are stored
+    in (``wants_head_major``: TP sharding or the packed train kernel).
+    Resume validates it — the layout now depends on --attn/--dtype/
+    platform, so a flag change between save and resume would otherwise
+    load permuted qkv columns into same-shape avals SILENTLY."""
     import jax.numpy as jnp
 
     from interactive_vit_tpu.utils.checkpoint import save_params
 
     tree = {"params": params, "opt_state": opt_state,
-            "step": jnp.asarray(step)}
+            "step": jnp.asarray(step),
+            "qkv_head_major": jnp.asarray(int(head_major))}
     if saver is not None:
         saver.save(path, tree)
     else:
         save_params(path, tree)
 
 
-def load_state(path: str, mesh, like_params, like_opt_state):
+def load_state(path: str, mesh, like_params, like_opt_state,
+               expect_head_major=None):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec
@@ -117,8 +125,29 @@ def load_state(path: str, mesh, like_params, like_opt_state):
     from interactive_vit_tpu.utils.checkpoint import load_params
 
     like = {"params": like_params, "opt_state": like_opt_state,
-            "step": jnp.asarray(0)}
-    st = load_params(path, like=like)
+            "step": jnp.asarray(0),
+            "qkv_head_major": jnp.asarray(0)}
+    try:
+        st = load_params(path, like=like)
+        saved_hm = bool(int(st.pop("qkv_head_major")))
+        del like["qkv_head_major"]  # keep st/like tree structures equal
+    except Exception:
+        # legacy checkpoint without the layout marker: restore the old
+        # structure and skip the validation (pre-marker states were only
+        # written by explicit --mesh runs, where the layout is stable)
+        del like["qkv_head_major"]
+        st = load_params(path, like=like)
+        saved_hm = None
+    if (expect_head_major is not None and saved_hm is not None
+            and saved_hm != bool(expect_head_major)):
+        raise ValueError(
+            f"--resume layout mismatch: checkpoint at {path} stores qkv "
+            f"{'head-major' if saved_hm else 'torch-layout'} columns but "
+            f"this run resolves to "
+            f"{'head-major' if expect_head_major else 'torch-layout'} "
+            f"(the layout follows --mesh/--attn/--dtype/platform via "
+            f"wants_head_major). Resume with the original flags, or "
+            f"export via --export-safetensors and restart from --ckpt.")
     # Orbax restores leaves COMMITTED to their saved placement; optimizer
     # scalars (e.g. adam `count`) were uncommitted single-device at save
     # time, so the restored tree mixes single-device and mesh-wide leaves
@@ -263,7 +292,7 @@ def main(argv=None) -> None:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     attn_impl = default_train_attn_impl(
         args.attn, n_devices=mesh.devices.size,
-        dtype=dtype or jnp.float32)
+        dtype=dtype or jnp.float32, cfg=cfg)
     if attn_impl is not None:
         logger.info("train attention: custom-VJP flash kernel")
     if args.no_remat or args.remat == "off":
@@ -281,6 +310,7 @@ def main(argv=None) -> None:
             flash_attn=attn_impl is not None)
         logger.info("remat auto -> %s", "on" if remat else "off")
 
+    head_major = train_lib.wants_head_major(cfg, mesh, attn_impl)
     with mesh:
         params, opt_state, step_fn, infer_fn = train_lib.setup_sharded(
             cfg, mesh, seed=args.seed, lr=args.lr,
@@ -292,7 +322,8 @@ def main(argv=None) -> None:
             if not (state_dir and os.path.exists(state_dir)):
                 parser.error(f"--resume: no state at {state_dir}")
             params, opt_state, start_step = load_state(
-                state_dir, mesh, params, opt_state)
+                state_dir, mesh, params, opt_state,
+                expect_head_major=head_major)
             logger.info("resumed from %s at step %d", state_dir, start_step)
 
         rng = np.random.default_rng(args.seed + start_step)
@@ -389,7 +420,7 @@ def main(argv=None) -> None:
 
                     saver = AsyncSaver()
                 save_state(state_dir, params, opt_state, step + 1,
-                           saver=saver)
+                           saver=saver, head_major=head_major)
                 logger.info("async-saving train state at step %d", step + 1)
         if loader is not None:
             loader.close()
@@ -402,7 +433,7 @@ def main(argv=None) -> None:
     # converter) expects. Train-STATE checkpoints (--resume) stay in the
     # training layout on purpose: resume re-enters the same TP setup.
     export_params = params
-    if train_lib.wants_head_major(cfg, mesh, attn_impl):
+    if head_major:
         # head-major runs (TP sharding OR the packed train kernel);
         # swin returns False here — it trains flat-column qkv even
         # under TP (per-stage head counts), nothing to unpermute
@@ -413,7 +444,8 @@ def main(argv=None) -> None:
 
         save_params(os.path.join(args.output, "params"), export_params)
         if state_dir:
-            save_state(state_dir, params, opt_state, args.steps)
+            save_state(state_dir, params, opt_state, args.steps,
+                       head_major=head_major)
         logger.info("saved checkpoint to %s", args.output)
     if args.export_safetensors:
         import jax

@@ -53,3 +53,24 @@ def test_missing_image_is_a_clear_error(tmp_path):
 
     assert main(["dino_s16", "--out", str(tmp_path)]) == 2
     assert main(["no_such_graph", "--out", str(tmp_path)]) == 2
+
+
+def test_dangling_sink_does_not_demand_image(tmp_path, img):
+    """A disconnected viewer node (routine leftover from UI editing) must
+    neither hard-fail the headless run without --image nor get the raw
+    image bound to it when --image IS given — image binding targets roots
+    something downstream consumes (plus explicit img_src)."""
+    from interactive_vit_tpu.tools.run_graph import main
+
+    obj = json.load(open("static/graphs/demo_slice.json"))
+    obj["nodes"].append({"instance": {"kind": "img_view"},
+                         "pos": {"x": 0, "y": 0}})
+    gp = str(tmp_path / "g.json")
+    json.dump(obj, open(gp, "w"))
+    sink_idx = len(obj["nodes"]) - 1
+
+    out = str(tmp_path / "taps")
+    rc = main([gp, "--image", img, "--out", out])
+    assert rc == 0
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert not [m for m in man.values() if m["node"] == sink_idx]

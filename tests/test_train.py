@@ -215,3 +215,75 @@ def test_remat_dots_policy_matches():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_distilled_remat_matches_no_remat():
+    """Regression: the block_wrapper fast path sliced x[:, :1] — on a
+    distilled (2-prefix-token) model that silently computed head_dist on
+    the CLS token (jnp clamps the out-of-range x[:, 1] read), so remat
+    training produced wrong logits AND wrong gradients with no error."""
+    import optax
+
+    cfg = vit.ViTConfig("deit_train", img_size=32, patch=16, width=64,
+                        depth=2, heads=4, num_classes=8, distilled=True)
+    params = vit.init_params(jax.random.key(7), cfg)
+    opt = optax.sgd(1e-2)
+    rng = np.random.default_rng(8)
+    images = jnp.asarray(rng.random((4, 3, 32, 32), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, 8, size=(4,)))
+    s_ref = train_lib.make_train_step(cfg, opt, remat=False)
+    s_rem = train_lib.make_train_step(cfg, opt, remat=True)
+    p1, _, l1 = s_ref(params, opt.init(params), images, labels)
+    p2, _, l2 = s_rem(params, opt.init(params), images, labels)
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_resume_layout_marker(tmp_path):
+    """Train-state checkpoints record the qkv column layout; resume with
+    flags that resolve to the other layout is a hard error, not a silent
+    load of permuted columns (the layout follows --mesh/--attn/--dtype)."""
+    import optax
+    import pytest
+
+    from interactive_vit_tpu.tools import train as cli
+
+    mesh = mesh_lib.make_mesh({"data": 2}, jax.devices()[:2])
+    with mesh:
+        opt = optax.sgd(1e-2)
+        params, opt_state, _, _ = train_lib.setup_sharded(
+            CFG, mesh, optimizer=opt)
+        path = str(tmp_path / "state")
+        cli.save_state(path, params, opt_state, 3, head_major=True)
+        with pytest.raises(ValueError, match="layout mismatch"):
+            cli.load_state(path, mesh, params, opt_state,
+                           expect_head_major=False)
+        p2, _, step = cli.load_state(path, mesh, params, opt_state,
+                                     expect_head_major=True)
+        assert step == 3
+
+        # legacy checkpoint (no marker): loads, validation skipped
+        from interactive_vit_tpu.utils.checkpoint import save_params
+        legacy = str(tmp_path / "legacy")
+        save_params(legacy, {"params": params, "opt_state": opt_state,
+                             "step": jnp.asarray(5)})
+        _, _, step = cli.load_state(legacy, mesh, params, opt_state,
+                                    expect_head_major=True)
+        assert step == 5
+
+
+def test_swin_train_attn_dispatch_is_none():
+    """swin trains windowed attention — loss_fn ignores attn_impl, so the
+    dispatcher must resolve 'auto' to None (no false 'kernel active' log)
+    and reject an explicit flash_vjp instead of silently ignoring it."""
+    import pytest
+
+    from interactive_vit_tpu.models import swin
+    from interactive_vit_tpu.ops.dispatch import default_train_attn_impl
+
+    cfg = swin.VARIANTS["swin_t"]
+    assert default_train_attn_impl("auto", cfg=cfg) is None
+    with pytest.raises(ValueError, match="swin"):
+        default_train_attn_impl("flash_vjp", cfg=cfg)

@@ -99,6 +99,12 @@ def make_model(
     gates live in the ViT block path); other families log a warning and
     serve their float dtype, matching the server's long-standing
     behavior."""
+    base = variant.partition("@")[0]
+    if "@" in variant and _family_maker(base) is not None:
+        raise ValueError(
+            f"{variant!r}: the @<pixels> resolution suffix is supported "
+            f"only for the plain-ViT family (vit_*/dino_*/deit_*) — "
+            f"{base}'s stage/pooling geometry is resolution-specific")
     maker = _family_maker(variant)
     if maker is not None:
         if quantize:
@@ -107,10 +113,11 @@ def make_model(
 
     from interactive_vit_tpu.models import vit
 
-    if variant not in vit.VARIANTS:
+    if base not in vit.VARIANTS:
         raise ValueError(
             f"unknown model variant {variant!r}; known: "
-            f"{known_variants()}")
+            f"{known_variants()} (plain-ViT names also accept a "
+            f"@<pixels> resolution suffix, e.g. dino_s16@448)")
     from interactive_vit_tpu.models.vit_plugin import make_vit_model
 
     return make_vit_model(variant, params=params, seed=seed,

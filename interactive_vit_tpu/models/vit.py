@@ -89,6 +89,82 @@ VARIANTS: Dict[str, ViTConfig] = {
 }
 
 
+def at_resolution(cfg: ViTConfig, img_size: int) -> ViTConfig:
+    """Derived config serving ``cfg`` at a non-native input resolution.
+
+    The patch grid rescales (``img_size // patch`` per side); everything
+    else — width, depth, heads, the checkpoint weights — is unchanged.
+    Checkpoints trained at the native size load via ``adapt_pos_embed``
+    (position-table resampling). The classic uses: DINO dense features on
+    a finer grid (dino_s16@448 -> 28x28 patch tokens) and higher-res
+    fine-tuning (vit_b16@384, the DeiT/ViT paper recipe)."""
+    if img_size % cfg.patch:
+        raise ValueError(
+            f"{cfg.name}@{img_size}: resolution must be a multiple of the "
+            f"patch size {cfg.patch}")
+    if img_size == cfg.img_size:
+        return cfg
+    return dataclasses.replace(
+        cfg, name=f"{cfg.name}@{img_size}", img_size=img_size)
+
+
+def resolve_variant(name: str) -> ViTConfig:
+    """``"vit_b16"`` or ``"vit_b16@384"`` -> config (the ``@<pixels>``
+    suffix serves a known variant at a non-native resolution)."""
+    base, sep, res = name.partition("@")
+    if base not in VARIANTS:
+        raise ValueError(
+            f"unknown ViT variant {base!r}; known: {sorted(VARIANTS)}")
+    cfg = VARIANTS[base]
+    if sep:
+        if not res.isdigit():
+            raise ValueError(
+                f"bad resolution suffix in {name!r}: expected "
+                f"<variant>@<pixels>, e.g. vit_b16@384")
+        cfg = at_resolution(cfg, int(res))
+    return cfg
+
+
+def adapt_pos_embed(params: Params, cfg: ViTConfig) -> Params:
+    """Resample a loaded checkpoint's position table to ``cfg``'s grid.
+
+    The timm ``resample_abs_pos_embed`` construction (public): prefix
+    rows (CLS, DIST) pass through; the grid part reshapes to
+    [g, g, D] and resamples bicubically per side (separable — two small
+    MXU matmuls via ``ops.preprocess_mm.resize_matrix``, the same Keys
+    a=-0.5 kernel torch's antialiased bicubic uses). Identity when the
+    token count already matches, so it is safe on every load path."""
+    pe = params["pos_emb"]
+    if pe.shape[1] == cfg.tokens:
+        return params
+    from interactive_vit_tpu.ops.layers import mm_precision
+    from interactive_vit_tpu.ops.preprocess_mm import resize_matrix
+
+    prefix = cfg.prefix_tokens
+    d = pe.shape[2]
+    g_sq = pe.shape[1] - prefix
+    g_old = int(round(g_sq ** 0.5))
+    if g_old * g_old != g_sq:
+        raise ValueError(
+            f"cannot adapt pos_emb of {pe.shape[1]} tokens to "
+            f"{cfg.name}: grid part ({g_sq} rows after {prefix} prefix "
+            f"tokens) is not square")
+    g_new = cfg.img_size // cfg.patch
+    r = jnp.asarray(resize_matrix(g_old, g_new, "bicubic"))
+    grid = pe[0, prefix:].astype(jnp.float32).reshape(g_old, g_old, d)
+    prec = mm_precision(grid, r)
+    grid = jnp.einsum("sh,hwd->swd", r, grid,
+                      preferred_element_type=jnp.float32, precision=prec)
+    grid = jnp.einsum("tw,swd->std", r, grid,
+                      preferred_element_type=jnp.float32, precision=prec)
+    new_pe = jnp.concatenate(
+        [pe[:, :prefix].astype(jnp.float32),
+         grid.reshape(1, g_new * g_new, d)], axis=1).astype(pe.dtype)
+    out = dict(params)
+    out["pos_emb"] = new_pe
+    return out
+
+
 # -- init ----------------------------------------------------------------------
 
 

@@ -51,11 +51,15 @@ def make_vit_model(
     """
     import jax.numpy as jnp
 
-    cfg = vit.VARIANTS[variant]
+    cfg = vit.resolve_variant(variant)
     if params is None:
         params = vit.init_params(
             jax.random.key(seed), cfg, dtype=dtype or jnp.float32
         )
+    else:
+        # "@res" serving: a checkpoint trained at the native resolution
+        # loads at any patch-multiple size via position-table resampling
+        params = vit.adapt_pos_embed(params, cfg)
     if tp_layout:
         # mesh TP serving: head-major qkv columns so the "model"-axis
         # column sharding is head-aligned (parallel/mesh.py docstring);

@@ -126,10 +126,15 @@ def convert(model: str, layout: str, sd) -> object:
         return clip_text.from_openai(sd, clip_text.CLIPTextConfig())
     from interactive_vit_tpu.models import vit, weights
 
-    cfg = vit.VARIANTS[model]
+    # "@res" targets: convert in the checkpoint's native geometry, then
+    # resample the position table to the requested grid (vit.adapt_pos_embed
+    # is identity when the size already matches)
+    cfg = vit.resolve_variant(model)
     if layout == "timm":
-        return weights.from_timm(sd, cfg)
-    return weights.from_torchvision(sd, cfg)
+        params = weights.from_timm(sd, cfg)
+    else:
+        params = weights.from_torchvision(sd, cfg)
+    return vit.adapt_pos_embed(params, cfg)
 
 
 def main() -> None:

@@ -59,7 +59,10 @@ def _register_models(reg, variants: Set[str], dtype_name: str, lib=None,
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     known = set(known_variants())
     for v in sorted(variants):
-        if v not in known:
+        # plain-ViT names accept an @<pixels> resolution suffix
+        # (models/vit.resolve_variant); bad suffixes on known bases must
+        # error inside make_model, not silently skip
+        if v not in known and v.partition("@")[0] not in known:
             # only GENUINELY unknown prefixes are skippable (a plugin may
             # provide them); construction errors for known variants must
             # surface as themselves, not as this warning

@@ -259,8 +259,9 @@ def main(argv=None) -> None:
     from interactive_vit_tpu.parallel import mesh as mesh_lib
     from interactive_vit_tpu.parallel import train as train_lib
 
-    if args.variant in vit.VARIANTS:
-        cfg = vit.VARIANTS[args.variant]
+    if args.variant.partition("@")[0] in vit.VARIANTS:
+        # @<pixels> = train/fine-tune at a non-native resolution
+        cfg = vit.resolve_variant(args.variant)
     elif args.variant.startswith("swin_"):
         from interactive_vit_tpu.models import swin
 

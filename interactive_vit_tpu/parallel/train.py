@@ -24,9 +24,22 @@ from interactive_vit_tpu.parallel import mesh as mesh_lib
 Params = Dict[str, Any]
 
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  smoothing: float = 0.0) -> jnp.ndarray:
+    """Mean cross-entropy. ``labels``: int ``[B]`` OR soft ``[B, C]``
+    (mixup/cutmix emit soft targets, ``data/augment.py``); ``smoothing``
+    is standard label smoothing (uniform mass ``s/C``)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if labels.ndim == 2:
+        tgt = labels.astype(jnp.float32)
+        if smoothing:
+            tgt = tgt * (1.0 - smoothing) + smoothing / logits.shape[-1]
+        return -(tgt * logp).sum(axis=-1).mean()
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if smoothing:
+        # s * (nll - mean logp over classes) folded in closed form:
+        # target = (1-s)*onehot + s/C  ->  loss = (1-s)*nll - s*mean(logp)
+        nll = (1.0 - smoothing) * nll - smoothing * logp.mean(axis=-1)
     return nll.mean()
 
 
@@ -124,24 +137,25 @@ def model_family(cfg: vit.ViTConfig):
 
 def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
             cfg: vit.ViTConfig, attn_impl=None,
-            block_wrapper=None, qkv_head_major: bool = False) -> jnp.ndarray:
+            block_wrapper=None, qkv_head_major: bool = False,
+            label_smoothing: float = 0.0) -> jnp.ndarray:
     fam = model_family(cfg)
     if fam.__name__.endswith(".swin"):
         # swin has no attn_impl/qkv repack knobs (windowed attention,
         # per-stage head counts) — just the remat hook
         logits = fam.forward(params, images, cfg,
                              block_wrapper=block_wrapper)["logits"]
-        return cross_entropy(logits, labels)
+        return cross_entropy(logits, labels, label_smoothing)
     if fam is not vit:
         out = fam.forward(params, images, cfg, attn_impl=attn_impl,
                           block_wrapper=block_wrapper,
                           qkv_head_major=qkv_head_major, want_aux=True)
-        return (cross_entropy(out["logits"], labels)
+        return (cross_entropy(out["logits"], labels, label_smoothing)
                 + MOE_AUX_WEIGHT * out["aux"])
     logits = vit.forward(params, images, cfg, attn_impl=attn_impl,
                          block_wrapper=block_wrapper,
                          qkv_head_major=qkv_head_major)["logits"]
-    return cross_entropy(logits, labels)
+    return cross_entropy(logits, labels, label_smoothing)
 
 
 def wants_head_major(cfg, mesh, attn_impl=None) -> bool:
@@ -185,7 +199,7 @@ def remat_wrapper(remat):
 
 def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
                     remat=True, qkv_head_major: bool = False,
-                    accum_steps: int = 1):
+                    accum_steps: int = 1, label_smoothing: float = 0.0):
     """Build a jittable train step (params, opt_state, images, labels) ->
     (params, opt_state, loss).
 
@@ -208,7 +222,8 @@ def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
     def lf(p, im, lb):
         return loss_fn(p, im, lb, cfg, attn_impl=attn_impl,
                        block_wrapper=wrapper,
-                       qkv_head_major=qkv_head_major)
+                       qkv_head_major=qkv_head_major,
+                       label_smoothing=label_smoothing)
 
     def step(params, opt_state, images, labels):
         if accum_steps == 1:
@@ -217,7 +232,10 @@ def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
             mb_im = images.reshape(
                 accum_steps, images.shape[0] // accum_steps,
                 *images.shape[1:])
-            mb_lb = labels.reshape(accum_steps, -1)
+            # labels: int [B] or soft [B, C] (mixup/cutmix)
+            mb_lb = labels.reshape(
+                accum_steps, labels.shape[0] // accum_steps,
+                *labels.shape[1:])
 
             def body(carry, mb):
                 g_acc, l_acc = carry
@@ -254,6 +272,7 @@ def setup_sharded(
     optimizer=None,
     dtype=None,
     accum_steps: int = 1,
+    label_smoothing: float = 0.0,
 ) -> Tuple[Params, Any, Any, Any]:
     """Init params+opt state on the mesh; return jitted (train_step, infer).
 
@@ -297,7 +316,8 @@ def setup_sharded(
 
     step = make_train_step(cfg, optimizer, attn_impl=attn_impl, remat=remat,
                            qkv_head_major=head_major,
-                           accum_steps=accum_steps)
+                           accum_steps=accum_steps,
+                           label_smoothing=label_smoothing)
     bsh = mesh_lib.batch_sharding(mesh)
 
     train_step = jax.jit(

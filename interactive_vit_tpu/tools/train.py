@@ -233,6 +233,26 @@ def main(argv=None) -> None:
                              "the native prefetching loader (data/loader.py)"
                              " instead of synthetic batches; augments with "
                              "deterministic horizontal flips")
+    parser.add_argument("--hflip", action="store_true",
+                        help="random horizontal flips (on device, jitted — "
+                             "data/augment.py; the --data loader's own "
+                             "deterministic flip is independent)")
+    parser.add_argument("--crop-pad", type=int, default=0,
+                        help="zero-pad N px per side + random same-size "
+                             "crop (shift augmentation)")
+    parser.add_argument("--color-jitter", type=float, default=0.0,
+                        help="brightness/contrast/saturation jitter "
+                             "strength s (factors from U[1-s, 1+s])")
+    parser.add_argument("--cutout", type=int, default=0,
+                        help="zero-fill a random NxN square per image")
+    parser.add_argument("--mixup", type=float, default=0.0,
+                        help="mixup Beta(a,a) alpha (0 = off); emits soft "
+                             "labels")
+    parser.add_argument("--cutmix", type=float, default=0.0,
+                        help="cutmix Beta(a,a) alpha (0 = off); with "
+                             "--mixup, one of the two is chosen per step")
+    parser.add_argument("--label-smoothing", type=float, default=0.0,
+                        help="uniform label smoothing in the loss")
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--platform", default="default",
                         choices=["default", "cpu"],
@@ -312,12 +332,27 @@ def main(argv=None) -> None:
         logger.info("remat auto -> %s", "on" if remat else "off")
 
     head_major = train_lib.wants_head_major(cfg, mesh, attn_impl)
+    from interactive_vit_tpu.data.augment import (
+        AugmentConfig, make_augment_fn,
+    )
+
+    aug_cfg = AugmentConfig(
+        hflip=args.hflip, crop_pad=args.crop_pad,
+        color_jitter=args.color_jitter, cutout=args.cutout,
+        mixup_alpha=args.mixup, cutmix_alpha=args.cutmix)
     with mesh:
         params, opt_state, step_fn, infer_fn = train_lib.setup_sharded(
             cfg, mesh, seed=args.seed, lr=args.lr,
             remat=remat, optimizer=optimizer, dtype=dtype,
             attn_impl=attn_impl, accum_steps=args.accum_steps,
+            label_smoothing=args.label_smoothing,
         )
+        aug_fn = make_augment_fn(
+            aug_cfg, cfg.num_classes,
+            base_key=jax.random.key(args.seed + 0x5EED),
+            batch_sharding=mesh_lib.batch_sharding(mesh))
+        if aug_fn is not None:
+            logger.info("augment: %s", aug_cfg)
         start_step = 0
         if args.resume:
             if not (state_dir and os.path.exists(state_dir)):
@@ -396,8 +431,12 @@ def main(argv=None) -> None:
                 images, labels = synthetic_batch(
                     rng, args.batch, cfg.img_size, cfg.num_classes
                 )
+            images, labels = jnp.asarray(images), jnp.asarray(labels)
+            if aug_fn is not None:
+                # deterministic per (seed, step): resume replays the stream
+                images, labels = aug_fn(step, images, labels)
             params, opt_state, loss = step_fn(
-                params, opt_state, jnp.asarray(images), jnp.asarray(labels)
+                params, opt_state, images, labels
             )
             if step % args.log_every == 0 or step == args.steps - 1:
                 dt = time.perf_counter() - t0

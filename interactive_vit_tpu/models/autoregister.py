@@ -21,11 +21,11 @@ logger = logging.getLogger(__name__)
 
 def known_variants() -> list:
     """Every variant name ``make_model`` accepts (sorted)."""
-    from interactive_vit_tpu.models import moe, swin, tome, vit
+    from interactive_vit_tpu.models import convnext, moe, swin, tome, vit
 
     return sorted(
         set(vit.VARIANTS) | set(moe.VARIANTS) | set(tome.VARIANTS)
-        | set(swin.VARIANTS)
+        | set(swin.VARIANTS) | set(convnext.VARIANTS)
         | {"clip_b32", "clip_text_b32", "vgg16", "resnet50"})
 
 
@@ -60,6 +60,14 @@ def _family_maker(variant: str):
 
         return lambda params, seed, dtype, attn_impl, kernels: (
             make_resnet50_model(params=params, seed=seed, dtype=dtype))
+    if variant.startswith("convnext_"):
+        from interactive_vit_tpu.models.convnext_plugin import (
+            make_convnext_model,
+        )
+
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_convnext_model(variant, params=params, seed=seed,
+                                dtype=dtype))
     if variant.startswith("swin_"):
         from interactive_vit_tpu.models.swin_plugin import make_swin_model
 

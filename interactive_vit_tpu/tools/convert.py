@@ -52,6 +52,9 @@ VALID_LAYOUTS = {
     "swin_t": {"torchvision", "native"},
     "swin_s": {"torchvision", "native"},
     "swin_b": {"torchvision", "native"},
+    "convnext_t": {"torchvision", "native"},
+    "convnext_s": {"torchvision", "native"},
+    "convnext_b": {"torchvision", "native"},
     "clip_b32": {"openai", "native"},
     "clip_text_b32": {"openai", "native"},
     # every ViT variant accepts either framework naming, or our own
@@ -97,7 +100,7 @@ def convert(model: str, layout: str, sd) -> object:
 
         params = from_native_flat(sd)
         if (model not in ("vgg16", "clip_b32", "clip_text_b32", "resnet50")
-                and not model.startswith("swin_")):
+                and not model.startswith(("swin_", "convnext_"))):
             # ViT only — empty containers don't survive flattening:
             # restore the optional classifier head ({} = feature
             # extractor) and an (impossible in practice) depth-0 trunk
@@ -116,6 +119,10 @@ def convert(model: str, layout: str, sd) -> object:
         from interactive_vit_tpu.models import swin
 
         return swin.from_torch(sd, swin.VARIANTS[model])
+    if model.startswith("convnext_"):
+        from interactive_vit_tpu.models import convnext
+
+        return convnext.from_torchvision(sd, convnext.VARIANTS[model])
     if model == "clip_b32":
         from interactive_vit_tpu.models import clip
 
@@ -140,7 +147,9 @@ def convert(model: str, layout: str, sd) -> object:
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", required=True,
-                        help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|clip_text_b32|vgg16|resnet50")
+                        help="vit_t16|vit_s16|vit_b16|vit_l16|clip_b32|"
+                             "clip_text_b32|vgg16|resnet50|swin_*|"
+                             "convnext_*")
     parser.add_argument("--layout", default="auto",
                         choices=["auto", "torchvision", "timm", "openai",
                                  "native"])

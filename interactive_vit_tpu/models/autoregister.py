@@ -110,7 +110,7 @@ def make_model(
     base = variant.partition("@")[0]
     if "@" in variant and _family_maker(base) is not None:
         raise ValueError(
-            f"{variant!r}: the @<pixels> resolution suffix is supported "
+            f"{variant!r}: the @[<pixels>][p<patch>] suffix is supported "
             f"only for the plain-ViT family (vit_*/dino_*/deit_*) — "
             f"{base}'s stage/pooling geometry is resolution-specific")
     maker = _family_maker(variant)
@@ -125,7 +125,8 @@ def make_model(
         raise ValueError(
             f"unknown model variant {variant!r}; known: "
             f"{known_variants()} (plain-ViT names also accept a "
-            f"@<pixels> resolution suffix, e.g. dino_s16@448)")
+            f"@[<pixels>][p<patch>] suffix, e.g. dino_s16@448 or "
+            f"vit_b16@p8)")
     from interactive_vit_tpu.models.vit_plugin import make_vit_model
 
     return make_vit_model(variant, params=params, seed=seed,

@@ -89,39 +89,41 @@ VARIANTS: Dict[str, ViTConfig] = {
 }
 
 
-def at_resolution(cfg: ViTConfig, img_size: int) -> ViTConfig:
-    """Derived config serving ``cfg`` at a non-native input resolution.
-
-    The patch grid rescales (``img_size // patch`` per side); everything
-    else — width, depth, heads, the checkpoint weights — is unchanged.
-    Checkpoints trained at the native size load via ``adapt_pos_embed``
-    (position-table resampling). The classic uses: DINO dense features on
-    a finer grid (dino_s16@448 -> 28x28 patch tokens) and higher-res
-    fine-tuning (vit_b16@384, the DeiT/ViT paper recipe)."""
-    if img_size % cfg.patch:
-        raise ValueError(
-            f"{cfg.name}@{img_size}: resolution must be a multiple of the "
-            f"patch size {cfg.patch}")
-    if img_size == cfg.img_size:
-        return cfg
-    return dataclasses.replace(
-        cfg, name=f"{cfg.name}@{img_size}", img_size=img_size)
-
-
 def resolve_variant(name: str) -> ViTConfig:
-    """``"vit_b16"`` or ``"vit_b16@384"`` -> config (the ``@<pixels>``
-    suffix serves a known variant at a non-native resolution)."""
-    base, sep, res = name.partition("@")
+    """``"vit_b16"``, ``"vit_b16@384"``, ``"vit_b16@p8"`` or
+    ``"vit_b16@384p32"`` -> config. The ``@[<pixels>][p<patch>]`` suffix
+    serves a known variant at a non-native resolution and/or patch size;
+    width/depth/heads and the checkpoint weights are unchanged —
+    checkpoints adapt on load (``adapt_checkpoint``: position-table
+    resampling + FlexiViT pseudo-inverse patch-kernel resize). Classic
+    uses: DINO dense features on a finer grid (``dino_s16@448`` ->
+    28x28 tokens, or ``dino_s16@p8`` -> same via smaller patches),
+    higher-res fine-tuning (``vit_b16@384``, the ViT/DeiT recipe), and
+    compute/accuracy trades from ONE checkpoint (``vit_b16@p32``)."""
+    base, sep, suffix = name.partition("@")
     if base not in VARIANTS:
         raise ValueError(
             f"unknown ViT variant {base!r}; known: {sorted(VARIANTS)}")
     cfg = VARIANTS[base]
     if sep:
-        if not res.isdigit():
+        res, psep, patch = suffix.partition("p")
+        ok = (res.isdigit() or (not res and psep)) \
+            and (patch.isdigit() or not psep)
+        if not ok:
             raise ValueError(
                 f"bad resolution suffix in {name!r}: expected "
-                f"<variant>@<pixels>, e.g. vit_b16@384")
-        cfg = at_resolution(cfg, int(res))
+                f"<variant>@<pixels>, <variant>@p<patch>, or "
+                f"<variant>@<pixels>p<patch> (e.g. vit_b16@384, "
+                f"dino_s16@p8, vit_b16@384p32)")
+        img = int(res) if res else cfg.img_size
+        p = int(patch) if psep else cfg.patch
+        if img % p:
+            raise ValueError(
+                f"{name!r}: resolution {img} must be a multiple of the "
+                f"patch size {p}")
+        if (img, p) != (cfg.img_size, cfg.patch):
+            cfg = dataclasses.replace(cfg, name=f"{base}@{suffix}",
+                                      img_size=img, patch=p)
     return cfg
 
 
@@ -163,6 +165,57 @@ def adapt_pos_embed(params: Params, cfg: ViTConfig) -> Params:
     out = dict(params)
     out["pos_emb"] = new_pe
     return out
+
+
+def adapt_patch_embed(params: Params, cfg: ViTConfig) -> Params:
+    """FlexiViT pseudo-inverse resize of the patch-embedding kernel.
+
+    The published PI-resize construction (Beyer et al. 2023, "FlexiViT:
+    One Model for All Patch Sizes"): with ``B`` the bilinear patch-resize
+    operator p0 -> p1, the adapted kernel is ``(B^+)^T w`` — chosen so
+    ``<resize(x), w_new> == <x, w>`` EXACTLY when upsampling (B has full
+    column rank) and least-squares-optimal when downsampling. Separable:
+    ``pinv`` of the per-axis resize matrix applies to each spatial axis
+    of the kernel (host numpy, tiny matrices, load time only). Identity
+    when the kernel's patch size already matches ``cfg.patch``."""
+    pe = params["patch_embed"]
+    w = pe["w"]
+    if not hasattr(w, "shape"):  # quantized dict: adapt before quantize
+        raise ValueError("adapt_patch_embed needs float weights "
+                         "(load/adapt the checkpoint before quantizing)")
+    import numpy as np
+
+    c = cfg.in_chans
+    pdim, d = w.shape
+    p0 = int(round((pdim // c) ** 0.5))
+    if c * p0 * p0 != pdim:
+        raise ValueError(
+            f"patch_embed rows {pdim} are not {c} x p x p — cannot "
+            f"infer the checkpoint's patch size")
+    if p0 == cfg.patch:
+        return params
+    from interactive_vit_tpu.ops.preprocess_mm import resize_matrix
+
+    r = resize_matrix(p0, cfg.patch, "bilinear")        # [p1, p0]
+    pinv_t = np.linalg.pinv(r).T.astype(np.float32)     # [p1, p0]
+    w4 = np.asarray(w, np.float32).reshape(c, p0, p0, d)
+    w_new = np.einsum("ai,bj,cijd->cabd", pinv_t, pinv_t, w4,
+                      optimize=True)
+    out = dict(params)
+    out["patch_embed"] = {
+        "w": jnp.asarray(
+            w_new.reshape(c * cfg.patch * cfg.patch, d), w.dtype),
+        "b": pe["b"],
+    }
+    return out
+
+
+def adapt_checkpoint(params: Params, cfg: ViTConfig) -> Params:
+    """Adapt a loaded plain-ViT checkpoint to a derived ``@res``/``@p``
+    config: PI-resize the patch kernel, then resample the position table
+    to the resulting grid. Identity when nothing changed — safe on every
+    load path."""
+    return adapt_pos_embed(adapt_patch_embed(params, cfg), cfg)
 
 
 # -- init ----------------------------------------------------------------------

@@ -57,9 +57,10 @@ def make_vit_model(
             jax.random.key(seed), cfg, dtype=dtype or jnp.float32
         )
     else:
-        # "@res" serving: a checkpoint trained at the native resolution
-        # loads at any patch-multiple size via position-table resampling
-        params = vit.adapt_pos_embed(params, cfg)
+        # "@res"/"@p" serving: a native-geometry checkpoint loads at any
+        # derived resolution/patch size (pos-table resample + FlexiViT
+        # PI-resize of the patch kernel)
+        params = vit.adapt_checkpoint(params, cfg)
     if tp_layout:
         # mesh TP serving: head-major qkv columns so the "model"-axis
         # column sharding is head-aligned (parallel/mesh.py docstring);

@@ -133,15 +133,15 @@ def convert(model: str, layout: str, sd) -> object:
         return clip_text.from_openai(sd, clip_text.CLIPTextConfig())
     from interactive_vit_tpu.models import vit, weights
 
-    # "@res" targets: convert in the checkpoint's native geometry, then
-    # resample the position table to the requested grid (vit.adapt_pos_embed
-    # is identity when the size already matches)
+    # "@res"/"@p" targets: convert in the checkpoint's native geometry,
+    # then adapt (pos-table resample + PI patch-kernel resize; identity
+    # when the geometry already matches)
     cfg = vit.resolve_variant(model)
     if layout == "timm":
         params = weights.from_timm(sd, cfg)
     else:
         params = weights.from_torchvision(sd, cfg)
-    return vit.adapt_pos_embed(params, cfg)
+    return vit.adapt_checkpoint(params, cfg)
 
 
 def main() -> None:

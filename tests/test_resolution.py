@@ -42,6 +42,98 @@ def test_resolve_variant_parsing():
         vit.resolve_variant("vit_t16@24x")
 
 
+def test_resolve_patch_suffix():
+    cfg = vit.resolve_variant("vit_t16@p8")
+    assert cfg.patch == 8 and cfg.img_size == 224 and cfg.width == 192
+    assert cfg.name == "vit_t16@p8"
+    assert cfg.tokens == 28 * 28 + 1
+
+    cfg = vit.resolve_variant("vit_t16@256p32")
+    assert (cfg.img_size, cfg.patch) == (256, 32)
+    assert cfg.tokens == 8 * 8 + 1
+
+    # native geometry resolves to the ORIGINAL config object
+    assert vit.resolve_variant("vit_t16@224p16") is vit.VARIANTS["vit_t16"]
+    assert vit.resolve_variant("vit_t16@p16") is vit.VARIANTS["vit_t16"]
+
+    with pytest.raises(ValueError, match="multiple of the patch"):
+        vit.resolve_variant("vit_t16@p10")  # 224 % 10 != 0
+    with pytest.raises(ValueError, match="resolution suffix"):
+        vit.resolve_variant("vit_t16@p")
+    with pytest.raises(ValueError, match="resolution suffix"):
+        vit.resolve_variant("vit_t16@256p")
+
+
+def test_pi_resize_exactness_upsampling():
+    """The FlexiViT PI-resize theorem: for p1 > p0 (full-column-rank
+    resize), <resize(x), w_new> == <x, w> for EVERY patch x."""
+    rng = np.random.default_rng(0)
+    c, p0, p1, d = 3, 4, 8, 5
+    w = rng.standard_normal((c * p0 * p0, d)).astype(np.float32)
+    cfg = vit.ViTConfig("t", img_size=p1, patch=p1, width=d, depth=1,
+                        heads=1)
+    out = vit.adapt_patch_embed(
+        {"patch_embed": {"w": jnp.asarray(w),
+                         "b": jnp.zeros((d,), jnp.float32)}}, cfg)
+    w_new = np.asarray(out["patch_embed"]["w"])  # [c*p1*p1, d]
+    assert w_new.shape == (c * p1 * p1, d)
+
+    from interactive_vit_tpu.ops.preprocess_mm import resize_matrix
+
+    r = resize_matrix(p0, p1, "bilinear")
+    x = rng.standard_normal((c, p0, p0)).astype(np.float32)
+    x_up = np.einsum("ai,bj,cij->cab", r, r, x)  # the SAME resize op
+    np.testing.assert_allclose(
+        x_up.reshape(-1) @ w_new, x.reshape(-1) @ w,
+        rtol=1e-4, atol=1e-5)
+
+
+def test_adapt_patch_embed_identity_and_errors():
+    cfg = vit.VARIANTS["vit_t16"]
+    params = vit.init_params(jax.random.key(0), cfg)
+    assert vit.adapt_patch_embed(params, cfg) is params
+    bad = {"patch_embed": {"w": jnp.zeros((50, 8)),  # 50 != 3*p*p
+                           "b": jnp.zeros((8,))}}
+    with pytest.raises(ValueError, match="cannot .*infer|not 3 x p x p"):
+        vit.adapt_patch_embed(bad, cfg)
+
+
+def test_serve_at_new_patch_end_to_end():
+    """A p8-native micro checkpoint serves at @p4 through the model
+    plugin + executor: finer 8x8 grid, finite logits."""
+    from unittest import mock
+
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.vit_plugin import make_vit_model
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+    from interactive_vit_tpu.wire.schema import graph_from_json
+
+    micro = vit.ViTConfig("vit_micro", img_size=32, patch=8, width=48,
+                          depth=2, heads=4, num_classes=10)
+    with mock.patch.dict(vit.VARIANTS, {"vit_micro": micro}):
+        params = vit.init_params(jax.random.key(1), micro)
+        reg = Registry()
+        register_builtin(reg)
+        model = make_vit_model("vit_micro@p4", params=params,
+                               with_categories=False)
+        model.register(reg)
+        # 4x4 -> 8x8 grid: 65 tokens; kernel rows 3*4*4
+        assert model.params["pos_emb"].shape == (1, 65, 48)
+        assert model.params["patch_embed"]["w"].shape == (48, 48)
+        g = graph_from_json(model.generate_graph_json())
+        img = np.random.default_rng(2).random((1, 3, 32, 32), np.float32)
+        for n in g.nodes:
+            if not n.inputs and n.name.endswith(":transform"):
+                g.add_input(jnp.asarray(img), n, "o")
+        outs = Executor(reg).run(g, taps="all")
+        chans = [v for by_ch in outs.values() for ch, v in by_ch.items()
+                 if ch == "o"]
+        assert (1, 65, 48) in {tuple(v.shape) for v in chans}
+        logits = [v for v in chans if v.shape == (1, 10)]
+        assert logits and np.isfinite(np.asarray(logits[0])).all()
+
+
 def test_family_guard():
     from interactive_vit_tpu.models.autoregister import make_model
 

@@ -90,8 +90,28 @@ def evaluate(infer_fn, params, images, labels, batch: int) -> float:
     return hits / n
 
 
+def make_ema_update(decay: float):
+    """Jitted params-EMA step: ``ema = decay*ema + (1-decay)*params``.
+
+    The standard eval/serving-weights average (DeiT/timm ``--model-ema``
+    recipe). Runs as its own tiny fused elementwise program per step —
+    keeping it out of ``make_train_step`` leaves the step's donation
+    contract and every existing checkpoint structure unchanged. Float
+    leaves only (int leaves — quantization scales etc. — pass through)."""
+    import jax
+    import jax.numpy as jnp
+
+    def update(ema, params):
+        return jax.tree.map(
+            lambda e, p: (e * decay + p.astype(e.dtype) * (1.0 - decay))
+            if jnp.issubdtype(e.dtype, jnp.floating) else p,
+            ema, params)
+
+    return jax.jit(update, donate_argnums=0)
+
+
 def save_state(path: str, params, opt_state, step: int,
-               saver=None, head_major: bool = False) -> None:
+               saver=None, head_major: bool = False, ema=None) -> None:
     """Train-state checkpoint: params + optimizer state + step counter,
     one orbax tree (all plain pytrees of arrays). Pass an
     ``utils.checkpoint.AsyncSaver`` to overlap the write with the next
@@ -110,6 +130,8 @@ def save_state(path: str, params, opt_state, step: int,
     tree = {"params": params, "opt_state": opt_state,
             "step": jnp.asarray(step),
             "qkv_head_major": jnp.asarray(int(head_major))}
+    if ema is not None:
+        tree["ema"] = ema
     if saver is not None:
         saver.save(path, tree)
     else:
@@ -117,7 +139,7 @@ def save_state(path: str, params, opt_state, step: int,
 
 
 def load_state(path: str, mesh, like_params, like_opt_state,
-               expect_head_major=None):
+               expect_head_major=None, want_ema: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec
@@ -127,11 +149,21 @@ def load_state(path: str, mesh, like_params, like_opt_state,
     like = {"params": like_params, "opt_state": like_opt_state,
             "step": jnp.asarray(0),
             "qkv_head_major": jnp.asarray(0)}
+    if want_ema:
+        like["ema"] = like_params
     try:
         st = load_params(path, like=like)
         saved_hm = bool(int(st.pop("qkv_head_major")))
         del like["qkv_head_major"]  # keep st/like tree structures equal
     except Exception:
+        if want_ema:
+            # a pre-EMA checkpoint resumed with --ema-decay: load
+            # without the ema subtree; the caller re-seeds it from the
+            # restored params
+            del like["ema"]
+            out = load_state(path, mesh, like_params, like_opt_state,
+                             expect_head_major=expect_head_major)
+            return (*out, None)
         # legacy checkpoint without the layout marker: restore the old
         # structure and skip the validation (pre-marker states were only
         # written by explicit --mesh runs, where the layout is stable)
@@ -164,6 +196,8 @@ def load_state(path: str, mesh, like_params, like_opt_state,
         return jax.device_put(x, repl)
 
     st = jax.tree.map(place, st, like)
+    if want_ema:
+        return (st["params"], st["opt_state"], int(st["step"]), st["ema"])
     return st["params"], st["opt_state"], int(st["step"])
 
 
@@ -253,6 +287,12 @@ def main(argv=None) -> None:
                              "--mixup, one of the two is chosen per step")
     parser.add_argument("--label-smoothing", type=float, default=0.0,
                         help="uniform label smoothing in the loss")
+    parser.add_argument("--ema-decay", type=float, default=0.0,
+                        help="keep an exponential moving average of the "
+                             "params (the DeiT/timm model-EMA recipe, "
+                             "e.g. 0.9999); evals, --output params and "
+                             "--export-safetensors then use the EMA "
+                             "weights (0 = off)")
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--platform", default="default",
                         choices=["default", "cpu"],
@@ -354,13 +394,26 @@ def main(argv=None) -> None:
         if aug_fn is not None:
             logger.info("augment: %s", aug_cfg)
         start_step = 0
+        ema = None
+        ema_update = (make_ema_update(args.ema_decay)
+                      if args.ema_decay else None)
         if args.resume:
             if not (state_dir and os.path.exists(state_dir)):
                 parser.error(f"--resume: no state at {state_dir}")
-            params, opt_state, start_step = load_state(
-                state_dir, mesh, params, opt_state,
-                expect_head_major=head_major)
+            if args.ema_decay:
+                params, opt_state, start_step, ema = load_state(
+                    state_dir, mesh, params, opt_state,
+                    expect_head_major=head_major, want_ema=True)
+                if ema is None:
+                    logger.info("checkpoint has no EMA state; seeding "
+                                "the average from the restored params")
+            else:
+                params, opt_state, start_step = load_state(
+                    state_dir, mesh, params, opt_state,
+                    expect_head_major=head_major)
             logger.info("resumed from %s at step %d", state_dir, start_step)
+        if args.ema_decay and ema is None:
+            ema = jax.tree.map(jnp.copy, params)
 
         rng = np.random.default_rng(args.seed + start_step)
         loader = None
@@ -438,6 +491,8 @@ def main(argv=None) -> None:
             params, opt_state, loss = step_fn(
                 params, opt_state, images, labels
             )
+            if ema_update is not None:
+                ema = ema_update(ema, params)
             if step % args.log_every == 0 or step == args.steps - 1:
                 dt = time.perf_counter() - t0
                 logger.info(
@@ -446,10 +501,12 @@ def main(argv=None) -> None:
                     (step - start_step + 1) * args.batch / dt,
                 )
             if args.eval_every and (step + 1) % args.eval_every == 0:
-                acc = evaluate(infer_fn, params, eval_images, eval_labels,
-                               args.batch)
+                acc = evaluate(infer_fn, ema if ema is not None else params,
+                               eval_images, eval_labels, args.batch)
                 label = ("train-stream top-1" if loader is not None
                          else "eval top-1")
+                if ema is not None:
+                    label = "EMA " + label
                 logger.info("step %4d  %s %.3f", step, label, acc)
             if (args.save_every and state_dir
                     and (step + 1) % args.save_every == 0):
@@ -460,7 +517,7 @@ def main(argv=None) -> None:
 
                     saver = AsyncSaver()
                 save_state(state_dir, params, opt_state, step + 1,
-                           saver=saver, head_major=head_major)
+                           saver=saver, head_major=head_major, ema=ema)
                 logger.info("async-saving train state at step %d", step + 1)
         if loader is not None:
             loader.close()
@@ -472,12 +529,16 @@ def main(argv=None) -> None:
     # torch-style [3][H][Dh] packing the single-chip forward (and every
     # converter) expects. Train-STATE checkpoints (--resume) stay in the
     # training layout on purpose: resume re-enters the same TP setup.
-    export_params = params
+    # With --ema-decay, the AVERAGED weights are the serving artifact
+    # (the model-EMA recipe's whole point); the raw params stay in the
+    # train state for resume.
+    export_params = ema if ema is not None else params
     if head_major:
         # head-major runs (TP sharding OR the packed train kernel);
         # swin returns False here — it trains flat-column qkv even
         # under TP (per-stage head counts), nothing to unpermute
-        export_params = mesh_lib.unpermute_qkv_head_major(params, cfg.heads)
+        export_params = mesh_lib.unpermute_qkv_head_major(
+            export_params, cfg.heads)
 
     if args.output:
         from interactive_vit_tpu.utils.checkpoint import save_params
@@ -485,7 +546,7 @@ def main(argv=None) -> None:
         save_params(os.path.join(args.output, "params"), export_params)
         if state_dir:
             save_state(state_dir, params, opt_state, args.steps,
-                       head_major=head_major)
+                       head_major=head_major, ema=ema)
         logger.info("saved checkpoint to %s", args.output)
     if args.export_safetensors:
         import jax

@@ -42,10 +42,16 @@ def reg():
     from interactive_vit_tpu.models.vgg_plugin import make_vgg16_model
     from interactive_vit_tpu.models.vit_plugin import make_vit_model
 
+    from interactive_vit_tpu.models.convnext_plugin import (
+        make_convnext_model,
+    )
+
     r = Registry()
     register_builtin(r)
-    for variant in ("vit_t16", "vit_b16", "dino_s16"):
+    # vit_t16@256: the committed resolution-flexible library entry
+    for variant in ("vit_t16", "vit_b16", "dino_s16", "vit_t16@256"):
         make_vit_model(variant).register(r)
+    make_convnext_model().register(r)
     make_vgg16_model().register(r)
     make_resnet50_model().register(r)
     make_clip_model().register(r)

@@ -287,3 +287,73 @@ def test_swin_train_attn_dispatch_is_none():
     assert default_train_attn_impl("auto", cfg=cfg) is None
     with pytest.raises(ValueError, match="swin"):
         default_train_attn_impl("flash_vjp", cfg=cfg)
+
+
+def test_ema_update_math_and_int_leaves():
+    from interactive_vit_tpu.tools.train import make_ema_update
+
+    fn = make_ema_update(0.5)
+    e0 = {"w": jnp.asarray([2.0, 4.0]), "n": jnp.asarray([3], jnp.int32)}
+    p1 = {"w": jnp.asarray([0.0, 0.0]), "n": jnp.asarray([7], jnp.int32)}
+    e1 = fn(e0, p1)
+    np.testing.assert_allclose(np.asarray(e1["w"]), [1.0, 2.0])
+    # int leaves (step counters, quant scales) take the current value
+    assert int(e1["n"][0]) == 7
+    e2 = fn(e1, {"w": jnp.asarray([4.0, 4.0]), "n": p1["n"]})
+    np.testing.assert_allclose(np.asarray(e2["w"]), [2.5, 3.0])
+
+
+def test_train_cli_ema_checkpoint_resume(tmp_path):
+    """--ema-decay: the averaged weights are evaluated/exported, ride the
+    train state, survive --resume, and a PRE-EMA checkpoint resumed with
+    EMA enabled re-seeds the average instead of failing."""
+    import os
+
+    from interactive_vit_tpu.tools import train as cli
+    from interactive_vit_tpu.utils.checkpoint import load_params
+
+    vit.VARIANTS["vit_train"] = CFG
+    try:
+        out = str(tmp_path / "ckpt")
+        cli.main(["--variant", "vit_train", "--steps", "4", "--batch", "8",
+                  "--ema-decay", "0.5", "--save-every", "2",
+                  "--eval-every", "2", "--output", out,
+                  "--log-every", "1"])
+        # the state tree carries the ema subtree
+        mesh2, params_like, opt_like = _fresh_state_plain()
+        p2, _, step2, ema2 = cli.load_state(
+            os.path.join(out, "state"), mesh2, params_like, opt_like,
+            want_ema=True)
+        assert step2 == 4 and ema2 is not None
+        # EMA != raw params after a few steps (decay 0.5 lags training)
+        diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree.leaves(ema2), jax.tree.leaves(p2)))
+        assert diff > 0
+        # exported params == the (unpermuted) EMA weights, not raw
+        exported = load_params(os.path.join(out, "params"))
+        np.testing.assert_allclose(
+            np.asarray(exported["cls_token"]),
+            np.asarray(ema2["cls_token"]), atol=1e-6)
+
+        # resume continues with the saved average
+        cli.main(["--variant", "vit_train", "--steps", "6", "--batch", "8",
+                  "--ema-decay", "0.5", "--save-every", "2",
+                  "--output", out, "--resume", "--log-every", "1"])
+
+        # a pre-EMA state resumed WITH --ema-decay re-seeds from params
+        out2 = str(tmp_path / "ckpt2")
+        cli.main(["--variant", "vit_train", "--steps", "2", "--batch", "8",
+                  "--save-every", "2", "--output", out2,
+                  "--log-every", "1"])
+        cli.main(["--variant", "vit_train", "--steps", "4", "--batch", "8",
+                  "--ema-decay", "0.5", "--save-every", "2",
+                  "--output", out2, "--resume", "--log-every", "1"])
+    finally:
+        del vit.VARIANTS["vit_train"]
+
+
+def _fresh_state_plain():
+    mesh = mesh_lib.make_mesh(None, jax.devices()[:1])
+    with mesh:
+        params, opt_state, _, _ = train_lib.setup_sharded(CFG, mesh)
+    return mesh, params, opt_state

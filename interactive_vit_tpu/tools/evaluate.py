@@ -8,9 +8,10 @@
 Completes the train -> eval -> serve loop (the reference has no training
 OR evaluation tier — its only accuracy story was a pretrained download,
 ``/root/reference/static/models/vgg16.py:11-14``). Data comes from the
-same sources ``ivt-train`` consumes: ``--data PREFIX`` npy shards via the
-prefetching loader, or ``--memorize N`` (the egress-free patterned oracle
-set). Images are consumed at model resolution by the trunk directly (the
+same sources ``ivt-train`` consumes: ``--data PREFIX`` npy shards (read
+mmapped in file order so every sample counts exactly once — the training
+loader's shuffled full batches would drop the tail), or ``--memorize N``
+(the egress-free patterned oracle set). Images are consumed at model resolution by the trunk directly (the
 ivt-train contract); the forward is jitted ONCE with data-sharded inputs
 (pure DP over the mesh) and chunks pad by repetition, so one compiled
 program serves the whole pass. Prints one JSON line:
@@ -28,13 +29,11 @@ import time
 logger = logging.getLogger(__name__)
 
 
-def make_logits_fn(variant: str, dtype=None):
+def make_logits_fn(variant: str):
     """(forward(params, images) -> logits, cfg-ish, init_fn) for every
     classification-capable family. Embedding models (CLIP towers, DINO
     feature extractors with ``num_classes=0``) are rejected: top-k needs
     a classifier head."""
-    import jax
-
     from interactive_vit_tpu.models import vit
 
     base = variant.partition("@")[0]
@@ -46,6 +45,12 @@ def make_logits_fn(variant: str, dtype=None):
                 f"top-k accuracy needs a classifier head")
         return (lambda p, x: vit.forward(p, x, cfg)["logits"],
                 cfg, lambda key: vit.init_params(key, cfg))
+    if "@" in variant:
+        # mirror autoregister.make_model's contract before any VARIANTS
+        # lookup below would KeyError on the suffixed name
+        raise ValueError(
+            f"{variant!r}: the @[<pixels>][p<patch>] suffix is supported "
+            f"only for the plain-ViT family (vit_*/dino_*/deit_*)")
     if base.startswith("swin_"):
         from interactive_vit_tpu.models import swin
 
@@ -128,7 +133,8 @@ def main(argv=None) -> None:
     parser.add_argument("--ckpt-layout", default="auto")
     parser.add_argument("--data", default=None, metavar="PREFIX",
                         help="evaluate {PREFIX}_images.npy/_labels.npy "
-                             "(the ivt-train shard format)")
+                             "(the ivt-train shard format; mmapped, file "
+                             "order, every sample once)")
     parser.add_argument("--memorize", type=int, default=0,
                         help="evaluate on the N-image patterned oracle "
                              "set (matches ivt-train --memorize)")
@@ -159,12 +165,18 @@ def main(argv=None) -> None:
 
     from interactive_vit_tpu.parallel import mesh as mesh_lib
 
+    from interactive_vit_tpu.models import vit
+
     infer_raw, cfg, init_fn = make_logits_fn(args.variant)
     if args.ckpt:
         from interactive_vit_tpu.serving.server import load_model_params
 
         params = load_model_params(args.variant, args.ckpt,
                                    args.ckpt_layout)
+        if args.variant.partition("@")[0] in vit.VARIANTS:
+            # @res/@p targets: orbax dirs and native safetensors skip
+            # the converter, so adapt here (identity at native geometry)
+            params = vit.adapt_checkpoint(params, cfg)
         logger.info("loaded %s weights from %s", args.variant, args.ckpt)
     else:
         params = init_fn(jax.random.key(args.seed))
@@ -185,6 +197,10 @@ def main(argv=None) -> None:
     bsh = mesh_lib.batch_sharding(mesh)
 
     with mesh:
+        # orbax restores leaves COMMITTED to their saved (single) device;
+        # replicate over the eval mesh so they compose with the
+        # data-sharded batch (same re-placement load_state does)
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
         infer = jax.jit(infer_raw, in_shardings=(None, bsh))
 
         def chunked(images, labels):
@@ -197,32 +213,21 @@ def main(argv=None) -> None:
             images, labels = pattern_set(
                 args.seed, args.memorize, cfg.img_size, cfg.num_classes,
                 args.distinct_classes)
-            if args.limit:
-                images, labels = images[:args.limit], labels[:args.limit]
-            t0 = time.perf_counter()
-            n, h1, hk = run_eval(infer, params, chunked(images, labels),
-                                 args.batch, args.top_k)
         else:
-            from interactive_vit_tpu.data.loader import Loader
-
-            loader = Loader(args.data + "_images.npy",
-                            args.data + "_labels.npy", args.batch,
-                            seed=args.seed)
-            total = min(args.limit, loader.n) if args.limit else loader.n
-
-            def one_epoch():
-                seen = 0
-                for images, labels, epoch in loader:
-                    if epoch > 0 or seen >= total:
-                        break
-                    take = min(len(labels), total - seen)
-                    seen += take
-                    yield images[:take], labels[:take]
-
-            t0 = time.perf_counter()
-            n, h1, hk = run_eval(infer, params, one_epoch(),
-                                 args.batch, args.top_k)
-            loader.close()
+            # direct mmapped read in FILE ORDER: evaluation needs every
+            # sample exactly once — the training Loader shuffles and
+            # yields full batches only (it would silently drop the
+            # n % batch tail)
+            images = np.load(args.data + "_images.npy", mmap_mode="r")
+            labels = np.load(args.data + "_labels.npy", mmap_mode="r")
+            if len(labels) != len(images):
+                raise SystemExit(
+                    f"--data: {len(images)} images vs {len(labels)} labels")
+        if args.limit:
+            images, labels = images[:args.limit], labels[:args.limit]
+        t0 = time.perf_counter()
+        n, h1, hk = run_eval(infer, params, chunked(images, labels),
+                             args.batch, args.top_k)
 
     wall = time.perf_counter() - t0
     print(json.dumps({

@@ -72,22 +72,16 @@ def evaluate(infer_fn, params, images, labels, batch: int) -> float:
     must keep the TRAINING batch size (which provably divides the mesh
     "data" axis — training ran with it); an arbitrary set size fed whole
     would fail pjit's divisibility check and compile a fresh program per
-    set size. The last chunk pads by repetition and slices."""
-    import numpy as np
+    set size. The chunk/pad math is ``tools.evaluate.run_eval`` — one
+    copy shared with the ivt-eval CLI."""
+    from interactive_vit_tpu.tools.evaluate import run_eval
 
-    import jax.numpy as jnp
+    def chunks():
+        for lo in range(0, len(labels), batch):
+            yield images[lo:lo + batch], labels[lo:lo + batch]
 
-    hits = 0
-    n = len(labels)
-    for lo in range(0, n, batch):
-        chunk = images[lo:lo + batch]
-        k = len(chunk)
-        if k < batch:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[:1], batch - k, axis=0)])
-        logits = np.asarray(infer_fn(params, jnp.asarray(chunk)))[:k]
-        hits += int((logits.argmax(-1) == labels[lo:lo + k]).sum())
-    return hits / n
+    n, hits1, _ = run_eval(infer_fn, params, chunks(), batch, top_k=1)
+    return hits1 / n
 
 
 def make_ema_update(decay: float):
@@ -97,7 +91,12 @@ def make_ema_update(decay: float):
     recipe). Runs as its own tiny fused elementwise program per step —
     keeping it out of ``make_train_step`` leaves the step's donation
     contract and every existing checkpoint structure unchanged. Float
-    leaves only (int leaves — quantization scales etc. — pass through)."""
+    leaves only (int leaves — quantization scales etc. — pass through).
+
+    The EMA tree must be float32 even for bf16 training: bf16 rounds
+    0.9999 to 1.0 and swallows the (1-decay) increment entirely — a
+    bf16 average provably never moves. The caller seeds it f32
+    (``_seed_ema``) and casts back to the param dtype only at export."""
     import jax
     import jax.numpy as jnp
 
@@ -108,6 +107,20 @@ def make_ema_update(decay: float):
             ema, params)
 
     return jax.jit(update, donate_argnums=0)
+
+
+def _seed_ema(params):
+    """Fresh EMA tree from params: float leaves upcast to f32 (see
+    ``make_ema_update`` — a bf16 average cannot represent the decay)."""
+    import jax
+    import jax.numpy as jnp
+
+    # jnp.array(copy=True): astype(f32) on f32 params is a NO-COPY alias,
+    # and the train step DONATES the param buffers — an aliased EMA would
+    # reference deleted arrays one step later
+    return jax.tree.map(
+        lambda p: jnp.array(p, jnp.float32, copy=True)
+        if jnp.issubdtype(p.dtype, jnp.floating) else jnp.copy(p), params)
 
 
 def save_state(path: str, params, opt_state, step: int,
@@ -144,32 +157,34 @@ def load_state(path: str, mesh, like_params, like_opt_state,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec
 
-    from interactive_vit_tpu.utils.checkpoint import load_params
+    from interactive_vit_tpu.utils.checkpoint import load_params, state_keys
 
+    # build `like` to match what the checkpoint ACTUALLY stores (orbax
+    # metadata, no data read): the layout marker and the EMA subtree are
+    # both optional — they follow the writing run's flags, and resuming
+    # with different flags must degrade cleanly, not die in an orbax
+    # structure error
+    saved = state_keys(path)
     like = {"params": like_params, "opt_state": like_opt_state,
-            "step": jnp.asarray(0),
-            "qkv_head_major": jnp.asarray(0)}
-    if want_ema:
-        like["ema"] = like_params
-    try:
-        st = load_params(path, like=like)
-        saved_hm = bool(int(st.pop("qkv_head_major")))
+            "step": jnp.asarray(0)}
+    if "qkv_head_major" in saved:
+        like["qkv_head_major"] = jnp.asarray(0)
+    if "ema" in saved:
+        # EMA accumulates in f32 regardless of the param dtype
+        # (bf16(0.9999) == 1.0 — a bf16 average never moves); shardings
+        # mirror the params so TP-sharded leaves restore in place
+        like["ema"] = jax.tree.map(
+            lambda p: jax.ShapeDtypeStruct(
+                p.shape,
+                jnp.float32 if jnp.issubdtype(p.dtype, jnp.floating)
+                else p.dtype,
+                sharding=getattr(p, "sharding", None)),
+            like_params)
+    st = load_params(path, like=like)
+    saved_hm = (bool(int(st.pop("qkv_head_major")))
+                if "qkv_head_major" in saved else None)
+    if "qkv_head_major" in saved:
         del like["qkv_head_major"]  # keep st/like tree structures equal
-    except Exception:
-        if want_ema:
-            # a pre-EMA checkpoint resumed with --ema-decay: load
-            # without the ema subtree; the caller re-seeds it from the
-            # restored params
-            del like["ema"]
-            out = load_state(path, mesh, like_params, like_opt_state,
-                             expect_head_major=expect_head_major)
-            return (*out, None)
-        # legacy checkpoint without the layout marker: restore the old
-        # structure and skip the validation (pre-marker states were only
-        # written by explicit --mesh runs, where the layout is stable)
-        del like["qkv_head_major"]
-        st = load_params(path, like=like)
-        saved_hm = None
     if (expect_head_major is not None and saved_hm is not None
             and saved_hm != bool(expect_head_major)):
         raise ValueError(
@@ -197,7 +212,9 @@ def load_state(path: str, mesh, like_params, like_opt_state,
 
     st = jax.tree.map(place, st, like)
     if want_ema:
-        return (st["params"], st["opt_state"], int(st["step"]), st["ema"])
+        # None when the checkpoint predates --ema-decay: caller re-seeds
+        return (st["params"], st["opt_state"], int(st["step"]),
+                st.get("ema"))
     return st["params"], st["opt_state"], int(st["step"])
 
 
@@ -413,7 +430,7 @@ def main(argv=None) -> None:
                     expect_head_major=head_major)
             logger.info("resumed from %s at step %d", state_dir, start_step)
         if args.ema_decay and ema is None:
-            ema = jax.tree.map(jnp.copy, params)
+            ema = _seed_ema(params)
 
         rng = np.random.default_rng(args.seed + start_step)
         loader = None
@@ -531,8 +548,13 @@ def main(argv=None) -> None:
     # training layout on purpose: resume re-enters the same TP setup.
     # With --ema-decay, the AVERAGED weights are the serving artifact
     # (the model-EMA recipe's whole point); the raw params stay in the
-    # train state for resume.
-    export_params = ema if ema is not None else params
+    # train state for resume. The f32 average casts back to the param
+    # dtype so the exported artifact matches a plain run's.
+    export_params = params
+    if ema is not None:
+        export_params = jax.tree.map(
+            lambda e, p: e.astype(p.dtype)
+            if jnp.issubdtype(e.dtype, jnp.floating) else e, ema, params)
     if head_major:
         # head-major runs (TP sharding OR the packed train kernel);
         # swin returns False here — it trains flat-column qkv even

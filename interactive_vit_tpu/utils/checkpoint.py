@@ -54,6 +54,18 @@ def load_params(path: str, like: Optional[Any] = None) -> Any:
         return ckpt.restore(path, jax.tree.map(to_abstract, like))
 
 
+def state_keys(path: str) -> set:
+    """Top-level keys of a saved pytree WITHOUT reading array data
+    (orbax metadata only). Lets train-state loaders build the exact
+    ``like`` structure the checkpoint actually has — optional subtrees
+    (EMA weights, the qkv-layout marker) come and go with flags."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckpt:
+        md = ckpt.metadata(os.path.abspath(path))
+    return set(md.item_metadata.tree.keys())
+
+
 class AsyncSaver:
     """Non-blocking checkpointing for training loops.
 

@@ -52,6 +52,52 @@ def test_dispatch_rejects_headless_and_unknown():
         E.make_logits_fn("dino_s16")
     with pytest.raises(ValueError, match="no evaluation path"):
         E.make_logits_fn("clip_b32")
+    # @ suffixes on non-ViT families get the clean contract error, not
+    # a VARIANTS KeyError (review finding)
+    with pytest.raises(ValueError, match="plain-ViT family"):
+        E.make_logits_fn("swin_t@256")
+    with pytest.raises(ValueError, match="plain-ViT family"):
+        E.make_logits_fn("convnext_t@256")
+
+
+def test_data_evaluates_every_sample_including_tail(tmp_path, capsys):
+    """n % batch != 0: the tail must still be evaluated (the training
+    loader's full-batch epochs would drop it; review finding)."""
+    from unittest import mock
+
+    micro = vit.ViTConfig("vit_nano", img_size=16, patch=8, width=32,
+                          depth=1, heads=2, num_classes=8)
+    n = 19  # 2 full batches of 8 + a 3-sample tail
+    images = np.random.default_rng(3).random((n, 3, 16, 16)).astype(
+        np.float32)
+    labels = np.random.default_rng(4).integers(0, 8, n).astype(np.int64)
+    np.save(tmp_path / "val_images.npy", images)
+    np.save(tmp_path / "val_labels.npy", labels)
+    with mock.patch.dict(vit.VARIANTS, {"vit_nano": micro}):
+        E.main(["--variant", "vit_nano", "--data", str(tmp_path / "val"),
+                "--batch", "8", "--platform", "cpu"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n"] == 19
+
+
+def test_ckpt_adapts_to_derived_geometry(tmp_path, capsys):
+    """An orbax-dir checkpoint at native geometry evaluates under an
+    @res variant (adapt_checkpoint on the eval path; review finding)."""
+    from unittest import mock
+
+    from interactive_vit_tpu.utils.checkpoint import save_params
+
+    micro = vit.ViTConfig("vit_nano", img_size=16, patch=8, width=32,
+                          depth=1, heads=2, num_classes=8)
+    params = vit.init_params(jax.random.key(0), micro)
+    ck = tmp_path / "nano_ckpt"
+    save_params(str(ck), params)
+    with mock.patch.dict(vit.VARIANTS, {"vit_nano": micro}):
+        E.main(["--variant", "vit_nano@32", "--ckpt", str(ck),
+                "--memorize", "8", "--distinct-classes", "8",
+                "--batch", "8", "--platform", "cpu"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["variant"] == "vit_nano@32" and out["n"] == 8
 
 
 def test_main_memorize_smoke(capsys):

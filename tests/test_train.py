@@ -340,6 +340,19 @@ def test_train_cli_ema_checkpoint_resume(tmp_path):
                   "--ema-decay", "0.5", "--save-every", "2",
                   "--output", out, "--resume", "--log-every", "1"])
 
+        # the EMA accumulates in f32 even when training is bf16
+        # (bf16(0.9999) == 1.0: a bf16 average would never move)
+        _, _, _, ema_f = cli.load_state(
+            os.path.join(out, "state"), mesh2, params_like, opt_like,
+            want_ema=True)
+        assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(ema_f))
+
+        # an EMA-bearing state resumes cleanly WITHOUT the flag too
+        # (the average is simply ignored; review finding)
+        cli.main(["--variant", "vit_train", "--steps", "8", "--batch", "8",
+                  "--save-every", "2", "--output", out, "--resume",
+                  "--log-every", "1"])
+
         # a pre-EMA state resumed WITH --ema-decay re-seeds from params
         out2 = str(tmp_path / "ckpt2")
         cli.main(["--variant", "vit_train", "--steps", "2", "--batch", "8",

@@ -185,6 +185,42 @@ def test_graph_chain_end_to_end():
     assert logits and np.isfinite(np.asarray(logits[0])).all()
 
 
+def test_convnext_chain_exports_aot(tmp_path):
+    """The ConvNeXt graph program survives the AOT deployment round trip
+    (StableHLO + captures; conv/LN/GELU all inside jax.export)."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.export import export_graph, load_artifact
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.convnext_plugin import (
+        make_convnext_model,
+    )
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+    from interactive_vit_tpu.wire.schema import graph_from_json
+
+    reg = Registry()
+    register_builtin(reg)
+    model = make_convnext_model(cfg=CFG, with_categories=False)
+    model.register(reg)
+    g = graph_from_json(model.generate_graph_json())
+    img = np.random.default_rng(5).random((1, 3, 32, 32), np.float32)
+    head = None
+    for n in g.nodes:
+        if not n.inputs and n.name.endswith(":transform"):
+            g.add_input(img, n, "o")
+        if n.name.endswith(":head"):
+            head = n
+    ex = Executor(reg)
+    taps = {(head.index, "o")}
+    want = ex.run(g, taps=taps)
+    out_dir = str(tmp_path / "cnx_art")
+    export_graph(g, out_dir, taps=taps, executor=ex)
+    art = load_artifact(out_dir)
+    got = art(img)
+    np.testing.assert_allclose(np.asarray(got[head.index]["o"]),
+                               np.asarray(want[head.index]["o"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_autoregister_dispatch():
     from interactive_vit_tpu.models.autoregister import (
         known_variants, make_model,

@@ -51,14 +51,37 @@ class ViTConfig:
     # against a teacher; at inference the class and distillation heads
     # average. Same blocks, one extra token — a config, not a new model.
     distilled: bool = False
+    # "Vision Transformers Need Registers" (Darcet et al. 2024) /
+    # DINOv2-reg: extra learned prefix tokens inserted after CLS that
+    # carry NO positional embedding — attention scratch space that cleans
+    # up the feature maps. Pure config: same blocks, R more tokens.
+    registers: int = 0
+    # DINOv2 (Oquab et al. 2023) LayerScale: per-channel learned gamma on
+    # each residual branch, init value here (1e-5 in the paper; 0 = off).
+    # LayerScale models run the XLA block path (the fused Pallas block
+    # bakes in the plain residual).
+    layer_scale: float = 0.0
+
+    def __post_init__(self):
+        if self.distilled and self.registers:
+            raise ValueError(
+                f"{self.name}: distilled + registers is not a published "
+                f"configuration (head_dist reads token 1, which a "
+                f"register would occupy)")
 
     @property
     def prefix_tokens(self) -> int:
-        return 2 if self.distilled else 1
+        return (2 if self.distilled else 1) + self.registers
 
     @property
     def tokens(self) -> int:
         return (self.img_size // self.patch) ** 2 + self.prefix_tokens
+
+    @property
+    def pos_tokens(self) -> int:
+        """Rows of the position table: CLS(+DIST) + patch grid —
+        registers are pos-free (the DINOv2-reg construction)."""
+        return self.tokens - self.registers
 
     @property
     def mlp_dim(self) -> int:
@@ -86,6 +109,20 @@ VARIANTS: Dict[str, ViTConfig] = {
     "deit_t16": ViTConfig("deit_t16", 224, 16, 192, 12, 3, distilled=True),
     "deit_s16": ViTConfig("deit_s16", 224, 16, 384, 12, 6, distilled=True),
     "deit_b16": ViTConfig("deit_b16", 224, 16, 768, 12, 12, distilled=True),
+    # DINOv2 (patch-14 @518 = 37x37 grid, LayerScale residuals,
+    # num_classes=0 feature extractors; timm vit_*_patch14_dinov2 /
+    # *_reg4_dinov2 checkpoints convert via weights.from_timm). The _reg
+    # variants add 4 pos-free register tokens after CLS.
+    "dinov2_s14": ViTConfig("dinov2_s14", 518, 14, 384, 12, 6,
+                            num_classes=0, layer_scale=1e-5),
+    "dinov2_b14": ViTConfig("dinov2_b14", 518, 14, 768, 12, 12,
+                            num_classes=0, layer_scale=1e-5),
+    "dinov2_s14_reg": ViTConfig("dinov2_s14_reg", 518, 14, 384, 12, 6,
+                                num_classes=0, layer_scale=1e-5,
+                                registers=4),
+    "dinov2_b14_reg": ViTConfig("dinov2_b14_reg", 518, 14, 768, 12, 12,
+                                num_classes=0, layer_scale=1e-5,
+                                registers=4),
 }
 
 
@@ -137,12 +174,13 @@ def adapt_pos_embed(params: Params, cfg: ViTConfig) -> Params:
     a=-0.5 kernel torch's antialiased bicubic uses). Identity when the
     token count already matches, so it is safe on every load path."""
     pe = params["pos_emb"]
-    if pe.shape[1] == cfg.tokens:
+    if pe.shape[1] == cfg.pos_tokens:
         return params
     from interactive_vit_tpu.ops.layers import mm_precision
     from interactive_vit_tpu.ops.preprocess_mm import resize_matrix
 
-    prefix = cfg.prefix_tokens
+    # registers are pos-free: the table's prefix rows are CLS(+DIST) only
+    prefix = cfg.prefix_tokens - cfg.registers
     d = pe.shape[2]
     g_sq = pe.shape[1] - prefix
     g_old = int(round(g_sq ** 0.5))
@@ -238,7 +276,8 @@ def init_params(key: jax.Array, cfg: ViTConfig,
             "b": jnp.zeros((d,), dtype),
         },
         "cls_token": jnp.zeros((1, 1, d), dtype),
-        "pos_emb": (jax.random.normal(next(keys), (1, cfg.tokens, d),
+        # registers are pos-free: the table spans CLS(+DIST) + grid only
+        "pos_emb": (jax.random.normal(next(keys), (1, cfg.pos_tokens, d),
                                       jnp.float32) * 0.02).astype(dtype),
         "blocks": [],
         "norm": {"s": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
@@ -259,23 +298,29 @@ def init_params(key: jax.Array, cfg: ViTConfig,
                 "w": dense(next(keys), d, (d, cfg.num_classes)),
                 "b": jnp.zeros((cfg.num_classes,), dtype),
             }
+    if cfg.registers:
+        params["reg_tokens"] = (
+            jax.random.normal(next(keys), (1, cfg.registers, d),
+                              jnp.float32) * 0.02).astype(dtype)
     for _ in range(cfg.depth):
-        params["blocks"].append(
-            {
-                "ln1_s": jnp.ones((d,), dtype),
-                "ln1_b": jnp.zeros((d,), dtype),
-                "qkv_w": dense(next(keys), d, (d, 3 * d)),
-                "qkv_b": jnp.zeros((3 * d,), dtype),
-                "proj_w": dense(next(keys), d, (d, d)),
-                "proj_b": jnp.zeros((d,), dtype),
-                "ln2_s": jnp.ones((d,), dtype),
-                "ln2_b": jnp.zeros((d,), dtype),
-                "fc1_w": dense(next(keys), d, (d, md)),
-                "fc1_b": jnp.zeros((md,), dtype),
-                "fc2_w": dense(next(keys), md, (md, d)),
-                "fc2_b": jnp.zeros((d,), dtype),
-            }
-        )
+        blk = {
+            "ln1_s": jnp.ones((d,), dtype),
+            "ln1_b": jnp.zeros((d,), dtype),
+            "qkv_w": dense(next(keys), d, (d, 3 * d)),
+            "qkv_b": jnp.zeros((3 * d,), dtype),
+            "proj_w": dense(next(keys), d, (d, d)),
+            "proj_b": jnp.zeros((d,), dtype),
+            "ln2_s": jnp.ones((d,), dtype),
+            "ln2_b": jnp.zeros((d,), dtype),
+            "fc1_w": dense(next(keys), d, (d, md)),
+            "fc1_b": jnp.zeros((md,), dtype),
+            "fc2_w": dense(next(keys), md, (md, d)),
+            "fc2_b": jnp.zeros((d,), dtype),
+        }
+        if cfg.layer_scale:
+            blk["ls1"] = jnp.full((d,), cfg.layer_scale, dtype)
+            blk["ls2"] = jnp.full((d,), cfg.layer_scale, dtype)
+        params["blocks"].append(blk)
     return params
 
 
@@ -300,7 +345,17 @@ def embed(params: Params, images: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
         # DeiT: [CLS, DIST, patches...]; pos_emb already spans N+2
         prefix = jnp.concatenate(
             [prefix, params["dist_token"].astype(prefix.dtype)], axis=1)
-    return L.add_cls_and_pos(x, prefix, params["pos_emb"])
+    x = L.add_cls_and_pos(x, prefix, params["pos_emb"])
+    if "reg_tokens" in params:
+        # DINOv2-reg: registers insert AFTER the pos add, right behind
+        # CLS — they carry no positional embedding (the published
+        # construction; a timm no_embed_class table normalizes to this
+        # via a zero CLS row in weights.from_timm)
+        regs = jnp.broadcast_to(
+            params["reg_tokens"].astype(x.dtype),
+            (x.shape[0],) + params["reg_tokens"].shape[1:])
+        x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
+    return x
 
 
 def block(
@@ -343,6 +398,12 @@ def block(
         # head-major weights (the mesh TP layout) would be read wrong
         raise ValueError("qkv_head_major is incompatible with fused block "
                          "kernels (mesh serving disables them)")
+    if "ls1" in p and (block_impl is not None or mlp_impl is not None):
+        # the fused kernels bake in the plain residual add; silently
+        # skipping the LayerScale gammas would serve wrong activations
+        raise ValueError("LayerScale blocks (DINOv2) require the XLA "
+                         "block path (dispatch disables fused kernels "
+                         "for layer_scale configs)")
     if n_real is not None and block_impl is not None:
         # the fused kernels implement no key masking: padded rows get
         # nonzero k/v through the LN bias and SILENTLY corrupt every real
@@ -370,6 +431,8 @@ def block(
             attn_impl=attn_impl, n_real=n_real,
             head_major=qkv_head_major,
         )
+        if "ls1" in p:  # DINOv2 LayerScale on the attention branch
+            h = h * p["ls1"].astype(h.dtype)
         x = x + h
         if want_mean and probs is not None:
             # mean over heads accumulates in f32, but the emitted map keeps
@@ -388,7 +451,10 @@ def block(
     if mlp_impl is not None:
         x = mlp_impl(x, p, cfg.ln_eps)
     else:
-        x = x + L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
+        m = L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
+        if "ls2" in p:  # DINOv2 LayerScale on the MLP branch
+            m = m * p["ls2"].astype(m.dtype)
+        x = x + m
     return x, probs, pmean
 
 
@@ -638,6 +704,8 @@ def layer_params(params: Params, layer_name: str) -> Any:
         }
         if "dist_token" in params:
             sub["dist_token"] = params["dist_token"]
+        if "reg_tokens" in params:
+            sub["reg_tokens"] = params["reg_tokens"]
         return sub
     if layer_name == "norm":
         return params["norm"]

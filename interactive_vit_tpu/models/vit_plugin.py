@@ -123,6 +123,15 @@ def make_vit_model(
             "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width,
             heads=cfg.heads
         )
+    if cfg.layer_scale:
+        # DINOv2 LayerScale: the fused kernels bake in the plain residual
+        # add — these configs run the XLA block path (vit.block applies
+        # the gammas there; the kernel guard in block() backstops this)
+        if quantize == "w8a8" or quantize == "int8w8a8":
+            raise ValueError("w8a8 needs the fused MLP kernel, which "
+                             "LayerScale (DINOv2) configs disable")
+        block_impl = None
+        mlp_impl = None
     layers = vit.layer_fns(cfg, attn_impl=attn_impl, block_impl=block_impl,
                            mlp_impl=mlp_impl, qkv_head_major=tp_layout)
     # differentiable twins for gradient replays (saliency/dream jax.grad

@@ -164,24 +164,39 @@ def from_timm(sd: Dict[str, Any], cfg: ViTConfig, dtype=jnp.float32) -> Params:
                 "w": jnp.asarray(get("head_dist.weight").T, dtype),
                 "b": jnp.asarray(get("head_dist.bias"), dtype),
             }
+    if getattr(cfg, "registers", 0):
+        # DINOv2-reg / timm reg models: reg_token [1,R,D], pos-free.
+        # timm stores some reg checkpoints with no_embed_class=True —
+        # a pos table of GRID rows only. A zero CLS row is numerically
+        # identical to "class token gets no pos"; prepend it so the
+        # internal convention is always [CLS-row, grid-rows].
+        params["reg_tokens"] = jnp.asarray(get("reg_token"), dtype)
+        pe = params["pos_emb"]
+        grid = (cfg.img_size // cfg.patch) ** 2
+        if pe.shape[1] == grid:
+            params["pos_emb"] = jnp.concatenate(
+                [jnp.zeros((1, 1, pe.shape[2]), pe.dtype), pe], axis=1)
     for i in range(cfg.depth):
         pre = f"blocks.{i}."
-        params["blocks"].append(
-            {
-                "ln1_s": jnp.asarray(get(pre + "norm1.weight"), dtype),
-                "ln1_b": jnp.asarray(get(pre + "norm1.bias"), dtype),
-                "qkv_w": jnp.asarray(get(pre + "attn.qkv.weight").T, dtype),
-                "qkv_b": jnp.asarray(get(pre + "attn.qkv.bias"), dtype),
-                "proj_w": jnp.asarray(get(pre + "attn.proj.weight").T, dtype),
-                "proj_b": jnp.asarray(get(pre + "attn.proj.bias"), dtype),
-                "ln2_s": jnp.asarray(get(pre + "norm2.weight"), dtype),
-                "ln2_b": jnp.asarray(get(pre + "norm2.bias"), dtype),
-                "fc1_w": jnp.asarray(get(pre + "mlp.fc1.weight").T, dtype),
-                "fc1_b": jnp.asarray(get(pre + "mlp.fc1.bias"), dtype),
-                "fc2_w": jnp.asarray(get(pre + "mlp.fc2.weight").T, dtype),
-                "fc2_b": jnp.asarray(get(pre + "mlp.fc2.bias"), dtype),
-            }
-        )
+        blk = {
+            "ln1_s": jnp.asarray(get(pre + "norm1.weight"), dtype),
+            "ln1_b": jnp.asarray(get(pre + "norm1.bias"), dtype),
+            "qkv_w": jnp.asarray(get(pre + "attn.qkv.weight").T, dtype),
+            "qkv_b": jnp.asarray(get(pre + "attn.qkv.bias"), dtype),
+            "proj_w": jnp.asarray(get(pre + "attn.proj.weight").T, dtype),
+            "proj_b": jnp.asarray(get(pre + "attn.proj.bias"), dtype),
+            "ln2_s": jnp.asarray(get(pre + "norm2.weight"), dtype),
+            "ln2_b": jnp.asarray(get(pre + "norm2.bias"), dtype),
+            "fc1_w": jnp.asarray(get(pre + "mlp.fc1.weight").T, dtype),
+            "fc1_b": jnp.asarray(get(pre + "mlp.fc1.bias"), dtype),
+            "fc2_w": jnp.asarray(get(pre + "mlp.fc2.weight").T, dtype),
+            "fc2_b": jnp.asarray(get(pre + "mlp.fc2.bias"), dtype),
+        }
+        if getattr(cfg, "layer_scale", 0.0):
+            # DINOv2 LayerScale: timm names the gammas ls1/ls2.gamma
+            blk["ls1"] = jnp.asarray(get(pre + "ls1.gamma"), dtype)
+            blk["ls2"] = jnp.asarray(get(pre + "ls2.gamma"), dtype)
+        params["blocks"].append(blk)
     return params
 
 

@@ -232,13 +232,20 @@ def from_torchvision(sd: Dict[str, Any], cfg: ConvNeXtConfig,
 
 
 def forward(params: Params, images: jnp.ndarray,
-            cfg: ConvNeXtConfig) -> jnp.ndarray:
-    """[B,3,H,W] (or [3,H,W]) -> logits [B, num_classes]."""
+            cfg: ConvNeXtConfig, block_wrapper=None) -> jnp.ndarray:
+    """[B,3,H,W] (or [3,H,W]) -> logits [B, num_classes].
+
+    ``block_wrapper``: training hook — each CNBlock becomes one
+    rematerialization unit (``jax.checkpoint`` via
+    ``parallel/train.remat_wrapper``), same contract as the vit/swin
+    trunks."""
     x, squeeze = _ensure_batched(images)
     x = stem(params["stem"], x, cfg)
+    one = (block_wrapper(lambda p, y: block(p, y, cfg))
+           if block_wrapper is not None else None)
     for s, stage in enumerate(params["stages"]):
         for blk in stage:
-            x = block(blk, x, cfg)
+            x = one(blk, x) if one is not None else block(blk, x, cfg)
         if s < len(params["downs"]):
             x = downsample(params["downs"][s], x, cfg)
     pooled = x.astype(jnp.float32).mean(axis=(1, 2)).astype(x.dtype)

@@ -59,7 +59,10 @@ def _decay_mask(params):
             # expert weights are rank-3 [E, d_in, d_out]; expert BIASES
             # are rank-2 [E, d] but still biases — exempt like all biases
             return nd == 3
-        return nd == 2
+        # rank-4 = conv kernels (ConvNeXt stem/dw/downsample): decayed in
+        # the torchvision recipe; no rank-4 embedding tables exist in any
+        # family, so the rule is safe. Rank-3 pos_emb/cls/reg stay exempt.
+        return nd in (2, 4)
 
     return jax.tree_util.tree_map_with_path(decayed, params)
 
@@ -127,12 +130,21 @@ def auto_remat(cfg, per_device_batch: int, dtype=jnp.float32,
 
 
 def model_family(cfg: vit.ViTConfig):
-    """The module implementing ``cfg``'s forward/init (vit, moe, swin)."""
-    from interactive_vit_tpu.models import moe, swin
+    """The module implementing ``cfg``'s forward/init (vit, moe, swin,
+    convnext)."""
+    from interactive_vit_tpu.models import convnext, moe, swin
 
     if isinstance(cfg, swin.SwinConfig):
         return swin
+    if isinstance(cfg, convnext.ConvNeXtConfig):
+        return convnext
     return moe if isinstance(cfg, moe.MoEViTConfig) else vit
+
+
+def _plain_forward_family(fam) -> bool:
+    """Families whose forward takes no attn_impl/qkv knobs (swin's
+    windowed attention, convnext's convs) — just the remat hook."""
+    return fam.__name__.endswith((".swin", ".convnext"))
 
 
 def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
@@ -140,11 +152,11 @@ def loss_fn(params: Params, images: jnp.ndarray, labels: jnp.ndarray,
             block_wrapper=None, qkv_head_major: bool = False,
             label_smoothing: float = 0.0) -> jnp.ndarray:
     fam = model_family(cfg)
-    if fam.__name__.endswith(".swin"):
-        # swin has no attn_impl/qkv repack knobs (windowed attention,
-        # per-stage head counts) — just the remat hook
-        logits = fam.forward(params, images, cfg,
-                             block_wrapper=block_wrapper)["logits"]
+    if _plain_forward_family(fam):
+        # no attn_impl/qkv repack knobs (swin's windowed attention,
+        # convnext's convs) — just the remat hook
+        out = fam.forward(params, images, cfg, block_wrapper=block_wrapper)
+        logits = out["logits"] if isinstance(out, dict) else out
         return cross_entropy(logits, labels, label_smoothing)
     if fam is not vit:
         out = fam.forward(params, images, cfg, attn_impl=attn_impl,
@@ -169,7 +181,7 @@ def wants_head_major(cfg, mesh, attn_impl=None) -> bool:
     Checkpoint EXPORTS must consult this too: the on-disk canonical
     layout is torch-style [3][H][Dh] (``unpermute_qkv_head_major``).
     """
-    if model_family(cfg).__name__.endswith(".swin"):
+    if _plain_forward_family(model_family(cfg)):
         return False
     if dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1) > 1:
         return True
@@ -306,7 +318,7 @@ def setup_sharded(
     # per-stage head counts (3/6/12/24) need not divide the model axis —
     # GSPMD reshards at the window reshape instead; correctness unchanged.
     fam = model_family(cfg)
-    is_swin = fam.__name__.endswith(".swin")
+    is_plain = _plain_forward_family(fam)
     head_major = wants_head_major(cfg, mesh, attn_impl)
     if head_major:
         params = mesh_lib.permute_qkv_head_major(params, cfg.heads)
@@ -327,8 +339,9 @@ def setup_sharded(
     )
 
     def infer(params, images):
-        if is_swin:
-            return fam.forward(params, images, cfg)["logits"]
+        if is_plain:
+            out = fam.forward(params, images, cfg)
+            return out["logits"] if isinstance(out, dict) else out
         return fam.forward(params, images, cfg, attn_impl=attn_impl,
                            qkv_head_major=head_major)["logits"]
 

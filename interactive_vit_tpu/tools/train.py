@@ -337,12 +337,16 @@ def main(argv=None) -> None:
     from interactive_vit_tpu.parallel import train as train_lib
 
     if args.variant.partition("@")[0] in vit.VARIANTS:
-        # @<pixels> = train/fine-tune at a non-native resolution
+        # @<pixels>/@p<patch> = train/fine-tune at a derived geometry
         cfg = vit.resolve_variant(args.variant)
     elif args.variant.startswith("swin_"):
         from interactive_vit_tpu.models import swin
 
         cfg = swin.VARIANTS[args.variant]
+    elif args.variant.startswith("convnext_"):
+        from interactive_vit_tpu.models import convnext
+
+        cfg = convnext.VARIANTS[args.variant]
     else:
         from interactive_vit_tpu.models import moe
 

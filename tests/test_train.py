@@ -370,3 +370,35 @@ def _fresh_state_plain():
     with mesh:
         params, opt_state, _, _ = train_lib.setup_sharded(CFG, mesh)
     return mesh, params, opt_state
+
+
+def test_convnext_trains_sharded_with_remat():
+    """ConvNeXt through the full sharded train step (DP mesh, per-CNBlock
+    remat, rank-4 conv kernels in the decay set, plain-forward infer)."""
+    from interactive_vit_tpu.models import convnext
+
+    cfg = convnext.ConvNeXtConfig("cnx_train", depths=(1, 1), dims=(8, 16),
+                                  num_classes=8, img_size=32, resize_to=34)
+    mesh = mesh_lib.make_mesh({"data": 4, "model": 1}, jax.devices()[:4])
+    with mesh:
+        params, opt_state, step_fn, infer_fn = train_lib.setup_sharded(
+            cfg, mesh, lr=1e-2, remat=True)
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 8, size=(8,))
+        images = jnp.asarray(
+            rng.normal(size=(8, 3, 32, 32)).astype(np.float32) * 0.3
+            + (labels[:, None, None, None] / 8).astype(np.float32))
+        labels = jnp.asarray(labels)
+        losses = []
+        for _ in range(5):
+            params, opt_state, loss = step_fn(params, opt_state, images,
+                                              labels)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]
+        logits = infer_fn(params, jnp.asarray(images))
+        assert logits.shape == (8, 8)
+    # conv kernels (rank 4) ARE decayed; LN/gamma/bias are not
+    mask = train_lib._decay_mask(params)
+    assert bool(mask["stem"]["w"]) and bool(mask["stages"][0][0]["dw_w"])
+    assert not mask["stages"][0][0]["gamma"] and not mask["stem"]["ln"]["g"]
+    assert bool(mask["stages"][0][0]["fc1"]["w"])

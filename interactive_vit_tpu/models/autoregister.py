@@ -21,11 +21,11 @@ logger = logging.getLogger(__name__)
 
 def known_variants() -> list:
     """Every variant name ``make_model`` accepts (sorted)."""
-    from interactive_vit_tpu.models import convnext, moe, swin, tome, vit
+    from interactive_vit_tpu.models import convnext, mae, moe, swin, tome, vit
 
     return sorted(
         set(vit.VARIANTS) | set(moe.VARIANTS) | set(tome.VARIANTS)
-        | set(swin.VARIANTS) | set(convnext.VARIANTS)
+        | set(swin.VARIANTS) | set(convnext.VARIANTS) | set(mae.VARIANTS)
         | {"clip_b32", "clip_text_b32", "vgg16", "resnet50"})
 
 
@@ -80,6 +80,11 @@ def _family_maker(variant: str):
         return lambda params, seed, dtype, attn_impl, kernels: (
             make_moe_model(variant, params=params, seed=seed, dtype=dtype,
                            attn_impl=attn_impl))
+    if variant.startswith("mae_"):
+        from interactive_vit_tpu.models.mae_plugin import make_mae_model
+
+        return lambda params, seed, dtype, attn_impl, kernels: (
+            make_mae_model(variant, params=params, seed=seed, dtype=dtype))
     if "_tome" in variant:
         from interactive_vit_tpu.models.tome_plugin import make_tome_model
 
@@ -108,7 +113,10 @@ def make_model(
     serve their float dtype, matching the server's long-standing
     behavior."""
     base = variant.partition("@")[0]
-    if "@" in variant and _family_maker(base) is not None:
+    if ("@" in variant and _family_maker(base) is not None
+            and not base.startswith("mae_")):
+        # MAE is exempt: its encoder name resolves through the plain-ViT
+        # grammar, so mae_t16@64 is a valid derived geometry
         raise ValueError(
             f"{variant!r}: the @[<pixels>][p<patch>] suffix is supported "
             f"only for the plain-ViT family (vit_*/dino_*/deit_*) — "

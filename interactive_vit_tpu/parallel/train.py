@@ -274,6 +274,95 @@ def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
     return step
 
 
+def make_mae_train_step(cfg, optimizer=None, remat=False,
+                        accum_steps: int = 1,
+                        mask_ratio: float = None):
+    """Build a jittable MAE pretraining step (params, opt_state, images,
+    key) -> (params, opt_state, loss).
+
+    Same structure as ``make_train_step`` — remat via the block wrapper,
+    ``lax.scan`` gradient accumulation with f32 accumulators — but the
+    objective is masked reconstruction (``models/mae.forward_pretrain``)
+    and the per-step randomness is an explicit ``jax.random`` key (fold it
+    from (seed, step) for deterministic, resumable streams). Each
+    microbatch folds the accumulation index into the key so microbatches
+    draw independent masks."""
+    from interactive_vit_tpu.models import mae
+
+    optimizer = optimizer or make_optimizer()
+    wrapper = remat_wrapper(remat)
+
+    def lf(p, im, key):
+        return mae.forward_pretrain(
+            p, im, cfg, key, mask_ratio=mask_ratio,
+            block_wrapper=wrapper)["loss"]
+
+    def step(params, opt_state, images, key):
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(lf)(params, images, key)
+        else:
+            mb_im = images.reshape(
+                accum_steps, images.shape[0] // accum_steps,
+                *images.shape[1:])
+
+            def body(carry, mb):
+                g_acc, l_acc = carry
+                im, i = mb
+                loss_i, g_i = jax.value_and_grad(lf)(
+                    params, im, jax.random.fold_in(key, i))
+                g_acc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), g_acc, g_i)
+                return (g_acc, l_acc + loss_i), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (grads, loss), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)),
+                (mb_im, jnp.arange(accum_steps)))
+            grads = jax.tree.map(
+                lambda g, p: (g / accum_steps).astype(p.dtype),
+                grads, params)
+            loss = loss / accum_steps
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def setup_sharded_mae(cfg, mesh, seed: int = 0, lr: float = 1.5e-4,
+                      remat=False, optimizer=None, dtype=None,
+                      accum_steps: int = 1, mask_ratio: float = None):
+    """Init MAE params + opt state on the mesh; return the jitted step.
+
+    Returns (params, opt_state, train_step). The encoder/decoder blocks
+    carry the same leaf names as plain ViT blocks, so ``param_spec``'s
+    Megatron TP rules apply unchanged (qkv/fc1 output-sharded, proj/fc2
+    input-sharded) and GSPMD inserts the psums; the batch shards over
+    "data". The step runs the TORCH-layout qkv columns (no head-major
+    repack): the packed custom-VJP kernel keys on full fixed token counts,
+    while MAE's visible-token count varies with the ratio — the XLA
+    attention path trains it."""
+    from interactive_vit_tpu.models import mae
+
+    optimizer = optimizer or make_optimizer(lr)
+    params = mae.init_params(
+        jax.random.key(seed), cfg,
+        **({"dtype": dtype} if dtype is not None else {}))
+    params = mesh_lib.shard_params(params, mesh)
+    opt_state = optimizer.init(params)
+    step = make_mae_train_step(cfg, optimizer, remat=remat,
+                               accum_steps=accum_steps,
+                               mask_ratio=mask_ratio)
+    bsh = mesh_lib.batch_sharding(mesh)
+    train_step = jax.jit(
+        step,
+        in_shardings=(None, None, bsh, None),
+        donate_argnums=(0, 1),
+    )
+    return params, opt_state, train_step
+
+
 def setup_sharded(
     cfg: vit.ViTConfig,
     mesh,

@@ -57,6 +57,10 @@ VALID_LAYOUTS = {
     "convnext_b": {"torchvision", "native"},
     "clip_b32": {"openai", "native"},
     "clip_text_b32": {"openai", "native"},
+    # MAE trees exist only in our own export naming (ivt-pretrain)
+    "mae_t16": {"native"},
+    "mae_s16": {"native"},
+    "mae_b16": {"native"},
     # every ViT variant accepts either framework naming, or our own
     "_vit": {"torchvision", "timm", "native"},
 }
@@ -84,7 +88,9 @@ def convert(model: str, layout: str, sd) -> object:
         if any("/" in k for k in sd.keys()):
             layout = "native"  # our own export naming, any model
         elif model in VALID_LAYOUTS:
-            layout = sorted(allowed - {"native"})[-1]  # single torch layout
+            # single torch layout; native-only models (mae_*) stay native
+            # so the layout check below raises the right error text
+            layout = (sorted(allowed - {"native"}) or ["native"])[-1]
         else:
             layout = _sniff_vit_layout(sd)  # ViT: tv vs timm by keys
     if layout not in allowed:
@@ -100,7 +106,9 @@ def convert(model: str, layout: str, sd) -> object:
 
         params = from_native_flat(sd)
         if (model not in ("vgg16", "clip_b32", "clip_text_b32", "resnet50")
-                and not model.startswith(("swin_", "convnext_"))):
+                and not model.startswith(("swin_", "convnext_", "mae_"))):
+            # (mae_* excluded: the MAE root has no head/blocks keys —
+            # make_mae_model re-inserts the encoder's empty head itself)
             # ViT only — empty containers don't survive flattening:
             # restore the optional classifier head ({} = feature
             # extractor) and an (impossible in practice) depth-0 trunk

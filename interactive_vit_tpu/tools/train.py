@@ -123,6 +123,80 @@ def _seed_ema(params):
         if jnp.issubdtype(p.dtype, jnp.floating) else jnp.copy(p), params)
 
 
+def merge_pretrained(params, tree, cfg, head_major: bool = False):
+    """Merge a converted (torch-layout) pretrained ViT tree into freshly
+    initialized sharded params — the SSL finetune init.
+
+    Trunk keys whose structure+shapes match load onto each target leaf's
+    existing sharding and dtype; everything else (typically the classifier
+    head — MAE encoder exports are headless feature extractors, and a
+    supervised checkpoint's head won't match a different label space)
+    keeps the fresh init. The tree is geometry-adapted first
+    (``vit.adapt_checkpoint``: pos-table resample + PI patch-kernel
+    resize) and qkv columns are repacked head-major when this run's
+    layout wants it (``wants_head_major``).
+
+    Returns ``(merged_params, loaded_keys, skipped_keys)``; raises if the
+    trunk itself didn't load (wrong checkpoint for the model)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.parallel import mesh as mesh_lib
+
+    tree = vit.adapt_checkpoint(tree, cfg)
+    if head_major:
+        tree = mesh_lib.permute_qkv_head_major(tree, cfg.heads)
+    merged = dict(params)
+    loaded, skipped = [], []
+    for key, new in tree.items():
+        old = merged.get(key)
+        if old is None:
+            skipped.append(key)
+            continue
+        try:
+            compatible = (
+                jax.tree.structure(new) == jax.tree.structure(old)
+                and all(getattr(n, "shape", None) == o.shape
+                        for n, o in zip(jax.tree.leaves(new),
+                                        jax.tree.leaves(old))))
+        except (TypeError, ValueError):
+            compatible = False
+        if not compatible or not jax.tree.leaves(new):
+            # empty subtrees ({} heads) carry no weights: nothing to load
+            (skipped if not compatible else loaded).append(key)
+            continue
+        merged[key] = jax.tree.map(
+            lambda n, o: jax.device_put(
+                jnp.asarray(np.asarray(n), o.dtype), o.sharding),
+            new, old)
+        loaded.append(key)
+    if "blocks" not in loaded:
+        raise ValueError(
+            f"--init checkpoint does not match {cfg.name}: the block "
+            f"trunk failed to load (loaded={loaded}, skipped={skipped}) "
+            f"— wrong variant or depth?")
+    return merged, loaded, skipped
+
+
+def init_from_checkpoint(path: str, params, cfg, variant: str,
+                         head_major: bool):
+    """CLI leg of ``merge_pretrained``: load + layout-convert ``path``
+    (safetensors or torch .pth, layout auto-detected) and merge its trunk
+    into ``params``. This is how ``ivt-pretrain --export-encoder``
+    checkpoints become finetune inits:
+
+        ivt-pretrain --variant mae_s16 ... --export-encoder enc.safetensors
+        ivt-train --variant vit_s16 --init enc.safetensors ...
+    """
+    from interactive_vit_tpu.tools.convert import convert, load_state_dict
+
+    sd = load_state_dict(path)
+    tree = convert(variant, "auto", sd)
+    return merge_pretrained(params, tree, cfg, head_major)
+
+
 def save_state(path: str, params, opt_state, step: int,
                saver=None, head_major: bool = False, ema=None) -> None:
     """Train-state checkpoint: params + optimizer state + step counter,
@@ -265,6 +339,16 @@ def main(argv=None) -> None:
                              "continue at the saved step (pass the SAME "
                              "--warmup/--clip-norm as the original run — "
                              "they define the optimizer-state structure)")
+    parser.add_argument("--init", default=None, metavar="FILE",
+                        help="initialize the trunk from a checkpoint "
+                             "(safetensors or .pth, layout auto-detected) "
+                             "— e.g. an ivt-pretrain --export-encoder MAE "
+                             "encoder. Matching trunk keys load (geometry-"
+                             "adapted); the classifier head stays fresh "
+                             "when absent or label-space-incompatible. "
+                             "Plain-ViT family only. Mutually exclusive "
+                             "with --resume (which restores the FULL "
+                             "train state)")
     parser.add_argument("--eval-every", type=int, default=0,
                         help="top-1 accuracy on a held-out synthetic batch "
                              "every N steps")
@@ -321,6 +405,10 @@ def main(argv=None) -> None:
     if args.data and args.memorize:
         parser.error("--data and --memorize are mutually exclusive "
                      "(the loader stream would silently win)")
+    if args.init and args.resume:
+        parser.error("--init and --resume are mutually exclusive: "
+                     "--resume restores the full train state, --init "
+                     "seeds a FRESH run from pretrained weights")
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -414,6 +502,15 @@ def main(argv=None) -> None:
             batch_sharding=mesh_lib.batch_sharding(mesh))
         if aug_fn is not None:
             logger.info("augment: %s", aug_cfg)
+        if args.init:
+            if args.variant.partition("@")[0] not in vit.VARIANTS:
+                parser.error("--init supports the plain-ViT family only "
+                             "(vit_*/deit_*/dino* variants)")
+            params, loaded, skipped = init_from_checkpoint(
+                args.init, params, cfg, args.variant, head_major)
+            logger.info("initialized from %s: loaded %s%s", args.init,
+                        loaded,
+                        f", fresh {skipped}" if skipped else "")
         start_step = 0
         ema = None
         ema_update = (make_ema_update(args.ema_decay)

@@ -402,3 +402,94 @@ def test_convnext_trains_sharded_with_remat():
     assert bool(mask["stem"]["w"]) and bool(mask["stages"][0][0]["dw_w"])
     assert not mask["stages"][0][0]["gamma"] and not mask["stem"]["ln"]["g"]
     assert bool(mask["stages"][0][0]["fc1"]["w"])
+
+
+def test_merge_pretrained_trunk_fresh_head():
+    """SSL finetune init (--init): a headless MAE-style encoder export
+    loads the trunk (head-major-repacked for the TP layout), the fresh
+    classifier head survives, and a wrong-depth checkpoint raises."""
+    import dataclasses
+
+    import pytest
+
+    from interactive_vit_tpu.models.weights import (
+        from_native_flat, to_native_flat,
+    )
+
+    feat_cfg = dataclasses.replace(CFG, num_classes=0)
+    src = vit.init_params(jax.random.key(3), feat_cfg)
+    # export -> reload round trip, exactly what --init reads
+    tree = from_native_flat(to_native_flat(src))
+    tree.setdefault("head", {})
+    mesh = mesh_lib.make_mesh({"data": 4, "model": 2}, jax.devices()[:8])
+    with mesh:
+        params, _, _, _ = train_lib.setup_sharded(CFG, mesh, seed=0)
+        head_major = train_lib.wants_head_major(CFG, mesh)
+        assert head_major  # TP mesh -> head-major qkv columns
+        merged, loaded, skipped = train_lib_merge(
+            params, tree, CFG, head_major)
+    assert "blocks" in loaded and "head" in skipped
+    # trunk equals the checkpoint modulo the head-major permute
+    back = mesh_lib.unpermute_qkv_head_major(
+        {"blocks": merged["blocks"]}, CFG.heads)
+    for a, b in zip(jax.tree.leaves(back["blocks"]),
+                    jax.tree.leaves(src["blocks"])):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(merged["pos_emb"]),
+                                  np.asarray(src["pos_emb"]))
+    # the head stayed the fresh init
+    np.testing.assert_array_equal(np.asarray(merged["head"]["w"]),
+                                  np.asarray(params["head"]["w"]))
+    # merged params must be consumable by the sharded step
+    with mesh:
+        opt = train_lib.make_optimizer(1e-3)
+        _, opt_state, step_fn, _ = train_lib.setup_sharded(
+            CFG, mesh, optimizer=opt)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.random((8, 3, 32, 32), dtype=np.float32))
+        labels = jnp.asarray(rng.integers(0, 8, size=(8,)))
+        _, _, loss = step_fn(merged, opt.init(merged), images, labels)
+        assert np.isfinite(float(loss))
+
+    # wrong trunk depth -> clear error
+    import dataclasses as dc
+    shallow = vit.init_params(
+        jax.random.key(4), dc.replace(feat_cfg, depth=1))
+    bad = from_native_flat(to_native_flat(shallow))
+    with mesh:
+        with pytest.raises(ValueError, match="trunk failed to load"):
+            train_lib_merge(params, bad, CFG, head_major)
+
+
+def train_lib_merge(params, tree, cfg, head_major):
+    from interactive_vit_tpu.tools.train import merge_pretrained
+
+    return merge_pretrained(params, tree, cfg, head_major)
+
+
+def test_pretrain_then_finetune_cli(tmp_path):
+    """The full SSL story end-to-end at toy scale: ivt-pretrain writes a
+    plain-ViT encoder export, ivt-train --init consumes it."""
+    from interactive_vit_tpu.models import mae
+    from interactive_vit_tpu.tools import pretrain as pretrain_cli
+    from interactive_vit_tpu.tools import train as train_cli
+
+    vit.VARIANTS["vit_train"] = CFG
+    mae.VARIANTS["mae_train"] = mae.MAEConfig(
+        "mae_train", "vit_train", dec_width=32, dec_depth=1, dec_heads=2)
+    try:
+        enc = str(tmp_path / "enc.safetensors")
+        pretrain_cli.main([
+            "--variant", "mae_train", "--steps", "2", "--batch", "8",
+            "--memorize", "8", "--distinct-classes", "4",
+            "--export-encoder", enc, "--log-every", "1"])
+        import os
+        assert os.path.exists(enc)
+        train_cli.main([
+            "--variant", "vit_train", "--steps", "2", "--batch", "8",
+            "--init", enc, "--memorize", "8", "--distinct-classes", "4",
+            "--log-every", "1"])
+    finally:
+        del vit.VARIANTS["vit_train"]
+        del mae.VARIANTS["mae_train"]

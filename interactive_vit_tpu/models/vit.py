@@ -479,6 +479,26 @@ def head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return logits
 
 
+def head_split(params: Params, x: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Training-time heads, UN-averaged: (class logits on token 0,
+    distillation logits on token 1 — or None for plain variants).
+
+    ``head`` averages the two — the published DeiT INFERENCE contract;
+    the DeiT training objective supervises them separately (class head
+    by the labels, distillation head by the teacher —
+    ``parallel/train.make_distill_train_step``)."""
+    hp = params.get("head") or {}
+    if "w" not in hp:
+        raise ValueError("head_split needs a classifier head "
+                         "(num_classes=0 variants have none)")
+    cls = L.linear(x[:, 0], hp["w"], hp["b"])
+    hd = params.get("head_dist") or {}
+    if "w" not in hd:
+        return cls, None
+    return cls, L.linear(x[:, 1], hd["w"], hd["b"])
+
+
 # -- monolithic forward (bench/training path) -----------------------------------
 
 

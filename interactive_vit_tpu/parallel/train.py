@@ -274,6 +274,180 @@ def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
     return step
 
 
+def _student_logits(p, images, cfg, attn_impl=None, wrapper=None,
+                    qkv_head_major: bool = False):
+    """Distilled-student forward with UN-averaged heads: (cls, dist)
+    logits. Same trunk units as ``vit.forward``'s wrapped path (embed ->
+    per-block remat hook -> prefix-token final norm) so remat applies."""
+
+    x = vit.embed(p, images, cfg)
+
+    def one(bp, x):
+        y, _, _ = vit.block(bp, x, cfg, attn_impl=attn_impl,
+                            qkv_head_major=qkv_head_major)
+        return y
+
+    if wrapper is not None:
+        one = wrapper(one)
+    for bp in p["blocks"]:
+        x = one(bp, x)
+    x = vit.final_norm(p, x[:, :cfg.prefix_tokens], cfg)
+    return vit.head_split(p, x)
+
+
+def make_teacher_fn(teacher_cfg, teacher_params, attn_impl=None):
+    """images -> stop-gradient logits from a FROZEN teacher of any
+    trainable family (the params are closed over — never donated, never
+    updated). Torch-layout qkv columns on purpose: the teacher runs the
+    plain XLA inference forward."""
+    tfam = model_family(teacher_cfg)
+    plain = _plain_forward_family(tfam)
+
+    def teacher_logits(images):
+        if plain:
+            out = tfam.forward(teacher_params, images, teacher_cfg)
+        else:
+            out = tfam.forward(teacher_params, images, teacher_cfg,
+                               attn_impl=attn_impl)
+        logits = out["logits"] if isinstance(out, dict) else out
+        return jax.lax.stop_gradient(logits)
+
+    return teacher_logits
+
+
+def make_distill_train_step(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
+                            optimizer=None, attn_impl=None, remat=False,
+                            qkv_head_major: bool = False,
+                            accum_steps: int = 1, alpha: float = 0.5,
+                            tau: float = 0.0,
+                            label_smoothing: float = 0.0):
+    """DeiT knowledge-distillation step (Touvron et al. 2021): the
+    student's class head trains on the labels, its distillation head
+    (token 1) trains on a frozen teacher's predictions.
+
+    ``tau=0`` -> HARD distillation (CE against the teacher's argmax — the
+    paper's best recipe); ``tau>0`` -> soft distillation (CE against the
+    temperature-softened teacher distribution, scaled by tau^2 so gradient
+    magnitude is temperature-invariant). ``alpha`` weighs the distillation
+    term: loss = (1-alpha)*CE(cls, y) + alpha*distill. Signature matches
+    ``make_train_step`` — (params, opt_state, images, labels) -> (params,
+    opt_state, loss) — so the CLI's checkpoint/EMA/eval loop is reused
+    unchanged."""
+    if not cfg.distilled:
+        raise ValueError(
+            f"{cfg.name} has no distillation token/head (distilled=False) "
+            f"— distillation training needs a deit_* style student")
+    if teacher_cfg.img_size != cfg.img_size:
+        raise ValueError(
+            f"teacher resolution {teacher_cfg.img_size} != student "
+            f"{cfg.img_size}: both consume the same batch")
+    if teacher_cfg.num_classes != cfg.num_classes:
+        raise ValueError(
+            f"teacher classes {teacher_cfg.num_classes} != student "
+            f"{cfg.num_classes}: the dist head trains on teacher logits")
+    optimizer = optimizer or make_optimizer()
+    wrapper = remat_wrapper(remat)
+    teacher = make_teacher_fn(teacher_cfg, teacher_params)
+
+    def lf(p, im, lb):
+        cls_l, dist_l = _student_logits(
+            p, im, cfg, attn_impl=attn_impl, wrapper=wrapper,
+            qkv_head_major=qkv_head_major)
+        t = teacher(im)
+        if tau > 0:
+            logq = jax.nn.log_softmax(
+                dist_l.astype(jnp.float32) / tau, axis=-1)
+            pt = jax.nn.softmax(t.astype(jnp.float32) / tau, axis=-1)
+            distill = -(pt * logq).sum(axis=-1).mean() * (tau * tau)
+        else:
+            distill = cross_entropy(dist_l, jnp.argmax(t, axis=-1))
+        return ((1.0 - alpha) * cross_entropy(cls_l, lb, label_smoothing)
+                + alpha * distill)
+
+    def step(params, opt_state, images, labels):
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(lf)(params, images, labels)
+        else:
+            mb_im = images.reshape(
+                accum_steps, images.shape[0] // accum_steps,
+                *images.shape[1:])
+            mb_lb = labels.reshape(
+                accum_steps, labels.shape[0] // accum_steps,
+                *labels.shape[1:])
+
+            def body(carry, mb):
+                g_acc, l_acc = carry
+                loss_i, g_i = jax.value_and_grad(lf)(params, *mb)
+                g_acc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), g_acc, g_i)
+                return (g_acc, l_acc + loss_i), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (grads, loss), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)), (mb_im, mb_lb))
+            grads = jax.tree.map(
+                lambda g, p: (g / accum_steps).astype(p.dtype),
+                grads, params)
+            loss = loss / accum_steps
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def setup_sharded_distill(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
+                          mesh, seed: int = 0, lr: float = 3e-4,
+                          remat=False, optimizer=None, dtype=None,
+                          attn_impl=None, accum_steps: int = 1,
+                          alpha: float = 0.5, tau: float = 0.0,
+                          label_smoothing: float = 0.0):
+    """Init a distilled student on the mesh against a frozen teacher;
+    returns (params, opt_state, train_step, infer_fn) — the same tuple as
+    ``setup_sharded`` so the CLI loop is shared. The teacher tree is
+    mesh-sharded (same Megatron rules; its matmuls TP-split like the
+    student's) but stays torch-layout and is closed over by the step."""
+    optimizer = optimizer or make_optimizer(lr)
+    params = vit.init_params(
+        jax.random.key(seed), cfg,
+        **({"dtype": dtype} if dtype is not None else {}))
+    if isinstance(attn_impl, str):
+        from interactive_vit_tpu.ops.dispatch import default_train_attn_impl
+
+        attn_impl = default_train_attn_impl(
+            attn_impl, n_devices=mesh.devices.size,
+            dtype=jax.tree_util.tree_leaves(params)[0].dtype)
+    head_major = wants_head_major(cfg, mesh, attn_impl)
+    if head_major:
+        params = mesh_lib.permute_qkv_head_major(params, cfg.heads)
+    params = mesh_lib.shard_params(params, mesh)
+    if dtype is not None:
+        teacher_params = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            teacher_params)
+    teacher_params = mesh_lib.shard_params(teacher_params, mesh)
+    opt_state = optimizer.init(params)
+    step = make_distill_train_step(
+        cfg, teacher_cfg, teacher_params, optimizer, attn_impl=attn_impl,
+        remat=remat, qkv_head_major=head_major, accum_steps=accum_steps,
+        alpha=alpha, tau=tau, label_smoothing=label_smoothing)
+    bsh = mesh_lib.batch_sharding(mesh)
+    train_step = jax.jit(
+        step,
+        in_shardings=(None, None, bsh, bsh),
+        donate_argnums=(0, 1),
+    )
+
+    def infer(params, images):
+        return vit.forward(params, images, cfg, attn_impl=attn_impl,
+                           qkv_head_major=head_major)["logits"]
+
+    infer_fn = jax.jit(infer, in_shardings=(None, bsh))
+    return params, opt_state, train_step, infer_fn
+
+
 def make_mae_train_step(cfg, optimizer=None, remat=False,
                         accum_steps: int = 1,
                         mask_ratio: float = None):

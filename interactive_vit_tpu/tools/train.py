@@ -388,6 +388,24 @@ def main(argv=None) -> None:
                              "--mixup, one of the two is chosen per step")
     parser.add_argument("--label-smoothing", type=float, default=0.0,
                         help="uniform label smoothing in the loss")
+    parser.add_argument("--distill-teacher", default=None, metavar="FILE",
+                        help="knowledge distillation (DeiT recipe): a "
+                             "FROZEN teacher checkpoint whose predictions "
+                             "supervise the student's distillation head "
+                             "(token 1). Student must be a distilled "
+                             "variant (deit_*). Requires "
+                             "--teacher-variant")
+    parser.add_argument("--teacher-variant", default=None,
+                        help="the teacher checkpoint's variant name (any "
+                             "trainable family; same resolution and "
+                             "label space as the student)")
+    parser.add_argument("--distill-alpha", type=float, default=0.5,
+                        help="distillation-loss weight: loss = "
+                             "(1-a)*CE(cls, labels) + a*distill")
+    parser.add_argument("--distill-tau", type=float, default=0.0,
+                        help="0 = hard distillation (CE vs the teacher's "
+                             "argmax, the DeiT-recommended recipe); >0 = "
+                             "soft (temperature-tau KL, scaled tau^2)")
     parser.add_argument("--ema-decay", type=float, default=0.0,
                         help="keep an exponential moving average of the "
                              "params (the DeiT/timm model-EMA recipe, "
@@ -409,6 +427,9 @@ def main(argv=None) -> None:
         parser.error("--init and --resume are mutually exclusive: "
                      "--resume restores the full train state, --init "
                      "seeds a FRESH run from pretrained weights")
+    if bool(args.distill_teacher) != bool(args.teacher_variant):
+        parser.error("--distill-teacher and --teacher-variant go "
+                     "together")
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -424,21 +445,23 @@ def main(argv=None) -> None:
     from interactive_vit_tpu.parallel import mesh as mesh_lib
     from interactive_vit_tpu.parallel import train as train_lib
 
-    if args.variant.partition("@")[0] in vit.VARIANTS:
-        # @<pixels>/@p<patch> = train/fine-tune at a derived geometry
-        cfg = vit.resolve_variant(args.variant)
-    elif args.variant.startswith("swin_"):
-        from interactive_vit_tpu.models import swin
+    def resolve_cfg(variant: str):
+        if variant.partition("@")[0] in vit.VARIANTS:
+            # @<pixels>/@p<patch> = train/fine-tune at a derived geometry
+            return vit.resolve_variant(variant)
+        if variant.startswith("swin_"):
+            from interactive_vit_tpu.models import swin
 
-        cfg = swin.VARIANTS[args.variant]
-    elif args.variant.startswith("convnext_"):
-        from interactive_vit_tpu.models import convnext
+            return swin.VARIANTS[variant]
+        if variant.startswith("convnext_"):
+            from interactive_vit_tpu.models import convnext
 
-        cfg = convnext.VARIANTS[args.variant]
-    else:
+            return convnext.VARIANTS[variant]
         from interactive_vit_tpu.models import moe
 
-        cfg = moe.VARIANTS[args.variant]
+        return moe.VARIANTS[variant]
+
+    cfg = resolve_cfg(args.variant)
     if args.mesh == "data=all":
         axis_sizes = None
     else:
@@ -490,12 +513,34 @@ def main(argv=None) -> None:
         color_jitter=args.color_jitter, cutout=args.cutout,
         mixup_alpha=args.mixup, cutmix_alpha=args.cutmix)
     with mesh:
-        params, opt_state, step_fn, infer_fn = train_lib.setup_sharded(
-            cfg, mesh, seed=args.seed, lr=args.lr,
-            remat=remat, optimizer=optimizer, dtype=dtype,
-            attn_impl=attn_impl, accum_steps=args.accum_steps,
-            label_smoothing=args.label_smoothing,
-        )
+        if args.distill_teacher:
+            from interactive_vit_tpu.tools.convert import (
+                convert, load_state_dict,
+            )
+
+            teacher_cfg = resolve_cfg(args.teacher_variant)
+            teacher_params = convert(args.teacher_variant, "auto",
+                                     load_state_dict(args.distill_teacher))
+            logger.info("distillation: frozen %s teacher from %s "
+                        "(alpha=%g, %s)", args.teacher_variant,
+                        args.distill_teacher, args.distill_alpha,
+                        f"soft tau={args.distill_tau}"
+                        if args.distill_tau > 0 else "hard")
+            params, opt_state, step_fn, infer_fn = (
+                train_lib.setup_sharded_distill(
+                    cfg, teacher_cfg, teacher_params, mesh,
+                    seed=args.seed, lr=args.lr, remat=remat,
+                    optimizer=optimizer, dtype=dtype, attn_impl=attn_impl,
+                    accum_steps=args.accum_steps,
+                    alpha=args.distill_alpha, tau=args.distill_tau,
+                    label_smoothing=args.label_smoothing))
+        else:
+            params, opt_state, step_fn, infer_fn = train_lib.setup_sharded(
+                cfg, mesh, seed=args.seed, lr=args.lr,
+                remat=remat, optimizer=optimizer, dtype=dtype,
+                attn_impl=attn_impl, accum_steps=args.accum_steps,
+                label_smoothing=args.label_smoothing,
+            )
         aug_fn = make_augment_fn(
             aug_cfg, cfg.num_classes,
             base_key=jax.random.key(args.seed + 0x5EED),

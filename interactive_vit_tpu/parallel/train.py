@@ -67,13 +67,91 @@ def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(decayed, params)
 
 
+def _llrd_layer_id(path_str: str):
+    """Map a param path to its LLRD group: 0 = embedding tier,
+    1..L = transformer/conv blocks in depth order, None = the top
+    (head + final norm — always full LR).
+
+    Handles every family's tree shape: ViT ``blocks[i]``, Swin/ConvNeXt
+    ``stages[s][b]`` (flattened in depth order) with the between-stage
+    ``merges[s]``/``downs[s]`` attached to the END of stage s (they
+    consume stage-s features, so they share its depth position). The
+    returned id for stage blocks is a (s, b) tuple resolved to a global
+    index once the whole tree has been scanned."""
+    import re
+
+    m = re.search(r"\['blocks'\]\[(\d+)\]", path_str)
+    if m:
+        return ("block", int(m.group(1)))
+    m = re.search(r"\['stages'\]\[(\d+)\]\[(\d+)\]", path_str)
+    if m:
+        return ("stage", int(m.group(1)), int(m.group(2)))
+    m = re.search(r"\['(?:merges|downs)'\]\[(\d+)\]", path_str)
+    if m:
+        return ("stage_end", int(m.group(1)))  # shares the stage's last rung
+    if re.search(r"\['(?:head|head_dist|norm)'\]", path_str):
+        return None
+    return ("embed",)  # patch_embed/stem/cls/pos/dist/reg tokens
+
+
+def llrd_factors(params, decay: float):
+    """Per-leaf LR multipliers for layer-wise LR decay (the BEiT/MAE
+    finetune recipe, Clark/Bao et al.): the head and final norm train at
+    the full LR, block ``j`` of ``L`` at ``decay^(L-j)``, and the
+    embedding tier at ``decay^(L+1)``. Returns an f32 scalar tree shaped
+    like ``params``."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    ids = {jax.tree_util.keystr(p): _llrd_layer_id(jax.tree_util.keystr(p))
+           for p, _ in flat}
+    blocks = sorted({i for i in ids.values()
+                     if i is not None and i[0] in ("block", "stage")})
+    order = {b: j for j, b in enumerate(blocks)}
+    # merges/downs between stages share the rung of their stage's LAST
+    # block (they consume stage-s features); they add no rung of their own
+    for i in set(ids.values()):
+        if i is not None and i[0] == "stage_end":
+            last = max(b for b in blocks if b[:2] == ("stage", i[1]))
+            order[i] = order[last]
+    n = len(blocks)
+
+    def factor(path, x):
+        i = ids[jax.tree_util.keystr(path)]
+        if i is None:
+            return jnp.float32(1.0)
+        if i == ("embed",):
+            return jnp.float32(decay ** (n + 1))
+        return jnp.float32(decay ** (n - order[i]))
+
+    return jax.tree_util.tree_map_with_path(factor, params)
+
+
+def scale_by_llrd(decay: float) -> optax.GradientTransformation:
+    """Optax transform applying layer-wise LR decay: appended AFTER the
+    base optimizer so it scales the final updates — exactly equivalent to
+    per-layer learning rates (AdamW's update direction is invariant to a
+    per-group LR). Factors are computed at trace time from the update
+    tree's paths; no state."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        fac = llrd_factors(updates, decay)
+        return (jax.tree.map(lambda u, f: u * f.astype(u.dtype),
+                             updates, fac), state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float = 3e-4, wd: float = 0.05,
                    warmup_steps: int = 0, total_steps: int = 0,
-                   clip_norm: float = 0.0):
+                   clip_norm: float = 0.0, llrd: float = 0.0):
     """AdamW (decay masked to rank-2 weights — LN/biases/embeddings are
     exempt per the standard ViT recipe), optionally with global-norm
-    clipping and a warmup+cosine schedule. ``total_steps=0`` -> constant
-    lr; ``clip_norm=0`` -> no clipping."""
+    clipping, a warmup+cosine schedule, and layer-wise LR decay
+    (``llrd`` in (0,1): per-block multiplier, the MAE/BEiT finetune
+    recipe). ``total_steps=0`` -> constant lr; ``clip_norm=0`` -> no
+    clipping; ``llrd=0`` -> uniform LR."""
     sched = lr
     if total_steps:
         sched = optax.warmup_cosine_decay_schedule(
@@ -83,6 +161,10 @@ def make_optimizer(lr: float = 3e-4, wd: float = 0.05,
     tx = optax.adamw(sched, weight_decay=wd, mask=_decay_mask)
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if llrd:
+        if not 0.0 < llrd <= 1.0:
+            raise ValueError(f"llrd must be in (0, 1], got {llrd}")
+        tx = optax.chain(tx, scale_by_llrd(llrd))
     return tx
 
 

@@ -302,6 +302,13 @@ def main(argv=None) -> None:
                         help="warmup steps (with cosine decay to --steps)")
     parser.add_argument("--clip-norm", type=float, default=0.0,
                         help="global-norm gradient clipping (0 = off)")
+    parser.add_argument("--llrd", type=float, default=0.0,
+                        help="layer-wise LR decay (the BEiT/MAE finetune "
+                             "recipe): block j of L trains at "
+                             "lr*llrd^(L-j), the embedding tier at "
+                             "lr*llrd^(L+1), head/final-norm at full lr. "
+                             "0 = uniform; 0.65-0.75 is the standard "
+                             "finetune range (pair with --init)")
     parser.add_argument("--mesh", default="data=all",
                         help="e.g. data=4,model=2; 'data=all' = pure DP")
     parser.add_argument("--seed", type=int, default=0)
@@ -337,8 +344,9 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", action="store_true",
                         help="restore train state from --output/state and "
                              "continue at the saved step (pass the SAME "
-                             "--warmup/--clip-norm as the original run — "
-                             "they define the optimizer-state structure)")
+                             "--warmup/--clip-norm/--llrd as the original "
+                             "run — they define the optimizer-state "
+                             "structure)")
     parser.add_argument("--init", default=None, metavar="FILE",
                         help="initialize the trunk from a checkpoint "
                              "(safetensors or .pth, layout auto-detected) "
@@ -477,7 +485,7 @@ def main(argv=None) -> None:
     optimizer = train_lib.make_optimizer(
         args.lr, warmup_steps=args.warmup,
         total_steps=args.steps if args.warmup else 0,
-        clip_norm=args.clip_norm)
+        clip_norm=args.clip_norm, llrd=args.llrd)
     state_dir = os.path.join(args.output, "state") if args.output else None
 
     from interactive_vit_tpu.ops.dispatch import default_train_attn_impl

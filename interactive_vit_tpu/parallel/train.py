@@ -291,9 +291,28 @@ def remat_wrapper(remat):
     return functools.partial(jax.checkpoint)
 
 
+def cast_params(params: Params, dtype) -> Params:
+    """Cast the floating leaves of ``params`` to ``dtype`` (None = no-op).
+
+    The mixed-precision compute cast: master params stay f32 (so AdamW's
+    mu/nu are f32 and sub-ulp updates don't round away — optax moments
+    inherit the PARAM dtype, and bf16 nu underflows small squared grads),
+    while the forward runs in ``dtype``. ``models.vit.embed`` makes
+    activations adopt the weight dtype, so casting the tree here puts the
+    whole forward in bf16; the cast's VJP converts the bf16 cotangents
+    back to f32, so gradients and the optimizer update stay f32."""
+    if dtype is None:
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        params)
+
+
 def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
                     remat=True, qkv_head_major: bool = False,
-                    accum_steps: int = 1, label_smoothing: float = 0.0):
+                    accum_steps: int = 1, label_smoothing: float = 0.0,
+                    compute_dtype=None):
     """Build a jittable train step (params, opt_state, images, labels) ->
     (params, opt_state, loss).
 
@@ -309,12 +328,17 @@ def make_train_step(cfg: vit.ViTConfig, optimizer=None, attn_impl=None,
     before ONE optimizer update. Equivalent to the full-batch step by
     loss-mean linearity; enables effective batches whose activations
     exceed HBM without paying remat's extra forward.
+
+    ``compute_dtype``: mixed precision — params stay in their (f32
+    master) dtype for the optimizer, the forward/backward run in
+    ``compute_dtype`` via ``cast_params``.
     """
     optimizer = optimizer or make_optimizer()
     wrapper = remat_wrapper(remat)
 
     def lf(p, im, lb):
-        return loss_fn(p, im, lb, cfg, attn_impl=attn_impl,
+        return loss_fn(cast_params(p, compute_dtype), im, lb, cfg,
+                       attn_impl=attn_impl,
                        block_wrapper=wrapper,
                        qkv_head_major=qkv_head_major,
                        label_smoothing=label_smoothing)
@@ -402,7 +426,8 @@ def make_distill_train_step(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
                             qkv_head_major: bool = False,
                             accum_steps: int = 1, alpha: float = 0.5,
                             tau: float = 0.0,
-                            label_smoothing: float = 0.0):
+                            label_smoothing: float = 0.0,
+                            compute_dtype=None):
     """DeiT knowledge-distillation step (Touvron et al. 2021): the
     student's class head trains on the labels, its distillation head
     (token 1) trains on a frozen teacher's predictions.
@@ -429,12 +454,14 @@ def make_distill_train_step(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
             f"{cfg.num_classes}: the dist head trains on teacher logits")
     optimizer = optimizer or make_optimizer()
     wrapper = remat_wrapper(remat)
-    teacher = make_teacher_fn(teacher_cfg, teacher_params)
+    # the teacher is frozen — no master copy needed, cast it once
+    teacher = make_teacher_fn(teacher_cfg,
+                              cast_params(teacher_params, compute_dtype))
 
     def lf(p, im, lb):
         cls_l, dist_l = _student_logits(
-            p, im, cfg, attn_impl=attn_impl, wrapper=wrapper,
-            qkv_head_major=qkv_head_major)
+            cast_params(p, compute_dtype), im, cfg, attn_impl=attn_impl,
+            wrapper=wrapper, qkv_head_major=qkv_head_major)
         t = teacher(im)
         if tau > 0:
             logq = jax.nn.log_softmax(
@@ -484,7 +511,8 @@ def setup_sharded_distill(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
                           remat=False, optimizer=None, dtype=None,
                           attn_impl=None, accum_steps: int = 1,
                           alpha: float = 0.5, tau: float = 0.0,
-                          label_smoothing: float = 0.0):
+                          label_smoothing: float = 0.0,
+                          compute_dtype=None):
     """Init a distilled student on the mesh against a frozen teacher;
     returns (params, opt_state, train_step, infer_fn) — the same tuple as
     ``setup_sharded`` so the CLI loop is shared. The teacher tree is
@@ -499,22 +527,20 @@ def setup_sharded_distill(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
 
         attn_impl = default_train_attn_impl(
             attn_impl, n_devices=mesh.devices.size,
-            dtype=jax.tree_util.tree_leaves(params)[0].dtype)
+            dtype=compute_dtype
+            or jax.tree_util.tree_leaves(params)[0].dtype)
     head_major = wants_head_major(cfg, mesh, attn_impl)
     if head_major:
         params = mesh_lib.permute_qkv_head_major(params, cfg.heads)
     params = mesh_lib.shard_params(params, mesh)
-    if dtype is not None:
-        teacher_params = jax.tree.map(
-            lambda x: x.astype(dtype)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-            teacher_params)
+    teacher_params = cast_params(teacher_params, dtype)
     teacher_params = mesh_lib.shard_params(teacher_params, mesh)
     opt_state = optimizer.init(params)
     step = make_distill_train_step(
         cfg, teacher_cfg, teacher_params, optimizer, attn_impl=attn_impl,
         remat=remat, qkv_head_major=head_major, accum_steps=accum_steps,
-        alpha=alpha, tau=tau, label_smoothing=label_smoothing)
+        alpha=alpha, tau=tau, label_smoothing=label_smoothing,
+        compute_dtype=compute_dtype)
     bsh = mesh_lib.batch_sharding(mesh)
     train_step = jax.jit(
         step,
@@ -523,7 +549,8 @@ def setup_sharded_distill(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
     )
 
     def infer(params, images):
-        return vit.forward(params, images, cfg, attn_impl=attn_impl,
+        return vit.forward(cast_params(params, compute_dtype), images,
+                           cfg, attn_impl=attn_impl,
                            qkv_head_major=head_major)["logits"]
 
     infer_fn = jax.jit(infer, in_shardings=(None, bsh))
@@ -532,7 +559,8 @@ def setup_sharded_distill(cfg: vit.ViTConfig, teacher_cfg, teacher_params,
 
 def make_mae_train_step(cfg, optimizer=None, remat=False,
                         accum_steps: int = 1,
-                        mask_ratio: float = None):
+                        mask_ratio: float = None,
+                        compute_dtype=None):
     """Build a jittable MAE pretraining step (params, opt_state, images,
     key) -> (params, opt_state, loss).
 
@@ -550,7 +578,8 @@ def make_mae_train_step(cfg, optimizer=None, remat=False,
 
     def lf(p, im, key):
         return mae.forward_pretrain(
-            p, im, cfg, key, mask_ratio=mask_ratio,
+            cast_params(p, compute_dtype), im, cfg, key,
+            mask_ratio=mask_ratio,
             block_wrapper=wrapper)["loss"]
 
     def step(params, opt_state, images, key):
@@ -588,7 +617,8 @@ def make_mae_train_step(cfg, optimizer=None, remat=False,
 
 def setup_sharded_mae(cfg, mesh, seed: int = 0, lr: float = 1.5e-4,
                       remat=False, optimizer=None, dtype=None,
-                      accum_steps: int = 1, mask_ratio: float = None):
+                      accum_steps: int = 1, mask_ratio: float = None,
+                      compute_dtype=None):
     """Init MAE params + opt state on the mesh; return the jitted step.
 
     Returns (params, opt_state, train_step). The encoder/decoder blocks
@@ -609,7 +639,8 @@ def setup_sharded_mae(cfg, mesh, seed: int = 0, lr: float = 1.5e-4,
     opt_state = optimizer.init(params)
     step = make_mae_train_step(cfg, optimizer, remat=remat,
                                accum_steps=accum_steps,
-                               mask_ratio=mask_ratio)
+                               mask_ratio=mask_ratio,
+                               compute_dtype=compute_dtype)
     bsh = mesh_lib.batch_sharding(mesh)
     train_step = jax.jit(
         step,
@@ -630,6 +661,7 @@ def setup_sharded(
     dtype=None,
     accum_steps: int = 1,
     label_smoothing: float = 0.0,
+    compute_dtype=None,
 ) -> Tuple[Params, Any, Any, Any]:
     """Init params+opt state on the mesh; return jitted (train_step, infer).
 
@@ -643,7 +675,9 @@ def setup_sharded(
     ``ops.dispatch.default_train_attn_impl`` ("auto" = the custom-VJP
     flash kernel on a single TPU device with bf16 params).
     ``dtype``: parameter dtype (None = f32, the parity default; bf16 is
-    the throughput config).
+    the pure-bf16 throughput config).
+    ``compute_dtype``: mixed precision — keep ``dtype`` at f32 masters
+    (AdamW moments f32) and run the forward/backward in this dtype.
     """
     optimizer = optimizer or make_optimizer(lr)
     params = model_family(cfg).init_params(
@@ -654,7 +688,8 @@ def setup_sharded(
 
         attn_impl = default_train_attn_impl(
             attn_impl, n_devices=mesh.devices.size,
-            dtype=jax.tree_util.tree_leaves(params)[0].dtype)
+            dtype=compute_dtype
+            or jax.tree_util.tree_leaves(params)[0].dtype)
     # head-major qkv columns whenever TP is active (makes param_spec's
     # flat column sharding head-ALIGNED — the actual Megatron split; the
     # torch layout [3][H][Dh] would force GSPMD to reshard the activation
@@ -674,7 +709,8 @@ def setup_sharded(
     step = make_train_step(cfg, optimizer, attn_impl=attn_impl, remat=remat,
                            qkv_head_major=head_major,
                            accum_steps=accum_steps,
-                           label_smoothing=label_smoothing)
+                           label_smoothing=label_smoothing,
+                           compute_dtype=compute_dtype)
     bsh = mesh_lib.batch_sharding(mesh)
 
     train_step = jax.jit(
@@ -684,6 +720,7 @@ def setup_sharded(
     )
 
     def infer(params, images):
+        params = cast_params(params, compute_dtype)
         if is_plain:
             out = fam.forward(params, images, cfg)
             return out["logits"] if isinstance(out, dict) else out

@@ -78,7 +78,10 @@ def main(argv=None) -> None:
     parser.add_argument("--mesh", default="data=all")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dtype", default="float32",
-                        choices=["float32", "bfloat16"])
+                        choices=["float32", "bfloat16", "mixed"],
+                        help="mixed = f32 master params + bf16 compute "
+                             "(f32 AdamW moments; the standard TPU "
+                             "recipe — see ivt-train --dtype)")
     parser.add_argument("--remat", default="off",
                         choices=["on", "off", "dots"],
                         help="per-block remat (default off: the 75%%-mask "
@@ -153,13 +156,15 @@ def main(argv=None) -> None:
         total_steps=args.steps if args.warmup else 0)
     state_dir = os.path.join(args.output, "state") if args.output else None
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    compute_dtype = jnp.bfloat16 if args.dtype == "mixed" else None
     remat = {"on": True, "off": False, "dots": "dots"}[args.remat]
 
     with mesh:
         params, opt_state, step_fn = train_lib.setup_sharded_mae(
             cfg, mesh, seed=args.seed, lr=args.lr, remat=remat,
             optimizer=optimizer, dtype=dtype,
-            accum_steps=args.accum_steps, mask_ratio=args.mask_ratio)
+            accum_steps=args.accum_steps, mask_ratio=args.mask_ratio,
+            compute_dtype=compute_dtype)
         start_step = 0
         if args.resume:
             if not (state_dir and os.path.exists(state_dir)):

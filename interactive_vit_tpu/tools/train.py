@@ -322,10 +322,16 @@ def main(argv=None) -> None:
                              "save matmul outputs, recompute elementwise "
                              "(jax.checkpoint dots_with_no_batch_dims)")
     parser.add_argument("--dtype", default="float32",
-                        choices=["float32", "bfloat16"],
-                        help="parameter dtype (bfloat16 = the throughput "
-                             "config; enables the custom-VJP flash "
-                             "attention kernel on a single TPU device)")
+                        choices=["float32", "bfloat16", "mixed"],
+                        help="float32 = the parity default; bfloat16 = "
+                             "pure-bf16 params+compute (fastest, but "
+                             "AdamW moments and updates are bf16 too); "
+                             "mixed = f32 MASTER params + bf16 "
+                             "forward/backward — the standard TPU "
+                             "recipe: f32 optimizer moments, sub-ulp "
+                             "updates accumulate, bf16 MXU throughput. "
+                             "bfloat16/mixed enable the custom-VJP flash "
+                             "attention kernel on a single TPU device")
     parser.add_argument("--accum-steps", type=int, default=1,
                         help="gradient accumulation: split each batch "
                              "into k sequential microbatches (one "
@@ -491,9 +497,10 @@ def main(argv=None) -> None:
     from interactive_vit_tpu.ops.dispatch import default_train_attn_impl
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    compute_dtype = jnp.bfloat16 if args.dtype == "mixed" else None
     attn_impl = default_train_attn_impl(
         args.attn, n_devices=mesh.devices.size,
-        dtype=dtype or jnp.float32, cfg=cfg)
+        dtype=compute_dtype or dtype or jnp.float32, cfg=cfg)
     if attn_impl is not None:
         logger.info("train attention: custom-VJP flash kernel")
     if args.no_remat or args.remat == "off":
@@ -507,7 +514,7 @@ def main(argv=None) -> None:
                        ).get("data", 1)
         remat = train_lib.auto_remat(
             cfg, max(1, args.batch // max(1, data_ax) // args.accum_steps),
-            dtype=dtype or jnp.float32,
+            dtype=compute_dtype or dtype or jnp.float32,
             flash_attn=attn_impl is not None)
         logger.info("remat auto -> %s", "on" if remat else "off")
 
@@ -541,13 +548,15 @@ def main(argv=None) -> None:
                     optimizer=optimizer, dtype=dtype, attn_impl=attn_impl,
                     accum_steps=args.accum_steps,
                     alpha=args.distill_alpha, tau=args.distill_tau,
-                    label_smoothing=args.label_smoothing))
+                    label_smoothing=args.label_smoothing,
+                    compute_dtype=compute_dtype))
         else:
             params, opt_state, step_fn, infer_fn = train_lib.setup_sharded(
                 cfg, mesh, seed=args.seed, lr=args.lr,
                 remat=remat, optimizer=optimizer, dtype=dtype,
                 attn_impl=attn_impl, accum_steps=args.accum_steps,
                 label_smoothing=args.label_smoothing,
+                compute_dtype=compute_dtype,
             )
         aug_fn = make_augment_fn(
             aug_cfg, cfg.num_classes,

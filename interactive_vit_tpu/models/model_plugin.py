@@ -215,6 +215,7 @@ class JaxModel:
         category_names: Optional[List[str]] = None,
         fold_groups: Optional[Dict[str, str]] = None,
         grad_layers: Optional[Dict[str, Callable]] = None,
+        extra_kinds: Optional[List["NodeKind"]] = None,
     ):
         self.name = name
         self.layers = list(layers)
@@ -228,6 +229,10 @@ class JaxModel:
         # contract) for gradient replays; layers absent here replay
         # through their regular fn
         self.grad_layers = grad_layers or {}
+        # fully-formed NodeKinds registered WITH the model but outside
+        # the chained layer sequence (e.g. the ViT family's ``:attrib``
+        # attention-attribution node, models/attrib.py)
+        self.extra_kinds = list(extra_kinds or [])
 
     def prefix(self) -> str:
         return self.name + ":"
@@ -313,6 +318,21 @@ class JaxModel:
         occ_view = add({"kind": "img_view"}, 440, 440)
         wire(head, "o", occ, "o")
         wire(occ, "o", occ_view, "o")
+        if any(k.get_name().endswith(":attrib") for k in self.extra_kinds):
+            # Chefer attention attribution wires from the EMBED node's
+            # token stream (it re-runs the trunk internally, see
+            # models/attrib.py)
+            emb = next(
+                (i for i, n in enumerate(obj["nodes"])
+                 if n["instance"].get("endpoint", "").endswith(":embed")),
+                None)
+            if emb is not None:
+                att = add({"kind": "net_node",
+                           "endpoint": self.name + ":attrib",
+                           "params": {"target": "max"}}, 220, 600)
+                att_view = add({"kind": "img_view"}, 440, 600)
+                wire(emb, "o", att, "o")
+                wire(att, "o", att_view, "o")
         return obj
 
     def _kind_cls(self, layer_name: str) -> type:
@@ -333,3 +353,5 @@ class JaxModel:
                 self, lname, extra, fn,
                 fold_group=self.fold_groups.get(lname),
                 grad_fn_impl=self.grad_layers.get(lname)).register(reg)
+        for kind in self.extra_kinds:
+            kind.register(reg)

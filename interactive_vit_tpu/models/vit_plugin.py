@@ -163,7 +163,7 @@ def make_vit_model(
 
     cats = (class_names(cfg.num_classes)
             if with_categories and cfg.num_classes else None)
-    return JaxModel(
+    model = JaxModel(
         name=variant,
         layers=layers,
         params=params,
@@ -176,6 +176,17 @@ def make_vit_model(
                      for i in range(cfg.depth)},
         grad_layers=grad_layers,
     )
+    # Chefer attention attribution (models/attrib.py): class-specific
+    # grad x attention relevance over the whole trunk, one node. The
+    # node re-traces the blocks in pure XLA under jax.grad, so it works
+    # for every serving path (fused kernels, quantized weights, TP
+    # layout) via its own differentiable trunk.
+    from interactive_vit_tpu.models.attrib import AttribNodeKind
+
+    model.extra_kinds.append(
+        AttribNodeKind(model, cfg, quantized=bool(quantize),
+                       tp_layout=tp_layout))
+    return model
 
 
 def instances():

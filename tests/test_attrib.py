@@ -271,3 +271,22 @@ def test_attrib_head_major_layout_matches():
     r0 = chefer_relevance(p0, g0, x.dtype)
     r1 = chefer_relevance(p1, g1, x.dtype)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-5)
+
+
+def test_attrib_stacked_distinct_classes(model_reg):
+    # two concurrent sessions scrubbing different classes share one
+    # vmapped program: dynamic_capture_keys names only "class", so the
+    # trunk WEIGHTS broadcast instead of stacking k copies
+    reg, model = model_reg
+    ex = Executor(reg)
+    g0, att, _ = _attrib_graph(reg, model,
+                               {"target": "class", "class": "0"})
+    g7, _, _ = _attrib_graph(reg, model,
+                             {"target": "class", "class": "7"})
+    res = ex.run_stacked([g0, g7], taps={(att, "rel")})
+    ref0 = np.asarray(ex.run(g0, taps={(att, "rel")})[att]["rel"])
+    ref7 = np.asarray(ex.run(g7, taps={(att, "rel")})[att]["rel"])
+    np.testing.assert_allclose(np.asarray(res[0][att]["rel"]), ref0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res[1][att]["rel"]), ref7,
+                               atol=1e-5)

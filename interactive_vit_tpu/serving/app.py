@@ -403,6 +403,8 @@ class App:
                                 app.speculator.compiled
                             snap["speculative_queued"] = len(
                                 app.speculator._jobs)
+                            snap["speculator_recoveries"] = \
+                                app.speculator.recoveries
                         self._json(snap)
                     elif path == "/health":
                         h = app.health()

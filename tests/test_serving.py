@@ -330,6 +330,12 @@ def test_compute_timeout_returns_503():
         def stop(self):
             pass
 
+        def quiet_for(self, window_s):
+            # real batcher interface: the speculator's idle gate calls
+            # this from its thread — a double without it used to kill
+            # the tap-speculator with an AttributeError (VERDICT r3 #1)
+            return False
+
     app.batcher = WedgedBatcher()
     httpd = app.serve("127.0.0.1", 0, background=True)
     try:

@@ -173,6 +173,42 @@ def test_speculator_background_thread(setup):
         spec.stop()
 
 
+def test_speculator_survives_poisoned_iterations(setup):
+    """An exception anywhere in the loop body (a raising idle gate, a
+    poisoned _expand) must not kill the warmer thread: it recovers,
+    counts the recovery, and keeps compiling once the fault clears
+    (VERDICT r3 weak #1 — the thread used to die silently)."""
+    model, reg = setup
+    ex = Executor(reg)
+    poisoned = {"on": True}
+
+    def flaky_idle():
+        if poisoned["on"]:
+            raise AttributeError("double without quiet_for")
+        return True
+
+    spec = TapSpeculator(ex, idle=flaky_idle, idle_grace_s=0.01)
+    spec.start()
+    try:
+        g = make_graph(model, 0)
+        spec.observe(g, "primary")
+        for _ in range(200):  # wait for ≥1 recovered iteration
+            if spec.recoveries >= 1:
+                break
+            threading.Event().wait(0.05)
+        assert spec.recoveries >= 1
+        assert spec._thread.is_alive()
+        poisoned["on"] = False  # fault clears → compiling resumes
+        for _ in range(600):
+            if spec.compiled >= CFG.depth - 1:
+                break
+            threading.Event().wait(0.1)
+        assert spec.compiled >= CFG.depth - 1
+        assert spec._thread.is_alive()
+    finally:
+        spec.stop()
+
+
 def test_precompile_stacked_bucket_serves_run_stacked(setup):
     """precompile(batch=k) builds the exact vmapped bucket program
     run_stacked needs — including dynamic-capture slots, which the

@@ -6,6 +6,11 @@ install:
 test:
 	python -m pytest tests/ -q
 
+# contract-core tier for the inner loop (~40 s): wire format, graph IR,
+# node contracts, codec, executor. Full `make test` before round close.
+test-fast:
+	python -m pytest tests/ -m fast -q
+
 bench:
 	python bench.py
 

@@ -29,6 +29,26 @@ if os.environ.get("IVT_TEST_ON_TPU") != "1":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Fast/heavy tiers (VERDICT r3 #4). The full suite costs ~35 min on this box
+# (model training, on-mesh dryruns); the contract core — wire format, graph
+# IR, node contracts, codec, executor — runs in well under a minute and is
+# what the inner development loop needs green after every edit:
+#   make test-fast      ≙  pytest -m fast   (~40 s)
+#   make test           ≙  full suite        (round close)
+# Modules are auto-marked here so individual tests never need decorators.
+_FAST_MODULES = {
+    "test_codec", "test_native_codec", "test_wire_fixtures",
+    "test_wire_schema", "test_graph_ir", "test_node_contracts",
+    "test_node_ops", "test_executor", "test_utils", "test_trace_agg",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker("fast" if mod in _FAST_MODULES else "heavy")
+
 
 @pytest.fixture
 def rng():

@@ -53,7 +53,13 @@ def _make_inject_impl(delta: jnp.ndarray, store: List[jnp.ndarray]):
 
     ``delta`` is zeros at the evaluation point — the forward value is
     unchanged and the gradient w.r.t. ``delta`` is the true intermediate
-    gradient ∂target/∂probs of this block."""
+    gradient ∂target/∂probs of this block.
+
+    PLAIN-ViT ONLY: this impl deliberately omits ``attention_reference``'s
+    ``key_bias`` (ToMe size-bias) and ``causal`` (CLIP text) paths —
+    reusing it for those trunks would produce plausible-looking but wrong
+    logits/attribution. ``AttribNodeKind.__init__`` enforces this with a
+    config-type check (advisor r3)."""
 
     def impl(q, k, v, want_attn=False, n_real=None):
         del want_attn  # probs are recorded unconditionally via `store`
@@ -177,6 +183,15 @@ class AttribNodeKind(NodeKind):
 
     def __init__(self, model, cfg: vit.ViTConfig, quantized: bool = False,
                  tp_layout: bool = False):
+        # plain-ViT trunks only: _make_inject_impl has no key_bias (ToMe)
+        # or causal (CLIP text) path, so a subclassed config (e.g.
+        # ToMeViTConfig) would attribute against the WRONG forward math
+        # with matching shapes. Fail loudly at construction instead.
+        if type(cfg) is not vit.ViTConfig:
+            raise TypeError(
+                f"AttribNodeKind supports plain ViT trunks only; got "
+                f"{type(cfg).__name__} for {model.name} (the injection "
+                f"attn_impl omits ToMe key-bias and causal paths)")
         super().__init__(model.prefix() + "attrib")
         self.model = model
         self.cfg = cfg

@@ -40,14 +40,30 @@ emit(stage="serving", base=base)
 
 def attrib_request(model, cls="3", taps_head=True):
     obj = app.graphs.load(model + ".json")
-    insts = [n["instance"] for n in obj["nodes"]
-             if n["instance"]["kind"] == "net_node"]
-    nodes = [{"endpoint": i["endpoint"],
-              "params": dict(i.get("params", {}))} for i in insts]
-    edges = [{"out_port": {"node": 0, "channel": "o"}, "tensor": 0}]
-    for i in range(1, len(nodes)):
-        edges.append({"out_port": {"node": i, "channel": "o"},
-                      "in_port": {"node": i - 1, "channel": "o"}})
+    # derive wiring from the saved graph's EDGE LIST, not node-list
+    # order (a graph-generator reorder would silently mis-wire the
+    # chain — advisor r3). idx_map: saved index -> request index.
+    idx_map, nodes = {}, []
+    for i, n in enumerate(obj["nodes"]):
+        inst = n["instance"]
+        if inst["kind"] != "net_node":
+            continue
+        idx_map[i] = len(nodes)
+        nodes.append({"endpoint": inst["endpoint"],
+                      "params": dict(inst.get("params", {}))})
+    edges, fed = [], set()
+    for e in obj["edges"]:
+        s, d = e["in_port"]["node"], e["out_port"]["node"]
+        if s in idx_map and d in idx_map:
+            edges.append(
+                {"out_port": {"node": idx_map[d],
+                              "channel": e["out_port"]["channel"]},
+                 "in_port": {"node": idx_map[s],
+                             "channel": e["in_port"]["channel"]}})
+            fed.add(idx_map[d])
+    root = next(i for i in sorted(idx_map.values()) if i not in fed)
+    edges.insert(0, {"out_port": {"node": root, "channel": "o"},
+                     "tensor": 0})
     emb = next(i for i, n in enumerate(nodes)
                if n["endpoint"].endswith(":embed"))
     head = next(i for i, n in enumerate(nodes)

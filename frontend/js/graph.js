@@ -10,7 +10,12 @@
 // localops.js (zero round trip, the reference gpu.js capability).
 
 import { compute } from "./wire.js";
-import { LOCAL_KINDS, LocalFallback, evalLocal } from "./localops.js";
+import { LocalFallback, evalLocal } from "./localops.js";
+import {
+	localSet as pureLocalSet,
+	planRequest,
+	readySet as pureReadySet,
+} from "./partition.js";
 
 let nextId = 1;
 
@@ -327,35 +332,33 @@ export class Context {
 	// ---- evaluation -----------------------------------------------------------
 	static evalEpoch = 0;
 
+	/** Plain-data description of the live graph for the pure partition
+	 * rule (partition.js) — the ONE implementation shared with the
+	 * fixture replay, so the routing decision is pinned by
+	 * tests/fixtures/partition_fixtures.json. */
+	static describe() {
+		const nIndex = new Map(Context.nodes.map((n, i) => [n, i]));
+		const nodes = Context.nodes.map((n) => ({
+			kind: n.kind,
+			source: n.isSource(),
+			viewer: n.isViewer(),
+			hasTensor: n.isSource() && n.sourceTensor() !== null,
+			ins: n.ins.map((p) => p.channel),
+		}));
+		const edges = Context.edges.map((e) => ({
+			src: { node: nIndex.get(e.src.node), channel: e.src.channel },
+			dst: { node: nIndex.get(e.dst.node), channel: e.dst.channel },
+		}));
+		return { nodes, edges };
+	}
+
 	/** Nodes whose inputs are all satisfied (transitively). A half-wired
 	 * node (just dropped on the canvas) must not 400 the whole request —
 	 * the reference evaluated per-node with isolation; we stage one
 	 * program, so incomplete nodes are excluded up front and labeled. */
 	static readySet() {
-		const ready = new Map(); // node -> bool
-		const isReady = (n) => {
-			if (ready.has(n)) return ready.get(n);
-			ready.set(n, false); // cycle guard
-			let ok;
-			if (n.isSource()) {
-				ok = n.sourceTensor() !== null;
-			} else {
-				ok = n.ins.every((p) => {
-					const e = Context.edges.find((x) => x.dst === p);
-					// the rollout carry "r" is optional only when UNWIRED —
-					// a wired-but-not-ready producer must gate readiness,
-					// else the edge is silently dropped and the server
-					// computes a block-local rollout that renders as if it
-					// were the accumulated one
-					if (!e) return p.channel === "r";
-					return isReady(e.src.node);
-				});
-			}
-			ready.set(n, ok);
-			return ok;
-		};
-		for (const n of Context.nodes) isReady(n);
-		return ready;
+		const r = pureReadySet(Context.describe());
+		return new Map(Context.nodes.map((n, i) => [n, r[i]]));
 	}
 
 	/** Nodes evaluable client-side this pass: kind has a local impl, the
@@ -363,53 +366,12 @@ export class Context {
 	 * local nodes), and NO descendant needs the server (a local op
 	 * feeding a model node must be computed server-side anyway). */
 	static localSet(ready) {
-		const capable = new Map();
-		const isCapable = (n) => {
-			if (capable.has(n)) return capable.get(n);
-			capable.set(n, false); // cycle guard
-			let ok;
-			if (n.isSource()) {
-				ok = n.sourceTensor() !== null;
-			} else if (n.isViewer() || !LOCAL_KINDS.has(n.kind) || !ready.get(n)) {
-				ok = false;
-			} else {
-				ok = n.ins.every((p) => {
-					const e = Context.edges.find((x) => x.dst === p);
-					// unwired optional input: fine, localops reports if needed
-					return !e || isCapable(e.src.node);
-				});
-			}
-			capable.set(n, ok);
-			return ok;
-		};
-		for (const n of Context.nodes) isCapable(n);
-
-		// a capable node with any server-needing descendant stays server-side
-		const feedsServer = new Map();
-		const check = (n) => {
-			if (feedsServer.has(n)) return feedsServer.get(n);
-			feedsServer.set(n, false); // cycle guard
-			let hit = false;
-			for (const e of Context.edges) {
-				if (e.src.node !== n) continue;
-				const m = e.dst.node;
-				if (m.isViewer()) continue;
-				const mLocal = capable.get(m) && !m.isSource();
-				if (!mLocal || check(m)) {
-					hit = true;
-					break;
-				}
-			}
-			feedsServer.set(n, hit);
-			return hit;
-		};
-		const out = new Set();
-		for (const n of Context.nodes) {
-			if (!n.isSource() && !n.isViewer() && capable.get(n) && !check(n)) {
-				out.add(n);
-			}
-		}
-		return out;
+		const g = Context.describe();
+		const s = pureLocalSet(
+			g,
+			Context.nodes.map((n) => ready.get(n)),
+		);
+		return new Set([...s].map((i) => Context.nodes[i]));
 	}
 
 	static async evaluate() {
@@ -454,54 +416,23 @@ export class Context {
 		}
 		Context.localResults = localResults;
 
-		// server request: every READY non-source non-viewer non-local node
-		const reqNodes = Context.nodes.filter(
-			(n) =>
-				!n.isSource() && !n.isViewer() && ready.get(n) && !localSet.has(n),
-		);
+		// server request: every READY non-source non-viewer non-local node,
+		// planned by the shared pure rule (partition.js planRequest —
+		// explicit taps so only what viewers render leaves the TPU,
+		// source tensors deduped so one img_src ships its payload once)
+		const g = Context.describe();
+		const readyArr = Context.nodes.map((n) => ready.get(n));
+		const localIdx = new Set();
+		Context.nodes.forEach((n, i) => {
+			if (localSet.has(n)) localIdx.add(i);
+		});
+		const plan = planRequest(g, readyArr, localIdx);
+		const reqNodes = plan.req.map((i) => Context.nodes[i]);
 		const index = new Map(reqNodes.map((n, i) => [n, i]));
 		const nodesJson = reqNodes.map((n) => n.wireSpec());
-		const edgesJson = [];
-		const tensors = [];
-		const tensorIndex = new Map();
-		// explicit taps: only what viewers render leaves the TPU
-		const taps = [];
-		for (const e of Context.edges) {
-			if (e.dst.node.isViewer() && index.has(e.src.node)) {
-				taps.push({
-					node: index.get(e.src.node),
-					channel: e.src.channel,
-				});
-			}
-		}
-
-		for (const e of Context.edges) {
-			const dst = e.dst.node;
-			if (!index.has(dst)) continue; // viewer inputs come from taps
-			const src = e.src.node;
-			if (index.has(src)) {
-				edgesJson.push({
-					out_port: { node: index.get(dst), channel: e.dst.channel },
-					in_port: { node: index.get(src), channel: e.src.channel },
-				});
-			} else if (src.isSource()) {
-				const t = src.sourceTensor();
-				if (t === null) continue; // source not ready: omit, server errors per-node
-				// dedupe: one img_src feeding several consumers must ship
-				// its ~600KB payload ONCE (the tunnel's per-request floor
-				// is transfer-bound)
-				let ti = tensorIndex.get(t);
-				if (ti === undefined) {
-					ti = tensors.length;
-					tensors.push(t);
-					tensorIndex.set(t, ti);
-				}
-				edgesJson.push({
-					out_port: { node: index.get(dst), channel: e.dst.channel },
-					tensor: ti,
-				});
-			}
-		}
+		const taps = plan.taps;
+		const edgesJson = plan.edges;
+		const tensors = plan.tensors.map((i) => Context.nodes[i].sourceTensor());
 
 		for (const n of Context.nodes) {
 			if (localSet.has(n)) {

@@ -260,3 +260,73 @@ for (const [name, fx] of Object.entries(nodeFixtures)) {
 		}
 	});
 }
+
+// ---- partition-decision replay (VERDICT r3 #2) -------------------------------
+// The SAME rule that graph.js uses live (partition.js is the single
+// implementation) replayed against the committed scenario fixtures whose
+// expected local sets are hand-authored and whose request bytes were pinned
+// by the Python mirror (interactive_vit_tpu/wire/partition.py). Divergence
+// between the two implementations fails here.
+
+import { localSet, planRequest, readySet } from "./partition.js";
+
+const partitionFixtures = JSON.parse(
+	readFileSync(join(FIXTURES, "partition_fixtures.json"), "utf-8"),
+);
+
+function fxSources(fx) {
+	const out = new Map();
+	for (const [i, s] of Object.entries(fx.sources_b64)) {
+		out.set(Number(i), { dims: s.shape, data: new Float32Array(b64bytes(s.b64)) });
+	}
+	return out;
+}
+
+// the Python mirror uses snake_case has_tensor; partition.js hasTensor
+function toJsGraph(g) {
+	return {
+		nodes: g.nodes.map((n) => ({ ...n, hasTensor: n.has_tensor })),
+		edges: g.edges,
+	};
+}
+
+for (const [name, fx] of Object.entries(partitionFixtures)) {
+	test(`partition decision: ${name}`, () => {
+		const g = toJsGraph(fx.graph);
+		const ready = readySet(g);
+		assert.deepEqual(ready, fx.expected_ready, "ready set");
+		const local = localSet(g, ready);
+		assert.deepEqual([...local].sort((a, b) => a - b), fx.expected_local, "local set");
+		const plan = planRequest(g, ready, local);
+		assert.deepEqual(plan.req, fx.plan.req);
+		assert.deepEqual(plan.taps, fx.plan.taps);
+		assert.deepEqual(plan.edges, fx.plan.edges);
+		assert.deepEqual(plan.tensors, fx.plan.tensors);
+	});
+
+	if (fx.request_b64) {
+		test(`partition request bytes: ${name}`, () => {
+			const srcs = fxSources(fx);
+			const tensors = fx.plan.tensors.map((i) => srcs.get(i));
+			const raw = new Uint8Array(
+				encodeMessage(fx.request_json, tensors, REQUEST_MAGIC),
+			);
+			assert.deepEqual(raw, new Uint8Array(b64bytes(fx.request_b64)), "request bytes");
+		});
+	}
+
+	if (fx.fallback_request_b64) {
+		test(`partition fallback request bytes: ${name}`, () => {
+			// LocalFallback clears the local set; re-plan with local = {}
+			const g = toJsGraph(fx.graph);
+			const plan = planRequest(g, fx.expected_ready, new Set());
+			assert.deepEqual(plan, fx.fallback_plan);
+			const srcs = fxSources(fx);
+			const tensors = plan.tensors.map((i) => srcs.get(i));
+			const raw = new Uint8Array(
+				encodeMessage(fx.fallback_request_json, tensors, REQUEST_MAGIC),
+			);
+			assert.deepEqual(raw, new Uint8Array(b64bytes(fx.fallback_request_b64)));
+		});
+	}
+}

@@ -122,6 +122,100 @@ def _unflatten_caps(skel: Any, flat: Dict[str, np.ndarray]):
 
 # -- export -------------------------------------------------------------------
 
+def _generic_parse(s: str, like: np.ndarray):
+    """(mode, value) rebuilding a dynamic capture leaf from its wire
+    param string WITHOUT the node kind's code, or (None, None).
+
+    Covers the interactive-edit surface: scalar ints/floats (cos A/b,
+    noise seed, saliency class, patch_sim row/col) and base64 f32 arrays
+    (the conv2d matrix). Verified against the kind's real ``captures()``
+    at export time — only verified params become servably editable."""
+    import base64 as _b64
+
+    like = np.asarray(like)
+    try:
+        if like.ndim == 0:
+            if np.issubdtype(like.dtype, np.integer):
+                return "int", np.asarray(int(float(s)), like.dtype)
+            if np.issubdtype(like.dtype, np.floating):
+                return "float", np.asarray(float(s), like.dtype)
+            return None, None
+        raw = np.frombuffer(_b64.b64decode(s), "<f4")
+        if raw.size == like.size:
+            return "b64f32", raw.reshape(like.shape).astype(
+                like.dtype, copy=False)
+    except Exception:  # noqa: BLE001 — unparseable = not editable
+        pass
+    return None, None
+
+
+def parse_editable(mode: str, s: str, like: np.ndarray) -> np.ndarray:
+    """Apply a recorded edit mode (the serve-from-artifact hot path)."""
+    import base64 as _b64
+
+    like = np.asarray(like)
+    if mode == "int":
+        return np.asarray(int(float(s)), like.dtype)
+    if mode == "float":
+        return np.asarray(float(s), like.dtype)
+    if mode == "b64f32":
+        return np.frombuffer(_b64.b64decode(s), "<f4").reshape(
+            like.shape).astype(like.dtype, copy=False)
+    raise ExportError(f"unknown edit mode {mode!r}")
+
+
+def _serving_metadata(graph: Graph, reg, caps_arg) -> Dict[str, Any]:
+    """Everything ``serving/export_app.py`` needs to run the reference's
+    HTTP surface with NO registry/model code: the exported request shape
+    (nodes + wired edges), which params are dynamic (excluded from the
+    match), which of those are generically editable (verified per leaf),
+    and per-name IO/contents for ``/description`` + ``/contents``."""
+    nodes_meta = [{"name": n.name, "params": dict(n.params)}
+                  for n in graph.nodes]
+    edges_meta = []
+    for n in graph.nodes:
+        for ch, e in n.inputs.items():
+            if e.src is not None:
+                edges_meta.append(
+                    [e.src.node.index, e.src.channel, n.index, ch])
+    dynamic: Dict[str, list] = {}
+    editable: Dict[str, Dict[str, str]] = {}
+    node_io: Dict[str, Dict[str, Any]] = {}
+    for n in graph.nodes:
+        try:
+            kind = reg.get_node(n.name)
+        except KeyError:
+            continue
+        if n.name not in node_io:
+            try:
+                node_io[n.name] = {"io": kind.io(n.params),
+                                   "contents": kind.contents(n.params)}
+            except Exception:  # noqa: BLE001 — metadata is best-effort
+                pass
+        dyn = kind.dynamic_params()
+        if not dyn:
+            continue
+        dynamic[str(n.index)] = sorted(dyn)
+        caps = caps_arg.get(str(n.index))
+        if not isinstance(caps, dict):
+            continue
+        dck = kind.dynamic_capture_keys()
+        keys = set(caps) if dck is None else (set(caps) & set(dck))
+        modes: Dict[str, str] = {}
+        for k in keys:
+            if k not in n.params or not hasattr(caps[k], "dtype"):
+                continue
+            mode, val = _generic_parse(n.params[k], caps[k])
+            if mode is not None and np.array_equal(
+                    np.asarray(val), np.asarray(caps[k])):
+                modes[k] = mode
+        if modes:
+            editable[str(n.index)] = modes
+    return {"graph_nodes": nodes_meta, "graph_edges": edges_meta,
+            "dynamic_params": dynamic, "editable": editable,
+            "node_io": node_io}
+
+
 def export_graph(
     graph: Graph,
     out_dir: str,
@@ -129,6 +223,7 @@ def export_graph(
     executor: Optional[Executor] = None,
     platforms: Optional[Sequence[str]] = None,
     provenance: Optional[Dict[str, Any]] = None,
+    client_graph: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Stage ``graph`` exactly as ``Executor.run`` would and serialize the
     program + captures + manifest into ``out_dir``. Returns the manifest.
@@ -225,6 +320,15 @@ def export_graph(
         "capture_specs": cap_specs,
         "provenance": provenance or {},
     }
+    # serving metadata: serve-from-artifact mode (serving/export_app.py)
+    # matches requests against the exported shape and routes verified
+    # dynamic-param edits — all with no registry/model code at serve time
+    manifest.update(_serving_metadata(graph, ex.reg, caps_arg))
+    if client_graph is not None:
+        # the original saved-graph JSON (viewers included) rides along so
+        # the export server's /list_graphs + /load_graph can boot the
+        # frontend against this exact workflow
+        manifest["client_graph"] = client_graph
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, PROGRAM_FILE), "wb") as f:
@@ -387,7 +491,12 @@ class ExportedGraph:
                 arr, self._leaf_sharding(f"c.{node_index}.{name}"))
         node[name] = arr
 
-    def __call__(self, *inputs) -> Dict[int, Dict[str, np.ndarray]]:
+    def __call__(self, *inputs,
+                 caps: Optional[Any] = None) -> Dict[int, Dict[str, np.ndarray]]:
+        """Run the program. ``caps`` overrides the captures pytree for
+        THIS call only (serve-from-artifact routes per-request dynamic
+        param edits this way — concurrent requests with different edits
+        must not race on the shared ``self.caps``)."""
         specs = self.manifest["inputs"]
         if len(inputs) != len(specs):
             raise ExportError(
@@ -404,7 +513,8 @@ class ExportedGraph:
             arr = arr.astype(spec["dtype"], copy=False)
             args.append(self._device_input(arr))
         try:
-            flat = self._exp.call(tuple(args), self.caps)
+            flat = self._exp.call(
+                tuple(args), self.caps if caps is None else caps)
         except Exception as err:  # noqa: BLE001
             raise ExportError(f"exported program failed: {err}") from err
         return Executor.split_single(jax.device_get(flat))

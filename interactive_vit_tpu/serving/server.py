@@ -290,6 +290,12 @@ def main() -> None:
                         help="pre-compile each model's full-chain program "
                              "at boot (first request then runs at steady "
                              "state)")
+    parser.add_argument("--from-export", default="", metavar="DIR",
+                        help="serve an AOT artifact (ivt-export output) "
+                             "instead of live models: NO registry, NO "
+                             "model zoo, NO plugin code — the StableHLO "
+                             "program + captures boot directly "
+                             "(serving/export_app.py)")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -306,6 +312,19 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     if args.jit_cache:
         enable_compilation_cache(args.jit_cache)
+    if args.from_export:
+        import time as time_mod
+
+        from interactive_vit_tpu.serving.export_app import ExportApp
+
+        t0 = time_mod.perf_counter()
+        xapp = ExportApp(args.from_export,
+                         frontend_dir=args.frontend_dir)
+        logger.info("artifact loaded in %.2fs (%d outputs); serving "
+                    "with no model code", xapp.boot_load_s,
+                    len(xapp.out_keys))
+        xapp.serve(args.host, args.port)
+        return
     app = build_app(
         models=[m for m in args.models.split(",") if m],
         graphs_dir=args.graphs_dir,

@@ -154,7 +154,8 @@ def main(argv=None) -> int:
     manifest = export_graph(
         g, args.out, taps=args.taps, executor=ex, platforms=platforms,
         provenance={"graph": os.path.basename(path),
-                    "dtype": args.dtype, "taps": args.taps})
+                    "dtype": args.dtype, "taps": args.taps},
+        client_graph=obj)
     size = sum(
         os.path.getsize(os.path.join(args.out, f))
         for f in os.listdir(args.out))

@@ -41,7 +41,7 @@ _FAST_MODULES = {
     "test_codec", "test_native_codec", "test_wire_fixtures",
     "test_wire_schema", "test_graph_ir", "test_node_contracts",
     "test_node_ops", "test_executor", "test_utils", "test_trace_agg",
-    "test_partition_fixtures",
+    "test_partition_fixtures", "test_export_serving",
 }
 
 

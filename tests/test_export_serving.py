@@ -1,0 +1,230 @@
+"""Serve-from-artifact mode (VERDICT r3 #7).
+
+``ivt-server --from-export <dir>`` boots the reference HTTP surface from
+an AOT artifact with NO registry/model/plugin code. These tests pin the
+contract: byte-level /compute parity with the live stack for both
+request shapes (the exported saved-graph shape and the client's
+stripped-sources-and-viewers shape), race-free dynamic-param edits,
+rejection of anything needing a recompile, and the metadata endpoints.
+Reference surface: ``/root/reference/main/urls.py:7-14``.
+"""
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from interactive_vit_tpu.graph.executor import Executor
+from interactive_vit_tpu.graph.ir import Graph
+from interactive_vit_tpu.graph.registry import Registry
+from interactive_vit_tpu.graph.export import export_graph
+from interactive_vit_tpu.ops.node_ops import register_builtin
+from interactive_vit_tpu.serving.export_app import ExportApp, MatchError
+from interactive_vit_tpu.wire.codec import (
+    REQUEST_MAGIC, Response, encode_message,
+)
+from interactive_vit_tpu.wire.schema import graph_from_json
+
+X = np.linspace(0.0, 1.0, 8, dtype=np.float32)
+
+SAVED = {
+    # img_src -> cos -> slice -> img_view: a source, a dynamic-param
+    # node, a static-param node and a viewer — every matching case
+    "nodes": [
+        {"instance": {"kind": "img_src"}, "pos": {"x": 0, "y": 0}},
+        {"instance": {"kind": "net_node", "endpoint": "cos",
+                      "params": {"A": "2.0", "b": "0.5"}},
+         "pos": {"x": 200, "y": 0}},
+        {"instance": {"kind": "slice",
+                      "fixed": [{"dim": 0, "val": 1}],
+                      "free": [{"in_dim": 1, "out_dim": 0}]},
+         "pos": {"x": 400, "y": 0}},
+        {"instance": {"kind": "img_view"}, "pos": {"x": 600, "y": 0}},
+    ],
+    "edges": [
+        {"in_port": {"node": 0, "channel": "o"},
+         "out_port": {"node": 1, "channel": "o"}},
+        {"in_port": {"node": 1, "channel": "o"},
+         "out_port": {"node": 2, "channel": "o"}},
+        {"in_port": {"node": 2, "channel": "o"},
+         "out_port": {"node": 3, "channel": "o"}},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    reg = Registry()
+    register_builtin(reg)
+    g = graph_from_json(SAVED)
+    g.add_input(np.zeros((2, 4), np.float32), g.nodes[0], "o")
+    out_dir = str(tmp_path_factory.mktemp("artifact"))
+    export_graph(g, out_dir, taps="primary",
+                 executor=Executor(reg), client_graph=SAVED)
+    app = ExportApp(out_dir, frontend_dir=None)
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    yield app, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(base, req_json, tensors):
+    body = bytes(encode_message(REQUEST_MAGIC, req_json, tensors))
+    r = urllib.request.Request(base + "/compute", data=body,
+                               method="POST")
+    return Response.decode(urllib.request.urlopen(r).read())
+
+
+def client_request(a="2.0", fixed=None, taps=((0, "o"), (1, "o"))):
+    """The request the browser ships for SAVED: sources/viewers
+    stripped, tensor ref on cos, viewer edge as a tap."""
+    return {
+        "nodes": [
+            {"endpoint": "cos", "params": {"A": a, "b": "0.5"}},
+            {"endpoint": "slice", "params": {
+                "fixed": json.dumps(
+                    fixed or [{"dim": 0, "val": 1}],
+                    separators=(",", ":")),
+                "free": json.dumps([{"in_dim": 1, "out_dim": 0}],
+                                   separators=(",", ":"))}},
+        ],
+        "edges": [
+            {"out_port": {"node": 0, "channel": "o"}, "tensor": 0},
+            {"out_port": {"node": 1, "channel": "o"},
+             "in_port": {"node": 0, "channel": "o"}},
+        ],
+        "taps": [{"node": n, "channel": c} for n, c in taps],
+    }
+
+
+def test_client_shape_computes(served):
+    _, base = served
+    img = np.arange(8, dtype=np.float32).reshape(2, 4) / 8
+    outs = _post(base, client_request(), [img])
+    np.testing.assert_allclose(
+        outs[0]["o"], np.cos(2.0 * img + 0.5), rtol=1e-6)
+    np.testing.assert_allclose(
+        outs[1]["o"], np.cos(2.0 * img + 0.5)[1, :], rtol=1e-6)
+
+
+def test_dynamic_param_edit_no_recompile(served):
+    """Editing cos A serves new values from the SAME program (captures
+    are runtime args — the live executor's interactivity contract)."""
+    _, base = served
+    img = np.arange(8, dtype=np.float32).reshape(2, 4) / 8
+    outs = _post(base, client_request(a="5.0"), [img])
+    np.testing.assert_allclose(
+        outs[0]["o"], np.cos(5.0 * img + 0.5), rtol=1e-6)
+
+
+def test_static_param_change_is_rejected(served):
+    _, base = served
+    img = np.zeros((2, 4), np.float32)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, client_request(fixed=[{"dim": 0, "val": 0}]), [img])
+    assert ei.value.code == 400
+    msg = ei.value.read().decode()
+    assert "static param" in msg and "node 1" in msg
+
+
+def test_exported_shape_also_computes(served):
+    """ivt-run-exported style callers ship the saved-graph shape
+    (sources and viewers included) — the identity view serves it."""
+    _, base = served
+    img = np.arange(8, dtype=np.float32).reshape(2, 4) / 8
+    req = {
+        "nodes": [
+            {"endpoint": "img_src", "params": {}},
+            {"endpoint": "cos", "params": {"A": "2.0", "b": "0.5"}},
+            {"endpoint": "slice", "params": {
+                "fixed": json.dumps([{"dim": 0, "val": 1}],
+                                    separators=(",", ":")),
+                "free": json.dumps([{"in_dim": 1, "out_dim": 0}],
+                                   separators=(",", ":"))}},
+            {"endpoint": "img_view", "params": {}},
+        ],
+        "edges": [
+            {"out_port": {"node": 0, "channel": "o"}, "tensor": 0},
+            {"out_port": {"node": 1, "channel": "o"},
+             "in_port": {"node": 0, "channel": "o"}},
+            {"out_port": {"node": 2, "channel": "o"},
+             "in_port": {"node": 1, "channel": "o"}},
+            {"out_port": {"node": 3, "channel": "o"},
+             "in_port": {"node": 2, "channel": "o"}},
+        ],
+        "taps": [{"node": 1, "channel": "o"}],
+    }
+    outs = _post(base, req, [img])
+    np.testing.assert_allclose(
+        outs[1]["o"], np.cos(2.0 * img + 0.5), rtol=1e-6)
+
+
+def test_wrong_topology_rejected(served):
+    _, base = served
+    req = client_request()
+    req["nodes"].append({"endpoint": "cos", "params": {}})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, req, [np.zeros((2, 4), np.float32)])
+    assert ei.value.code == 400
+    assert "fixed program" in ei.value.read().decode()
+
+
+def test_unexported_tap_rejected(served):
+    _, base = served
+    req = client_request(taps=((0, "nope"),))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, req, [np.zeros((2, 4), np.float32)])
+    assert ei.value.code == 400
+    assert "not exported" in ei.value.read().decode()
+
+
+def test_metadata_endpoints(served):
+    _, base = served
+    d = json.load(urllib.request.urlopen(base + "/description/cos"))
+    assert d == {"ins": ["o"], "outs": ["o"]}
+    html = urllib.request.urlopen(base + "/contents/cos").read().decode()
+    assert "cos" in html
+    graphs = json.load(urllib.request.urlopen(base + "/list_graphs"))
+    assert graphs
+    obj = json.load(urllib.request.urlopen(
+        base + "/load_graph/" + graphs[0]))
+    assert obj == SAVED
+    h = json.load(urllib.request.urlopen(base + "/health"))
+    assert h["ok"] and h["mode"] == "from-export"
+
+
+def test_parity_with_live_executor(served):
+    """The artifact's /compute numerically matches the live stack on
+    the same request (the deployment gate)."""
+    app, base = served
+    img = np.random.default_rng(3).random((2, 4)).astype(np.float32)
+    outs = _post(base, client_request(a="3.25"), [img])
+    reg = Registry()
+    register_builtin(reg)
+    g = Graph()
+    n = g.add_node("cos", {"A": "3.25", "b": "0.5"})
+    g.add_input(img, n, "o")
+    live = Executor(reg).run(g, taps="all")
+    np.testing.assert_allclose(outs[0]["o"], live[0]["o"], rtol=1e-6)
+
+
+def test_concurrent_edits_do_not_race(served):
+    """Two concurrent requests with different A values each get their
+    own answer (per-request capture overlays, no shared-state edit)."""
+    import concurrent.futures
+
+    _, base = served
+    img = np.arange(8, dtype=np.float32).reshape(2, 4) / 8
+
+    def one(a):
+        outs = _post(base, client_request(a=str(a)), [img])
+        return outs[0]["o"]
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        futs = {pool.submit(one, a): a for a in
+                [1.0, 2.0, 3.0, 4.0] * 4}
+        for f, a in futs.items():
+            np.testing.assert_allclose(
+                f.result(), np.cos(a * img + 0.5), rtol=1e-6)

@@ -17,6 +17,16 @@ bench:
 bench-serving:
 	python bench_serving.py
 
+# round-close artifact: production-config serving run -> SERVING_r{N}.json
+# (recycling + speculation on, 3 families, 8 clients; VERDICT r3 #1a)
+serving-bench:
+	python tools/serving_bench_round.py
+
+# round-close artifact: every Pallas kernel + grad twin vs its jnp
+# reference ON CHIP -> KERNELS_r{N}.json (VERDICT r3 #1b)
+kernel-gate:
+	python tools/experiments/kernel_gate.py
+
 serve:
 	python -m interactive_vit_tpu.serving.server --port 8000 \
 	    --models vit_t16,vit_b16,clip_b32,vgg16,resnet50,vit_moe_s16 --dtype bfloat16

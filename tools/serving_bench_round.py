@@ -1,0 +1,210 @@
+"""Round-tracked serving benchmark -> SERVING_r{N}.json (VERDICT r3 #1a).
+
+Production-shaped config: the REAL server entry point as a subprocess
+(worker recycling ON, tap speculation ON, persistent jit cache), three
+model families served concurrently, 8 mixed clients over the binary wire
+protocol. Records the serving-tier numbers that previously evaporated
+into ROADMAP prose: ``server_compute_p50_ms`` (the tunnel-independent
+regression gate), ``mean_batch_size``, error count, the RSS bound across
+worker generations, and the speculation counters.
+
+Run (owns the TPU; serialize with all other chip use):
+
+    make serving-bench            # = python tools/serving_bench_round.py
+    SERVING_S=120 ROUND=4 python tools/serving_bench_round.py
+
+The client tier never imports jax (the server subprocess owns the
+exclusive-access chip — CLAUDE.md trap #1).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from interactive_vit_tpu.wire.codec import (  # noqa: E402
+    REQUEST_MAGIC, Response, encode_message,
+)
+
+PORT = int(os.environ.get("SERVING_PORT", "8972"))
+BASE = f"http://127.0.0.1:{PORT}"
+DURATION_S = float(os.environ.get("SERVING_S", "300"))
+RECYCLE_AFTER = int(os.environ.get("RECYCLE_AFTER", "2000"))
+N_CLIENTS = int(os.environ.get("SERVING_CLIENTS", "8"))
+ROUND = int(os.environ.get("ROUND", "4"))
+MODELS = ["vit_t16", "dino_s16", "resnet50"]
+
+
+def get_json(path, timeout=60):
+    with urllib.request.urlopen(BASE + path, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def chain_request(graph_obj, seed=0, tap_attn=None):
+    insts = [n["instance"] for n in graph_obj["nodes"]
+             if n["instance"]["kind"] == "net_node"]
+    nodes = [{"endpoint": i["endpoint"],
+              "params": dict(i.get("params", {}))} for i in insts]
+    edges = [{"out_port": {"node": 0, "channel": "o"}, "tensor": 0}]
+    for i in range(1, len(nodes)):
+        edges.append({"out_port": {"node": i, "channel": "o"},
+                      "in_port": {"node": i - 1, "channel": "o"}})
+    taps = [{"node": len(nodes) - 1, "channel": "o"}]
+    if tap_attn is not None:
+        taps.append({"node": tap_attn, "channel": "attn"})
+    req = {"nodes": nodes, "edges": edges, "taps": taps,
+           "resp_dtype": "bf16"}
+    img = np.random.default_rng(seed).random((3, 224, 224),
+                                             dtype=np.float32)
+    return bytes(encode_message(REQUEST_MAGIC, req, [img]))
+
+
+def main() -> int:
+    env = dict(os.environ)  # PYTHONPATH carries the axon plugin
+    extra = (["--platform", "cpu"]
+             if os.environ.get("SERVING_PLATFORM") == "cpu" else [])
+    server = subprocess.Popen(
+        [sys.executable, "-m", "interactive_vit_tpu.serving.server",
+         "--models", ",".join(MODELS), "--dtype", "bfloat16",
+         "--port", str(PORT), "--max-batch", "8", "--max-wait-ms", "5",
+         "--recycle-after-requests", str(RECYCLE_AFTER),
+         "--speculate-buckets", "1,4",
+         "--jit-cache", "/tmp/ivt_jit_cache",
+         "--graphs-dir", "/tmp/serving_bench_graphs"] + extra,
+        env=env, cwd=_REPO,
+        stdout=open("/tmp/serving_bench_server.log", "w"),
+        stderr=subprocess.STDOUT,
+    )
+    print(f"server pid {server.pid}; waiting for boot", flush=True)
+    result = {"round": ROUND, "config": {
+        "models": MODELS, "clients": N_CLIENTS,
+        "duration_s": DURATION_S, "recycle_after": RECYCLE_AFTER,
+        "speculate_buckets": [1, 4], "dtype": "bfloat16",
+        "resp_dtype": "bf16", "max_batch": 8,
+    }}
+    try:
+        deadline = time.monotonic() + 900
+        while True:
+            try:
+                get_json("/health", timeout=10)
+                break
+            except Exception:
+                if server.poll() is not None:
+                    raise RuntimeError(
+                        "server died at boot — see "
+                        "/tmp/serving_bench_server.log")
+                if time.monotonic() > deadline:
+                    raise RuntimeError("server never came up")
+                time.sleep(2)
+
+        graphs = {m: get_json(f"/load_graph/{m}.json") for m in MODELS}
+
+        # deterministic warm pass: one request per (model, tap shape)
+        # so cold compiles stay out of the timed window
+        warm_cases = [("vit_t16", None), ("vit_t16", 5),
+                      ("dino_s16", None), ("resnet50", None)]
+        for m, tap in warm_cases:
+            t0 = time.monotonic()
+            req = urllib.request.Request(
+                BASE + "/compute",
+                data=chain_request(graphs[m], seed=0, tap_attn=tap),
+                method="POST")
+            urllib.request.urlopen(req, timeout=900).read()
+            print(f"warmed {m} tap={tap} in "
+                  f"{time.monotonic() - t0:.1f}s", flush=True)
+
+        latencies: list = []
+        errors: list = []
+        lock = threading.Lock()
+        stop = time.monotonic() + DURATION_S
+
+        def client(ci):
+            model = MODELS[ci % len(MODELS)]
+            tap = 5 if (model == "vit_t16" and ci % 6 == 0) else None
+            i = 0
+            while time.monotonic() < stop:
+                body = chain_request(graphs[model], seed=ci * 1009 + i,
+                                     tap_attn=tap)
+                t0 = time.monotonic()
+                try:
+                    req = urllib.request.Request(
+                        BASE + "/compute", data=body, method="POST")
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        Response.decode(r.read())
+                    with lock:
+                        latencies.append(time.monotonic() - t0)
+                except Exception as e:  # noqa: BLE001
+                    with lock:
+                        errors.append(f"{type(e).__name__}: {e}"[:160])
+                i += 1
+
+        threads = [threading.Thread(target=client, args=(ci,),
+                                    daemon=True)
+                   for ci in range(N_CLIENTS)]
+        t_start = time.monotonic()
+        for t in threads:
+            t.start()
+
+        rss_samples, generations = [], set()
+        while time.monotonic() < stop:
+            time.sleep(5)
+            try:
+                snap = get_json("/metrics", timeout=120)
+            except Exception:
+                continue  # mid-recycle poll
+            rss_samples.append(snap["rss_mb"])
+            generations.add(snap["generation"])
+        for t in threads:
+            t.join(timeout=630)
+        wall = time.monotonic() - t_start
+        snap = get_json("/metrics", timeout=300)
+
+        lat = sorted(latencies)
+        result.update({
+            "requests": len(lat),
+            "errors": len(errors),
+            "error_samples": errors[:5],
+            "wall_p50_ms": round(lat[len(lat) // 2] * 1e3, 1)
+            if lat else -1,
+            "wall_p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 1)
+            if lat else -1,
+            "rate_rps": round(len(lat) / wall, 1),
+            # the tunnel-independent regression gate
+            "server_compute_p50_ms": round(snap["compute_p50_ms"], 2),
+            "server_compute_p95_ms": round(
+                snap.get("compute_p95_ms", -1), 2),
+            "queue_p50_ms": round(snap.get("queue_p50_ms", -1), 2),
+            "mean_batch_size": round(snap["mean_batch_size"], 2),
+            "rss_mb_max": max(rss_samples) if rss_samples else -1,
+            "rss_mb_last": snap["rss_mb"],
+            "generations_seen": sorted(generations),
+            "speculative_compiled": snap.get("speculative_compiled", 0),
+            "speculator_recoveries": snap.get(
+                "speculator_recoveries", 0),
+            "platform": "cpu" if extra else "tpu",
+        })
+        result["ok"] = (len(errors) == 0 and len(lat) > 0)
+    finally:
+        server.kill()
+        server.wait(timeout=30)
+
+    out = os.path.join(_REPO, f"SERVING_r{ROUND:02d}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out}: ok={result.get('ok')} "
+          f"wall_p50={result.get('wall_p50_ms')}ms "
+          f"compute_p50={result.get('server_compute_p50_ms')}ms "
+          f"errors={result.get('errors')}", flush=True)
+    return 0 if result.get("ok") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,8 +102,10 @@ def main() -> None:
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
     parser.add_argument("--block", default="auto",
-                        choices=["auto", "fused", "none"],
-                        help="fused attention-block Pallas kernel policy")
+                        choices=["auto", "fused", "none", "int8-scores"],
+                        help="fused attention-block Pallas kernel policy "
+                             "(int8-scores = s8 score+PV dots, opt-in "
+                             "accuracy class)")
     parser.add_argument("--no-attn-maps", action="store_true",
                         help="pure classification (not the headline config)")
     parser.add_argument("--no-wait-backend", action="store_true",

@@ -105,6 +105,7 @@ def make_model(
     quantize=False,
     kernels: bool = True,
     tp_layout: bool = False,
+    block_kernel: str = "auto",
 ):
     """Build the registerable ``JaxModel`` for ``variant``.
 
@@ -125,6 +126,11 @@ def make_model(
     if maker is not None:
         if quantize:
             logger.warning("int8 not wired for %s; serving bf16", variant)
+        if block_kernel != "auto":
+            raise ValueError(
+                f"block_kernel={block_kernel!r} applies to the plain-ViT "
+                f"family only (the fused block kernel); {variant} has no "
+                f"s8-scores variant")
         return maker(params, seed, dtype, attn_impl, kernels)
 
     from interactive_vit_tpu.models import vit
@@ -140,4 +146,4 @@ def make_model(
     return make_vit_model(variant, params=params, seed=seed,
                           attn_impl=attn_impl, dtype=dtype,
                           quantize=quantize, kernels=kernels,
-                          tp_layout=tp_layout)
+                          tp_layout=tp_layout, block_kernel=block_kernel)

@@ -31,6 +31,7 @@ def make_vit_model(
     quantize: bool = False,
     kernels: bool = True,
     tp_layout: bool = False,
+    block_kernel: str = "auto",
 ) -> JaxModel:
     """Build a registerable ``JaxModel`` for a ViT variant.
 
@@ -48,8 +49,22 @@ def make_vit_model(
     bf16 rate on v5e) — a stronger accuracy perturbation, strictly opt-in.
     The fused block kernels take dense weights, so quantized models run the
     unfused (XLA/flash) path.
+
+    ``block_kernel``: fused-block dispatch policy override
+    (``ops/dispatch.default_block_impl`` names); "int8-scores" selects
+    the s8 score+PV-dot variant — an opt-in accuracy class whose served
+    maps differ from bf16 (``--attn int8-scores`` on the server).
     """
     import jax.numpy as jnp
+
+    if block_kernel not in ("auto", "none", "reference") and (
+            (quantize and quantize != "w8a8") or not kernels):
+        # w8a8 is exempt: it quantizes fc1/fc2 only, the attention block
+        # stays dense, so the s8-scores fused block composes with it
+        raise ValueError(
+            f"block_kernel={block_kernel!r} requires kernels=True and "
+            f"dense attention weights (weight-only int8 runs the "
+            f"unfused path)")
 
     cfg = vit.resolve_variant(variant)
     if params is None:
@@ -102,9 +117,15 @@ def make_vit_model(
             # docstring), so only fc1/fc2 go int8
             params = quantize_tree(
                 params, names=frozenset({"fc1_w", "fc2_w"}), mode=mode)
+            # block_kernel composes here: fc1/fc2 are the quantized
+            # leaves, the attention block stays dense — so
+            # `--dtype int8w8a8 --attn int8-scores` runs s8 MXU dots in
+            # BOTH hot paths (MLP via the W8A8 kernel, scores via the
+            # flagged fused block)
             block_impl = (
-                default_block_impl("auto", dtype=leaf_dtype, n=cfg.tokens,
-                                   d=cfg.width, heads=cfg.heads)
+                default_block_impl(block_kernel, dtype=leaf_dtype,
+                                   n=cfg.tokens, d=cfg.width,
+                                   heads=cfg.heads)
                 if kernels else None
             )
             if kernels:
@@ -120,7 +141,7 @@ def make_vit_model(
         block_impl = None
     else:
         block_impl = default_block_impl(
-            "auto", dtype=leaf_dtype, n=cfg.tokens, d=cfg.width,
+            block_kernel, dtype=leaf_dtype, n=cfg.tokens, d=cfg.width,
             heads=cfg.heads
         )
     if cfg.layer_scale:

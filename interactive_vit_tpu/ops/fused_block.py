@@ -63,11 +63,30 @@ def _row_softmax(s, fast: bool):
     return p, 1.0 / jnp.sum(p, axis=1, keepdims=True)
 
 
+def _quant_rows(xf):
+    """f32 [R, C] -> (int8, f32 [R, 1] scale); per-row symmetric.
+
+    Same construction as the W8A8 MLP kernel (``ops/fused_mlp``): Mosaic
+    has no round-half-even lowering, so floor(x+0.5)."""
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.floor(xf / s + 0.5), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quant_cols(xf):
+    """f32 [R, C] -> (int8, f32 [1, C] scale); per-column symmetric."""
+    s = jnp.max(jnp.abs(xf), axis=0, keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.floor(xf / s + 0.5), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             projb_ref, *rest, heads: int, eps: float,
             prec, emit: bool, emit_mean: bool, fast: bool, bb: int,
             emit_heads=None, with_bias: bool = False,
-            emit_metric: bool = False):
+            emit_metric: bool = False, int8_scores: bool = False):
     # rest = ([kb_ref] if with_bias) + (y_ref, *tap outputs)
     kb_ref = rest[0] if with_bias else None
     y_ref, *taps = rest[1 if with_bias else 0:]
@@ -115,10 +134,25 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             if emit_metric:
                 kf = k.astype(jnp.float32)
                 ksum = kf if ksum is None else ksum + kf
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ) * scale  # [N, N] f32, VMEM-resident
+            if int8_scores:
+                # opt-in accuracy class (--attn int8-scores): per-row
+                # symmetric s8 q/k, s8xs8->s32 score dot on the int8 MXU
+                # rate (measured 1.47x the dh=64 bf16 dot in-fusion —
+                # docs/kernels.md "dh=64 attention-dot probes"), rank-1
+                # f32 dequant. Quantized scores perturb the softmax and
+                # therefore the SERVED maps, unlike W8A8-MLP.
+                qq, qs = _quant_rows(q.astype(jnp.float32))
+                kq, ks = _quant_rows(k.astype(jnp.float32))
+                si = jax.lax.dot_general(
+                    qq, kq, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                s = si.astype(jnp.float32) * (qs * scale) * ks.T
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ) * scale  # [N, N] f32, VMEM-resident
             if with_bias:
                 # proportional attention (ToMe): per-KEY additive logit
                 # bias, shared by every head and every query row
@@ -133,17 +167,34 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
                     probs_ref[b, h if tap_row is None else tap_row[h]] = pb
                 if emit_mean:
                     msum = probs if msum is None else msum + probs
-                outs.append(
-                    jax.lax.dot(pb, v, preferred_element_type=jnp.float32,
-                                precision=prec)
-                )
+                if int8_scores:
+                    # s8 PV dot: probs per-row (nonnegative, rowmax
+                    # scale), v per-column; rank-1 f32 dequant
+                    pq, ps = _quant_rows(probs)
+                    vq, vs = _quant_cols(v.astype(jnp.float32))
+                    oi = jax.lax.dot(pq, vq,
+                                     preferred_element_type=jnp.int32)
+                    outs.append(oi.astype(jnp.float32) * ps * vs)
+                else:
+                    outs.append(
+                        jax.lax.dot(pb, v,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                    )
             else:
                 # maps-off: never normalize the [N, N] probs at all — fold
                 # the reciprocal row-sum into the [N, dh] head output
-                o = jax.lax.dot(p.astype(v.dtype), v,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-                outs.append(o * r)
+                if int8_scores:
+                    pq, ps = _quant_rows(p)
+                    vq, vs = _quant_cols(v.astype(jnp.float32))
+                    oi = jax.lax.dot(pq, vq,
+                                     preferred_element_type=jnp.int32)
+                    outs.append(oi.astype(jnp.float32) * (ps * r) * vs)
+                else:
+                    o = jax.lax.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                    outs.append(o * r)
         if emit_mean:
             # head-mean tap: rollout consumes this [N, N] instead of
             # re-reading (and re-laying-out) the full [H, N, N] probs from
@@ -173,6 +224,7 @@ def fused_attn_block(
     attn_heads: Optional[Tuple[int, ...]] = None,
     key_bias: Optional[jnp.ndarray] = None,
     want_metric: bool = False,
+    int8_scores: bool = False,
 ):
     """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None).
 
@@ -190,6 +242,12 @@ def fused_attn_block(
     (softmax(qk/sqrt(dh) + log s); ``ops/tome_ops`` module doc).
     ``want_metric``: append the head-meaned attention keys [B, N, dh]
     f32 (the ToMe matching metric) as the LAST result.
+    ``int8_scores``: opt-in accuracy class (``--attn int8-scores``) —
+    per-row symmetric s8 quantization of q/k (and probs/v for the PV
+    dot) so both per-head dots run at the int8 MXU rate (measured 1.47x
+    bf16 in-fusion at dh=64, docs/kernels.md). Quantized scores perturb
+    the softmax, so SERVED MAPS change too (unlike W8A8-MLP); fidelity
+    quantified on the trained oracle before any default flip.
     """
     b, n, d = x.shape
     emit_heads = None
@@ -212,7 +270,7 @@ def fused_attn_block(
         _kernel, heads=heads, eps=eps, prec=_precision(x.dtype),
         emit=want_attn, emit_mean=want_mean, fast=fast_softmax, bb=bb,
         emit_heads=emit_heads, with_bias=key_bias is not None,
-        emit_metric=want_metric,
+        emit_metric=want_metric, int8_scores=int8_scores,
     )
 
     in_specs = [

@@ -72,6 +72,7 @@ class Metrics:
             "request_p50_ms": self.request_latency.quantile(0.5) * 1e3,
             "request_p95_ms": self.request_latency.quantile(0.95) * 1e3,
             "compute_p50_ms": self.compute_latency.quantile(0.5) * 1e3,
+            "compute_p95_ms": self.compute_latency.quantile(0.95) * 1e3,
             "wire_p50_ms": self.wire_latency.quantile(0.5) * 1e3,
             # per-request phase breakdown (server-side; anything the client
             # measures beyond wire_p50 is network RTT + client work):

@@ -115,6 +115,18 @@ def build_app(
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "int8": jnp.bfloat16, "int8w8a8": jnp.bfloat16}[dtype_name]
     quantize = {"int8": "w8", "int8w8a8": "w8a8"}.get(dtype_name, False)
+    # "int8-scores": s8 score+PV dots inside the fused block (plain-ViT
+    # families; opt-in accuracy class — served maps change). Other
+    # families fall back to their normal auto dispatch.
+    block_kernel = "auto"
+    if attn_impl_name == "int8-scores":
+        if quantize and quantize != "w8a8":
+            raise ValueError(
+                "--attn int8-scores needs dense attention weights "
+                "(float32/bfloat16/int8w8a8 --dtype; weight-only int8 "
+                "runs the unfused path)")
+        block_kernel = "int8-scores"
+        attn_impl_name = "auto"
     attn_impl = default_attn_impl(attn_impl_name)
     ckpts = dict(ckpts or {})
     for variant in models:
@@ -132,10 +144,15 @@ def build_app(
         tp = (mesh is not None and
               dict(zip(mesh.axis_names,
                        mesh.devices.shape)).get("model", 1) > 1)
+        from interactive_vit_tpu.models.autoregister import _family_maker
+
+        bk = (block_kernel
+              if _family_maker(variant.partition("@")[0]) is None
+              else "auto")  # s8-scores exists for the plain-ViT block only
         model = make_model(variant, params=params, seed=seed,
                            attn_impl=attn_impl, dtype=dtype,
                            quantize=quantize, kernels=mesh is None,
-                           tp_layout=tp)
+                           tp_layout=tp, block_kernel=bk)
         model.register(reg, app.graphs)
         logger.info("registered model %s (%d nodes)", variant,
                     len(model.layers))
@@ -230,7 +247,12 @@ def main() -> None:
                              "device returns 503 instead of hanging the "
                              "handler thread")
     parser.add_argument("--attn", default="auto",
-                        choices=["auto", "flash", "reference"])
+                        choices=["auto", "flash", "reference",
+                                 "int8-scores"],
+                        help="attention policy; 'int8-scores' = s8 "
+                             "score+PV dots in the fused block (plain-"
+                             "ViT families; opt-in accuracy class — "
+                             "served maps change; docs/kernels.md)")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16", "int8", "int8w8a8"],
                         help="model weight/compute dtype (bfloat16 = fast "

@@ -284,3 +284,49 @@ def test_block_key_bias_and_metric_match_reference():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(metric2), np.asarray(ref_metric),
                                atol=1e-5)
+
+
+def test_int8_scores_variant_close_to_reference():
+    """--attn int8-scores: s8 score+PV dots. An ACCURACY CLASS, not a
+    bit-exact path — bound the perturbation vs the float reference
+    (per-row symmetric s8: elementwise q/k error <= absmax/254, so
+    logits move O(1/127) of their scale; probs rows still sum to 1)."""
+    params = vit.init_params(jax.random.key(5), CFG)
+    p = params["blocks"][0]
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, CFG.tokens, CFG.width), np.float32))
+    ref, ref_probs, _ = vit.block(p, x, CFG, want_attn=True)
+    got, probs, _ = vit.block(
+        p, x, CFG, want_attn=True,
+        block_impl=functools.partial(fb.fused_attn_block,
+                                     int8_scores=True))
+    probs = np.asarray(probs, np.float32)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=5e-3)
+    assert np.max(np.abs(probs - np.asarray(ref_probs))) < 3e-2
+    scale = np.max(np.abs(np.asarray(ref)))
+    assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 3e-2 * scale
+
+    # maps-off path (deferred normalization + s8 PV) stays consistent
+    # with the maps-on path of the SAME variant
+    got2, probs2, _ = vit.block(
+        p, x, CFG, want_attn=False,
+        block_impl=functools.partial(fb.fused_attn_block,
+                                     int8_scores=True))
+    assert probs2 is None
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               atol=2e-2 * scale)
+
+
+def test_int8_scores_dispatch_name():
+    """ops.dispatch resolves 'int8-scores' to the flagged kernel and
+    refuses geometries the fused block cannot hold."""
+    import jax.numpy as jnp
+
+    from interactive_vit_tpu.ops.dispatch import default_block_impl
+
+    impl = default_block_impl("int8-scores", dtype=jnp.bfloat16,
+                              n=CFG.tokens, d=CFG.width, heads=CFG.heads)
+    assert impl.keywords == {"int8_scores": True}
+    with pytest.raises(ValueError):
+        default_block_impl("int8-scores", dtype=jnp.bfloat16,
+                           n=4096, d=8192, heads=64)

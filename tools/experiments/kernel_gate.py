@@ -111,6 +111,35 @@ def check_fused_block():
            2e-2)
 
 
+def check_int8_scores():
+    """The s8 score+PV fused block (--attn int8-scores) vs the float
+    reference. An accuracy CLASS: per-row symmetric s8 moves elements
+    O(1/127) of their row scale — bound 3e-2, not the f32 contract."""
+    import functools
+
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.ops import fused_block as fb
+
+    cfg = vit.VARIANTS["vit_b16"]
+    params = vit.init_params(jax.random.key(8), cfg)
+    p = jax.tree.map(lambda a: jnp.asarray(a, "bfloat16"),
+                     params["blocks"][0])
+    x = jnp.asarray(np.random.default_rng(8).standard_normal(
+        (2, cfg.tokens, cfg.width)).astype(np.float32) * 0.5,
+        dtype="bfloat16")
+    impl = functools.partial(fb.fused_attn_block, int8_scores=True)
+    ref = jax.jit(lambda pp, xx: vit.block(
+        pp, xx, cfg, want_attn=True))(p, x)
+    got = jax.jit(lambda pp, xx: vit.block(
+        pp, xx, cfg, want_attn=True, block_impl=impl))(p, x)
+    record("int8_scores_block/bf16/out", rel_err(got[0], ref[0]), 3e-2)
+    record("int8_scores_block/bf16/probs", rel_err(got[1], ref[1]),
+           3e-2)
+    probs = np.asarray(got[1], np.float32)
+    record("int8_scores_block/bf16/probs_rowsum",
+           float(np.max(np.abs(probs.sum(-1) - 1.0))), 1e-2)
+
+
 def check_headwise():
     from interactive_vit_tpu.models import vit
     from interactive_vit_tpu.ops import fused_block as fb
@@ -181,18 +210,28 @@ def check_fused_mlp():
     from interactive_vit_tpu.ops.layers import layer_norm, mlp
 
     rng = np.random.default_rng(3)
-    d, md = 768, 3072
-    p = {"ln2_s": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
-         "fc1_w": jnp.asarray(rng.standard_normal((d, md)),
-                              jnp.float32) * 0.02,
-         "fc1_b": jnp.zeros((md,)),
-         "fc2_w": jnp.asarray(rng.standard_normal((md, d)),
-                              jnp.float32) * 0.02,
-         "fc2_b": jnp.zeros((d,))}
     # f32 bound 3e-4: both sides run HIGHEST-precision matmuls but with
-    # different summation orders over the 3072-wide reduction — measured
-    # 1.2e-4 of the output scale from rounding alone
-    for dtype, bound in (("float32", 3e-4), ("bfloat16", 2e-2)):
+    # different summation orders over the wide reduction — measured
+    # 1.2e-4 of the output scale from rounding alone. Geometry honors
+    # fm.fits per dtype: ViT-B f32 weights breach scoped VMEM (a
+    # deterministic COMPILE kill, CLAUDE.md) — f32 runs ViT-S geometry.
+    # ViT-S geometry for both dtypes: ViT-B f32 breaches scoped VMEM and
+    # bf16 sits over fm.fits' 12M budget; the dense fused MLP is opt-in
+    # (dispatch never auto-selects it) and the W8A8 check covers ViT-B
+    for dtype, bound, (d, md) in (("float32", 3e-4, (384, 1536)),
+                                  ("bfloat16", 2e-2, (384, 1536))):
+        if not fm.fits(d, md, jnp.dtype(dtype)):
+            RESULTS["checks"].append(
+                {"name": f"fused_mlp_block/{dtype}", "ok": False,
+                 "error": f"geometry d={d},md={md} fails fm.fits"})
+            continue
+        p = {"ln2_s": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
+             "fc1_w": jnp.asarray(rng.standard_normal((d, md)),
+                                  jnp.float32) * 0.02,
+             "fc1_b": jnp.zeros((md,)),
+             "fc2_w": jnp.asarray(rng.standard_normal((md, d)),
+                                  jnp.float32) * 0.02,
+             "fc2_b": jnp.zeros((d,))}
         pd = jax.tree.map(lambda a: jnp.asarray(a, dtype), p)
         x = jnp.asarray(rng.standard_normal(
             (2, 197, d)).astype(np.float32) * 0.5, dtype=dtype)
@@ -334,11 +373,24 @@ def check_grad_twins():
                                           "mode": "gradxinput"})
             g.connect(head, "o", sal, "o")
             g.add_input(img, g.nodes[0], "o")
-            res = Executor(reg).run(g, taps=[(sal.index, "o")])
-            outs[kernels] = np.asarray(res[sal.index]["o"], np.float32)
+            res = Executor(reg).run(g, taps=[(sal.index, "o"),
+                                             (head.index, "o")])
+            outs[kernels] = (
+                np.asarray(res[sal.index]["o"], np.float32),
+                np.asarray(res[head.index]["o"], np.float32))
         tag = "int8" if kw.get("quantize") else kw["dtype"]
+        # the saliency VALUE rides the XLA twin in BOTH instances (the
+        # grad replay re-traces through grad_safe_fn), so this asserts
+        # the twin traces + evaluates identically regardless of the
+        # serving kernels — the round-3 failure class was a trace-time
+        # crash here
         record(f"grad_twin/{variant}/{tag}/saliency",
-               rel_err(outs[True], outs[False]), bound)
+               rel_err(outs[True][0], outs[False][0]), bound)
+        # twin-vs-kernel SEMANTIC drift check: the served forward (head
+        # logits, kernels on) must match the XLA math the twin
+        # attributes against
+        record(f"grad_twin/{variant}/{tag}/fwd_vs_twin",
+               rel_err(outs[True][1], outs[False][1]), bound)
 
 
 def main():
@@ -359,12 +411,22 @@ def main():
         pl_mod.pallas_call = functools.partial(
             pl_mod.pallas_call, interpret=True)
 
+    # persistent compile cache: a re-run (or a round-close re-gate)
+    # skips the 20-40s-per-program tunnel compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/ivt_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
     RESULTS["platform"] = jax.devices()[0].platform
     print("platform:", RESULTS["platform"], flush=True)
     t0 = time.time()
-    checks = [check_fused_block, check_headwise, check_flash,
-              check_fused_mlp, check_w8a8_mlp, check_fused_window,
-              check_train_vjp, check_grad_twins]
+    checks = [check_fused_block, check_int8_scores, check_headwise,
+              check_flash, check_fused_mlp, check_w8a8_mlp,
+              check_fused_window, check_train_vjp, check_grad_twins]
     only = [s for s in args.only.split(",") if s]
     for fn in checks:
         if only and not any(fn.__name__.endswith(s) for s in only):
@@ -373,9 +435,11 @@ def main():
         try:
             fn()
         except Exception as err:  # noqa: BLE001 — a crashed check FAILS
+            # keep 2KB: the real OOM/vmem detail sits ~1.5KB past the
+            # compile helper's landlock preamble (CLAUDE.md)
             RESULTS["checks"].append(
                 {"name": fn.__name__, "ok": False,
-                 "error": f"{type(err).__name__}: {err}"[:500]})
+                 "error": f"{type(err).__name__}: {err}"[:2000]})
             print(f"FAIL {fn.__name__}: {err}", flush=True)
         print(f"  [{fn.__name__}: {time.time() - t1:.1f}s]", flush=True)
 

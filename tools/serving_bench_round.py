@@ -107,19 +107,34 @@ def main() -> int:
 
         graphs = {m: get_json(f"/load_graph/{m}.json") for m in MODELS}
 
-        # deterministic warm pass: one request per (model, tap shape)
-        # so cold compiles stay out of the timed window
+        # deterministic warm pass: for each request SIGNATURE the
+        # clients will ship, fire bursts of 1/2/4/8 concurrent
+        # identical-signature requests so every power-of-two vmapped
+        # bucket program compiles BEFORE the timed window (a cold
+        # tunnel compile mid-run inflated compute_p50 to 1.9 s on the
+        # first r4 attempt — the single-request warm was not enough)
         warm_cases = [("vit_t16", None), ("vit_t16", 5),
                       ("dino_s16", None), ("resnet50", None)]
         for m, tap in warm_cases:
-            t0 = time.monotonic()
-            req = urllib.request.Request(
-                BASE + "/compute",
-                data=chain_request(graphs[m], seed=0, tap_attn=tap),
-                method="POST")
-            urllib.request.urlopen(req, timeout=900).read()
-            print(f"warmed {m} tap={tap} in "
-                  f"{time.monotonic() - t0:.1f}s", flush=True)
+            for burst in (1, 2, 4, 8):
+                t0 = time.monotonic()
+
+                def one(k):
+                    req = urllib.request.Request(
+                        BASE + "/compute",
+                        data=chain_request(graphs[m], seed=k,
+                                           tap_attn=tap),
+                        method="POST")
+                    urllib.request.urlopen(req, timeout=1800).read()
+
+                ts = [threading.Thread(target=one, args=(k,))
+                      for k in range(burst)]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                print(f"warmed {m} tap={tap} burst={burst} in "
+                      f"{time.monotonic() - t0:.1f}s", flush=True)
 
         latencies: list = []
         errors: list = []

@@ -102,7 +102,8 @@ def main() -> None:
     parser.add_argument("--attn", default="auto",
                         choices=["auto", "flash", "reference"])
     parser.add_argument("--block", default="auto",
-                        choices=["auto", "fused", "none", "int8-scores"],
+                        choices=["auto", "fused", "none", "int8-scores",
+                                 "int8-scores-qk"],
                         help="fused attention-block Pallas kernel policy "
                              "(int8-scores = s8 score+PV dots, opt-in "
                              "accuracy class)")

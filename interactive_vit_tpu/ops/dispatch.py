@@ -65,15 +65,18 @@ def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
         return fused_attn_block
     if name == "headwise":
         return headwise_attn_block
-    if name == "int8-scores":
-        # opt-in accuracy class: s8 score+PV dots inside the fused block
-        # (docs/kernels.md "dh=64 attention-dot probes" — the one live
-        # single-chip candidate). Same fit envelope as the bf16 kernel.
+    if name in ("int8-scores", "int8-scores-qk"):
+        # opt-in accuracy class: s8 dots inside the fused block
+        # (docs/kernels.md "dh=64 attention-dot probes"). "-qk" limits
+        # quantization to the score dot (PV stays bf16 — half the VPU
+        # quantize/dequant overhead, half the accuracy perturbation).
+        # Same fit envelope as the bf16 kernel.
         if d and n and not fits(n, d, heads, dtype):
             raise ValueError(
-                f"int8-scores fused block does not fit VMEM for n={n}, "
+                f"{name} fused block does not fit VMEM for n={n}, "
                 f"d={d}; the headwise kernel has no s8 variant")
-        return functools.partial(fused_attn_block, int8_scores=True)
+        return functools.partial(fused_attn_block, int8_scores=True,
+                                 int8_pv=(name == "int8-scores"))
     if name == "auto":
         import jax.numpy as jnp
 

@@ -86,7 +86,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             projb_ref, *rest, heads: int, eps: float,
             prec, emit: bool, emit_mean: bool, fast: bool, bb: int,
             emit_heads=None, with_bias: bool = False,
-            emit_metric: bool = False, int8_scores: bool = False):
+            emit_metric: bool = False, int8_scores: bool = False,
+            int8_pv: bool = True):
     # rest = ([kb_ref] if with_bias) + (y_ref, *tap outputs)
     kb_ref = rest[0] if with_bias else None
     y_ref, *taps = rest[1 if with_bias else 0:]
@@ -167,7 +168,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
                     probs_ref[b, h if tap_row is None else tap_row[h]] = pb
                 if emit_mean:
                     msum = probs if msum is None else msum + probs
-                if int8_scores:
+                if int8_scores and int8_pv:
                     # s8 PV dot: probs per-row (nonnegative, rowmax
                     # scale), v per-column; rank-1 f32 dequant
                     pq, ps = _quant_rows(probs)
@@ -184,7 +185,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,
             else:
                 # maps-off: never normalize the [N, N] probs at all — fold
                 # the reciprocal row-sum into the [N, dh] head output
-                if int8_scores:
+                if int8_scores and int8_pv:
                     pq, ps = _quant_rows(p)
                     vq, vs = _quant_cols(v.astype(jnp.float32))
                     oi = jax.lax.dot(pq, vq,
@@ -225,6 +226,7 @@ def fused_attn_block(
     key_bias: Optional[jnp.ndarray] = None,
     want_metric: bool = False,
     int8_scores: bool = False,
+    int8_pv: bool = True,
 ):
     """x [B, N, D] -> (x + proj(MHSA(LN(x))), probs [B, H, N, N] | None).
 
@@ -271,6 +273,7 @@ def fused_attn_block(
         emit=want_attn, emit_mean=want_mean, fast=fast_softmax, bb=bb,
         emit_heads=emit_heads, with_bias=key_bias is not None,
         emit_metric=want_metric, int8_scores=int8_scores,
+        int8_pv=int8_pv,
     )
 
     in_specs = [

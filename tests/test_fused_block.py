@@ -326,7 +326,10 @@ def test_int8_scores_dispatch_name():
 
     impl = default_block_impl("int8-scores", dtype=jnp.bfloat16,
                               n=CFG.tokens, d=CFG.width, heads=CFG.heads)
-    assert impl.keywords == {"int8_scores": True}
+    assert impl.keywords == {"int8_scores": True, "int8_pv": True}
+    qk = default_block_impl("int8-scores-qk", dtype=jnp.bfloat16,
+                            n=CFG.tokens, d=CFG.width, heads=CFG.heads)
+    assert qk.keywords == {"int8_scores": True, "int8_pv": False}
     with pytest.raises(ValueError):
         default_block_impl("int8-scores", dtype=jnp.bfloat16,
                            n=4096, d=8192, heads=64)

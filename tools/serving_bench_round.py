@@ -182,6 +182,24 @@ def main() -> int:
         wall = time.monotonic() - t_start
         snap = get_json("/metrics", timeout=300)
 
+        # quiet-phase probe: sequential single requests per model on the
+        # now-idle warm server — the per-model steady-state number a
+        # round-over-round regression comparison can actually use
+        # (under load, compute_p50 spans the pipelined dispatch window
+        # and queue_p50 the burst backlog; both scale with load shape)
+        quiet = {}
+        for m in MODELS:
+            walls = []
+            for i in range(20):
+                body = chain_request(graphs[m], seed=900000 + i)
+                t0 = time.monotonic()
+                req = urllib.request.Request(
+                    BASE + "/compute", data=body, method="POST")
+                urllib.request.urlopen(req, timeout=600).read()
+                walls.append(time.monotonic() - t0)
+            walls.sort()
+            quiet[m] = round(walls[len(walls) // 2] * 1e3, 1)
+
         lat = sorted(latencies)
         result.update({
             "requests": len(lat),
@@ -192,11 +210,19 @@ def main() -> int:
             "wall_p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 1)
             if lat else -1,
             "rate_rps": round(len(lat) / wall, 1),
-            # the tunnel-independent regression gate
+            # the per-REQUEST server-side gate (decode -> encode inside
+            # the handler, no network): THE regression comparator
+            "server_wire_p50_ms": round(snap.get("wire_p50_ms", -1), 2),
+            "server_request_p50_ms": round(
+                snap.get("request_p50_ms", -1), 2),
+            # per-GROUP pipelined dispatch window + burst backlog —
+            # load-shape-dependent; recorded for context, not a gate
             "server_compute_p50_ms": round(snap["compute_p50_ms"], 2),
             "server_compute_p95_ms": round(
                 snap.get("compute_p95_ms", -1), 2),
             "queue_p50_ms": round(snap.get("queue_p50_ms", -1), 2),
+            # sequential warm singles per model on the idle server
+            "quiet_wall_p50_ms": quiet,
             "mean_batch_size": round(snap["mean_batch_size"], 2),
             "rss_mb_max": max(rss_samples) if rss_samples else -1,
             "rss_mb_last": snap["rss_mb"],

@@ -27,6 +27,16 @@ serving-bench:
 kernel-gate:
 	python tools/experiments/kernel_gate.py
 
+# the whole round-close checklist, in dependency-safe order:
+# full CPU suite -> multichip dryrun -> on-chip gates -> headline bench.
+# Each on-chip step owns the TPU exclusively (run nothing else).
+round-close:
+	python -m pytest tests/ -q
+	python __graft_entry__.py
+	python tools/experiments/kernel_gate.py
+	python tools/serving_bench_round.py
+	python bench.py
+
 serve:
 	python -m interactive_vit_tpu.serving.server --port 8000 \
 	    --models vit_t16,vit_b16,clip_b32,vgg16,resnet50,vit_moe_s16 --dtype bfloat16

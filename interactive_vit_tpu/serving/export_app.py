@@ -291,21 +291,25 @@ class ExportApp:
 
     # -- endpoints -------------------------------------------------------------
 
-    def compute(self, body: bytes) -> bytes:
-        t0 = time.perf_counter()
-        self.metrics.inc("compute_requests")
-        req = WireRequest()
-        req.decode(body)
+    def run_request(self, req: WireRequest) -> Dict[int, Dict[str, Any]]:
+        """Match + execute one decoded request; outputs remapped onto
+        the REQUEST's node indices, only the requested taps delivered."""
         inputs, caps, want_keys = self._match(req)
         with self._call_lock:
             outs = self.art(*inputs, caps=caps)
-        # remap program outputs (exported indices) onto the request's
-        # own node indices, delivering only the requested taps
         routed: Dict[int, Dict[str, Any]] = {}
         for view_i, exp_i, ch in want_keys:
             v = outs.get(exp_i, {}).get(ch)
             if v is not None:
                 routed.setdefault(view_i, {})[ch] = v
+        return routed
+
+    def compute(self, body: bytes) -> bytes:
+        t0 = time.perf_counter()
+        self.metrics.inc("compute_requests")
+        req = WireRequest()
+        req.decode(body)
+        routed = self.run_request(req)
         raw = WireResponse(routed).encode(dtype=req.resp_dtype)
         self.metrics.request_latency.observe(time.perf_counter() - t0)
         self.metrics.inc("response_bytes", len(raw))
@@ -464,3 +468,99 @@ class ExportApp:
                         self.artifact_dir, host, port)
             httpd.serve_forever()
         return httpd
+
+
+class MultiExportApp:
+    """Several artifacts behind ONE server: ``--from-export a,b,c``.
+
+    One deployment can host several exported workflows (a classify
+    chain, a saliency graph, a second model family) the way the live
+    server hosts several registered models. ``/compute`` routes each
+    request to the artifact whose exported shape (node-name sequence,
+    either view) matches; the metadata endpoints serve the union
+    (first artifact wins on a node-kind collision, mirroring the live
+    registry's scan order). Duck-types ``ExportApp``'s endpoint surface
+    so the HTTP handler is shared verbatim.
+    """
+
+    def __init__(self, dirs, frontend_dir: Optional[str] = None):
+        dirs = [d for d in dirs if d]
+        if not dirs:
+            raise ExportError("--from-export got no artifact dirs")
+        self.units = [ExportApp(d, frontend_dir=frontend_dir)
+                      for d in dirs]
+        self.frontend_dir = self.units[0].frontend_dir
+        self.metrics = Metrics()
+        self.boot_load_s = sum(u.boot_load_s for u in self.units)
+        self.artifact_dir = ",".join(u.artifact_dir for u in self.units)
+
+    def _route(self, req: WireRequest) -> ExportApp:
+        errs = []
+        for u in self.units:
+            try:
+                u._pick_view(req.graph)
+                return u
+            except MatchError as e:
+                errs.append(str(e))
+        raise MatchError(
+            "no artifact matches this request; per-artifact: "
+            + " | ".join(e.split(";")[0] for e in errs))
+
+    def compute(self, body: bytes) -> bytes:
+        t0 = time.perf_counter()
+        self.metrics.inc("compute_requests")
+        req = WireRequest()
+        req.decode(body)
+        routed = self._route(req).run_request(req)
+        raw = WireResponse(routed).encode(dtype=req.resp_dtype)
+        self.metrics.request_latency.observe(time.perf_counter() - t0)
+        self.metrics.inc("response_bytes", len(raw))
+        return raw
+
+    def description(self, name: str) -> Dict:
+        for u in self.units:
+            if name in u.node_io:
+                return u.description(name)
+        raise MatchError(
+            f"unknown node kind {name!r} (artifacts serve "
+            f"{sorted(set().union(*(u.node_io for u in self.units)))})")
+
+    def contents(self, name: str) -> str:
+        for u in self.units:
+            if name in u.node_io:
+                return u.contents(name)
+        raise MatchError(f"unknown node kind {name!r}")
+
+    def descriptions(self, names) -> Dict[str, Dict]:
+        out: Dict[str, Dict] = {}
+        for u in self.units:
+            for k, v in u.descriptions(names).items():
+                out.setdefault(k, v)
+        return out
+
+    def list_graphs(self):
+        seen, out = set(), []
+        for u in self.units:
+            for g in u.list_graphs():
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+        return out
+
+    def load_graph(self, name: str) -> bytes:
+        for u in self.units:
+            try:
+                return u.load_graph(name)
+            except FileNotFoundError:
+                continue
+        raise FileNotFoundError(f"no saved graph {name!r}")
+
+    def health(self) -> Dict[str, Any]:
+        return {"ok": True, "mode": "from-export",
+                "artifacts": [u.health() for u in self.units],
+                "boot_load_s": round(self.boot_load_s, 3)}
+
+    # the HTTP tier is identical — bind ExportApp's handler/serve
+    # directly (they touch only the duck-typed surface above)
+    make_handler = ExportApp.make_handler
+    serve = ExportApp.serve

@@ -313,7 +313,7 @@ def main() -> None:
                              "at boot (first request then runs at steady "
                              "state)")
     parser.add_argument("--from-export", default="", metavar="DIR",
-                        help="serve an AOT artifact (ivt-export output) "
+                        help="serve AOT artifact(s) (ivt-export output; comma-separated) "
                              "instead of live models: NO registry, NO "
                              "model zoo, NO plugin code — the StableHLO "
                              "program + captures boot directly "
@@ -335,16 +335,17 @@ def main() -> None:
     if args.jit_cache:
         enable_compilation_cache(args.jit_cache)
     if args.from_export:
-        import time as time_mod
+        from interactive_vit_tpu.serving.export_app import (
+            ExportApp, MultiExportApp,
+        )
 
-        from interactive_vit_tpu.serving.export_app import ExportApp
-
-        t0 = time_mod.perf_counter()
-        xapp = ExportApp(args.from_export,
-                         frontend_dir=args.frontend_dir)
-        logger.info("artifact loaded in %.2fs (%d outputs); serving "
-                    "with no model code", xapp.boot_load_s,
-                    len(xapp.out_keys))
+        dirs = [d for d in args.from_export.split(",") if d]
+        if len(dirs) == 1:
+            xapp = ExportApp(dirs[0], frontend_dir=args.frontend_dir)
+        else:
+            xapp = MultiExportApp(dirs, frontend_dir=args.frontend_dir)
+        logger.info("artifact(s) %s loaded in %.2fs; serving with no "
+                    "model code", xapp.artifact_dir, xapp.boot_load_s)
         xapp.serve(args.host, args.port)
         return
     app = build_app(

@@ -228,3 +228,84 @@ def test_concurrent_edits_do_not_race(served):
         for f, a in futs.items():
             np.testing.assert_allclose(
                 f.result(), np.cos(a * img + 0.5), rtol=1e-6)
+
+
+NOISE_SAVED = {
+    "nodes": [
+        {"instance": {"kind": "noise", "dims": [2, 5, 5], "seed": 7},
+         "pos": {"x": 0, "y": 0}},
+        {"instance": {"kind": "multi_view"}, "pos": {"x": 200, "y": 0}},
+    ],
+    "edges": [
+        {"in_port": {"node": 0, "channel": "o"},
+         "out_port": {"node": 1, "channel": "o"}},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def multi_served(tmp_path_factory):
+    """Two artifacts (the cos-slice workflow + a nullary noise demo)
+    behind ONE MultiExportApp server."""
+    from interactive_vit_tpu.serving.export_app import MultiExportApp
+
+    reg = Registry()
+    register_builtin(reg)
+    d1 = str(tmp_path_factory.mktemp("art_cos"))
+    g = graph_from_json(SAVED)
+    g.add_input(np.zeros((2, 4), np.float32), g.nodes[0], "o")
+    export_graph(g, d1, taps="primary", executor=Executor(reg),
+                 client_graph=SAVED,
+                 provenance={"graph": "cos_slice.json"})
+    d2 = str(tmp_path_factory.mktemp("art_noise"))
+    g2 = graph_from_json(NOISE_SAVED)
+    export_graph(g2, d2, taps="primary", executor=Executor(reg),
+                 client_graph=NOISE_SAVED,
+                 provenance={"graph": "noise_demo.json"})
+    app = MultiExportApp([d1, d2], frontend_dir=None)
+    httpd = app.serve("127.0.0.1", 0, background=True)
+    yield app, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_multi_artifact_routes_by_shape(multi_served):
+    _, base = multi_served
+    img = np.arange(8, dtype=np.float32).reshape(2, 4) / 8
+    outs = _post(base, client_request(a="1.5"), [img])
+    np.testing.assert_allclose(
+        outs[0]["o"], np.cos(1.5 * img + 0.5), rtol=1e-6)
+    # the nullary noise workflow routes to the second artifact
+    req = {"nodes": [{"endpoint": "noise",
+                      "params": {"dims": "[2,5,5]", "seed": "7"}}],
+           "edges": [], "taps": [{"node": 0, "channel": "o"}]}
+    outs = _post(base, req, [])
+    assert outs[0]["o"].shape == (2, 5, 5)
+    assert np.isfinite(outs[0]["o"]).all()
+
+
+def test_multi_artifact_metadata_union(multi_served):
+    _, base = multi_served
+    graphs = json.load(urllib.request.urlopen(base + "/list_graphs"))
+    assert len(graphs) == 2
+    for g in graphs:
+        obj = json.load(urllib.request.urlopen(
+            base + "/load_graph/" + g))
+        assert "nodes" in obj
+    d = json.load(urllib.request.urlopen(base + "/description/noise"))
+    assert d["outs"] == ["o"]
+    d = json.load(urllib.request.urlopen(base + "/description/cos"))
+    assert d == {"ins": ["o"], "outs": ["o"]}
+    h = json.load(urllib.request.urlopen(base + "/health"))
+    assert h["ok"] and len(h["artifacts"]) == 2
+
+
+def test_multi_artifact_no_match_is_400(multi_served):
+    _, base = multi_served
+    req = {"nodes": [{"endpoint": "resize", "params": {}}],
+           "edges": [{"out_port": {"node": 0, "channel": "o"},
+                      "tensor": 0}],
+           "taps": [{"node": 0, "channel": "o"}]}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, req, [np.zeros((3, 4, 4), np.float32)])
+    assert ei.value.code == 400
+    assert "no artifact matches" in ei.value.read().decode()

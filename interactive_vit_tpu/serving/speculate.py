@@ -191,7 +191,8 @@ class TapSpeculator:
     def __init__(self, executor: Executor,
                  idle: Optional[Callable[[], bool]] = None,
                  max_queue: int = 64, idle_grace_s: float = 0.25,
-                 buckets: Tuple[int, ...] = (1,)):
+                 buckets: Tuple[int, ...] = (1,),
+                 max_starvation_s: float = 30.0):
         self.executor = executor
         self.idle = idle or (lambda: True)
         self.max_queue = max_queue
@@ -202,6 +203,15 @@ class TapSpeculator:
         # cold-compiles each vmapped bucket mid-traffic). Buckets > 1
         # also warm the OBSERVED graph itself, not just its variants.
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        # anti-starvation (r4 serving-bench evidence: three 300 s runs
+        # under sustained 8-client load compiled ZERO speculative
+        # programs — the quiet-window gate never opened). After a job
+        # has waited this long, compile it anyway: speculative compiles
+        # run in the remote compile helper, not on the device, so the
+        # cost under load is host tracing time, bounded to one job per
+        # starvation window. 0 disables the override.
+        self.max_starvation_s = max_starvation_s
+        self._starved_since: Optional[float] = None
         # raw observations (shape-only clones), expanded into jobs on
         # the WARMER thread — variant generation + per-variant program
         # signatures are several ms of work that must not ride the
@@ -361,10 +371,28 @@ class TapSpeculator:
             self._expand(*obs)
             return
         # idle gate: wait for a quiet window so a speculative compile
-        # doesn't contend with a live cold compile in the helper
+        # doesn't contend with a live cold compile in the helper —
+        # but not forever: sustained traffic would otherwise starve
+        # warming for the whole session (max_starvation_s override)
         if not self.idle():
-            time.sleep(self.idle_grace_s)
-            return
+            with self._lock:
+                have_jobs = bool(self._jobs)
+            if not have_jobs:
+                self._starved_since = None
+                time.sleep(self.idle_grace_s)
+                return
+            now = time.monotonic()
+            if self._starved_since is None:
+                self._starved_since = now
+            if (not self.max_starvation_s
+                    or now - self._starved_since < self.max_starvation_s):
+                time.sleep(self.idle_grace_s)
+                return
+            # starved long enough: run ONE job despite traffic, then
+            # restart the window
+            self._starved_since = now
+        else:
+            self._starved_since = None
         job = self._pop()
         if job is None:
             self._wake.clear()

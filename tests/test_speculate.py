@@ -209,6 +209,43 @@ def test_speculator_survives_poisoned_iterations(setup):
         spec.stop()
 
 
+def test_speculator_anti_starvation_under_sustained_load(setup):
+    """A never-idle gate must not starve warming forever: after
+    max_starvation_s with queued jobs, ONE compiles despite traffic
+    (r4 serving-bench evidence: three 300 s loaded runs warmed zero
+    programs before this rule)."""
+    model, reg = setup
+    ex = Executor(reg)
+    spec = TapSpeculator(ex, idle=lambda: False, idle_grace_s=0.02,
+                        max_starvation_s=0.5)
+    spec.start()
+    try:
+        spec.observe(make_graph(model, 0), "primary")
+        for _ in range(600):
+            if spec.compiled >= 1:
+                break
+            threading.Event().wait(0.1)
+        assert spec.compiled >= 1  # the override fired
+    finally:
+        spec.stop()
+
+
+def test_speculator_starvation_override_disabled(setup):
+    """max_starvation_s=0 restores the strict quiet-window discipline."""
+    model, reg = setup
+    ex = Executor(reg)
+    spec = TapSpeculator(ex, idle=lambda: False, idle_grace_s=0.01,
+                        max_starvation_s=0)
+    spec.start()
+    try:
+        spec.observe(make_graph(model, 0), "primary")
+        threading.Event().wait(2.0)
+        assert spec.compiled == 0
+        assert len(spec._jobs) > 0  # expanded but held
+    finally:
+        spec.stop()
+
+
 def test_precompile_stacked_bucket_serves_run_stacked(setup):
     """precompile(batch=k) builds the exact vmapped bucket program
     run_stacked needs — including dynamic-capture slots, which the

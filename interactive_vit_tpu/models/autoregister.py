@@ -124,13 +124,24 @@ def make_model(
             f"{base}'s stage/pooling geometry is resolution-specific")
     maker = _family_maker(variant)
     if maker is not None:
-        if quantize:
-            logger.warning("int8 not wired for %s; serving bf16", variant)
         if block_kernel != "auto":
             raise ValueError(
                 f"block_kernel={block_kernel!r} applies to the plain-ViT "
                 f"family only (the fused block kernel); {variant} has no "
                 f"s8-scores variant")
+        if variant.startswith("swin_"):
+            # swin carries the full quantize contract (weight-only int8
+            # + the per-stage W8A8 MLP kernel, models/swin_plugin.py) —
+            # handled here rather than through the 5-arg maker surface
+            from interactive_vit_tpu.models.swin_plugin import (
+                make_swin_model,
+            )
+
+            return make_swin_model(variant, params=params, seed=seed,
+                                   dtype=dtype, kernels=kernels,
+                                   quantize=quantize)
+        if quantize:
+            logger.warning("int8 not wired for %s; serving bf16", variant)
         return maker(params, seed, dtype, attn_impl, kernels)
 
     from interactive_vit_tpu.models import vit

@@ -215,6 +215,7 @@ def block(
     shift: int,
     want_attn: bool = False,
     window_impl=None,
+    mlp_impl=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """One Swin block over [B, H, W, C]: x + W-MSA(LN(x)) then
     x + MLP(LN(x)), windows (shifted by ``shift``) inside the attention.
@@ -255,7 +256,16 @@ def block(
     if shift:
         a = jnp.roll(a, (shift, shift), axis=(1, 2))
     x = x + a
-    x = x + L.mlp(L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
+    if mlp_impl is not None:
+        # the MLP branch is row-local, so the NHWC map flattens to the
+        # [B, H*W, C] token contract the fused (W8A8) MLP kernel takes —
+        # a free HBM reshape, same trick as the fused window kernel
+        b_, hh, ww, c = x.shape
+        x = mlp_impl(x.reshape(b_, hh * ww, c), p,
+                     eps=cfg.ln_eps).reshape(b_, hh, ww, c)
+    else:
+        x = x + L.mlp(
+            L.layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.ln_eps), p)
     return x, probs
 
 
@@ -448,6 +458,7 @@ def forward(
     want_attn: bool = False,
     block_wrapper=None,
     window_impl=None,
+    mlp_impls=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: [B,3,H,W] -> {"logits": [B,K]} (+ "attn": per-block
     tuple of [B, nW, heads, T, T] window-attention maps when requested —
@@ -465,7 +476,9 @@ def forward(
     if block_wrapper is not None and want_attn:
         raise ValueError("block_wrapper requires taps off")
     if block_wrapper is not None:
+        # Pallas custom calls have no AD rule: training stays XLA
         window_impl = None
+        mlp_impls = None
     x = patch_embed(params["patch_embed"], images, cfg)
     attns: List[jnp.ndarray] = []
     for s, blocks in enumerate(params["stages"]):
@@ -479,7 +492,9 @@ def forward(
                 x = block_wrapper(one)(p, x)
                 continue
             x, probs = block(p, x, cfg, s, cfg.stage_shift(s, bi),
-                             want_attn=want_attn, window_impl=window_impl)
+                             want_attn=want_attn, window_impl=window_impl,
+                             mlp_impl=(mlp_impls[s] if mlp_impls
+                                       else None))
             if want_attn:
                 attns.append(probs)
         if s < len(params["merges"]):
@@ -496,13 +511,15 @@ def forward(
 # -- graph-node decomposition --------------------------------------------------
 
 
-def layer_fns(cfg: SwinConfig, window_impl=None):
+def layer_fns(cfg: SwinConfig, window_impl=None, mlp_impls=None):
     """The model as ordered named tappable layers (see ``vit.layer_fns``).
 
     Surface: transform, patch_embed, stages.{s}.{b} (extra channel
     "attn" = [B, nW, heads, T, T] window maps), merge.{s} between stages,
     norm, pool, head — 20 nodes for swin_t. ``window_impl``: fused W-MSA
-    kernel for the block nodes (see ``block``)."""
+    kernel for the block nodes (see ``block``); ``mlp_impls``: per-stage
+    fused MLP kernels (the W8A8 path — stage dims differ, so each stage
+    gets its own block_q-tuned kernel or None)."""
     layers: List[Tuple[str, List[str], Callable]] = []
 
     def transform_fn(p, ins):
@@ -528,7 +545,9 @@ def layer_fns(cfg: SwinConfig, window_impl=None):
         def block_fn(p, ins, want=frozenset(), node_params=None):
             y, probs = block(p, ins["o"], cfg, s, shift,
                              want_attn="attn" in want,
-                             window_impl=window_impl)
+                             window_impl=window_impl,
+                             mlp_impl=(mlp_impls[s] if mlp_impls
+                                       else None))
             outs = {"o": y}
             if "attn" in want:
                 # selective taps, STATIC params (shape-changing -> in the

@@ -51,6 +51,7 @@ def make_swin_model(
     cfg: Optional[swin.SwinConfig] = None,
     with_categories: bool = True,
     kernels: bool = True,
+    quantize=False,
 ) -> JaxModel:
     """Build a registerable ``JaxModel`` for a Swin variant.
 
@@ -58,24 +59,59 @@ def make_swin_model(
     ``params=None`` -> deterministic random init (zero-egress image;
     ``swin.from_torch`` loads real torchvision checkpoints, also via
     serving ``--ckpt``). ``kernels=False`` forces the pure-XLA window
-    path (mesh-sharded serving: Pallas custom calls don't partition)."""
+    path (mesh-sharded serving: Pallas custom calls don't partition).
+
+    ``quantize``: same contract as the ViT maker — ``True``/``"w8"`` =
+    weight-only int8 (every linear; the fused window kernel needs dense
+    qkv so it turns off), ``"w8a8"`` = fc1/fc2 int8 weights + dynamic
+    per-token activation quantization through the Pallas W8A8 MLP
+    kernel per stage (the attention window kernel stays on — its
+    weights remain dense). Opt-in accuracy class, ``--dtype int8w8a8``."""
     import jax.numpy as jnp
 
     cfg = cfg or swin.VARIANTS[variant]
     if params is None:
         params = swin.init_params(jax.random.key(seed), cfg,
                                   dtype=dtype or jnp.float32)
-    from interactive_vit_tpu.ops.dispatch import default_window_impl
+    from interactive_vit_tpu.ops.dispatch import (
+        default_mlp_impl, default_window_impl,
+    )
 
     leaf_dtype = jax.tree.leaves(params)[0].dtype
+    mlp_impls = None
+    if quantize:
+        from interactive_vit_tpu.ops.quant import quantize_tree
+
+        mode = "w8a8" if quantize == "w8a8" else "w8"
+        if mode == "w8a8":
+            # fc1/fc2 only: the window kernel takes dense qkv/proj (the
+            # same policy as the ViT fused block — ops/dispatch docstring)
+            params = quantize_tree(
+                params, names=frozenset({"fc1_w", "fc2_w"}), mode=mode)
+            if kernels:
+                mlp_impls = [
+                    default_mlp_impl(
+                        "auto", dtype=leaf_dtype, d=cfg.stage_dim(s),
+                        mlp_dim=cfg.stage_dim(s) * cfg.mlp_ratio,
+                        quant="w8a8")
+                    for s in range(len(cfg.depths))]
+                if not any(mlp_impls):
+                    mlp_impls = None
+        else:
+            params = quantize_tree(params, mode=mode)
+            kernels = False  # quantized qkv dicts can't feed the kernel
     window_impl = (default_window_impl("auto", dtype=leaf_dtype, cfg=cfg)
                    if kernels else None)
     # differentiable twins for gradient replays (saliency/dream): the
-    # fused window kernel is a Pallas custom call with no AD rule, so
-    # replays re-trace the pure-XLA window path (CLAUDE.md conventions)
+    # fused kernels are Pallas custom calls with no AD rule (and round()
+    # has zero grad), so replays re-trace the pure-XLA path with inline
+    # dequantization (CLAUDE.md conventions)
     grad_layers = None
-    if window_impl is not None:
-        grad_layers = {ln: f for ln, _extra, f in swin.layer_fns(cfg)}
+    if window_impl is not None or mlp_impls is not None or quantize:
+        from interactive_vit_tpu.models.model_plugin import dequant_grad_twin
+
+        grad_layers = {ln: (dequant_grad_twin(f) if quantize else f)
+                       for ln, _extra, f in swin.layer_fns(cfg)}
     descriptions = {
         "transform": (f"Resize({int(cfg.img_size * 232 / 224)}, bicubic)"
                       f"+CenterCrop({cfg.img_size})+Normalize"),
@@ -104,7 +140,8 @@ def make_swin_model(
             if with_categories and cfg.num_classes else None)
     return SwinJaxModel(
         name=variant if cfg.name == variant else cfg.name,
-        layers=swin.layer_fns(cfg, window_impl=window_impl),
+        layers=swin.layer_fns(cfg, window_impl=window_impl,
+                              mlp_impls=mlp_impls),
         params=params,
         layer_params_fn=swin.layer_params,
         descriptions=descriptions,

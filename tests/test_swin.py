@@ -448,3 +448,99 @@ def test_swin_exports_as_aot_artifact(oracle, tmp_path):
     np.testing.assert_allclose(
         np.asarray(got[len(nodes) - 1]["o"]),
         np.asarray(want[len(nodes) - 1]["o"]), atol=1e-5)
+
+
+# -- W8A8 MLP path (round 4) --------------------------------------------------
+
+
+def test_w8a8_mlp_block_matches_xla_quant_path(monkeypatch):
+    """The per-stage Pallas W8A8 MLP kernel inside swin.block matches
+    the XLA W8A8 reference (L.linear's linear_w8a8 dispatch) — same
+    quantization semantics, so the bound is rounding-mode noise."""
+    import functools
+
+    import jax
+    import jax.experimental.pallas as pl
+
+    from interactive_vit_tpu.ops import fused_mlp as fm
+    from interactive_vit_tpu.ops.dispatch import default_mlp_impl
+    from interactive_vit_tpu.ops.quant import quantize_tree
+
+    monkeypatch.setattr(
+        fm.pl, "pallas_call",
+        functools.partial(pl.pallas_call, interpret=True))
+    params = swin.init_params(jax.random.key(3), CFG)
+    qparams = quantize_tree(params,
+                            names=frozenset({"fc1_w", "fc2_w"}),
+                            mode="w8a8")
+    p = qparams["stages"][0][0]
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (2, 8, 8, 16)).astype(np.float32) * 0.5)
+    ref, _ = swin.block(p, x, CFG, 0, 0)
+    impl = default_mlp_impl("w8a8", d=16, mlp_dim=32)
+    got, _ = swin.block(p, x, CFG, 0, 0, mlp_impl=impl)
+    # atol 2e-2: the kernel rounds half-UP (Mosaic has no half-even
+    # lowering, ops/fused_mlp._round_half_up) vs jnp.round in the XLA
+    # reference — a 1-ulp int8 divergence on exact .5 lattice points
+    # (measured 9/2048 elements, max 0.014 here)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=2e-2)
+
+
+def test_make_swin_model_quantize_contract():
+    """quantize='w8a8' quantizes ONLY fc1/fc2 (window kernel keeps its
+    dense qkv); quantize=True quantizes every linear and turns the
+    window kernel off. Both forwards stay within the quantization
+    noise class of the dense model and grad twins exist."""
+    import jax
+
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models.swin_plugin import make_swin_model
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+    from interactive_vit_tpu.ops.quant import is_quantized, is_w8a8
+
+    dense = make_swin_model(cfg=CFG)
+    m = make_swin_model(cfg=CFG, quantize="w8a8")
+    p0 = m.params["stages"][0][0]
+    assert is_w8a8(p0["fc1_w"]) and is_w8a8(p0["fc2_w"])
+    assert not is_quantized(p0["qkv_w"])
+    mw = make_swin_model(cfg=CFG, quantize=True)
+    pw = mw.params["stages"][0][0]
+    assert is_quantized(pw["qkv_w"]) and is_quantized(pw["fc1_w"])
+    assert m.grad_layers is not None and mw.grad_layers is not None
+
+    img = np.random.default_rng(5).random((3, 32, 32), np.float32)
+
+    def logits(model):
+        reg = Registry()
+        register_builtin(reg)
+        model.register(reg)
+        g = Graph()
+        prev = None
+        for nm in model.list_node_names():
+            n = g.add_node(nm)
+            if prev is not None:
+                g.connect(prev, "o", n, "o")
+            prev = n
+        g.add_input(img, g.nodes[0], "o")
+        out = Executor(reg).run(g, taps="primary")
+        return np.asarray(out[prev.index]["o"], np.float32)
+
+    ld = logits(dense)
+    for model in (m, mw):
+        lq = logits(model)
+        assert np.argmax(lq, -1).shape == np.argmax(ld, -1).shape
+        # quantization noise class: well below the logit spread
+        assert np.max(np.abs(lq - ld)) < 0.15 * (np.ptp(ld) + 1e-9)
+
+
+def test_autoregister_swin_quantize_routes():
+    """make_model('swin_t', quantize=...) reaches the swin maker (no
+    'int8 not wired' fallback) — pinned via the quantized param tree."""
+    from interactive_vit_tpu.models.autoregister import make_model
+    from interactive_vit_tpu.ops.quant import is_w8a8
+
+    m = make_model("swin_t", quantize="w8a8")
+    assert is_w8a8(m.params["stages"][0][0]["fc1_w"])

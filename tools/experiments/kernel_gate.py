@@ -305,6 +305,33 @@ def check_fused_window():
                rel_err(got[1], ref[1]), 2e-2)
 
 
+def check_swin_w8a8_mlp():
+    """The per-stage W8A8 MLP kernel inside swin.block vs the XLA W8A8
+    reference (same quantization semantics; bound = rounding-mode noise
+    + bf16 accumulation)."""
+    from interactive_vit_tpu.models import swin
+    from interactive_vit_tpu.ops.dispatch import default_mlp_impl
+    from interactive_vit_tpu.ops.quant import quantize_tree
+
+    cfg = swin.VARIANTS["swin_t"]
+    params = swin.init_params(jax.random.key(9), cfg,
+                              dtype=jnp.bfloat16)
+    q = quantize_tree(params, names=frozenset({"fc1_w", "fc2_w"}),
+                      mode="w8a8")
+    for s in (0, len(cfg.depths) - 1):  # smallest + widest stage dims
+        p = q["stages"][s][0]
+        res, c = cfg.stage_res(s), cfg.stage_dim(s)
+        x = jnp.asarray(np.random.default_rng(9 + s).standard_normal(
+            (2, res, res, c)).astype(np.float32) * 0.5, "bfloat16")
+        impl = default_mlp_impl("w8a8", dtype=jnp.bfloat16, d=c,
+                                mlp_dim=c * cfg.mlp_ratio)
+        ref = jax.jit(lambda pp, xx: swin.block(
+            pp, xx, cfg, s, 0))(p, x)[0]
+        got = jax.jit(lambda pp, xx: swin.block(
+            pp, xx, cfg, s, 0, mlp_impl=impl))(p, x)[0]
+        record(f"swin_w8a8_mlp/stage{s}/bf16", rel_err(got, ref), 3e-2)
+
+
 def check_train_vjp():
     from interactive_vit_tpu.ops import attention as attn_ops
     from interactive_vit_tpu.ops import attention_vjp as av
@@ -426,7 +453,8 @@ def main():
     t0 = time.time()
     checks = [check_fused_block, check_int8_scores, check_headwise,
               check_flash, check_fused_mlp, check_w8a8_mlp,
-              check_fused_window, check_train_vjp, check_grad_twins]
+              check_fused_window, check_swin_w8a8_mlp,
+              check_train_vjp, check_grad_twins]
     only = [s for s in args.only.split(",") if s]
     for fn in checks:
         if only and not any(fn.__name__.endswith(s) for s in only):

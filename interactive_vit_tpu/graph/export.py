@@ -181,11 +181,21 @@ def _serving_metadata(graph: Graph, reg, caps_arg) -> Dict[str, Any]:
     dynamic: Dict[str, list] = {}
     editable: Dict[str, Dict[str, str]] = {}
     node_io: Dict[str, Dict[str, Any]] = {}
+    node_meta: List[Dict[str, Any]] = []
     for n in graph.nodes:
         try:
             kind = reg.get_node(n.name)
         except KeyError:
             continue
+        # per-NODE metadata: contents/io are params-dependent (a slice
+        # node renders its own spec), so /description + /contents match
+        # the query params to the right exported node
+        try:
+            node_meta.append({"name": n.name, "params": dict(n.params),
+                              "io": kind.io(n.params),
+                              "contents": kind.contents(n.params)})
+        except Exception:  # noqa: BLE001 — metadata is best-effort
+            pass
         if n.name not in node_io:
             try:
                 node_io[n.name] = {"io": kind.io(n.params),
@@ -213,7 +223,7 @@ def _serving_metadata(graph: Graph, reg, caps_arg) -> Dict[str, Any]:
             editable[str(n.index)] = modes
     return {"graph_nodes": nodes_meta, "graph_edges": edges_meta,
             "dynamic_params": dynamic, "editable": editable,
-            "node_io": node_io}
+            "node_io": node_io, "node_meta": node_meta}
 
 
 def export_graph(

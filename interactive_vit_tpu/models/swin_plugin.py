@@ -83,6 +83,15 @@ def make_swin_model(
         from interactive_vit_tpu.ops.quant import quantize_tree
 
         mode = "w8a8" if quantize == "w8a8" else "w8"
+        if mode == "w8a8" and not kernels:
+            # same contract as the ViT maker: without the Pallas MLP
+            # kernel the quantized fc1/fc2 would run the unfused XLA
+            # quantize-chain path — strictly slower than bf16 while
+            # still paying the accuracy perturbation (docs/kernels.md)
+            raise ValueError(
+                "swin w8a8 needs the Pallas MLP kernel (kernels=True); "
+                "mesh-sharded serving should use bfloat16 or int8 "
+                "weight-only")
         if mode == "w8a8":
             # fc1/fc2 only: the window kernel takes dense qkv/proj (the
             # same policy as the ViT fused block — ops/dispatch docstring)

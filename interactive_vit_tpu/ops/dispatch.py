@@ -71,6 +71,15 @@ def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
         # quantization to the score dot (PV stays bf16 — half the VPU
         # quantize/dequant overhead, half the accuracy perturbation).
         # Same fit envelope as the bf16 kernel.
+        import jax.numpy as jnp
+
+        if dtype is not None and jnp.dtype(dtype) == jnp.float32:
+            # same exclusion as "auto": HIGHEST-precision Mosaic dots
+            # (the kernel's f32 qkv/proj path) compile pathologically —
+            # an explicit flag fails loudly instead of hanging a boot
+            raise ValueError(
+                f"{name} requires a bf16-class dtype (f32 fused-block "
+                f"compiles pathologically; use --dtype bfloat16)")
         if d and n and not fits(n, d, heads, dtype):
             raise ValueError(
                 f"{name} fused block does not fit VMEM for n={n}, "

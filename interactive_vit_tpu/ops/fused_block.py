@@ -63,23 +63,11 @@ def _row_softmax(s, fast: bool):
     return p, 1.0 / jnp.sum(p, axis=1, keepdims=True)
 
 
-def _quant_rows(xf):
-    """f32 [R, C] -> (int8, f32 [R, 1] scale); per-row symmetric.
-
-    Same construction as the W8A8 MLP kernel (``ops/fused_mlp``): Mosaic
-    has no round-half-even lowering, so floor(x+0.5)."""
-    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s = jnp.where(s == 0, 1.0, s)
-    q = jnp.clip(jnp.floor(xf / s + 0.5), -127, 127).astype(jnp.int8)
-    return q, s
-
-
-def _quant_cols(xf):
-    """f32 [R, C] -> (int8, f32 [1, C] scale); per-column symmetric."""
-    s = jnp.max(jnp.abs(xf), axis=0, keepdims=True) / 127.0
-    s = jnp.where(s == 0, 1.0, s)
-    q = jnp.clip(jnp.floor(xf / s + 0.5), -127, 127).astype(jnp.int8)
-    return q, s
+# the ONE in-kernel s8 quantizer pair, shared with the W8A8 MLP kernel
+# so the quantization semantics cannot drift between modules
+from interactive_vit_tpu.ops.quant import (  # noqa: E402
+    quant_cols_mosaic as _quant_cols, quant_rows_mosaic as _quant_rows,
+)
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvb_ref, projw_ref,

@@ -122,12 +122,11 @@ def _round_half_up(x):
     return jnp.floor(x + 0.5)
 
 
-def _quant_rows(xf):
-    """f32 [R, D] -> (int8 [R, D], f32 [R, 1] scale); per-row symmetric."""
-    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s = jnp.where(s == 0, 1.0, s)
-    q = jnp.clip(_round_half_up(xf / s), -127, 127).astype(jnp.int8)
-    return q, s
+# shared with the s8-scores fused block (ops/quant.py): ONE in-kernel
+# quantizer so the two kernels' semantics cannot drift
+from interactive_vit_tpu.ops.quant import (  # noqa: E402
+    quant_rows_mosaic as _quant_rows,
+)
 
 
 def _w8a8_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,

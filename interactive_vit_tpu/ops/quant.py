@@ -108,6 +108,32 @@ def linear_w8a8(x: jnp.ndarray, w: Dict[str, jnp.ndarray], b=None):
 BLOCK_WEIGHTS = frozenset({"qkv_w", "proj_w", "fc1_w", "fc2_w"})
 
 
+def quant_rows_mosaic(xf):
+    """f32 [R, C] -> (int8, f32 [R, 1] scale); per-row symmetric.
+
+    The IN-KERNEL quantizer shared by the W8A8 MLP kernel
+    (``ops/fused_mlp``) and the s8-scores fused block
+    (``ops/fused_block``) — ONE implementation so their semantics
+    cannot drift. Mosaic has no round-half-even lowering, so
+    floor(x+0.5) (round-half-UP; the divergence from
+    ``quantize_acts``'s jnp.round is confined to exact .5 lattice
+    points of x/scale — a 1-ulp int8 difference)."""
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.floor(xf / s + 0.5), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quant_cols_mosaic(xf):
+    """f32 [R, C] -> (int8, f32 [1, C] scale); per-column symmetric
+    (the s8 PV dot's v quantizer). Same rounding contract as
+    ``quant_rows_mosaic``."""
+    s = jnp.max(jnp.abs(xf), axis=0, keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.floor(xf / s + 0.5), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def quantize_tree(params: Any, names: frozenset = BLOCK_WEIGHTS,
                   mode: str = "w8") -> Any:
     """Replace 2-D float weight leaves named in ``names`` with their int8

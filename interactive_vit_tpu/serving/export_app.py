@@ -142,6 +142,7 @@ class ExportApp:
         self.editable = {int(i): dict(v)
                          for i, v in (m.get("editable") or {}).items()}
         self.node_io = m.get("node_io") or {}
+        self.node_meta = m.get("node_meta") or []
         self.out_keys = set(self.art.out_keys)
         if not self.graph_nodes:
             raise ExportError(
@@ -315,15 +316,34 @@ class ExportApp:
         self.metrics.inc("response_bytes", len(raw))
         return raw
 
-    def description(self, name: str) -> Dict:
-        meta = self.node_io.get(name)
+    def _meta_for(self, name: str, params: Optional[Dict] = None):
+        """Params-aware metadata lookup: contents/io are rendered from
+        each node's own params at export (a slice node shows ITS spec),
+        so the frontend's ``?{params}`` query selects the matching
+        exported node; falls back to the first same-name node."""
+        if params:
+            for meta in self.node_meta:
+                if meta["name"] != name:
+                    continue
+                keys = set(meta["params"]) | set(params)
+                if all(_params_equal(meta["params"].get(k),
+                                     params.get(k)) for k in keys):
+                    return meta
+        for meta in self.node_meta:
+            if meta["name"] == name:
+                return meta
+        return self.node_io.get(name)  # pre-node_meta artifacts
+
+    def description(self, name: str,
+                    params: Optional[Dict] = None) -> Dict:
+        meta = self._meta_for(name, params)
         if meta is None:
             raise MatchError(f"unknown node kind {name!r} (artifact "
                              f"serves {sorted(self.node_io)})")
         return meta["io"]
 
-    def contents(self, name: str) -> str:
-        meta = self.node_io.get(name)
+    def contents(self, name: str, params: Optional[Dict] = None) -> str:
+        meta = self._meta_for(name, params)
         if meta is None:
             raise MatchError(f"unknown node kind {name!r}")
         return meta.get("contents", "")
@@ -392,11 +412,15 @@ class ExportApp:
                             path[len("/load_graph/"):]),
                             "application/json")
                     elif path.startswith("/description/"):
+                        qs = {k: v[0]
+                              for k, v in parse_qs(url.query).items()}
                         self._json(app.description(
-                            path[len("/description/"):]))
+                            path[len("/description/"):], qs))
                     elif path.startswith("/contents/"):
+                        qs = {k: v[0]
+                              for k, v in parse_qs(url.query).items()}
                         self._send(200, app.contents(
-                            path[len("/contents/"):]).encode(),
+                            path[len("/contents/"):], qs).encode(),
                             "text/html")
                     elif path == "/descriptions":
                         qs = {k: v[0]
@@ -494,41 +518,55 @@ class MultiExportApp:
         self.boot_load_s = sum(u.boot_load_s for u in self.units)
         self.artifact_dir = ",".join(u.artifact_dir for u in self.units)
 
-    def _route(self, req: WireRequest) -> ExportApp:
-        errs = []
-        for u in self.units:
-            try:
-                u._pick_view(req.graph)
-                return u
-            except MatchError as e:
-                errs.append(str(e))
-        raise MatchError(
-            "no artifact matches this request; per-artifact: "
-            + " | ".join(e.split(";")[0] for e in errs))
-
     def compute(self, body: bytes) -> bytes:
         t0 = time.perf_counter()
         self.metrics.inc("compute_requests")
         req = WireRequest()
         req.decode(body)
-        routed = self._route(req).run_request(req)
+        # route by FULL match, not just the node-name sequence: two
+        # artifacts can share names but differ in shapes/static params
+        # (the same workflow exported at batch 1 and batch 8) — a
+        # name-only router would make the second permanently
+        # unreachable. A shape-matching unit whose params/wiring check
+        # fails yields the most specific error if nothing else serves.
+        shape_errs: list = []
+        match_errs: list = []
+        routed = None
+        for u in self.units:
+            try:
+                u._pick_view(req.graph)
+            except MatchError as e:
+                shape_errs.append(str(e))
+                continue
+            try:
+                routed = u.run_request(req)
+                break
+            except MatchError as e:
+                match_errs.append(str(e))
+        if routed is None:
+            if match_errs:
+                raise MatchError(match_errs[0])
+            raise MatchError(
+                "no artifact matches this request; per-artifact: "
+                + " | ".join(e.split(";")[0] for e in shape_errs))
         raw = WireResponse(routed).encode(dtype=req.resp_dtype)
         self.metrics.request_latency.observe(time.perf_counter() - t0)
         self.metrics.inc("response_bytes", len(raw))
         return raw
 
-    def description(self, name: str) -> Dict:
+    def description(self, name: str,
+                    params: Optional[Dict] = None) -> Dict:
         for u in self.units:
-            if name in u.node_io:
-                return u.description(name)
+            if u._meta_for(name, params) is not None:
+                return u.description(name, params)
         raise MatchError(
             f"unknown node kind {name!r} (artifacts serve "
             f"{sorted(set().union(*(u.node_io for u in self.units)))})")
 
-    def contents(self, name: str) -> str:
+    def contents(self, name: str, params: Optional[Dict] = None) -> str:
         for u in self.units:
-            if name in u.node_io:
-                return u.contents(name)
+            if u._meta_for(name, params) is not None:
+                return u.contents(name, params)
         raise MatchError(f"unknown node kind {name!r}")
 
     def descriptions(self, names) -> Dict[str, Dict]:

@@ -309,3 +309,58 @@ def test_multi_artifact_no_match_is_400(multi_served):
         _post(base, req, [np.zeros((3, 4, 4), np.float32)])
     assert ei.value.code == 400
     assert "no artifact matches" in ei.value.read().decode()
+
+
+def test_multi_artifact_same_names_different_shapes(tmp_path):
+    """Routing is by FULL match, not node names: the same workflow
+    exported at two input shapes both stay reachable (review r4)."""
+    from interactive_vit_tpu.serving.export_app import MultiExportApp
+    from interactive_vit_tpu.wire.codec import Request
+
+    reg = Registry()
+    register_builtin(reg)
+    dirs = []
+    for i, n in enumerate((4, 8)):
+        g = Graph()
+        node = g.add_node("cos", {"A": "2.0", "b": "0.0"})
+        g.add_input(np.zeros((n,), np.float32), node, "o")
+        d = str(tmp_path / f"a{i}")
+        export_graph(g, d, taps="primary", executor=Executor(reg))
+        dirs.append(d)
+    app = MultiExportApp(dirs, frontend_dir=None)
+
+    for n in (4, 8):
+        x = np.linspace(0, 1, n, dtype=np.float32)
+        req = {"nodes": [{"endpoint": "cos",
+                          "params": {"A": "2.0", "b": "0.0"}}],
+               "edges": [{"out_port": {"node": 0, "channel": "o"},
+                          "tensor": 0}],
+               "taps": [{"node": 0, "channel": "o"}]}
+        body = bytes(encode_message(REQUEST_MAGIC, req, [x]))
+        outs = Response.decode(app.compute(body))
+        np.testing.assert_allclose(outs[0]["o"], np.cos(2.0 * x),
+                                   rtol=1e-6)
+
+
+def test_params_aware_contents(tmp_path):
+    """Two same-kind nodes with different params render their OWN
+    contents through /contents?params (review r4 — the live surface is
+    params-aware, serving/app.py)."""
+    from interactive_vit_tpu.serving.export_app import ExportApp
+
+    reg = Registry()
+    register_builtin(reg)
+    g = Graph()
+    a = g.add_node("cos", {"A": "2.0", "b": "0.5"})
+    bnode = g.add_node("cos", {"A": "7.0", "b": "0.25"})
+    g.connect(a, "o", bnode, "o")
+    g.add_input(np.zeros((4,), np.float32), a, "o")
+    d = str(tmp_path / "art")
+    export_graph(g, d, taps="primary", executor=Executor(reg))
+    app = ExportApp(d, frontend_dir=None)
+    c1 = app.contents("cos", {"A": "2.0", "b": "0.5"})
+    c2 = app.contents("cos", {"A": "7.0", "b": "0.25"})
+    assert "2.0" in c1 and "7.0" in c2 and c1 != c2
+    # unknown params fall back to the first same-name node
+    assert app.contents("cos", {"A": "99"}) == c1
+    assert app.description("cos", None) == {"ins": ["o"], "outs": ["o"]}

@@ -471,7 +471,10 @@ def main():
             print(f"FAIL {fn.__name__}: {err}", flush=True)
         print(f"  [{fn.__name__}: {time.time() - t1:.1f}s]", flush=True)
 
-    RESULTS["ok"] = all(c["ok"] for c in RESULTS["checks"])
+    # an empty run is a FAILED gate, not a green one (a --only typo or
+    # a filtered-out list must never write ok=true with zero checks)
+    RESULTS["ok"] = bool(RESULTS["checks"]) and all(
+        c["ok"] for c in RESULTS["checks"])
     RESULTS["n_checks"] = len(RESULTS["checks"])
     RESULTS["wall_s"] = round(time.time() - t0, 1)
     out = os.path.join(_REPO, f"KERNELS_r{args.round:02d}.json")

@@ -49,14 +49,30 @@ def get_json(path, timeout=60):
 
 
 def chain_request(graph_obj, seed=0, tap_attn=None):
-    insts = [n["instance"] for n in graph_obj["nodes"]
-             if n["instance"]["kind"] == "net_node"]
-    nodes = [{"endpoint": i["endpoint"],
-              "params": dict(i.get("params", {}))} for i in insts]
-    edges = [{"out_port": {"node": 0, "channel": "o"}, "tensor": 0}]
-    for i in range(1, len(nodes)):
-        edges.append({"out_port": {"node": i, "channel": "o"},
-                      "in_port": {"node": i - 1, "channel": "o"}})
+    # wiring derived from the saved graph's EDGE LIST, not node-list
+    # order (a graph-generator reorder would silently mis-wire the
+    # round artifact — the advisor-r3 class fixed in r3_attrib_tpu)
+    idx_map, nodes = {}, []
+    for i, n in enumerate(graph_obj["nodes"]):
+        inst = n["instance"]
+        if inst["kind"] != "net_node":
+            continue
+        idx_map[i] = len(nodes)
+        nodes.append({"endpoint": inst["endpoint"],
+                      "params": dict(inst.get("params", {}))})
+    edges, fed = [], set()
+    for e in graph_obj["edges"]:
+        s, d = e["in_port"]["node"], e["out_port"]["node"]
+        if s in idx_map and d in idx_map:
+            edges.append(
+                {"out_port": {"node": idx_map[d],
+                              "channel": e["out_port"]["channel"]},
+                 "in_port": {"node": idx_map[s],
+                             "channel": e["in_port"]["channel"]}})
+            fed.add(idx_map[d])
+    root = next(i for i in sorted(idx_map.values()) if i not in fed)
+    edges.insert(0, {"out_port": {"node": root, "channel": "o"},
+                     "tensor": 0})
     taps = [{"node": len(nodes) - 1, "channel": "o"}]
     if tap_attn is not None:
         taps.append({"node": tap_attn, "channel": "attn"})

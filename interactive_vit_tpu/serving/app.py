@@ -89,6 +89,11 @@ class App:
         # connections; inflight counts HTTP requests between request-line
         # receipt and response write (the recycler's quiesce condition)
         self.generation = int(os.environ.get("IVT_GENERATION", "0"))
+        # monotone per-process request ids: gen-pid-counter correlates a
+        # client's X-IVT-Request-Id header with server log lines across
+        # worker recycles
+        self._rid_counter = 0
+        self._rid_lock = threading.Lock()
         self.draining = False
         self.inflight = 0
         self._inflight_lock = threading.Lock()
@@ -243,6 +248,11 @@ class App:
             "errors": {str(k): v for k, v in errors.items()},
         }
 
+    def next_request_id(self) -> str:
+        with self._rid_lock:
+            self._rid_counter += 1
+            return f"g{self.generation}-{os.getpid():x}-{self._rid_counter:x}"
+
     def health(self, timeout_s: float = 5.0) -> Dict:
         """Device liveness probe: run a tiny op with a deadline.
 
@@ -323,6 +333,12 @@ class App:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                rid = getattr(self, "_rid", None)
+                if rid:
+                    # per-request id: correlates a client-observed
+                    # response with the server log line (the error BODY
+                    # stays untouched — the client parses "node <i>")
+                    self.send_header("X-IVT-Request-Id", rid)
                 if app.draining:
                     # recycle in progress: quiesce persistent connections
                     # so handler threads stop pinning this generation
@@ -427,7 +443,22 @@ class App:
                     path = unquote(url.path)
                     qs = {k: v[0] for k, v in parse_qs(url.query).items()}
                     if path == "/compute":
-                        raw = app.compute(body)
+                        self._rid = app.next_request_id()
+                        t0 = time.perf_counter()
+                        try:
+                            raw = app.compute(body)
+                        except Exception as e:
+                            logger.info(
+                                "rid=%s compute FAILED in %.1fms: %s",
+                                self._rid,
+                                (time.perf_counter() - t0) * 1e3,
+                                str(e)[:200])
+                            raise
+                        logger.info(
+                            "rid=%s compute ok in %.1fms (%d B in, "
+                            "%d B out)", self._rid,
+                            (time.perf_counter() - t0) * 1e3,
+                            len(body), len(raw))
                         self._send(200, raw, "application/octet-stream")
                     elif path == "/profile":
                         self._json(app.profile(

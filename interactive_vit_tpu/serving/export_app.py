@@ -28,6 +28,7 @@ the ``node <i> (...)`` form the client UI parses.
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
 import os
@@ -48,6 +49,10 @@ from interactive_vit_tpu.wire.codec import (
 )
 
 logger = logging.getLogger(__name__)
+
+# per-process /compute ids (X-IVT-Request-Id): correlate client-observed
+# responses with server log lines, same contract as the live app
+_RID = itertools.count(1)
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -388,6 +393,9 @@ class ExportApp:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                rid = getattr(self, "_rid", None)
+                if rid:
+                    self.send_header("X-IVT-Request-Id", rid)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -450,7 +458,14 @@ class ExportApp:
                     body = self.rfile.read(length)
                     path = unquote(urlparse(self.path).path)
                     if path == "/compute":
-                        self._send(200, app.compute(body),
+                        self._rid = f"x-{os.getpid():x}-{next(_RID):x}"
+                        t0 = time.perf_counter()
+                        raw = app.compute(body)
+                        logger.info(
+                            "rid=%s compute ok in %.1fms (%d B out)",
+                            self._rid,
+                            (time.perf_counter() - t0) * 1e3, len(raw))
+                        self._send(200, raw,
                                    "application/octet-stream")
                     else:
                         self._send(404, b"not found", "text/plain")

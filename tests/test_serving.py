@@ -658,3 +658,21 @@ def test_profile_bad_bytes_is_400(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/profile", b"garbage")
     assert ei.value.code == 400
+
+
+def test_request_id_header(served):
+    """Every /compute response carries X-IVT-Request-Id (generation-pid-
+    counter), correlating client observations with server log lines."""
+    _, base = served
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    body = Request.encode(make_cos_graph(x))
+    r1 = urllib.request.urlopen(urllib.request.Request(
+        base + "/compute", data=bytes(body), method="POST"))
+    r1.read()
+    rid1 = r1.headers.get("X-IVT-Request-Id")
+    r2 = urllib.request.urlopen(urllib.request.Request(
+        base + "/compute", data=bytes(body), method="POST"))
+    r2.read()
+    rid2 = r2.headers.get("X-IVT-Request-Id")
+    assert rid1 and rid2 and rid1 != rid2
+    assert rid1.startswith("g0-")

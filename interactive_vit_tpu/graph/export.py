@@ -334,6 +334,37 @@ def export_graph(
     # matches requests against the exported shape and routes verified
     # dynamic-param edits — all with no registry/model code at serve time
     manifest.update(_serving_metadata(graph, ex.reg, caps_arg))
+    # self-test record: seeded inputs -> per-output summary statistics,
+    # so a deployed fleet can verify artifact integrity (program bytes +
+    # captures + calling convention) with NO model code and NO live
+    # executor (`ExportedGraph.selftest`; ivt-run-exported --selftest).
+    # Summary stats, not checksums: backend/lowering differences move
+    # floats by rounding, never by distribution.
+    if mesh is None:
+        try:
+            import jax.numpy as jnp
+
+            rng = np.random.default_rng(0)
+            feeds = tuple(
+                jnp.asarray(rng.random([int(d) for d in np.shape(
+                    e.tensor)]).astype(np.float32),
+                    shape_struct(e.tensor).dtype)
+                for _, _, e in input_edges)
+            flat_out = jax.jit(staged)(feeds, caps_arg)
+            stats = {}
+            for key, v in flat_out.items():  # keys are "i/ch" strings
+                a = np.asarray(v, np.float32)
+                stats[key] = {
+                    "shape": list(a.shape),
+                    "mean": float(a.mean()),
+                    "std": float(a.std()),
+                    "absmax": float(np.abs(a).max()),
+                }
+            manifest["selftest"] = {"input_seed": 0, "stats": stats}
+        except Exception as err:  # noqa: BLE001 — selftest is optional
+            manifest["selftest"] = None
+            logger_msg = f"selftest record skipped: {err}"
+            print(logger_msg)
     if client_graph is not None:
         # the original saved-graph JSON (viewers included) rides along so
         # the export server's /list_graphs + /load_graph can boot the
@@ -528,6 +559,50 @@ class ExportedGraph:
         except Exception as err:  # noqa: BLE001
             raise ExportError(f"exported program failed: {err}") from err
         return Executor.split_single(jax.device_get(flat))
+
+
+    def selftest(self, rel_tol: float = 5e-2) -> Dict[str, Any]:
+        """Self-contained integrity check: replay the manifest's seeded
+        inputs and compare per-output summary statistics (mean/std/
+        absmax) against the values recorded at export — corrupt capture
+        bytes, a truncated program, or a broken calling convention all
+        move the distributions wildly, while backend/lowering float
+        rounding does not. NO model code, NO live executor needed (the
+        deploy-fleet counterpart of ``ivt-export --check``).
+
+        Returns {"ok": bool, "checked": n, "worst": {...}} or raises
+        ExportError when the artifact has no selftest record."""
+        rec = self.manifest.get("selftest")
+        if not rec:
+            raise ExportError(
+                f"{self.path}: no selftest record in the manifest "
+                f"(mesh artifacts and pre-r4 exports don't carry one)")
+        rng = np.random.default_rng(int(rec["input_seed"]))
+        feeds = [rng.random(s["shape"]).astype(np.float32)
+                 for s in self.manifest["inputs"]]
+        outs = self(*feeds)
+        worst = {"key": None, "metric": None, "rel": 0.0}
+        checked = 0
+        for key, exp in rec["stats"].items():
+            i, ch = key.split("/", 1)
+            a = np.asarray(outs[int(i)][ch], np.float32)
+            if list(a.shape) != exp["shape"]:
+                return {"ok": False, "checked": checked,
+                        "worst": {"key": key, "metric": "shape",
+                                  "got": list(a.shape),
+                                  "want": exp["shape"]}}
+            scale = max(abs(exp["absmax"]), 1e-6)
+            for metric, got in (("mean", float(a.mean())),
+                                ("std", float(a.std())),
+                                ("absmax", float(np.abs(a).max()))):
+                rel = abs(got - exp[metric]) / scale
+                if rel > worst["rel"]:
+                    worst = {"key": key, "metric": metric,
+                             "rel": rel, "got": got,
+                             "want": exp[metric]}
+            checked += 1
+        return {"ok": worst["rel"] <= rel_tol, "checked": checked,
+                "worst": worst}
 
 
 def load_artifact(path: str) -> ExportedGraph:

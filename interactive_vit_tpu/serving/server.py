@@ -318,6 +318,12 @@ def main() -> None:
                              "model zoo, NO plugin code — the StableHLO "
                              "program + captures boot directly "
                              "(serving/export_app.py)")
+    parser.add_argument("--export-selftest", action="store_true",
+                        help="with --from-export: verify each artifact "
+                             "(seeded replay vs recorded output stats, "
+                             "graph/export.ExportedGraph.selftest) "
+                             "before serving; refuse to boot on a "
+                             "corrupt artifact")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -346,6 +352,17 @@ def main() -> None:
             xapp = MultiExportApp(dirs, frontend_dir=args.frontend_dir)
         logger.info("artifact(s) %s loaded in %.2fs; serving with no "
                     "model code", xapp.artifact_dir, xapp.boot_load_s)
+        if args.export_selftest:
+            units = getattr(xapp, "units", [xapp])
+            for u in units:
+                res = u.art.selftest()
+                logger.info("selftest %s: ok=%s (%d outputs, worst "
+                            "rel=%.2e)", u.artifact_dir, res["ok"],
+                            res["checked"], res["worst"]["rel"])
+                if not res["ok"]:
+                    raise SystemExit(
+                        f"artifact {u.artifact_dir} failed selftest: "
+                        f"{res['worst']}")
         xapp.serve(args.host, args.port)
         return
     app = build_app(

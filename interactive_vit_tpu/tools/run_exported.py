@@ -13,6 +13,7 @@ the artifact bytes (``graph/export.py`` docstring).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -35,6 +36,10 @@ def main(argv=None) -> int:
                     choices=["default", "cpu"],
                     help="cpu = in-process override (the axon hook "
                          "ignores the JAX_PLATFORMS env var)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="verify artifact integrity (seeded replay vs "
+                         "the manifest's recorded output statistics — "
+                         "no model code needed) and exit 0/1")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -51,6 +56,15 @@ def main(argv=None) -> int:
     except ExportError as err:
         print(f"cannot load artifact: {err}", file=sys.stderr)
         return 2
+
+    if args.selftest:
+        try:
+            res = art.selftest()
+        except ExportError as err:
+            print(f"selftest unavailable: {err}", file=sys.stderr)
+            return 2
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
 
     specs = art.input_specs
     if args.image:

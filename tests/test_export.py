@@ -434,3 +434,41 @@ def test_manifest_is_json_and_versioned(reg, tmp_path):
     assert m["inputs"][0]["shape"] == [8]
     assert m["inputs"][0]["dtype"] == "float32"
     assert all(isinstance(i, list) and len(i) == 2 for i in m["out_keys"])
+
+
+def test_selftest_passes_and_catches_corruption(tmp_path):
+    """The manifest's seeded-replay record verifies artifact integrity
+    with no model code; corrupting capture bytes fails it (round 4 —
+    the deploy-fleet counterpart of --check)."""
+    import jax
+
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.graph.export import export_graph, load_artifact
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    reg = Registry()
+    register_builtin(reg)
+    g = Graph()
+    a = g.add_node("cos", {"A": "2.0", "b": "0.5"})
+    b = g.add_node("binop", {"op": "*"})
+    g.connect(a, "o", b, "a")
+    g.connect(a, "o", b, "b")
+    g.add_input(np.zeros((64,), np.float32), a, "o")
+    d = str(tmp_path / "art")
+    export_graph(g, d, taps="primary", executor=Executor(reg))
+
+    art = load_artifact(d)
+    res = art.selftest()
+    assert res["ok"], res
+    assert res["checked"] >= 2
+
+    # corrupt the tail of the captures payload (header stays valid so
+    # the artifact still LOADS; the values are wrong)
+    caps_path = os.path.join(d, "captures.safetensors")
+    raw = bytearray(open(caps_path, "rb").read())
+    raw[-4:] = b"\x7f\x7f\x7f\x7f"
+    open(caps_path, "wb").write(raw)
+    res2 = load_artifact(d).selftest()
+    assert not res2["ok"], res2

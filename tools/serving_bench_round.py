@@ -185,6 +185,7 @@ def main() -> int:
             t.start()
 
         rss_samples, generations = [], set()
+        last_by_gen: dict = {}
         while time.monotonic() < stop:
             time.sleep(5)
             try:
@@ -193,10 +194,19 @@ def main() -> int:
                 continue  # mid-recycle poll
             rss_samples.append(snap["rss_mb"])
             generations.add(snap["generation"])
+            # histograms RESET at each worker recycle, so the final
+            # snapshot may cover only the fresh generation's re-staging
+            # surge; keep the last snapshot per generation and report
+            # steady state from the one that served the most requests
+            last_by_gen[snap["generation"]] = snap
         for t in threads:
             t.join(timeout=630)
         wall = time.monotonic() - t_start
         snap = get_json("/metrics", timeout=300)
+        last_by_gen[snap["generation"]] = snap
+        steady = max(
+            last_by_gen.values(),
+            key=lambda s: s["counters"].get("compute_requests", 0))
 
         # quiet-phase probe: sequential single requests per model on the
         # now-idle warm server — the per-model steady-state number a
@@ -227,16 +237,23 @@ def main() -> int:
             if lat else -1,
             "rate_rps": round(len(lat) / wall, 1),
             # the per-REQUEST server-side gate (decode -> encode inside
-            # the handler, no network): THE regression comparator
-            "server_wire_p50_ms": round(snap.get("wire_p50_ms", -1), 2),
+            # the handler, no network), from the longest-serving
+            # generation's last snapshot: THE regression comparator
+            "server_wire_p50_ms": round(
+                steady.get("wire_p50_ms", -1), 2),
             "server_request_p50_ms": round(
-                snap.get("request_p50_ms", -1), 2),
+                steady.get("request_p50_ms", -1), 2),
+            "steady_state_generation": steady.get("generation", -1),
+            # final-snapshot values (may cover only a fresh post-recycle
+            # generation's re-staging surge — context, not a gate)
+            "final_gen_wire_p50_ms": round(
+                snap.get("wire_p50_ms", -1), 2),
             # per-GROUP pipelined dispatch window + burst backlog —
             # load-shape-dependent; recorded for context, not a gate
-            "server_compute_p50_ms": round(snap["compute_p50_ms"], 2),
+            "server_compute_p50_ms": round(steady["compute_p50_ms"], 2),
             "server_compute_p95_ms": round(
-                snap.get("compute_p95_ms", -1), 2),
-            "queue_p50_ms": round(snap.get("queue_p50_ms", -1), 2),
+                steady.get("compute_p95_ms", -1), 2),
+            "queue_p50_ms": round(steady.get("queue_p50_ms", -1), 2),
             # sequential warm singles per model on the idle server
             "quiet_wall_p50_ms": quiet,
             "mean_batch_size": round(snap["mean_batch_size"], 2),

@@ -234,10 +234,12 @@ def fused_attn_block(
     f32 (the ToMe matching metric) as the LAST result.
     ``int8_scores``: opt-in accuracy class (``--attn int8-scores``) —
     per-row symmetric s8 quantization of q/k (and probs/v for the PV
-    dot) so both per-head dots run at the int8 MXU rate (measured 1.47x
-    bf16 in-fusion at dh=64, docs/kernels.md). Quantized scores perturb
-    the softmax, so SERVED MAPS change too (unlike W8A8-MLP); fidelity
-    quantified on the trained oracle before any default flip.
+    dot, ``int8_pv``) so both per-head dots run at the int8 MXU rate.
+    NOTE: measured END-TO-END LOSS (-10..18% — the quantize/dequant VPU
+    work swamps the isolated dot's 1.47x; docs/kernels.md "int8 score
+    dots: measured LOSS"). Kept as the documented close of the dh=64
+    investigation; quantized scores perturb the softmax, so SERVED MAPS
+    change too (unlike W8A8-MLP).
     """
     b, n, d = x.shape
     emit_heads = None

@@ -457,6 +457,14 @@ class ExportApp:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
                     path = unquote(urlparse(self.path).path)
+                    if path.startswith("/save_graph/"):
+                        # the frontend's "Save to server" tool: a frozen
+                        # deployment has no graph library to write —
+                        # answer with a clear 400, not a confusing 404
+                        self._bad("this is a read-only from-export "
+                                  "deployment; save the graph locally "
+                                  "(download) or use a live server")
+                        return
                     if path == "/compute":
                         self._rid = f"x-{os.getpid():x}-{next(_RID):x}"
                         t0 = time.perf_counter()

@@ -364,3 +364,13 @@ def test_params_aware_contents(tmp_path):
     # unknown params fall back to the first same-name node
     assert app.contents("cos", {"A": "99"}) == c1
     assert app.description("cos", None) == {"ins": ["o"], "outs": ["o"]}
+
+
+def test_save_graph_rejected_read_only(served):
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        req = urllib.request.Request(
+            base + "/save_graph/x.json", data=b"{}", method="POST")
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    assert "read-only" in ei.value.read().decode()

@@ -401,6 +401,7 @@ class ExportedGraph:
         self.path = path
         self._in_cache: "OrderedDict[tuple, Any]" = OrderedDict()
         self._in_cache_bytes = 0
+        self._jitted_call = None  # built lazily on first __call__
         try:
             with open(os.path.join(path, MANIFEST_FILE)) as f:
                 self.manifest = json.load(f)
@@ -453,6 +454,12 @@ class ExportedGraph:
                     f"{list(self.mesh.axis_names)})")
             self._cap_specs = self.manifest["capture_specs"] or {}
             self.caps = self._place(self.caps, "c")
+        else:
+            # single-device: captures live ON DEVICE from load. Leaving
+            # them as host numpy re-uploads the whole weights tree every
+            # call (vit_b16: 173 MB/request ≈ 3.3 s over the tunnel —
+            # measured; the live executor device_puts captures once too)
+            self.caps = jax.device_put(self.caps)
 
     def _device_input(self, arr: np.ndarray):
         """Content-addressed device placement for call inputs — the same
@@ -532,12 +539,21 @@ class ExportedGraph:
                 arr, self._leaf_sharding(f"c.{node_index}.{name}"))
         node[name] = arr
 
-    def __call__(self, *inputs,
-                 caps: Optional[Any] = None) -> Dict[int, Dict[str, np.ndarray]]:
+    def __call__(self, *inputs, caps: Optional[Any] = None,
+                 want: Optional[set] = None,
+                 ) -> Dict[int, Dict[str, np.ndarray]]:
         """Run the program. ``caps`` overrides the captures pytree for
         THIS call only (serve-from-artifact routes per-request dynamic
         param edits this way — concurrent requests with different edits
-        must not race on the shared ``self.caps``)."""
+        must not race on the shared ``self.caps``).
+
+        ``want``: optional set of ``(node_index, channel)`` keys to
+        FETCH from the device — the program still computes every
+        exported output (the artifact is one frozen executable; there
+        is no per-request DCE), but only the requested taps pay the
+        device->host transfer. On a tunneled device that transfer
+        dominates: fetching all 16 vit_b16 primary outputs measured
+        ~3.4 s/request vs ~50 ms for the head logits alone."""
         specs = self.manifest["inputs"]
         if len(inputs) != len(specs):
             raise ExportError(
@@ -554,10 +570,22 @@ class ExportedGraph:
             arr = arr.astype(spec["dtype"], copy=False)
             args.append(self._device_input(arr))
         try:
-            flat = self._exp.call(
+            # THROUGH jit, not Exported.call directly: the raw call
+            # re-stages its wrapper on every invocation (~3.3 s/request
+            # of host work measured on vit_b16 — 70x the live server's
+            # 46 ms). jit traces it once and then dispatches the cached
+            # executable.
+            if self._jitted_call is None:
+                self._jitted_call = jax.jit(
+                    lambda inputs, c: self._exp.call(inputs, c))
+            flat = self._jitted_call(
                 tuple(args), self.caps if caps is None else caps)
         except Exception as err:  # noqa: BLE001
             raise ExportError(f"exported program failed: {err}") from err
+        if want is not None:
+            flat = {k: v for k, v in flat.items()
+                    if tuple(k.split("/", 1)) in
+                    {(str(i), ch) for i, ch in want}}
         return Executor.split_single(jax.device_get(flat))
 
 

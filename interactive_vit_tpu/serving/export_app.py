@@ -302,7 +302,12 @@ class ExportApp:
         the REQUEST's node indices, only the requested taps delivered."""
         inputs, caps, want_keys = self._match(req)
         with self._call_lock:
-            outs = self.art(*inputs, caps=caps)
+            # fetch only the requested taps from the device: the frozen
+            # program computes everything, but untapped outputs must not
+            # pay the device->host transfer (the live executor's tap DCE
+            # analog — on the tunnel this is 3.4 s vs 50 ms per request)
+            outs = self.art(*inputs, caps=caps,
+                            want={(e, ch) for _v, e, ch in want_keys})
         routed: Dict[int, Dict[str, Any]] = {}
         for view_i, exp_i, ch in want_keys:
             v = outs.get(exp_i, {}).get(ch)

@@ -472,3 +472,40 @@ def test_selftest_passes_and_catches_corruption(tmp_path):
     open(caps_path, "wb").write(raw)
     res2 = load_artifact(d).selftest()
     assert not res2["ok"], res2
+
+
+def test_hot_path_properties(tmp_path):
+    """The three from-export hot-path rules (each measured ~3.3s/request
+    on the tunnel before the r4 fixes): captures are DEVICE-resident
+    from load, the program runs through one cached jit wrapper, and
+    `want=` limits which outputs pay the device->host fetch."""
+    import jax
+
+    from interactive_vit_tpu.graph.ir import Graph
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.graph.export import export_graph, load_artifact
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    reg = Registry()
+    register_builtin(reg)
+    g = Graph()
+    a = g.add_node("cos", {"A": "2.0"})
+    b = g.add_node("cos", {"A": "3.0"})
+    g.connect(a, "o", b, "o")
+    g.add_input(np.zeros((8,), np.float32), a, "o")
+    d = str(tmp_path / "art")
+    export_graph(g, d, taps="primary", executor=Executor(reg))
+
+    art = load_artifact(d)
+    for leaf in jax.tree.leaves(art.caps):
+        assert isinstance(leaf, jax.Array), type(leaf)  # not host numpy
+
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    full = art(x)
+    assert set(full) == {0, 1}
+    art(x)
+    assert art._jitted_call is not None  # cached wrapper, not raw call
+    sub = art(x, want={(1, "o")})
+    assert set(sub) == {1}  # only the requested tap fetched
+    np.testing.assert_allclose(sub[1]["o"], full[1]["o"])

@@ -149,18 +149,26 @@ def _generic_parse(s: str, like: np.ndarray):
     return None, None
 
 
-def parse_editable(mode: str, s: str, like: np.ndarray) -> np.ndarray:
-    """Apply a recorded edit mode (the serve-from-artifact hot path)."""
+def parse_editable(mode: str, s: str, like) -> np.ndarray:
+    """Apply a recorded edit mode (the serve-from-artifact hot path).
+
+    ``like`` may be a DEVICE array: ``ExportedGraph`` device_puts every
+    capture leaf at load, and this runs per edited param on the HTTP
+    handler thread. Only ``.shape``/``.dtype`` are read (both are host
+    metadata on jax Arrays) — materializing the old value here would be
+    a cross-thread device->host fetch per edit request (a tunnel round
+    trip + the plugin's per-transfer host leak on this rig; CLAUDE.md
+    traps #5/#9, advisor r4 medium)."""
     import base64 as _b64
 
-    like = np.asarray(like)
+    shape, dtype = tuple(like.shape), np.dtype(like.dtype)
     if mode == "int":
-        return np.asarray(int(float(s)), like.dtype)
+        return np.asarray(int(float(s)), dtype)
     if mode == "float":
-        return np.asarray(float(s), like.dtype)
+        return np.asarray(float(s), dtype)
     if mode == "b64f32":
         return np.frombuffer(_b64.b64decode(s), "<f4").reshape(
-            like.shape).astype(like.dtype, copy=False)
+            shape).astype(dtype, copy=False)
     raise ExportError(f"unknown edit mode {mode!r}")
 
 

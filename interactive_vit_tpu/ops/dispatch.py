@@ -70,7 +70,10 @@ def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
         # (docs/kernels.md "dh=64 attention-dot probes"). "-qk" limits
         # quantization to the score dot (PV stays bf16 — half the VPU
         # quantize/dequant overhead, half the accuracy perturbation).
-        # Same fit envelope as the bf16 kernel.
+        # The fit check carries an s8-specific margin: the path keeps
+        # the s32 scores + f32 dequant + s8 q/k copies live together,
+        # so the bf16 envelope would admit boundary geometries that
+        # breach scoped VMEM (a deterministic compile kill, CLAUDE.md).
         import jax.numpy as jnp
 
         if dtype is not None and jnp.dtype(dtype) == jnp.float32:
@@ -80,7 +83,7 @@ def default_block_impl(name: str = "auto", dtype=None, n: int = 0,
             raise ValueError(
                 f"{name} requires a bf16-class dtype (f32 fused-block "
                 f"compiles pathologically; use --dtype bfloat16)")
-        if d and n and not fits(n, d, heads, dtype):
+        if d and n and not fits(n, d, heads, dtype, int8_scores=True):
             raise ValueError(
                 f"{name} fused block does not fit VMEM for n={n}, "
                 f"d={d}; the headwise kernel has no s8 variant")

@@ -644,7 +644,8 @@ def headwise_attn_block(
     return y, probs
 
 
-def fits(n: int, d: int, heads: int, dtype) -> bool:
+def fits(n: int, d: int, heads: int, dtype,
+         int8_scores: bool = False) -> bool:
     """VMEM feasibility estimate for one ``fused_attn_block`` program.
 
     Models what actually compiles: bb=2 images per program, and streamed
@@ -653,11 +654,23 @@ def fits(n: int, d: int, heads: int, dtype) -> bool:
     the headwise kernel measured 18.77M allocated vs 16.7M estimated).
     Budget = the 48M ``vmem_limit_bytes`` the pallas_call requests, so a
     shape this admits cannot hit the deterministic whole-program
-    compile kill a scoped-vmem breach causes."""
+    compile kill a scoped-vmem breach causes.
+
+    ``int8_scores``: the s8 score-dot path keeps EXTRA residency live
+    per head — s8 q/k copies + the s32 [N, N] score alongside its f32
+    dequant — so a geometry at the bf16 envelope boundary could breach
+    scoped VMEM (a deterministic compile kill) while the plain estimate
+    admits it (advisor r4 low). Model the extra blocks instead of
+    reusing the bf16 envelope."""
     esize = 2 if dtype in (jnp.bfloat16, jnp.float16) else 4
     weights = d * 3 * d * esize + d * d * esize    # VMEM-resident, single
     acts = n * d * esize * 3 + n * 3 * d * esize   # x, ln, y, qkv
     scores = n * n * 4 * 3                         # s + probs + mean acc f32
+    if int8_scores:
+        dh = d // max(1, heads)
+        # s32 score dot live beside its f32 dequant, + s8 q/k/v copies
+        # and their f32 row/col scale vectors
+        scores += n * n * 4 + 3 * n * dh + 3 * n * 4
     probs_tap = heads * n * n * esize
     bb = 2
     streamed = bb * (acts + scores + probs_tap)

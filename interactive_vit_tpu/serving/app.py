@@ -353,6 +353,9 @@ class App:
                 # wait for a keep-alive connection's next request, and an
                 # idle browser tab would then hold inflight > 0 forever,
                 # deadlocking the recycler's quiesce
+                self._rid = None  # handler instances persist across a
+                # keep-alive connection's requests; a stale id would be
+                # echoed on the NEXT request of the same connection
                 with app._inflight_lock:
                     app.inflight += 1
                 try:
@@ -362,6 +365,7 @@ class App:
                         app.inflight -= 1
 
             def do_POST(self):  # noqa: N802
+                self._rid = None
                 with app._inflight_lock:
                     app.inflight += 1
                 try:

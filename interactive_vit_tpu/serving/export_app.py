@@ -171,8 +171,19 @@ class ExportApp:
                 and n["name"] not in VIEWER_KINDS
                 for n in self.graph_nodes]
         if not all(keep):
-            self.views.append(
-                _View(self.graph_nodes, keep, edges4, specs))
+            # best-effort: a saved graph can have a source feeding ONLY
+            # viewer nodes (an img_src -> img_view preview branch beside
+            # the model chain); that input has no in-view consumer and
+            # the client view is unconstructable. The identity view is
+            # still perfectly servable — log and serve it alone instead
+            # of refusing to boot (advisor r4 low).
+            try:
+                self.views.append(
+                    _View(self.graph_nodes, keep, edges4, specs))
+            except ExportError as e:
+                logger.warning(
+                    "%s: client view unavailable (%s); serving the "
+                    "identity view only", artifact_dir, e)
 
     # -- request matching -----------------------------------------------------
 
@@ -413,6 +424,10 @@ class ExportApp:
                 self._send(400, message.encode(), "text/plain")
 
             def do_GET(self):  # noqa: N802
+                # handler instances persist across a keep-alive
+                # connection's requests; reset so only /compute
+                # responses carry an id (advisor r4 low)
+                self._rid = None
                 try:
                     url = urlparse(self.path)
                     path = unquote(url.path)
@@ -458,6 +473,7 @@ class ExportApp:
                     self._bad(str(e))
 
             def do_POST(self):  # noqa: N802
+                self._rid = None
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)

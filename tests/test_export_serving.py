@@ -374,3 +374,59 @@ def test_save_graph_rejected_read_only(served):
         urllib.request.urlopen(req)
     assert ei.value.code == 400
     assert "read-only" in ei.value.read().decode()
+
+
+def test_preview_only_source_boots_identity_view(tmp_path):
+    """A saved graph whose source feeds ONLY viewer nodes (an img_src ->
+    img_view preview branch beside the model chain) has no client view —
+    the artifact must still BOOT and serve the identity view instead of
+    refusing with ExportError (advisor r4)."""
+    reg = Registry()
+    register_builtin(reg)
+    saved = {
+        "nodes": [
+            {"instance": {"kind": "img_src"}, "pos": {"x": 0, "y": 0}},
+            {"instance": {"kind": "img_view"}, "pos": {"x": 1, "y": 0}},
+            {"instance": {"kind": "img_src"}, "pos": {"x": 0, "y": 1}},
+            {"instance": {"kind": "net_node", "endpoint": "cos",
+                          "params": {"A": "2.0", "b": "0.5"}},
+             "pos": {"x": 1, "y": 1}},
+            {"instance": {"kind": "img_view"}, "pos": {"x": 2, "y": 1}},
+        ],
+        "edges": [
+            {"in_port": {"node": 0, "channel": "o"},
+             "out_port": {"node": 1, "channel": "o"}},
+            {"in_port": {"node": 2, "channel": "o"},
+             "out_port": {"node": 3, "channel": "o"}},
+            {"in_port": {"node": 3, "channel": "o"},
+             "out_port": {"node": 4, "channel": "o"}},
+        ],
+    }
+    x = X.reshape(2, 4)
+    g = graph_from_json(saved)
+    g.add_input(x, g.nodes[0], "o")
+    g.add_input(x, g.nodes[2], "o")
+    out_dir = str(tmp_path / "preview_artifact")
+    export_graph(g, out_dir, taps="primary", executor=Executor(reg),
+                 client_graph=saved)
+    app = ExportApp(out_dir, frontend_dir=None)  # must not raise
+    assert len(app.views) == 1  # identity only
+    req = {"nodes": [{"endpoint": "img_src"}, {"endpoint": "img_view"},
+                     {"endpoint": "img_src"},
+                     {"endpoint": "cos",
+                      "params": {"A": "2.0", "b": "0.5"}},
+                     {"endpoint": "img_view"}],
+           "edges": [
+               {"out_port": {"node": 0, "channel": "o"}, "tensor": 0},
+               {"out_port": {"node": 2, "channel": "o"}, "tensor": 1},
+               {"in_port": {"node": 0, "channel": "o"},
+                "out_port": {"node": 1, "channel": "o"}},
+               {"in_port": {"node": 2, "channel": "o"},
+                "out_port": {"node": 3, "channel": "o"}},
+               {"in_port": {"node": 3, "channel": "o"},
+                "out_port": {"node": 4, "channel": "o"}}],
+           "taps": [{"node": 3, "channel": "o"}]}
+    raw = app.compute(bytes(encode_message(REQUEST_MAGIC, req, [x, x])))
+    outs = Response.decode(raw)
+    np.testing.assert_allclose(np.asarray(outs[3]["o"]),
+                               np.cos(2.0 * x + 0.5), atol=1e-5)

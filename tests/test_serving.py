@@ -676,3 +676,29 @@ def test_request_id_header(served):
     rid2 = r2.headers.get("X-IVT-Request-Id")
     assert rid1 and rid2 and rid1 != rid2
     assert rid1.startswith("g0-")
+
+
+def test_request_id_not_reused_on_keepalive_get(served):
+    """A GET (/metrics) after a /compute on the SAME keep-alive
+    connection must not echo the previous compute's request id —
+    handler instances persist across a connection's requests, so a
+    stale ``_rid`` would mis-correlate client observations with log
+    lines (advisor r4)."""
+    import http.client
+
+    _, base = served
+    host, port = base.split("//")[1].split(":")
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    body = bytes(Request.encode(make_cos_graph(x)))
+    c = http.client.HTTPConnection(host, int(port), timeout=60)
+    try:
+        c.request("POST", "/compute", body=body)
+        r1 = c.getresponse()
+        r1.read()
+        assert r1.getheader("X-IVT-Request-Id")
+        c.request("GET", "/metrics")
+        r2 = c.getresponse()
+        r2.read()
+        assert r2.getheader("X-IVT-Request-Id") is None
+    finally:
+        c.close()

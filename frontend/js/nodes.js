@@ -7,49 +7,31 @@
 // ViT tap visualizer).
 
 import { Context, Node } from "./graph.js";
+import {
+	attnMaps,
+	channelsRGBA,
+	headGridCols,
+	headMap,
+	overlayRGBA,
+	queryRowGrid,
+	tensorRGBA,
+} from "./render.js";
 
 // ---- rendering helpers ---------------------------------------------------------
-
-function normToU8(data, lo = null, hi = null) {
-	let mn = lo;
-	let mx = hi;
-	if (mn === null || mx === null) {
-		mn = Infinity;
-		mx = -Infinity;
-		for (const v of data) {
-			if (v < mn) mn = v;
-			if (v > mx) mx = v;
-		}
-	}
-	const span = mx - mn || 1;
-	const out = new Uint8ClampedArray(data.length);
-	for (let i = 0; i < data.length; i++) out[i] = ((data[i] - mn) / span) * 255;
-	return out;
-}
+// The tap->pixels math lives in render.js (pure, fixture-pinned against
+// the Python transliteration wire/render.py); this file owns only the
+// canvas/DOM plumbing around it.
 
 /** Render CHW [3,H,W] / [1,H,W] / [H,W] tensor into a canvas. */
 function drawTensor(canvas, t, maxSize = 224) {
-	let c = 1;
-	let h;
-	let w;
-	if (t.dims.length === 3) [c, h, w] = t.dims;
-	else if (t.dims.length === 2) [h, w] = t.dims;
-	else return false;
-	canvas.width = w;
-	canvas.height = h;
-	const scale = Math.min(1, maxSize / Math.max(h, w));
-	canvas.style.width = `${Math.round(w * scale)}px`;
-	canvas.style.height = `${Math.round(h * scale)}px`;
-	const img = new ImageData(w, h);
-	const plane = h * w;
-	const norm = normToU8(t.data);
-	for (let i = 0; i < plane; i++) {
-		img.data[4 * i] = norm[i];
-		img.data[4 * i + 1] = norm[c >= 3 ? plane + i : i];
-		img.data[4 * i + 2] = norm[c >= 3 ? 2 * plane + i : i];
-		img.data[4 * i + 3] = 255;
-	}
-	canvas.getContext("2d").putImageData(img, 0, 0);
+	const r = tensorRGBA(t);
+	if (!r) return false;
+	canvas.width = r.w;
+	canvas.height = r.h;
+	const scale = Math.min(1, maxSize / Math.max(r.h, r.w));
+	canvas.style.width = `${Math.round(r.w * scale)}px`;
+	canvas.style.height = `${Math.round(r.h * scale)}px`;
+	canvas.getContext("2d").putImageData(new ImageData(r.rgba, r.w, r.h), 0, 0);
 	return true;
 }
 
@@ -142,21 +124,14 @@ export class ImgViewNode extends Node {
 			return;
 		}
 		// channel compositing path (img_view_node.js:76-133)
-		const chans = ["R", "G", "B"].map((c) => read(c));
-		const present = chans.filter(Boolean);
-		if (!present.length) return;
-		const [h, w] = present[0].dims;
-		const img = new ImageData(w, h);
-		chans.forEach((t, ci) => {
-			if (!t) return;
-			const norm = normToU8(t.data);
-			for (let i = 0; i < h * w; i++) img.data[4 * i + ci] = norm[i];
-		});
-		for (let i = 0; i < h * w; i++) img.data[4 * i + 3] = 255;
-		this.canvas.width = w;
-		this.canvas.height = h;
+		const res = channelsRGBA(["R", "G", "B"].map((c) => read(c)));
+		if (!res) return;
+		this.canvas.width = res.w;
+		this.canvas.height = res.h;
 		this.canvas.style.maxWidth = "224px";
-		this.canvas.getContext("2d").putImageData(img, 0, 0);
+		this.canvas
+			.getContext("2d")
+			.putImageData(new ImageData(res.rgba, res.w, res.h), 0, 0);
 	}
 }
 
@@ -388,15 +363,7 @@ export class AttnViewNode extends Node {
 
 	/** Normalize to [H,N,N] (first sample of [B,H,N,N]), or null. */
 	maps() {
-		const t = this.t;
-		if (!t) return null;
-		let dims = t.dims;
-		let data = t.data;
-		if (dims.length === 4) {
-			data = data.subarray(0, dims[1] * dims[2] * dims[3]);
-			dims = [dims[1], dims[2], dims[3]];
-		}
-		return dims.length === 3 ? { dims, data } : null;
+		return attnMaps(this.t);
 	}
 
 	buildGrid() {
@@ -406,18 +373,14 @@ export class AttnViewNode extends Node {
 		this.headGrid.textContent = "";
 		const m = this.maps();
 		if (!m) return;
-		const [H, N] = m.dims;
-		const cols = Math.ceil(Math.sqrt(H));
+		const [H] = m.dims;
+		const cols = headGridCols(H);
 		this.headGrid.style.gridTemplateColumns = `repeat(${cols}, 1fr)`;
 		for (let hi = 0; hi < H; hi++) {
 			const thumb = document.createElement("canvas");
 			thumb.title = `head ${hi}`;
 			thumb.className = "head-thumb";
-			drawTensor(
-				thumb,
-				{ dims: [N, N], data: m.data.subarray(hi * N * N, (hi + 1) * N * N) },
-				Math.max(32, 160 / cols),
-			);
+			drawTensor(thumb, headMap(m, hi), Math.max(32, 160 / cols));
 			thumb.addEventListener("click", () => {
 				// selective mode ships ONE head: the grid is local space
 				// (always index 0), so clicks don't move the GLOBAL head
@@ -435,23 +398,15 @@ export class AttnViewNode extends Node {
 		if (!m) return;
 		const [H, N] = m.dims;
 		const head = Math.min(this.head, H - 1);
-		const q = Math.min(this.query, N - 1);
-		const map = m.data.subarray(head * N * N, (head + 1) * N * N);
+		const hm = headMap(m, head);
 		[...this.headGrid.children].forEach((el, hi) =>
 			el.classList.toggle("selected", hi === head),
 		);
 		// full map heatmap
-		drawTensor(this.full, { dims: [N, N], data: map }, 128);
+		drawTensor(this.full, hm, 128);
 		// one query row as a spatial grid (skip CLS col), e.g. 196 -> 14x14
-		const row = map.subarray(q * N + 1, (q + 1) * N);
-		const side = Math.floor(Math.sqrt(row.length));
-		if (side > 1) {
-			drawTensor(
-				this.canvas,
-				{ dims: [side, side], data: row.subarray(0, side * side) },
-				112,
-			);
-		}
+		const grid = queryRowGrid(hm.data, N, this.query);
+		if (grid) drawTensor(this.canvas, grid, 112);
 	}
 }
 
@@ -497,70 +452,18 @@ export class OverlayNode extends Node {
 	}
 
 	redraw() {
-		const img = this.img;
-		let t = this.map;
-		if (!img || !t) return;
-		if (img.dims.length !== 3) return;
-		const [c, h, w] = img.dims;
-		// normalize the map to a single [N, N]: [B/H,N,N] or [B,H,N,N]
-		// take the first sample / head
-		let dims = t.dims;
-		let data = t.data;
-		while (dims.length > 2) {
-			const tail = dims.slice(1).reduce((x, y) => x * y, 1);
-			data = data.subarray(0, tail);
-			dims = dims.slice(1);
-		}
-		if (dims.length !== 2 || dims[0] !== dims[1]) return;
-		const n = dims[0];
-		const q = Math.min(this.query, n - 1);
-		// query row minus the CLS column -> spatial grid
-		const row = data.subarray(q * n + 1, (q + 1) * n);
-		const side = Math.floor(Math.sqrt(row.length));
-		if (side < 2) return;
-		const heat = normToU8(row.subarray(0, side * side));
-		// bilinear upsample side×side -> h×w, composite over the image
-		const plane = h * w;
-		const norm = normToU8(img.data);
-		const out = new ImageData(w, h);
-		const sy = (side - 1) / Math.max(1, h - 1);
-		const sx = (side - 1) / Math.max(1, w - 1);
-		for (let y = 0; y < h; y++) {
-			const fy = y * sy;
-			const y0 = Math.floor(fy);
-			const y1 = Math.min(side - 1, y0 + 1);
-			const wy = fy - y0;
-			for (let x = 0; x < w; x++) {
-				const fx = x * sx;
-				const x0 = Math.floor(fx);
-				const x1 = Math.min(side - 1, x0 + 1);
-				const wx = fx - x0;
-				const hv =
-					((heat[y0 * side + x0] * (1 - wx) + heat[y0 * side + x1] * wx) *
-						(1 - wy) +
-						(heat[y1 * side + x0] * (1 - wx) + heat[y1 * side + x1] * wx) *
-							wy) /
-					255;
-				const a = this.alpha * hv;
-				// red→yellow ramp
-				const hr = 255;
-				const hg = Math.max(0, 2 * hv - 1) * 255;
-				const i = y * w + x;
-				const r = norm[i];
-				const g = norm[c >= 3 ? plane + i : i];
-				const b = norm[c >= 3 ? 2 * plane + i : i];
-				out.data[4 * i] = r * (1 - a) + hr * a;
-				out.data[4 * i + 1] = g * (1 - a) + hg * a;
-				out.data[4 * i + 2] = b * (1 - a) + 0;
-				out.data[4 * i + 3] = 255;
-			}
-		}
-		this.canvas.width = w;
-		this.canvas.height = h;
-		const scale = Math.min(1, 224 / Math.max(h, w));
-		this.canvas.style.width = `${Math.round(w * scale)}px`;
-		this.canvas.style.height = `${Math.round(h * scale)}px`;
-		this.canvas.getContext("2d").putImageData(out, 0, 0);
+		// bilinear upsample + red->yellow alpha composite (render.js,
+		// fixture-pinned against the Python transliteration)
+		const res = overlayRGBA(this.img, this.map, this.query, this.alpha);
+		if (!res) return;
+		this.canvas.width = res.w;
+		this.canvas.height = res.h;
+		const scale = Math.min(1, 224 / Math.max(res.h, res.w));
+		this.canvas.style.width = `${Math.round(res.w * scale)}px`;
+		this.canvas.style.height = `${Math.round(res.h * scale)}px`;
+		this.canvas
+			.getContext("2d")
+			.putImageData(new ImageData(res.rgba, res.w, res.h), 0, 0);
 	}
 }
 

@@ -42,6 +42,7 @@ _FAST_MODULES = {
     "test_wire_schema", "test_graph_ir", "test_node_contracts",
     "test_node_ops", "test_executor", "test_utils", "test_trace_agg",
     "test_partition_fixtures", "test_export_serving",
+    "test_render_fixtures",
 }
 
 

@@ -47,6 +47,20 @@ def record(name, err, bound, extra=None):
           f"(bound {bound:.0e})", flush=True)
 
 
+def record_nonzero(name, err):
+    """A comparison that must show NONZERO drift: asserts the two
+    instances being compared actually took different code paths. An
+    exactly-0.0 'kernel vs reference' row means the gate silently
+    compared a path to itself — a tautology, not a check (the r4 int8
+    grad-twin rows; VERDICT r4 weak #3)."""
+    ok = bool(err > 0.0)
+    RESULTS["checks"].append(
+        {"name": name, "max_err": float(err), "bound": 0.0,
+         "mode": "must_exceed", "ok": ok})
+    print(f"{'PASS' if ok else 'FAIL'} {name}: {err:.3e} "
+          f"(must be > 0: paths must actually diverge)", flush=True)
+
+
 def rel_err(got, ref):
     got = np.asarray(got, np.float32)
     ref = np.asarray(ref, np.float32)
@@ -357,20 +371,50 @@ def check_train_vjp():
                    rel_err(a, b), bound)
 
 
+def _saliency_chain_run(reg, model, img):
+    """Minimal graph: model chain + the saliency node off :head (NOT the
+    full generated saliency demo — dream/occlusion would pay 30+ extra
+    forwards per instance here). Returns (saliency, head_logits)."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.graph.ir import Graph
+
+    g = Graph()
+    prev = None
+    head = None
+    for nm in model.list_node_names():
+        n = g.add_node(nm)
+        if prev is not None:
+            g.connect(prev, "o", n, "o")
+        if nm.endswith(":head"):
+            head = n
+        prev = n
+    sal = g.add_node("saliency", {"target": "max", "mode": "gradxinput"})
+    g.connect(head, "o", sal, "o")
+    g.add_input(img, g.nodes[0], "o")
+    res = Executor(reg).run(g, taps=[(sal.index, "o"), (head.index, "o")])
+    return (np.asarray(res[sal.index]["o"], np.float32),
+            np.asarray(res[head.index]["o"], np.float32))
+
+
 def check_grad_twins():
     """Executor-level saliency grad replay: kernels-on model vs its XLA
     twin (same seed/dtype) — the exact path the round-3 trace-time
     failure class lived on. CPU cannot run this (dispatch disables
-    kernels there)."""
-    from interactive_vit_tpu.graph.executor import Executor
-    from interactive_vit_tpu.graph.ir import Graph
+    kernels there).
+
+    Every case here serves a PALLAS path when kernels=True, so the two
+    instances must genuinely diverge — asserted by the paths_diverge
+    rows (on TPU only; interpret-mode smoke runs the same math twice).
+    Weight-only int8 does NOT belong here: it runs the XLA path
+    regardless of kernels=, making kernels-on vs kernels-off a
+    tautology (the r4 max_err==0.0 rows) — its real check is
+    check_int8_weight_only below."""
     from interactive_vit_tpu.graph.registry import Registry
     from interactive_vit_tpu.models.autoregister import make_model
     from interactive_vit_tpu.ops.node_ops import register_builtin
 
     cases = [
         ("vit_t16", {"dtype": "bfloat16"}, 5e-2),
-        ("vit_t16", {"dtype": "bfloat16", "quantize": True}, 8e-2),
         ("swin_t", {"dtype": "bfloat16"}, 5e-2),
         ("vit_s16_tome", {"dtype": "bfloat16"}, 5e-2),
     ]
@@ -383,29 +427,8 @@ def check_grad_twins():
             register_builtin(reg)
             model = make_model(variant, kernels=kernels, **kw)
             model.register(reg)
-            # minimal graph: model chain + the saliency node off :head
-            # (NOT the full generated saliency demo — dream/occlusion
-            # would pay 30+ extra forwards per instance here)
-            g = Graph()
-            prev = None
-            head = None
-            for nm in model.list_node_names():
-                n = g.add_node(nm)
-                if prev is not None:
-                    g.connect(prev, "o", n, "o")
-                if nm.endswith(":head"):
-                    head = n
-                prev = n
-            sal = g.add_node("saliency", {"target": "max",
-                                          "mode": "gradxinput"})
-            g.connect(head, "o", sal, "o")
-            g.add_input(img, g.nodes[0], "o")
-            res = Executor(reg).run(g, taps=[(sal.index, "o"),
-                                             (head.index, "o")])
-            outs[kernels] = (
-                np.asarray(res[sal.index]["o"], np.float32),
-                np.asarray(res[head.index]["o"], np.float32))
-        tag = "int8" if kw.get("quantize") else kw["dtype"]
+            outs[kernels] = _saliency_chain_run(reg, model, img)
+        tag = kw["dtype"]
         # the saliency VALUE rides the XLA twin in BOTH instances (the
         # grad replay re-traces through grad_safe_fn), so this asserts
         # the twin traces + evaluates identically regardless of the
@@ -416,8 +439,79 @@ def check_grad_twins():
         # twin-vs-kernel SEMANTIC drift check: the served forward (head
         # logits, kernels on) must match the XLA math the twin
         # attributes against
-        record(f"grad_twin/{variant}/{tag}/fwd_vs_twin",
-               rel_err(outs[True][1], outs[False][1]), bound)
+        fwd_err = rel_err(outs[True][1], outs[False][1])
+        record(f"grad_twin/{variant}/{tag}/fwd_vs_twin", fwd_err, bound)
+        if RESULTS["platform"] == "tpu":
+            # kernels-on must actually BE a different program than the
+            # XLA twin (Pallas bf16 rounding differs); exactly 0.0 means
+            # the comparison is a path compared to itself
+            record_nonzero(f"grad_twin/{variant}/{tag}/paths_diverge",
+                           fwd_err)
+
+
+def check_int8_weight_only():
+    """Weight-only int8 serving vs the DEQUANTIZED-weight dense
+    reference — the real int8 contract (replaces the r4 tautology rows,
+    VERDICT r4 weak #3): the int8 runtime path (per-channel s8 weights
+    dequantized inside the matmuls; grad twin attributes through the
+    dequantized math since round() has zero grad) must match a dense
+    model built from ``dequantize_weight`` of the SAME quantized leaves,
+    and must genuinely differ from the unquantized original (else the
+    quantize flag silently didn't engage)."""
+    from interactive_vit_tpu.graph.registry import Registry
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.models.autoregister import make_model
+    from interactive_vit_tpu.ops import quant
+    from interactive_vit_tpu.ops.node_ops import register_builtin
+
+    cfg = vit.VARIANTS["vit_t16"]
+    params = vit.init_params(jax.random.key(7), cfg, dtype=jnp.bfloat16)
+    qparams = quant.quantize_tree(params)
+
+    def dq_walk(obj):
+        if quant.is_quantized(obj) or quant.is_w8a8(obj):
+            return quant.dequantize_weight(obj, jnp.bfloat16)
+        if isinstance(obj, dict):
+            return {k: dq_walk(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [dq_walk(v) for v in obj]
+        if isinstance(obj, tuple):
+            return tuple(dq_walk(v) for v in obj)
+        return obj
+
+    dq_params = dq_walk(qparams)
+    rng = np.random.default_rng(11)
+    img = rng.random((3, 224, 224), np.float32)
+    runs = {}
+    for tag, p, kw in [
+        ("int8", params, {"quantize": True}),
+        ("dequant", dq_params, {}),
+        ("dense", params, {}),
+    ]:
+        reg = Registry()
+        register_builtin(reg)
+        model = make_model("vit_t16", params=p, dtype=jnp.bfloat16,
+                           **kw)
+        model.register(reg)
+        runs[tag] = _saliency_chain_run(reg, model, img)
+    # int8 runtime == dequantized dense math, up to accumulation-order
+    # noise (bf16 matmuls associate differently around the scale mul)
+    record("int8_weight_only/vit_t16/fwd_vs_dequant",
+           rel_err(runs["int8"][1], runs["dequant"][1]), 2e-2)
+    # the int8 model's grad twin attributes through dequantized weights
+    # (round() has zero grad), so its saliency must track the dequant
+    # model's — an equality CONTRACT between two independently built
+    # instances (0.0 here means the twin uses exactly the dequantized
+    # values, which is the spec — not a path compared to itself)
+    record("int8_weight_only/vit_t16/saliency_vs_dequant",
+           rel_err(runs["int8"][0], runs["dequant"][0]), 8e-2)
+    # quantization must have engaged: int8 forward AND saliency differ
+    # from the UNQUANTIZED original (weights moved by up to scale/2) —
+    # exactly-0.0 here would mean the quantize flag was silently ignored
+    record_nonzero("int8_weight_only/vit_t16/quant_engaged",
+                   rel_err(runs["int8"][1], runs["dense"][1]))
+    record_nonzero("int8_weight_only/vit_t16/quant_visible_in_saliency",
+                   rel_err(runs["int8"][0], runs["dense"][0]))
 
 
 def main():
@@ -454,7 +548,8 @@ def main():
     checks = [check_fused_block, check_int8_scores, check_headwise,
               check_flash, check_fused_mlp, check_w8a8_mlp,
               check_fused_window, check_swin_w8a8_mlp,
-              check_train_vjp, check_grad_twins]
+              check_train_vjp, check_grad_twins,
+              check_int8_weight_only]
     only = [s for s in args.only.split(",") if s]
     for fn in checks:
         if only and not any(fn.__name__.endswith(s) for s in only):

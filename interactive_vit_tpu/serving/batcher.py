@@ -34,7 +34,7 @@ _IDLE = object()  # sentinel: non-blocking poll found nothing
 
 
 class _Item:
-    __slots__ = ("graph", "taps", "future", "enqueued", "sig")
+    __slots__ = ("graph", "taps", "future", "enqueued", "sig", "queue_s")
 
     def __init__(self, graph: Graph, taps: TapSpec, sig: str):
         self.graph = graph
@@ -42,6 +42,7 @@ class _Item:
         self.sig = sig
         self.future: Future = Future()
         self.enqueued = time.perf_counter()
+        self.queue_s = 0.0
 
 
 class MicroBatcher:
@@ -76,6 +77,11 @@ class MicroBatcher:
         # FIRST next cycle (FIFO), so a minority signature can't be starved
         # by a steady majority stream. Worker-thread-only, no lock needed.
         self._backlog: List[_Item] = []
+        # optional serving hook, called once per dispatched group on the
+        # worker thread with (graph, taps, batch_or_None, group_len)
+        # BEFORE dispatch: serving/app.py wires inventory recording (the
+        # recycle-warm loop) + speculative warm-hit accounting through it
+        self.on_dispatch = None
         self._thread: Optional[threading.Thread] = None
         self._started = False
         self._lock = threading.Lock()
@@ -251,7 +257,16 @@ class MicroBatcher:
         self.last_activity_t = t0
         self.inflight += 1
         for it in group:
-            self.metrics.queue_latency.observe(t0 - it.enqueued)
+            it.queue_s = t0 - it.enqueued
+            self.metrics.queue_latency.observe(it.queue_s)
+        if self.on_dispatch is not None:
+            try:
+                self.on_dispatch(group[0].graph, group[0].taps,
+                                 len(group) if len(group) > 1 else None,
+                                 len(group))
+            except Exception:  # noqa: BLE001 — accounting hooks must
+                # never fail a live group
+                logger.debug("dispatch hook failed", exc_info=True)
         try:
             if len(group) == 1:
                 flat = self.executor.run(group[0].graph, group[0].taps,
@@ -283,11 +298,20 @@ class MicroBatcher:
                 results = [Executor.split_single(flat)]
             else:
                 results = Executor.split_stacked(flat, len(group))
-            self.metrics.compute_latency.observe(time.perf_counter() - t0)
+            compute_s = time.perf_counter() - t0
+            self.metrics.compute_latency.observe(compute_s)
             self.metrics.batch_sizes.observe(len(group))
             self.metrics.inc("batches")
             self.metrics.inc("batched_requests", len(group))
             for it, res in zip(group, results):
+                # per-request phase attribution (X-IVT-Timing): plain
+                # attributes on the Future, read by App.compute after
+                # result() — no result-shape change for callers
+                it.future.ivt_timing = {
+                    "queue_ms": round(it.queue_s * 1e3, 2),
+                    "compute_ms": round(compute_s * 1e3, 2),
+                    "batch": len(group),
+                }
                 it.future.set_result(res)
                 self.metrics.request_latency.observe(
                     time.perf_counter() - it.enqueued

@@ -14,6 +14,12 @@ test-fast:
 bench:
 	python bench.py
 
+# round-close artifact: every BASELINE compute config (vit_t16 latency,
+# vit_b16 headline, vit_l16@384 maps-on/off, clip_b32 embedding) ->
+# BENCH_MATRIX_r{N}.json (VERDICT r4 weak #5)
+bench-matrix:
+	python tools/bench_matrix.py
+
 bench-serving:
 	python bench_serving.py
 
@@ -35,6 +41,7 @@ round-close:
 	python __graft_entry__.py
 	python tools/experiments/kernel_gate.py
 	python tools/serving_bench_round.py
+	python tools/bench_matrix.py
 	python bench.py
 
 serve:

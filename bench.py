@@ -83,6 +83,88 @@ def _forward_gflops(cfg) -> float:
     return (embed + depth * per_block + head) / 1e9
 
 
+def measure(variant: str = "vit_b16", dtype_name: str = "bfloat16",
+            batches=(32, 64, 96, 128), iters: int = 20,
+            want_attn: bool = True, attn: str = "auto",
+            block: str = "auto") -> dict:
+    """One throughput measurement (the headline protocol), reusable by
+    the multi-config round matrix (tools/bench_matrix.py).
+
+    Returns {"imgs_per_s", "best_batch", "per_batch", "mfu", "ms_per_batch"}.
+    Caller owns backend health + compilation-cache setup.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from interactive_vit_tpu.models import vit
+    from interactive_vit_tpu.ops.dispatch import (
+        default_attn_impl, default_block_impl,
+    )
+    from interactive_vit_tpu.ops.layouts import row_major_out_shardings
+
+    cfg = vit.VARIANTS[variant]
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
+    attn_impl = default_attn_impl(attn)
+    mlp_impl = None
+    if dtype_name == "int8w8a8":
+        from interactive_vit_tpu.ops.dispatch import default_mlp_impl
+        from interactive_vit_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params, names=frozenset({"fc1_w", "fc2_w"}),
+                               mode="w8a8")
+        block_impl = default_block_impl(block, dtype=dtype, n=cfg.tokens,
+                                        d=cfg.width, heads=cfg.heads)
+        mlp_impl = default_mlp_impl("auto", dtype=dtype, d=cfg.width,
+                                    mlp_dim=cfg.mlp_dim, quant="w8a8")
+    else:
+        block_impl = default_block_impl(block, dtype=dtype, n=cfg.tokens,
+                                        d=cfg.width, heads=cfg.heads)
+
+    def fn(params, images):
+        out = vit.forward(params, images, cfg, want_attn=want_attn,
+                          attn_impl=attn_impl, block_impl=block_impl,
+                          mlp_impl=mlp_impl)
+        if want_attn:
+            return out["logits"], out["attn"], out["rollout"]
+        return out["logits"]
+
+    per_batch = {}
+    for batch in batches:
+        images = jnp.asarray(
+            np.random.default_rng(0).random(
+                (batch, 3, cfg.img_size, cfg.img_size), dtype=np.float32),
+            dtype=dtype)
+        sh = row_major_out_shardings(fn, params, images)
+        jitted = (jax.jit(fn, out_shardings=sh) if sh is not None
+                  else jax.jit(fn))
+        out = jitted(params, images)  # compile + warmup
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jitted(params, images)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        per_batch[batch] = batch * iters / dt
+        print(f"  {variant} batch={batch}: {per_batch[batch]:.1f} imgs/s "
+              f"({dt / iters * 1e3:.2f} ms/batch)", file=sys.stderr)
+    best_batch = max(per_batch, key=per_batch.get)
+    best = per_batch[best_batch]
+    mfu = None
+    gflops = _forward_gflops(cfg)
+    import jax
+
+    if dtype_name != "float32" and any(
+            d.platform == "tpu" for d in jax.devices()):
+        mfu = round(best * gflops * 1e9 / V5E_BF16_PEAK_FLOPS, 4)
+    return {"imgs_per_s": round(best, 1), "best_batch": best_batch,
+            "per_batch": {str(k): round(v, 1)
+                          for k, v in per_batch.items()},
+            "ms_per_batch": round(best_batch / best * 1e3, 2),
+            "gflops_per_img": round(gflops, 1), "mfu": mfu}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--variant", default="vit_b16")
@@ -117,8 +199,6 @@ def main() -> None:
         _wait_for_backend()
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     # persistent compilation cache: repeated bench runs skip the 10-30s
     # compile (and a flaky-tunnel compile stall can't eat the whole run)
@@ -129,93 +209,28 @@ def main() -> None:
         pass
 
     from interactive_vit_tpu.models import vit
-    from interactive_vit_tpu.ops.dispatch import (
-        default_attn_impl, default_block_impl,
-    )
 
-    cfg = vit.VARIANTS[args.variant]
-    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
-    params = vit.init_params(jax.random.key(0), cfg, dtype=dtype)
-    attn_impl = default_attn_impl(args.attn)
-    mlp_impl = None
-    if args.dtype == "int8w8a8":
-        # int8 x int8 MXU matmuls for the MLP (fc1/fc2) via the Pallas
-        # W8A8 kernel; attention keeps the dense fused-block kernel
-        # (quantizing qkv/proj forces the slow unfused path — measured,
-        # ops/dispatch.default_mlp_impl docstring)
-        from interactive_vit_tpu.ops.dispatch import default_mlp_impl
-        from interactive_vit_tpu.ops.quant import quantize_tree
-
-        params = quantize_tree(params, names=frozenset({"fc1_w", "fc2_w"}),
-                               mode="w8a8")
-        block_impl = default_block_impl(args.block, dtype=dtype,
-                                        n=cfg.tokens, d=cfg.width,
-                                        heads=cfg.heads)
-        mlp_impl = default_mlp_impl("auto", dtype=dtype, d=cfg.width,
-                                    mlp_dim=cfg.mlp_dim, quant="w8a8")
-    else:
-        block_impl = default_block_impl(args.block, dtype=dtype,
-                                        n=cfg.tokens, d=cfg.width,
-                                        heads=cfg.heads)
     want_attn = not args.no_attn_maps
-
-    def fn(params, images):
-        out = vit.forward(params, images, cfg, want_attn=want_attn,
-                          attn_impl=attn_impl, block_impl=block_impl,
-                          mlp_impl=mlp_impl)
-        if want_attn:
-            # extraction contract: logits + per-layer maps + rollout all leave
-            # the program (nothing DCE'd away)
-            return out["logits"], out["attn"], out["rollout"]
-        return out["logits"]
-
-    from interactive_vit_tpu.ops.layouts import row_major_out_shardings
-
-    def run_one(batch: int) -> float:
-        images = jnp.asarray(
-            np.random.default_rng(0).random(
-                (batch, 3, cfg.img_size, cfg.img_size), dtype=np.float32
-            ),
-            dtype=dtype,
-        )
-        # row-major tap layouts: kills the per-layer [B,H,N,N] relayout
-        # copies at the jit boundary (ops/layouts.py)
-        sh = row_major_out_shardings(fn, params, images)
-        jitted = jax.jit(fn, out_shardings=sh) if sh is not None else jax.jit(fn)
-        out = jitted(params, images)  # compile + warmup
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = jitted(params, images)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        ips = batch * args.iters / dt
-        print(f"  batch={batch}: {ips:.1f} imgs/s "
-              f"({dt / args.iters * 1e3:.2f} ms/batch)", file=sys.stderr)
-        return ips
-
     batches = [args.batch] if args.batch else [32, 64, 96, 128]
-    best = max(run_one(b) for b in batches)
-
-    # model FLOP utilization vs the chip's dense peak (v5e bf16 MXU =
-    # 197 TFLOP/s; f32 runs 3-pass emulated, no meaningful single peak)
-    gflops = _forward_gflops(cfg)
-    mfu = None
-    if args.dtype == "bfloat16" and any(
-            d.platform == "tpu" for d in jax.devices()):
-        mfu = round(best * gflops * 1e9 / V5E_BF16_PEAK_FLOPS, 4)
-        print(f"  ~{gflops:.1f} GFLOPs/img analytic -> MFU {mfu:.1%} "
-              f"of v5e bf16 peak", file=sys.stderr)
+    res = measure(args.variant, args.dtype, batches, args.iters,
+                  want_attn=want_attn, attn=args.attn, block=args.block)
+    cfg = vit.VARIANTS[args.variant]
+    if res["mfu"] is not None:
+        print(f"  ~{res['gflops_per_img']:.1f} GFLOPs/img analytic -> "
+              f"MFU {res['mfu']:.1%} of v5e bf16 peak", file=sys.stderr)
 
     target = 2000.0
+    best = res["imgs_per_s"]
     print(json.dumps({
         "metric": f"{args.variant} @{cfg.img_size} inference w/ "
                   f"{'full attention-map extraction' if want_attn else 'no taps'}"
                   f" ({args.dtype}, attn={args.attn})",
-        "value": round(best, 1),
+        "value": best,
         "unit": "imgs/sec/chip",
         "vs_baseline": round(best / target, 4),
-        **({"mfu_v5e_bf16": mfu} if mfu is not None else {}),
+        **({"mfu_v5e_bf16": res["mfu"]}
+           if (res["mfu"] is not None and args.dtype == "bfloat16")
+           else {}),
     }))
 
 

@@ -83,6 +83,7 @@ class App:
         speculate: bool = True,
         speculate_buckets=(1,),
         inventory_path: str = "",
+        pipeline_depth: int = 1,
     ):
         self.compute_timeout_s = compute_timeout_s
         # worker-recycling state (serving/recycle.py): generation counts
@@ -103,7 +104,7 @@ class App:
         self.metrics = Metrics()
         self.batcher = MicroBatcher(
             self.executor, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            metrics=self.metrics,
+            metrics=self.metrics, pipeline_depth=pipeline_depth,
         )
         self.graphs = GraphLibrary(graphs_dir)
         self.frontend_dir = frontend_dir and os.path.abspath(frontend_dir)

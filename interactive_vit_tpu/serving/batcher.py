@@ -54,11 +54,19 @@ class MicroBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 3.0,
         metrics: Optional[Metrics] = None,
+        pipeline_depth: int = 1,
     ):
         self.executor = executor
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.metrics = metrics or Metrics()
+        # how many dispatched groups may be in flight before the oldest
+        # is materialized (device_get + future resolution). 1 = the
+        # measured default (depth-1 pipeline: batch i's transfer
+        # overlaps batch i+1's compute); >1 keeps more compute queued on
+        # the device at the cost of result latency for the oldest group
+        # (r5 batcher sweep, tools/experiments/r5_batcher_sweep.py)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
         # wall time of the newest submit OR result delivery, plus an
         # in-flight group counter: consumers (the speculative tap warmer)
@@ -192,25 +200,28 @@ class MicroBatcher:
             return _IDLE
 
     def _loop(self) -> None:
-        # depth-1 pipeline: after dispatching batch i+1 (async — jax
-        # returns in-flight arrays), materialize batch i, so i's
-        # device->host transfer and future resolution overlap i+1's TPU
-        # compute. All dispatches AND transfers stay on this one thread
-        # (cross-thread device_get deadlocks on this backend).
-        pending = None  # (group, flat_device_results, t0)
+        # pipelined dispatch (depth = self.pipeline_depth, default 1):
+        # after dispatching batch i+1 (async — jax returns in-flight
+        # arrays), materialize batch i, so i's device->host transfer and
+        # future resolution overlap i+1's TPU compute. All dispatches
+        # AND transfers stay on this one thread (cross-thread device_get
+        # deadlocks on this backend).
+        pending: List = []  # FIFO of (group, flat_device_results, t0)
         while True:
-            item = self._next_item(block=pending is None)
+            item = self._next_item(block=not pending)
             if item is _IDLE:
-                # queue idle: finish the in-flight batch now
-                self._materialize(pending)
-                pending = None
+                # queue idle: finish the in-flight batches now
+                for p in pending:
+                    self._materialize(p)
+                pending = []
                 continue
             if item is None:
-                self._materialize(pending)
+                for p in pending:
+                    self._materialize(p)
                 self._drain_stopped()
                 return
             group = self._collect_group(item)
-            if pending is not None:
+            if pending:
                 try:
                     # single-request groups dispatch via run() — their
                     # program is the UNBATCHED one (batch=None); passing
@@ -225,13 +236,15 @@ class MicroBatcher:
                     compiled = False
                 if not compiled:
                     # this dispatch will cold-compile (5-30s): resolve the
-                    # already-finished batch first instead of stalling it
-                    self._materialize(pending)
-                    pending = None
+                    # already-finished batches first instead of stalling
+                    for p in pending:
+                        self._materialize(p)
+                    pending = []
             dispatched = self._dispatch(group)
-            if pending is not None:
-                self._materialize(pending)
-            pending = dispatched
+            if dispatched is not None:
+                pending.append(dispatched)
+            while len(pending) > self.pipeline_depth:
+                self._materialize(pending.pop(0))
 
     def _drain_stopped(self) -> None:
         """Fail anything still queued at shutdown — a pending Future that

@@ -69,6 +69,7 @@ def build_app(
     speculate: bool = True,
     speculate_buckets=(1,),
     inventory_path: str = "",
+    pipeline_depth: int = 1,
 ) -> App:
     reg = registry()
     register_builtin(reg)
@@ -101,6 +102,7 @@ def build_app(
         speculate=speculate,
         speculate_buckets=speculate_buckets,
         inventory_path=inventory_path,
+        pipeline_depth=pipeline_depth,
     )
 
     from interactive_vit_tpu.models.autoregister import make_model
@@ -244,6 +246,12 @@ def main() -> None:
                         help="comma-separated extra plugin dirs to scan")
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--max-wait-ms", type=float, default=3.0)
+    parser.add_argument("--pipeline-depth", type=int, default=1,
+                        help="in-flight dispatch groups before the "
+                             "oldest is materialized (depth-1 overlaps "
+                             "transfer with the next group's compute; "
+                             "deeper keeps more compute queued at the "
+                             "cost of oldest-result latency)")
     parser.add_argument("--compute-timeout-s", type=float, default=120.0,
                         help="per-request /compute deadline; a wedged "
                              "device returns 503 instead of hanging the "
@@ -406,6 +414,7 @@ def main() -> None:
         speculate_buckets=tuple(
             int(b) for b in args.speculate_buckets.split(",") if b),
         inventory_path=inv_path,
+        pipeline_depth=args.pipeline_depth,
     )
     if inv_path and os.path.exists(inv_path) and app.generation > 0:
         # a recycled generation: warm exactly what the previous one

@@ -702,3 +702,32 @@ def test_request_id_not_reused_on_keepalive_get(served):
         assert r2.getheader("X-IVT-Request-Id") is None
     finally:
         c.close()
+
+
+def test_pipeline_depth_2_resolves_all_signatures():
+    """Depth-2 dispatch pipelining: with two groups in flight, results
+    still route to the right futures in order, mixed signatures
+    included (the r5 batcher-efficiency experiment's knob)."""
+    from interactive_vit_tpu.graph.executor import Executor
+    from interactive_vit_tpu.serving.batcher import MicroBatcher
+
+    reg = Registry()
+    register_builtin(reg)
+    ex = Executor(reg)
+    b = MicroBatcher(ex, max_batch=4, max_wait_ms=2.0, pipeline_depth=2)
+    b.start()
+    try:
+        futs = []
+        for i in range(9):
+            x = np.linspace(0, 1, 8 + (i % 3), dtype=np.float32)
+            g = Graph()
+            n = g.add_node("cos", {"A": str(2.0 + (i % 3))})
+            g.add_input(x, n, "o")
+            futs.append((x, 2.0 + (i % 3), b.submit(g, taps="primary")))
+        for x, a, f in futs:
+            out = f.result(timeout=60)
+            (got,) = (v for sub in out.values() for v in sub.values())
+            np.testing.assert_allclose(np.asarray(got), np.cos(a * x),
+                                       rtol=1e-5)
+    finally:
+        b.stop()

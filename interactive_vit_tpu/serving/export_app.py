@@ -326,15 +326,28 @@ class ExportApp:
                 routed.setdefault(view_i, {})[ch] = v
         return routed
 
-    def compute(self, body: bytes) -> bytes:
+    def compute(self, body: bytes,
+                timing_out: Optional[Dict] = None) -> bytes:
         t0 = time.perf_counter()
         self.metrics.inc("compute_requests")
         req = WireRequest()
         req.decode(body)
+        t_dec = time.perf_counter()
         routed = self.run_request(req)
+        t_run = time.perf_counter()
         raw = WireResponse(routed).encode(dtype=req.resp_dtype)
-        self.metrics.request_latency.observe(time.perf_counter() - t0)
+        t_done = time.perf_counter()
+        self.metrics.request_latency.observe(t_done - t0)
         self.metrics.inc("response_bytes", len(raw))
+        if timing_out is not None:
+            # same phase-attribution contract as the live app's
+            # X-IVT-Timing (no batcher here: compute = match + device)
+            timing_out.update({
+                "decode_ms": round((t_dec - t0) * 1e3, 2),
+                "compute_ms": round((t_run - t_dec) * 1e3, 2),
+                "encode_ms": round((t_done - t_run) * 1e3, 2),
+                "wall_ms": round((t_done - t0) * 1e3, 2),
+            })
         return raw
 
     def _meta_for(self, name: str, params: Optional[Dict] = None):
@@ -412,6 +425,10 @@ class ExportApp:
                 rid = getattr(self, "_rid", None)
                 if rid:
                     self.send_header("X-IVT-Request-Id", rid)
+                timing = getattr(self, "_timing", None)
+                if timing:
+                    self.send_header("X-IVT-Timing", timing)
+                    self._timing = None
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -428,6 +445,7 @@ class ExportApp:
                 # connection's requests; reset so only /compute
                 # responses carry an id (advisor r4 low)
                 self._rid = None
+                self._timing = None
                 try:
                     url = urlparse(self.path)
                     path = unquote(url.path)
@@ -474,6 +492,7 @@ class ExportApp:
 
             def do_POST(self):  # noqa: N802
                 self._rid = None
+                self._timing = None
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
@@ -489,11 +508,15 @@ class ExportApp:
                     if path == "/compute":
                         self._rid = f"x-{os.getpid():x}-{next(_RID):x}"
                         t0 = time.perf_counter()
-                        raw = app.compute(body)
+                        timing: Dict = {}
+                        raw = app.compute(body, timing_out=timing)
                         logger.info(
                             "rid=%s compute ok in %.1fms (%d B out)",
                             self._rid,
                             (time.perf_counter() - t0) * 1e3, len(raw))
+                        self._timing = ";".join(
+                            f"{k.removesuffix('_ms')}={v}"
+                            for k, v in sorted(timing.items()))
                         self._send(200, raw,
                                    "application/octet-stream")
                     else:
@@ -562,11 +585,13 @@ class MultiExportApp:
         self.boot_load_s = sum(u.boot_load_s for u in self.units)
         self.artifact_dir = ",".join(u.artifact_dir for u in self.units)
 
-    def compute(self, body: bytes) -> bytes:
+    def compute(self, body: bytes,
+                timing_out: Optional[Dict] = None) -> bytes:
         t0 = time.perf_counter()
         self.metrics.inc("compute_requests")
         req = WireRequest()
         req.decode(body)
+        t_dec = time.perf_counter()
         # route by FULL match, not just the node-name sequence: two
         # artifacts can share names but differ in shapes/static params
         # (the same workflow exported at batch 1 and batch 8) — a
@@ -593,9 +618,18 @@ class MultiExportApp:
             raise MatchError(
                 "no artifact matches this request; per-artifact: "
                 + " | ".join(e.split(";")[0] for e in shape_errs))
+        t_run = time.perf_counter()
         raw = WireResponse(routed).encode(dtype=req.resp_dtype)
-        self.metrics.request_latency.observe(time.perf_counter() - t0)
+        t_done = time.perf_counter()
+        self.metrics.request_latency.observe(t_done - t0)
         self.metrics.inc("response_bytes", len(raw))
+        if timing_out is not None:
+            timing_out.update({
+                "decode_ms": round((t_dec - t0) * 1e3, 2),
+                "compute_ms": round((t_run - t_dec) * 1e3, 2),
+                "encode_ms": round((t_done - t_run) * 1e3, 2),
+                "wall_ms": round((t_done - t0) * 1e3, 2),
+            })
         return raw
 
     def description(self, name: str,

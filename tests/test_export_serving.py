@@ -430,3 +430,23 @@ def test_preview_only_source_boots_identity_view(tmp_path):
     outs = Response.decode(raw)
     np.testing.assert_allclose(np.asarray(outs[3]["o"]),
                                np.cos(2.0 * x + 0.5), atol=1e-5)
+
+
+def test_export_timing_header(served):
+    """from-export /compute responses carry X-IVT-Timing (same phase-
+    attribution contract as the live app; no batcher -> no queue)."""
+    import urllib.request as _u
+
+    _, base = served
+    img = np.arange(8, dtype=np.float32).reshape(2, 4) / 8
+    body = bytes(encode_message(REQUEST_MAGIC, client_request(), [img]))
+    r = _u.urlopen(_u.Request(base + "/compute", data=body,
+                              method="POST"), timeout=60)
+    r.read()
+    timing = r.headers.get("X-IVT-Timing")
+    assert timing
+    parts = dict(kv.split("=") for kv in timing.split(";"))
+    assert {"decode", "compute", "encode", "wall"} <= set(parts)
+    r2 = _u.urlopen(base + "/metrics", timeout=30)
+    r2.read()
+    assert r2.headers.get("X-IVT-Timing") is None

@@ -161,32 +161,59 @@ class ProgramInventory:
 
 
 def warm(executor, entries: List[Dict], budget_s: float = 120.0,
-         speculator=None) -> Dict[str, int]:
+         speculator=None, workers: int = 4) -> Dict[str, int]:
     """Precompile inventory entries hottest-first under a wall budget.
 
     Returns {"warmed": n, "deferred": m, "failed": k}. Entries that
     don't fit the budget go to the speculator's queue (background warm
     while traffic flows) when one is given, else they're dropped —
     they'll re-stage on demand exactly as before this feature.
+
+    ``workers``: staging threads. ``Executor.precompile`` is documented
+    thread-safe (ShapeDtypeStruct lowering, no device arrays, lock-
+    guarded cache) and each warm is Python tracing (GIL) + a compile-
+    helper round trip, so a few threads overlap the RPC waits —
+    measured 91 s serial for a 27-program production inventory, and the
+    whole warm happens while clients sit in the listen backlog.
     """
+    import collections
+
     t0 = time.perf_counter()
-    warmed = failed = 0
-    deferred: List[Dict] = []
-    for e in entries:
-        if time.perf_counter() - t0 > budget_s:
-            deferred.append(e)
-            continue
-        try:
-            g = graph_from_shape_json(e["graph"])
-            taps = _taps_from_json(e["taps"])
-            executor.precompile(g, taps, batch=e.get("batch"))
-            warmed += 1
-        except Exception as err:  # noqa: BLE001 — a stale entry (node
-            # kind renamed, shape policy changed) must not block boot
-            failed += 1
-            logger.warning("inventory warm failed (%s): %s",
-                           e.get("graph", {}).get("nodes", [{}])[0]
-                           .get("name", "?"), str(err)[:200])
+    counts = {"warmed": 0, "failed": 0}
+    clock = threading.Lock()
+    q = collections.deque(entries)  # hottest-first pull queue
+
+    def worker():
+        while True:
+            if time.perf_counter() - t0 > budget_s:
+                return
+            try:
+                e = q.popleft()
+            except IndexError:
+                return
+            try:
+                g = graph_from_shape_json(e["graph"])
+                executor.precompile(g, _taps_from_json(e["taps"]),
+                                    batch=e.get("batch"))
+                with clock:
+                    counts["warmed"] += 1
+            except Exception as err:  # noqa: BLE001 — a stale entry
+                # (node kind renamed, shape policy changed) must not
+                # block boot
+                with clock:
+                    counts["failed"] += 1
+                logger.warning("inventory warm failed (%s): %s",
+                               e.get("graph", {}).get("nodes", [{}])[0]
+                               .get("name", "?"), str(err)[:200])
+
+    threads = [threading.Thread(target=worker, name=f"inv-warm-{i}")
+               for i in range(max(1, workers))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    warmed, failed = counts["warmed"], counts["failed"]
+    deferred = list(q)  # past-budget leftovers
     if deferred and speculator is not None:
         for e in deferred:
             try:

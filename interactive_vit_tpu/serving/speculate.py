@@ -216,7 +216,7 @@ class TapSpeculator:
                  idle: Optional[Callable[[], bool]] = None,
                  max_queue: int = 64, idle_grace_s: float = 0.25,
                  buckets: Tuple[int, ...] = (1,),
-                 max_starvation_s: float = 30.0):
+                 max_starvation_s: float = 12.0):
         self.executor = executor
         self.idle = idle or (lambda: True)
         self.max_queue = max_queue
@@ -233,7 +233,13 @@ class TapSpeculator:
         # has waited this long, compile it anyway: speculative compiles
         # run in the remote compile helper, not on the device, so the
         # cost under load is host tracing time, bounded to one job per
-        # starvation window. 0 disables the override.
+        # starvation window. 0 disables the override. Default 12 s: at
+        # 30 s the r5 scrub client measured only ONE speculative
+        # compile in a 300 s loaded window (cadence = window + the
+        # compile itself), leaving every scrub step paying its ~3.3 s
+        # re-stage; 12 s warms the sibling set within about one scrub
+        # pass while still bounding helper contention to one job at a
+        # time.
         self.max_starvation_s = max_starvation_s
         self._starved_since: Optional[float] = None
         # raw observations (shape-only clones), expanded into jobs on

@@ -36,8 +36,14 @@ from interactive_vit_tpu.wire.codec import (  # noqa: E402
 
 PORT = int(os.environ.get("SERVING_PORT", "8972"))
 BASE = f"http://127.0.0.1:{PORT}"
-DURATION_S = float(os.environ.get("SERVING_S", "300"))
-RECYCLE_AFTER = int(os.environ.get("RECYCLE_AFTER", "2000"))
+DURATION_S = float(os.environ.get("SERVING_S", "600"))
+# sized so the recycle fires ~2 min into the (default 10 min) window:
+# the fresh generation then serves several steady minutes AFTER its boot
+# + inventory warm, and final_gen_wire_p50 measures warmed steady state
+# instead of only the backlog-drain burst (r5 first attempt: a 2000
+# budget under a 300 s window put gen-1's entire histogram inside the
+# drain)
+RECYCLE_AFTER = int(os.environ.get("RECYCLE_AFTER", "1200"))
 N_CLIENTS = int(os.environ.get("SERVING_CLIENTS", "8"))
 ROUND = int(os.environ.get("ROUND", "5"))
 MODELS = ["vit_t16", "dino_s16", "resnet50"]
@@ -98,7 +104,7 @@ def main() -> int:
          "--port", str(PORT), "--max-batch", "8", "--max-wait-ms", "5",
          "--recycle-after-requests", str(RECYCLE_AFTER),
          "--speculate-buckets", "1,4",
-         "--warm-inventory", inv_path,
+         "--warm-inventory", inv_path, "--warm-budget-s", "90",
          "--jit-cache", "/tmp/ivt_jit_cache",
          "--graphs-dir", "/tmp/serving_bench_graphs"] + extra,
         env=env, cwd=_REPO,

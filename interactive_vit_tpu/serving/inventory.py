@@ -117,12 +117,34 @@ class ProgramInventory:
         try:
             entry = {"graph": graph_to_shape_json(graph),
                      "taps": _taps_to_json(taps),
-                     "batch": batch, "count": 1}
+                     "batch": batch, "count": 1, "sig": sig}
         except Exception as err:  # noqa: BLE001
             logger.debug("inventory record failed: %s", err)
             return
         with self._lock:
             self._entries.setdefault(key, entry)
+
+    def seed(self, entries: List[Dict]) -> int:
+        """Adopt the PREVIOUS generations' entries so coverage
+        accumulates across recycles instead of shrinking to whatever
+        each short-lived generation happened to serve (first r5 bench:
+        26 -> 13 -> 14 warmed programs over successive generations).
+        Counts are halved (floor 1) so stale popularity decays; entries
+        re-served by this generation resume counting on top. Entries
+        from pre-sig files are skipped."""
+        n = 0
+        with self._lock:
+            for e in entries:
+                sig = e.get("sig")
+                if not sig:
+                    continue
+                key = (sig, e.get("batch"))
+                if key not in self._entries:
+                    d = dict(e)
+                    d["count"] = max(1, int(e.get("count", 1)) // 2)
+                    self._entries[key] = d
+                    n += 1
+        return n
 
     def __len__(self) -> int:
         with self._lock:

@@ -427,6 +427,11 @@ def main() -> None:
         try:
             entries, carried = inv_mod.ProgramInventory.load(inv_path)
             app.load_carried(carried)
+            # accumulate coverage: this generation's inventory starts
+            # from the union of all previous generations' entries
+            # (decayed counts), so the warm set grows with the workload
+            # instead of shrinking to one short generation's slice
+            app.inventory.seed(entries)
             stats = inv_mod.warm(app.executor, entries,
                                  budget_s=args.warm_budget_s,
                                  speculator=app.speculator)

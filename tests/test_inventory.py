@@ -279,3 +279,31 @@ def test_generation_warms_previous_inventory(tmp_path):
     finally:
         proc.kill()
         proc.wait(timeout=30)
+
+
+def test_seed_accumulates_across_generations(tmp_path):
+    """A generation seeds its inventory from the previous generations'
+    file, so coverage accumulates across recycles (counts decayed) and
+    re-serving resumes counting."""
+    path = str(tmp_path / "inv.json")
+    g = cos_graph(X)
+    pi = inv.ProgramInventory(path)
+    pi.record(g, "primary", None, sig="s1")
+    for _ in range(9):
+        pi.record(g, "primary", None, sig="s1")
+    pi.save()
+    entries, _ = inv.ProgramInventory.load(path)
+
+    pi2 = inv.ProgramInventory(path)
+    assert pi2.seed(entries) == 1
+    # decayed count (10 // 2 = 5), resumes counting on re-serve
+    pi2.record(g, "primary", None, sig="s1")
+    pi2.record(cos_graph(X, a="9.0"), "primary", None, sig="s2")
+    pi2.save()
+    entries2, _ = inv.ProgramInventory.load(path)
+    by_sig = {e["sig"]: e for e in entries2}
+    assert by_sig["s1"]["count"] == 6
+    assert by_sig["s2"]["count"] == 1
+    # pre-sig entries are skipped, not crashed on
+    assert pi2.seed([{"graph": {}, "taps": "primary", "batch": None,
+                      "count": 3}]) == 0

@@ -54,6 +54,10 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: CLIPVisionConfig,
                 dtype=jnp.float32) -> Params:
     keys = iter(jax.random.split(key, 8 + 4 * cfg.depth))

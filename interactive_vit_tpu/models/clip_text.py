@@ -50,6 +50,10 @@ class CLIPTextConfig:
         return self.width * 4
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: CLIPTextConfig,
                 dtype=jnp.float32) -> Params:
     keys = iter(jax.random.split(key, 4 + 4 * cfg.depth))

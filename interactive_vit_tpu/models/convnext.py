@@ -126,6 +126,10 @@ def head(p: Params, pooled: jnp.ndarray, cfg: ConvNeXtConfig) -> jnp.ndarray:
                     p["fc"]["w"], p["fc"]["b"])
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: ConvNeXtConfig,
                 dtype=jnp.float32) -> Params:
     """torchvision's init: trunc-normal(0.02) conv/linear weights, zero

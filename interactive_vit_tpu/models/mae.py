@@ -134,6 +134,10 @@ def resolve_variant(name: str) -> MAEConfig:
 # -- init -----------------------------------------------------------------
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: MAEConfig, dtype=jnp.float32) -> Params:
     """{"enc": <plain ViT params, head={}>, "dec": {...}}.
 

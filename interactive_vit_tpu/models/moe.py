@@ -82,6 +82,10 @@ VARIANTS: Dict[str, MoEViTConfig] = {
 }
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: MoEViTConfig,
                 dtype=jnp.float32) -> Params:
     """vit.init_params with MoE blocks' MLP swapped for router + experts."""

@@ -104,6 +104,10 @@ def global_avgpool(x):
     return jnp.mean(x.astype(jnp.float32), axis=(2, 3)).astype(x.dtype)
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, num_classes: int = 1000,
                 dtype=jnp.float32) -> Params:
     """He-style random init with identity BN folds."""

@@ -314,6 +314,10 @@ def head(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # -- init / conversion -------------------------------------------------------
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: SwinConfig, dtype=jnp.float32) -> Params:
     """Random init mirroring the forward layout (trunc-normal-ish)."""
     n_blocks = sum(cfg.depths)

@@ -75,6 +75,10 @@ VARIANTS: Dict[str, ToMeViTConfig] = {
 }
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: ToMeViTConfig,
                 dtype=jnp.float32) -> Params:
     """Identical pytree to ``vit.init_params`` — merging has no weights."""

@@ -103,6 +103,10 @@ def flatten(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(x.shape[0], -1)
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, dtype=jnp.float32) -> Params:
     """Random He-style init matching the torchvision layer layout."""
     params: Params = {"features": {}, "classifier": {}}

@@ -259,6 +259,10 @@ def adapt_checkpoint(params: Params, cfg: ViTConfig) -> Params:
 # -- init ----------------------------------------------------------------------
 
 
+from interactive_vit_tpu.utils.jit_init import jitted_init
+
+
+@jitted_init
 def init_params(key: jax.Array, cfg: ViTConfig,
                 dtype=jnp.float32) -> Params:
     """Random init (trunc-normal-ish); layout mirrors the forward fns."""

@@ -172,3 +172,45 @@ def test_qkv_head_major_unpermute_inverts():
                                       np.asarray(rt["qkv_w"]))
         np.testing.assert_array_equal(np.asarray(orig["qkv_b"]),
                                       np.asarray(rt["qkv_b"]))
+
+
+def test_jitted_init_values_match_eager():
+    """Model initializers run as ONE jitted program (utils/jit_init —
+    a recycled serving generation's boot cost). Values must match the
+    eager path: exact tree structure, and leaves within a few ULP of
+    the target dtype (XLA fuses the random-bits -> normal-transform ->
+    scale/convert chain, and fused transcendentals may round a few ULP
+    differently than the eager kernels; random-init weights are
+    insensitive, but the drift must stay at ULP scale)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from interactive_vit_tpu.models import resnet, swin, vit
+
+    cases = [
+        ("vit_t16/f32", vit.init_params,
+         (vit.VARIANTS["vit_t16"], jnp.float32)),
+        ("vit_t16/bf16", vit.init_params,
+         (vit.VARIANTS["vit_t16"], jnp.bfloat16)),
+        ("resnet50", resnet.init_params, (10, jnp.bfloat16)),
+        ("swin_t", swin.init_params, (swin.VARIANTS["swin_t"],)),
+    ]
+    for name, fn, args in cases:
+        got = fn(jax.random.key(3), *args)
+        ref = fn.__wrapped_eager__(jax.random.key(3), *args)
+        lg, tg = jax.tree.flatten(got)
+        lr, tr = jax.tree.flatten(ref)
+        assert tg == tr, name
+        for a, b in zip(lg, lr):
+            af = np.asarray(a, np.float32)
+            bf = np.asarray(b, np.float32)
+            # 1 ULP of the leaf dtype at the leaf's scale (explicit
+            # mantissa bits: bf16 = 7, f32 = 23)
+            ulp = (2.0 ** -7 if np.asarray(a).dtype == jnp.bfloat16
+                   else 2.0 ** -23)
+            tol = np.maximum(np.abs(bf), 1e-6) * ulp * 4
+            bad = np.abs(af - bf) > tol
+            assert not bad.any(), (
+                f"{name}: {int(bad.sum())} leaves beyond 4 ULP "
+                f"(max {np.abs(af - bf).max():.3e})")

@@ -27,6 +27,8 @@ import inspect
 
 
 def jitted_init(fn):
+    import os
+
     import jax
 
     sig = inspect.signature(fn)
@@ -35,6 +37,17 @@ def jitted_init(fn):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        # Accelerator backends only: that is where the per-dispatch RTT
+        # win lives, and on the CPU backend two full-suite runs
+        # segfaulted inside a LATER unrelated XLA:CPU compile (swin
+        # sharded-remat train) with the extra init executables in the
+        # process — reproducible only with ~600 tests of accumulated
+        # state, native frame unknown, module/standalone always green.
+        # Eager on CPU restores the previously stable suite exactly;
+        # IVT_JIT_INIT=1 forces the jitted path (the parity test).
+        if (jax.default_backend() == "cpu"
+                and os.environ.get("IVT_JIT_INIT") != "1"):
+            return fn(*args, **kwargs)
         bound = sig.bind(*args, **kwargs)
         bound.apply_defaults()
         kw = dict(bound.arguments)

@@ -181,13 +181,26 @@ def test_jitted_init_values_match_eager():
     the target dtype (XLA fuses the random-bits -> normal-transform ->
     scale/convert chain, and fused transcendentals may round a few ULP
     differently than the eager kernels; random-init weights are
-    insensitive, but the drift must stay at ULP scale)."""
+    insensitive, but the drift must stay at ULP scale). On the CPU
+    backend the wrapper is eager by default (suite stability — see
+    utils/jit_init.py); IVT_JIT_INIT=1 forces the jitted path so this
+    parity check exercises it."""
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from interactive_vit_tpu.models import resnet, swin, vit
 
+    os.environ["IVT_JIT_INIT"] = "1"
+    try:
+        _run_jit_init_cases(jax, jnp, np, resnet, swin, vit)
+    finally:
+        os.environ.pop("IVT_JIT_INIT", None)
+
+
+def _run_jit_init_cases(jax, jnp, np, resnet, swin, vit):
     cases = [
         ("vit_t16/f32", vit.init_params,
          (vit.VARIANTS["vit_t16"], jnp.float32)),
